@@ -1,0 +1,143 @@
+"""Crypto-core tests: bech32 (BIP-173 vectors), key derivation against the
+reference's own fixture keypair, age v1 format round-trip/tamper/length
+properties.  Pure Python — no Spark session needed."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from duckdb_age_spark.crypto import bech32, format as age_format, keys
+from tests.conftest import PRIV1, PRIV2, PUB1, PUB2
+
+# --- bech32 -----------------------------------------------------------------
+
+BIP173_VALID = [
+    "A12UEL5L",
+    "an83characterlonghumanreadablepartthatcontainsthenumber1andtheexcludedcharactersbio1tt5tgs",
+    "abcdef1qpzry9x8gf2tvdw0s3jn54khce6mua7lmqqqxw",
+    "split1checkupstagehandshakeupstreamerranterredcaperred2y9e3w",
+]
+
+BIP173_INVALID = [
+    "split1checkupstagehandshakeupstreamerranterredcaperred2y9e2w",  # bad checksum
+    "s lit1checkupstagehandshakeupstreamerranterredcaperredp8hs2p",  # invalid char in hrp
+    "split1cheo2y9e2w",  # invalid data char 'o'
+    "1checkupstagehandshakeupstreamerranterredcaperred2y9e3w",  # empty hrp
+]
+
+
+@pytest.mark.parametrize("s", BIP173_VALID)
+def test_bech32_valid_vectors(s):
+    hrp = s.lower()[: s.lower().rfind("1")]
+    bech32.decode(hrp, s)  # must not raise
+
+
+@pytest.mark.parametrize("s", BIP173_INVALID)
+def test_bech32_invalid_vectors(s):
+    hrp = s.lower()[: s.lower().rfind("1")] if "1" in s else ""
+    with pytest.raises(ValueError):
+        bech32.decode(hrp, s)
+
+
+def test_bech32_roundtrip_random():
+    for n in (0, 1, 20, 32, 64):
+        data = os.urandom(n)
+        assert bech32.decode("age", bech32.encode("age", data)) == data
+
+
+# --- key derivation vs reference fixtures -----------------------------------
+
+
+def test_reference_keypair1_derives():
+    """The strongest available spec pin: our X25519+bech32 derive the exact
+    public key the reference's tests pair with this private key."""
+    raw = keys.parse_identity(PRIV1)
+    assert keys.pair_from_private_raw(raw).public_key == PUB1
+
+
+def test_reference_keypair2_private_is_invalid_bech32():
+    """Documents the reference-fixture quirk (see conftest)."""
+    keys.parse_recipient(PUB2)  # public key is valid
+    with pytest.raises(ValueError):
+        keys.parse_identity(PRIV2)
+
+
+def test_keygen_formats_and_uniqueness():
+    pairs = [keys.keygen() for _ in range(8)]
+    for kp in pairs:
+        assert kp.public_key.startswith("age1")
+        assert kp.private_key.startswith("AGE-SECRET-KEY-1")
+        assert keys.pair_from_private_raw(keys.parse_identity(kp.private_key)) == kp
+    assert len({kp.public_key for kp in pairs}) == 8
+
+
+def test_keygen_from_seed_deterministic():
+    a = keys.keygen_from_seed(b"fixture-seed")
+    b = keys.keygen_from_seed(b"fixture-seed")
+    c = keys.keygen_from_seed(b"other-seed")
+    assert a == b != c
+    ct = age_format.encrypt(b"x", [keys.parse_recipient(a.public_key)])
+    assert age_format.decrypt(ct, keys.parse_identity(a.private_key)) == b"x"
+
+
+# --- age v1 format ----------------------------------------------------------
+
+PAYLOADS = [b"", b"x", b"hello world", b"\x00" * 100, os.urandom(65536), os.urandom(65537), os.urandom(131073)]
+
+
+@pytest.mark.parametrize("payload", PAYLOADS, ids=[f"len{len(p)}" for p in PAYLOADS])
+def test_roundtrip_and_length(payload):
+    ct = age_format.encrypt(payload, [keys.parse_recipient(PUB1)])
+    assert age_format.decrypt(ct, keys.parse_identity(PRIV1)) == payload
+    assert len(ct) == age_format.ciphertext_length(len(payload), 1)
+    assert ct.startswith(b"age-encryption.org/v1\n-> X25519 ")
+
+
+def test_nondeterministic_ciphertext():
+    pub = [keys.parse_recipient(PUB1)]
+    assert age_format.encrypt(b"same", pub) != age_format.encrypt(b"same", pub)
+
+
+def test_multi_recipient_any_key_decrypts():
+    kps = [keys.keygen() for _ in range(3)]
+    raws = [keys.parse_recipient(k.public_key) for k in kps]
+    ct = age_format.encrypt(b"multi test", raws)
+    for kp in kps:
+        assert age_format.decrypt(ct, keys.parse_identity(kp.private_key)) == b"multi test"
+    assert len(ct) == age_format.ciphertext_length(len(b"multi test"), 3)
+
+
+def test_wrong_key_fails():
+    ct = age_format.encrypt(b"test", [keys.parse_recipient(PUB1)])
+    with pytest.raises(age_format.DecryptError):
+        age_format.decrypt(ct, keys.parse_identity(keys.keygen().private_key))
+
+
+@pytest.mark.parametrize("pos", ["header", "nonce", "payload", "tail"])
+def test_tamper_detection(pos):
+    ct = bytearray(age_format.encrypt(b"tamper me", [keys.parse_recipient(PUB1)]))
+    idx = {"header": 30, "nonce": ct.find(b"\n---") + 60, "payload": len(ct) - 10, "tail": len(ct) - 1}[pos]
+    ct[idx] ^= 0x01
+    with pytest.raises(age_format.DecryptError):
+        age_format.decrypt(bytes(ct), keys.parse_identity(PRIV1))
+
+
+def test_truncated_inputs():
+    ct = age_format.encrypt(b"truncate", [keys.parse_recipient(PUB1)])
+    for cut in (0, 10, 50, len(ct) - 1):
+        with pytest.raises(age_format.DecryptError):
+            age_format.decrypt(ct[:cut], keys.parse_identity(PRIV1))
+    with pytest.raises(age_format.DecryptError):
+        age_format.decrypt(b"not an age file at all\n", keys.parse_identity(PRIV1))
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.binary(min_size=0, max_size=2048))
+def test_roundtrip_property(payload):
+    ct = age_format.encrypt(payload, [keys.parse_recipient(PUB1)])
+    assert age_format.decrypt(ct, keys.parse_identity(PRIV1)) == payload
+    assert len(ct) == age_format.ciphertext_length(len(payload), 1)

@@ -1,0 +1,115 @@
+"""Kernel-level dispatch + error-string parity tests (reference:
+test/sql/age.test error cases), without a Spark session."""
+
+from __future__ import annotations
+
+import pytest
+
+from duckdb_age_spark import errors
+from duckdb_age_spark.functions import (
+    decrypt_kernel,
+    encrypt_kernel,
+    encrypt_multi_kernel,
+    resolve_identity,
+    resolve_recipient,
+)
+from tests.conftest import PRIV1, PUB1
+
+SECRETS = {"test_secret": {"public_key": PUB1, "private_key": PRIV1}}
+NO_SECRETS: dict = {}
+
+
+def test_dispatch_rules():
+    assert resolve_recipient(PUB1, NO_SECRETS) == PUB1  # age1 prefix → raw key
+    assert resolve_recipient("test_secret", SECRETS) == PUB1
+    assert resolve_identity(PRIV1, NO_SECRETS) == PRIV1
+    assert resolve_identity("test_secret", SECRETS) == PRIV1
+
+
+# reference: test/sql/age.test:24-28
+def test_encrypt_invalid_key():
+    with pytest.raises(errors.AgeError) as e:
+        encrypt_kernel(b"hello world", "invalid_key", NO_SECRETS)
+    assert "Invalid age recipient key: invalid_key (not a valid age key or secret name)" in str(e.value)
+
+
+# reference: test/sql/age.test:30-34
+def test_encrypt_malformed_age_key():
+    with pytest.raises(errors.AgeError) as e:
+        encrypt_kernel(b"hello world", "age1invalid", NO_SECRETS)
+    assert str(e.value) == "Invalid age recipient key: age1invalid"
+
+
+# reference: test/sql/age.test:36-40
+def test_encrypt_empty_key():
+    with pytest.raises(errors.AgeError) as e:
+        encrypt_kernel(b"hello world", "", NO_SECRETS)
+    assert str(e.value) == "Invalid age recipient key:  (not a valid age key or secret name)"
+
+
+def test_encrypt_secret_without_public_key():
+    secrets = {"priv_only": {"public_key": None, "private_key": PRIV1}}
+    with pytest.raises(errors.AgeError, match="not a valid age key or secret name"):
+        encrypt_kernel(b"x", "priv_only", secrets)
+
+
+# reference: test/sql/age.test:42-47,59-75
+def test_secret_name_roundtrip():
+    ct = encrypt_kernel(b"both secrets", "test_secret", SECRETS)
+    assert decrypt_kernel(ct, "test_secret", SECRETS) == b"both secrets"
+    ct2 = encrypt_kernel(b"secret test", PUB1, NO_SECRETS)
+    assert decrypt_kernel(ct2, "test_secret", SECRETS) == b"secret test"
+
+
+# reference: test/sql/age.test:77-81
+def test_decrypt_invalid_identity():
+    ct = encrypt_kernel(b"test", PUB1, NO_SECRETS)
+    with pytest.raises(errors.AgeError) as e:
+        decrypt_kernel(ct, "invalid_key", NO_SECRETS)
+    assert "Invalid age identity key: invalid_key (not a valid age key or secret name)" in str(e.value)
+
+
+# reference: test/sql/age.test:83-90 — valid-prefix wrong key → Decryption failed
+def test_decrypt_wrong_key():
+    ct = encrypt_kernel(b"test", PUB1, NO_SECRETS)
+    with pytest.raises(errors.AgeError) as e:
+        decrypt_kernel(ct, "AGE-SECRET-KEY-1" + "A" * 58, NO_SECRETS)
+    assert str(e.value).startswith("Decryption failed")
+
+
+# reference: test/sql/age.test:92-96
+def test_decrypt_empty_key():
+    ct = encrypt_kernel(b"test", PUB1, NO_SECRETS)
+    with pytest.raises(errors.AgeError) as e:
+        decrypt_kernel(ct, "", NO_SECRETS)
+    assert str(e.value) == "Invalid age identity key:  (not a valid age key or secret name)"
+
+
+# reference: test/sql/age.test:113-117
+def test_multi_empty_list():
+    with pytest.raises(errors.AgeError) as e:
+        encrypt_multi_kernel(b"test", [], NO_SECRETS)
+    assert str(e.value) == "Recipients list cannot be empty"
+
+
+# reference: test/sql/age.test:119-123
+def test_multi_invalid_recipient():
+    with pytest.raises(errors.AgeError) as e:
+        encrypt_multi_kernel(b"test", ["invalid_key"], NO_SECRETS)
+    assert str(e.value) == "Invalid recipient: invalid_key"
+
+
+# reference: rust/src/lib.rs:285 path — resolved-but-malformed age1 key
+def test_multi_malformed_at_position():
+    with pytest.raises(errors.AgeError) as e:
+        encrypt_multi_kernel(b"test", [PUB1, "age1invalid"], NO_SECRETS)
+    assert str(e.value) == "Encryption failed: Invalid recipient at position 1: age1invalid"
+
+
+# reference: test/sql/age.test:125-133
+def test_multi_mixed_keys_and_secrets():
+    from duckdb_age_spark.functions import decrypt_kernel
+
+    ct = encrypt_multi_kernel(b"mixed", [PUB1, "test_secret"], SECRETS)
+    assert ct is not None
+    assert decrypt_kernel(ct, PRIV1, NO_SECRETS) == b"mixed"
