@@ -1,0 +1,965 @@
+"""Driver-contract queries + DuckDB oracle SQL (SURVEY.md §7.4).
+
+Every entry in ``QUERIES`` has a Spark builder (spark, sf_dir) → DataFrame
+and, in ``ORACLE_SQL``, an equivalent DuckDB statement over the same parquet
+tables.  Design rules that keep the two engines value-identical:
+
+* deterministic outputs only — never raw ciphertext/keys (nondeterministic),
+  only round-trip booleans, lengths, digests, counts, rounded doubles;
+* every integer column cast to BIGINT on both sides; floats rounded (2-4 dp)
+  BEFORE any rank/filter that depends on them; rank ties broken by id;
+* timestamps leave as formatted strings or epoch seconds (truncated the same
+  way on both sides); Spark session TZ pinned to UTC in the callables;
+* every hash is md5 (bit-identical in DuckDB); min over hex strings is
+  lexicographic in both engines.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .crypto import keys as age_keys
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS) which Spark 4 refuses to read
+        # natively; read as long and truncate ns→µs (integer DIV — exact).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/events.parquet")
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _prep(spark: SparkSession) -> None:
+    """Idempotent session prep: register the age functions, pin UTC."""
+    from .register import register
+
+    register(spark)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+# Deterministic contract keypairs (derived from fixed seeds — same values
+# every run, on every machine).
+KP1 = age_keys.keygen_from_seed(b"contract-key-1")
+KP2 = age_keys.keygen_from_seed(b"contract-key-2")
+KP3 = age_keys.keygen_from_seed(b"contract-key-3")
+
+# ciphertext_length constants (crypto/format.py): header 22 + 98/recipient +
+# MAC 48, payload nonce 16 + 16-byte tag per 64 KiB chunk.
+_CT_LEN_SQL = (
+    "(22 + 98 * {n} + 48 + 16 + octet_length(encode(text)) "
+    "+ 16 * greatest(1, CAST(ceil(octet_length(encode(text)) / 65536.0) AS BIGINT)))::BIGINT"
+)
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE_SQL: dict[str, str] = {}
+
+
+def _q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE_SQL[name] = oracle
+        return fn
+
+    return deco
+
+
+# ===========================================================================
+# A. age-encryption contract queries (SURVEY.md §2a)
+# ===========================================================================
+
+
+@_q(
+    "age_roundtrip",
+    f"""
+    SELECT doc_id, true AS rt_ok, {_CT_LEN_SQL.format(n=1)} AS ct_len
+    FROM documents
+    """,
+)
+def age_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encrypt→decrypt over documents with a seeded keypair; deterministic
+    outputs: round-trip bool + ciphertext length (exact closed form)."""
+    _prep(spark)
+    docs = load(spark, sf_dir, "documents")
+    ct = F.call_function("age_encrypt", F.col("text").cast("binary"), F.lit(KP1.public_key))
+    return (
+        docs.withColumn("ct", ct)
+        .select(
+            "doc_id",
+            (
+                F.call_function("age_decrypt", F.col("ct"), F.lit(KP1.private_key))
+                == F.col("text").cast("binary")
+            ).alias("rt_ok"),
+            F.octet_length("ct").cast("bigint").alias("ct_len"),
+        )
+    )
+
+
+@_q(
+    "age_multi_roundtrip",
+    f"""
+    SELECT doc_id, true AS ok_k1, true AS ok_k3, {_CT_LEN_SQL.format(n=3)} AS ct_len
+    FROM documents WHERE doc_id % 5 = 0
+    """,
+)
+def age_multi_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """age_encrypt_multi to 3 recipients; any identity decrypts."""
+    _prep(spark)
+    docs = load(spark, sf_dir, "documents").where(F.col("doc_id") % 5 == 0)
+    recips = F.array(F.lit(KP1.public_key), F.lit(KP2.public_key), F.lit(KP3.public_key))
+    ct = F.call_function("age_encrypt_multi", F.col("text").cast("binary"), recips)
+    return docs.withColumn("ct", ct).select(
+        "doc_id",
+        (F.call_function("age_decrypt", F.col("ct"), F.lit(KP1.private_key)) == F.col("text").cast("binary")).alias("ok_k1"),
+        (F.call_function("age_decrypt", F.col("ct"), F.lit(KP3.private_key)) == F.col("text").cast("binary")).alias("ok_k3"),
+        F.octet_length("ct").cast("bigint").alias("ct_len"),
+    )
+
+
+@_q(
+    "age_keygen_check",
+    """
+    SELECT 50::BIGINT AS n_rows, true AS all_distinct, true AS formats_ok,
+           62::BIGINT AS pub_len, 74::BIGINT AS priv_len
+    """,
+)
+def age_keygen_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row keygen: 50 rows → 50 distinct well-formed pairs (the
+    documented semantics the reference's per-chunk quirk violates)."""
+    _prep(spark)
+    kp = spark.range(50).select(F.call_function("age_keygen").alias("kp"))
+    return kp.agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        (F.countDistinct("kp.public_key") == 50).alias("all_distinct"),
+        F.min(
+            F.col("kp.public_key").startswith("age1")
+            & F.col("kp.private_key").startswith("AGE-SECRET-KEY-1")
+        ).alias("formats_ok"),
+        F.max(F.length("kp.public_key")).cast("bigint").alias("pub_len"),
+        F.max(F.length("kp.private_key")).cast("bigint").alias("priv_len"),
+    )
+
+
+@_q(
+    "age_seeded_keygen",
+    """
+    SELECT CAST(r AS BIGINT) AS id, true AS deterministic, true AS formats_ok
+    FROM range(10) t(r)
+    """,
+)
+def age_seeded_keygen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """age_keygen_from_seed: same seed → same pair (our fix of the
+    reference's acknowledged nondeterminism bug — SURVEY.md §2a)."""
+    _prep(spark)
+    seed = F.concat(F.lit("seed-"), F.col("id").cast("string")).cast("binary")
+    df = spark.range(10).select(
+        F.col("id").cast("bigint").alias("id"),
+        F.call_function("age_keygen_from_seed", seed).alias("kp_a"),
+        F.call_function("age_keygen_from_seed", seed).alias("kp_b"),
+    )
+    return df.select(
+        "id",
+        (F.col("kp_a.public_key") == F.col("kp_b.public_key")).alias("deterministic"),
+        (
+            F.col("kp_a.public_key").startswith("age1")
+            & F.col("kp_a.private_key").startswith("AGE-SECRET-KEY-1")
+        ).alias("formats_ok"),
+    )
+
+
+_ERROR_CASES = [
+    ("encrypt_invalid_key", "Invalid age recipient key: invalid_key (not a valid age key or secret name)"),
+    ("encrypt_malformed", "Invalid age recipient key: age1invalid"),
+    ("encrypt_empty_key", "Invalid age recipient key:  (not a valid age key or secret name)"),
+    ("decrypt_invalid_identity", "Invalid age identity key: invalid_key (not a valid age key or secret name)"),
+    ("decrypt_wrong_key", "Decryption failed"),
+    ("decrypt_empty_key", "Invalid age identity key:  (not a valid age key or secret name)"),
+    ("multi_empty_list", "Recipients list cannot be empty"),
+    ("multi_invalid_recipient", "Invalid recipient: invalid_key"),
+    ("multi_bad_position", "Encryption failed: Invalid recipient at position 1: age1invalid"),
+]
+
+
+@_q(
+    "age_error_dispatch",
+    "SELECT * FROM (VALUES "
+    + ", ".join(f"('{name}', true)" for name, _ in _ERROR_CASES)
+    + ") AS t(case_name, error_ok)",
+)
+def age_error_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden error-message parity (reference: test/sql/age.test error
+    blocks), surfaced as booleans so the oracle can assert them."""
+    _prep(spark)
+    from pyspark.sql.types import BooleanType
+
+    def check(case: str) -> bool:
+        from duckdb_age_spark import errors
+        from duckdb_age_spark.functions import (
+            decrypt_kernel,
+            encrypt_kernel,
+            encrypt_multi_kernel,
+        )
+
+        pub = KP1.public_key
+        ct = encrypt_kernel(b"test", pub, {})
+        try:
+            if case == "encrypt_invalid_key":
+                encrypt_kernel(b"x", "invalid_key", {})
+            elif case == "encrypt_malformed":
+                encrypt_kernel(b"x", "age1invalid", {})
+            elif case == "encrypt_empty_key":
+                encrypt_kernel(b"x", "", {})
+            elif case == "decrypt_invalid_identity":
+                decrypt_kernel(ct, "invalid_key", {})
+            elif case == "decrypt_wrong_key":
+                decrypt_kernel(ct, "AGE-SECRET-KEY-1" + "A" * 58, {})
+            elif case == "decrypt_empty_key":
+                decrypt_kernel(ct, "", {})
+            elif case == "multi_empty_list":
+                encrypt_multi_kernel(b"x", [], {})
+            elif case == "multi_invalid_recipient":
+                encrypt_multi_kernel(b"x", ["invalid_key"], {})
+            elif case == "multi_bad_position":
+                encrypt_multi_kernel(b"x", [pub, "age1invalid"], {})
+            return False
+        except errors.AgeError as e:
+            expected = dict(_ERROR_CASES)[case]
+            return str(e).startswith(expected) if case == "decrypt_wrong_key" else str(e) == expected
+
+    check_udf = F.udf(check, BooleanType())
+    cases = spark.createDataFrame([(n,) for n, _ in _ERROR_CASES], "case_name string")
+    return cases.select("case_name", check_udf("case_name").alias("error_ok"))
+
+
+@_q(
+    "age_secret_roundtrip",
+    "SELECT doc_id, true AS rt_ok FROM documents WHERE doc_id % 20 = 0",
+)
+def age_secret_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Secret-name dispatch end-to-end: encrypt + decrypt via a named secret
+    created through the SecretManager (reference: test/sql/age.test:59-75)."""
+    from .register import register
+    from .secrets import default_manager
+
+    register(spark)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    default_manager.create_secret(
+        "contract_secret", public_key=KP1.public_key, private_key=KP1.private_key, replace=True
+    )
+    docs = load(spark, sf_dir, "documents").where(F.col("doc_id") % 20 == 0)
+    ct = F.call_function("age_encrypt", F.col("text").cast("binary"), F.lit("contract_secret"))
+    return docs.select(
+        "doc_id",
+        (
+            F.call_function("age_decrypt", ct, F.lit("contract_secret"))
+            == F.col("text").cast("binary")
+        ).alias("rt_ok"),
+    )
+
+
+# ===========================================================================
+# B. text analysis (SURVEY.md §2c)
+# ===========================================================================
+
+_DOC_STATS_SQL = r"""
+WITH d AS (
+  SELECT doc_id, lang, source,
+         octet_length(encode(text))::BIGINT AS byte_len,
+         length(text)::BIGINT AS char_len,
+         len(string_split_regex(trim(text), '\s+'))::BIGINT AS n_words,
+         len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\s]'))::BIGINT AS n_tokens,
+         len(regexp_extall_punct)::BIGINT AS n_punct,
+         len(regexp_extract_all(text, '\b(the|a|of|and|to)\b'))::BIGINT AS n_stopwords
+  FROM (SELECT *, regexp_extract_all(text, '[^A-Za-z0-9_\s]') AS regexp_extall_punct FROM documents)
+)
+SELECT *, round(0.4 * least(1.0, n_words / 100.0)
+              + 0.3 * (1.0 - n_punct / greatest(char_len, 1))
+              + 0.3 * least(1.0, n_stopwords / greatest(n_words, 1) * 5.0), 4) AS quality_score
+FROM d
+"""
+
+
+@_q("text_doc_stats", _DOC_STATS_SQL)
+def text_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import doc_stats
+
+    _prep(spark)
+    out = doc_stats(load(spark, sf_dir, "documents"))
+    for c in ("byte_len", "char_len", "n_words", "n_tokens", "n_punct", "n_stopwords"):
+        out = out.withColumn(c, F.col(c).cast("bigint"))
+    return out
+
+
+@_q(
+    "text_lang_stats",
+    f"""
+    WITH stats AS ({_DOC_STATS_SQL})
+    SELECT lang, count(*)::BIGINT AS n_docs, sum(n_words)::BIGINT AS total_words,
+           round(avg(char_len), 2) AS avg_chars, round(avg(quality_score), 4) AS avg_quality,
+           max(n_tokens)::BIGINT AS max_tokens
+    FROM stats GROUP BY lang ORDER BY lang
+    """,
+)
+def text_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import lang_stats
+
+    _prep(spark)
+    out = lang_stats(load(spark, sf_dir, "documents"))
+    return out.select(
+        "lang",
+        F.col("n_docs").cast("bigint"),
+        F.col("total_words").cast("bigint"),
+        "avg_chars",
+        "avg_quality",
+        F.col("max_tokens").cast("bigint"),
+    )
+
+
+@_q(
+    "text_lang_id",
+    r"""
+    WITH h AS (
+      SELECT doc_id, lang,
+             len(regexp_extract_all(text, '\b(der|die|das|und|zu)\b')) AS hits_de,
+             len(regexp_extract_all(text, '\b(the|a|of|and|to)\b')) AS hits_en,
+             len(regexp_extract_all(text, '\b(el|la|y|de|un)\b')) AS hits_es,
+             len(regexp_extract_all(text, '\b(le|la|et|de|un)\b')) AS hits_fr
+      FROM documents),
+    p AS (
+      SELECT doc_id, lang,
+             CASE WHEN hits_de = mx THEN 'de' WHEN hits_en = mx THEN 'en'
+                  WHEN hits_es = mx THEN 'es' ELSE 'fr' END AS predicted_lang
+      FROM (SELECT *, greatest(hits_de, hits_en, hits_es, hits_fr) AS mx FROM h))
+    SELECT doc_id, lang, predicted_lang, predicted_lang = lang AS matched FROM p
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import lang_id
+
+    _prep(spark)
+    return lang_id(load(spark, sf_dir, "documents"))
+
+
+@_q(
+    "text_fingerprints",
+    """
+    SELECT doc_id, md5(text) AS md5_hex,
+           list_min(list_transform(range(1, greatest(length(text) - 7, 1) + 1),
+                                   i -> md5(substr(text, i, 8)))) AS min_shingle_hash,
+           octet_length(encode(text))::BIGINT AS byte_len
+    FROM documents
+    """,
+)
+def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import fingerprints
+
+    _prep(spark)
+    out = fingerprints(load(spark, sf_dir, "documents"))
+    return out.withColumn("byte_len", F.col("byte_len").cast("bigint"))
+
+
+# ===========================================================================
+# C. dedup (SURVEY.md §2c)
+# ===========================================================================
+
+# planted corpora (same construction on both sides — see operators/dedup.py)
+_EXACT_CORPUS_SQL = """
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 2000000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
+"""
+_NEAR_CORPUS_SQL = r"""
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id,
+         array_to_string((string_split_regex(trim(text), '\s+'))[1:30], ' ') AS text
+  FROM documents WHERE doc_id % 10 = 0
+"""
+
+_NGRAMS_SQL = r"""list_transform(
+      range(0, greatest(len(string_split_regex(trim(text), '\s+')) - 3, 0) + 1),
+      i -> array_to_string((string_split_regex(trim(text), '\s+'))[i + 1 : i + 3], ' '))"""
+
+_MINHASH_COLS_SQL = ", ".join(
+    f"list_min(list_transform(grams, g -> md5('{i}|' || g))) AS mh_{i}" for i in range(8)
+)
+
+
+def _planted_exact_corpus(docs: DataFrame) -> DataFrame:
+    return docs.select("doc_id", "text").unionByName(
+        docs.where(F.col("doc_id") % 7 == 0).select(
+            (F.col("doc_id") + 2_000_000).alias("doc_id"), "text"
+        )
+    )
+
+
+@_q(
+    "dedup_exact",
+    f"""
+    WITH corpus AS ({_EXACT_CORPUS_SQL}),
+    per AS (SELECT md5(text) AS h, count(*) AS c FROM corpus GROUP BY 1)
+    SELECT count(*)::BIGINT AS n_distinct, sum(c)::BIGINT AS n_total,
+           sum(CASE WHEN c > 1 THEN c - 1 ELSE 0 END)::BIGINT AS n_redundant
+    FROM per
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import exact_dedup_stats
+
+    _prep(spark)
+    return exact_dedup_stats(_planted_exact_corpus(load(spark, sf_dir, "documents")))
+
+
+_MINHASH_SIG_SQL = f"""
+    corpus AS ({_NEAR_CORPUS_SQL}),
+    g AS (SELECT doc_id, {_NGRAMS_SQL} AS grams FROM corpus),
+    sigs AS (SELECT doc_id, {_MINHASH_COLS_SQL} FROM g)
+"""
+
+_MINHASH_MATCHES_SQL = " + ".join(
+    f"(CASE WHEN a.mh_{i} = b.mh_{i} THEN 1 ELSE 0 END)" for i in range(8)
+)
+_MINHASH_BANDS_SQL = " OR ".join(
+    f"(a.mh_{2 * b} = b.mh_{2 * b} AND a.mh_{2 * b + 1} = b.mh_{2 * b + 1})" for b in range(4)
+)
+
+
+@_q(
+    "dedup_minhash_pairs",
+    f"""
+    WITH {_MINHASH_SIG_SQL}
+    SELECT doc_a, doc_b, est_jaccard FROM (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             round(({_MINHASH_MATCHES_SQL}) / 8.0, 4) AS est_jaccard
+      FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+      WHERE {_MINHASH_BANDS_SQL})
+    WHERE est_jaccard >= 0.5
+    """,
+)
+def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import minhash_lsh_pairs, planted_near_dup_corpus
+
+    _prep(spark)
+    corpus = planted_near_dup_corpus(load(spark, sf_dir, "documents"))
+    return minhash_lsh_pairs(corpus, n_hashes=8, bands=4)
+
+
+def _simhash_sql(table_expr: str) -> str:
+    votes = []
+    for j in range(32):
+        votes.append(
+            f"(CASE WHEN list_sum(list_transform(wh, h -> CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END)) > 0 "
+            f"THEN {1 << j} ELSE 0 END)"
+        )
+    sim = " + ".join(votes)
+    return f"""
+    wh_t AS (
+      SELECT doc_id,
+             list_transform(string_split_regex(trim(text), '\\s+'),
+                            w -> ('0x' || substr(md5(w), 1, 15))::BIGINT) AS wh
+      FROM ({table_expr})),
+    sims AS (SELECT doc_id, ({sim})::BIGINT AS simhash FROM wh_t)
+    """
+
+
+@_q(
+    "dedup_simhash",
+    f"WITH {_simhash_sql('SELECT doc_id, text FROM documents')} SELECT doc_id, simhash FROM sims",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import simhash
+
+    _prep(spark)
+    return simhash(load(spark, sf_dir, "documents"))
+
+
+@_q(
+    "dedup_simhash_pairs",
+    f"""
+    WITH {_simhash_sql(_NEAR_CORPUS_SQL)}
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+    FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import planted_near_dup_corpus, simhash_near_pairs
+
+    _prep(spark)
+    corpus = planted_near_dup_corpus(load(spark, sf_dir, "documents"))
+    return simhash_near_pairs(corpus).withColumn("hamming", F.col("hamming").cast("bigint"))
+
+
+@_q(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH corpus AS ({_NEAR_CORPUS_SQL}),
+    g AS (SELECT doc_id, list_distinct({_NGRAMS_SQL}) AS grams FROM corpus)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           round(len(list_intersect(a.grams, b.grams))
+                 / len(list_distinct(list_concat(a.grams, b.grams))), 4) AS jaccard
+    FROM g a JOIN g b ON b.doc_id = a.doc_id + 1000000
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import ngram_jaccard_pairs, planted_near_dup_corpus
+
+    _prep(spark)
+    docs = load(spark, sf_dir, "documents")
+    corpus = planted_near_dup_corpus(docs)
+    pairs = docs.where(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").alias("doc_a"), (F.col("doc_id") + 1_000_000).alias("doc_b")
+    )
+    return ngram_jaccard_pairs(corpus, pairs)
+
+
+_EMB_BUCKET_SQL = " + ".join(
+    f"(CASE WHEN embedding[{i + 1}] >= 0 THEN {1 << i} ELSE 0 END)" for i in range(8)
+)
+_EMB_DOT_SQL = "list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i]))"
+_EMB_NORM_SQL = "sqrt(list_sum(list_transform({x}.v, e -> e * e)))"
+
+
+@_q(
+    "dedup_embedding_pairs",
+    f"""
+    WITH planted AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000 AS vec_id,
+             list_concat([embedding[1]::DOUBLE * 1.25],
+                         list_transform(embedding[2:64], x -> x::DOUBLE)) AS embedding
+      FROM embeddings WHERE vec_id % 10 = 0),
+    e AS (
+      SELECT vec_id, embedding AS v, ({_EMB_BUCKET_SQL}) AS bucket
+      FROM planted)
+    SELECT vec_a, vec_b, cosine FROM (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             round({_EMB_DOT_SQL} / ({_EMB_NORM_SQL.format(x='a')} * {_EMB_NORM_SQL.format(x='b')}), 4) AS cosine
+      FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+    WHERE cosine >= 0.9
+    """,
+)
+def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import embedding_near_dup_pairs, planted_near_dup_embeddings
+
+    _prep(spark)
+    corpus = planted_near_dup_embeddings(load(spark, sf_dir, "embeddings"))
+    return embedding_near_dup_pairs(corpus, threshold=0.9)
+
+
+# ===========================================================================
+# D. similarity search (SURVEY.md §2c)
+# ===========================================================================
+
+_SIM_SCORED_SQL = f"""
+    e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+    scored AS (
+      SELECT query_id, e.vec_id,
+             round(list_sum(list_transform(range(1, 65), i -> qv[i] * e.v[i]))
+                   / (sqrt(list_sum(list_transform(qv, x -> x * x)))
+                      * sqrt(list_sum(list_transform(e.v, x -> x * x)))), 4) AS cosine
+      FROM e CROSS JOIN q WHERE e.vec_id != q.query_id)
+"""
+
+
+@_q(
+    "sim_topk_bruteforce",
+    f"""
+    WITH {_SIM_SCORED_SQL}
+    SELECT query_id, vec_id, cosine, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
+      FROM scored)
+    WHERE rank <= 5
+    """,
+)
+def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import brute_force_topk, queries_from_ids
+
+    _prep(spark)
+    emb = load(spark, sf_dir, "embeddings")
+    out = brute_force_topk(emb, queries_from_ids(emb, [0, 1, 2, 3, 4]), k=5)
+    return out.withColumn("rank", F.col("rank").cast("bigint"))
+
+
+def _plane_dot_sql(vcol: str, j: int) -> str:
+    return (
+        f"list_sum(list_transform(range(0, 64), i -> {vcol}[i + 1] * ((i * 31 + {j} * 17) % 3 - 1)))"
+    )
+
+
+_LSH_BUCKET_SQL = lambda vcol: " + ".join(  # noqa: E731
+    f"(CASE WHEN {_plane_dot_sql(vcol, j)} >= 0 THEN {1 << j} ELSE 0 END)" for j in range(4)
+)
+
+
+@_q(
+    "sim_topk_lsh",
+    f"""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+    c AS (SELECT vec_id, v, ({_LSH_BUCKET_SQL('v')}) AS bucket FROM e),
+    q AS (SELECT vec_id AS query_id, v AS qv, ({_LSH_BUCKET_SQL('v')}) AS qbucket FROM e WHERE vec_id < 5),
+    probes AS (SELECT query_id, qv, unnest([qbucket, xor(qbucket, 1), xor(qbucket, 2),
+                                            xor(qbucket, 4), xor(qbucket, 8)]) AS bucket FROM q),
+    scored AS (
+      SELECT query_id, c.vec_id,
+             round(list_sum(list_transform(range(1, 65), i -> qv[i] * c.v[i]))
+                   / (sqrt(list_sum(list_transform(qv, x -> x * x)))
+                      * sqrt(list_sum(list_transform(c.v, x -> x * x)))), 4) AS cosine
+      FROM c JOIN probes USING (bucket) WHERE c.vec_id != probes.query_id)
+    SELECT query_id, vec_id, cosine, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
+      FROM scored)
+    WHERE rank <= 5
+    """,
+)
+def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import lsh_topk, queries_from_ids
+
+    _prep(spark)
+    emb = load(spark, sf_dir, "embeddings")
+    out = lsh_topk(emb, queries_from_ids(emb, [0, 1, 2, 3, 4]), k=5, n_planes=4)
+    return out.withColumn("rank", F.col("rank").cast("bigint"))
+
+
+# ===========================================================================
+# E. events (SURVEY.md §2c)
+# ===========================================================================
+
+
+@_q(
+    "events_tumbling",
+    """
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
+           count(*)::BIGINT AS n_events, count(DISTINCT user_id)::BIGINT AS n_users,
+           round(sum(value), 2) AS total_value
+    FROM events GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.events import tumbling_counts
+
+    _prep(spark)
+    out = tumbling_counts(load(spark, sf_dir, "events"))
+    return out.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "event_type",
+        F.col("n_events").cast("bigint"),
+        F.col("n_users").cast("bigint"),
+        "total_value",
+    )
+
+
+@_q(
+    "events_hourly",
+    """
+    SELECT hour(ts)::BIGINT AS hour, event_type, count(*)::BIGINT AS n_events
+    FROM events GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.events import hourly_activity
+
+    _prep(spark)
+    out = hourly_activity(load(spark, sf_dir, "events"))
+    return out.withColumn("hour", F.col("hour").cast("bigint")).withColumn(
+        "n_events", F.col("n_events").cast("bigint")
+    )
+
+
+@_q(
+    "events_sessions",
+    """
+    WITH ordered AS (
+      SELECT user_id, event_id, floor(epoch(ts))::BIGINT AS sec,
+             lag(floor(epoch(ts))::BIGINT) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_sec
+      FROM events),
+    flagged AS (
+      SELECT user_id, event_id, sec,
+             CASE WHEN prev_sec IS NULL OR sec - prev_sec > 1800 THEN 1 ELSE 0 END AS new_session
+      FROM ordered),
+    sess AS (
+      SELECT user_id, sec,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY sec, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_seq
+      FROM flagged),
+    per AS (
+      SELECT user_id, session_seq, count(*) AS n_events, max(sec) - min(sec) AS dur_sec
+      FROM sess GROUP BY 1, 2)
+    SELECT user_id, count(*)::BIGINT AS n_sessions, round(avg(dur_sec), 2) AS avg_session_sec,
+           round(avg(n_events), 4) AS avg_events_per_session
+    FROM per GROUP BY 1 ORDER BY 1
+    """,
+)
+def events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.events import session_stats
+
+    _prep(spark)
+    out = session_stats(load(spark, sf_dir, "events"))
+    return out.withColumn("n_sessions", F.col("n_sessions").cast("bigint"))
+
+
+@_q(
+    "events_props",
+    """
+    SELECT event_type, count(*)::BIGINT AS n,
+           min(CAST(props->>'$.k' AS INTEGER))::BIGINT AS min_k,
+           max(CAST(props->>'$.k' AS INTEGER))::BIGINT AS max_k,
+           round(avg(CAST(props->>'$.k' AS INTEGER)), 4) AS avg_k
+    FROM events GROUP BY 1 ORDER BY 1
+    """,
+)
+def events_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.events import props_extract
+
+    _prep(spark)
+    out = props_extract(load(spark, sf_dir, "events"))
+    return out.select(
+        "event_type",
+        F.col("n").cast("bigint"),
+        F.col("min_k").cast("bigint"),
+        F.col("max_k").cast("bigint"),
+        "avg_k",
+    )
+
+
+@_q(
+    "events_funnel",
+    """
+    WITH f AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'signup' THEN ts END) AS s,
+             min(CASE WHEN event_type = 'view' THEN ts END) AS v,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS p
+      FROM events GROUP BY 1)
+    SELECT user_id, (s IS NOT NULL AND v IS NOT NULL AND p IS NOT NULL
+                     AND s <= v AND v <= p) AS completed_funnel
+    FROM f ORDER BY user_id
+    """,
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.events import user_funnel
+
+    _prep(spark)
+    return user_funnel(load(spark, sf_dir, "events"))
+
+
+# ===========================================================================
+# F. host-engine relational (SURVEY.md §2b)
+# ===========================================================================
+
+
+@_q(
+    "tpch_q1",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(avg(l_quantity), 4) AS avg_qty,
+           round(avg(l_extendedprice), 4) AS avg_price,
+           round(avg(l_discount), 4) AS avg_disc,
+           count(*)::BIGINT AS count_order
+    FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.relational import q1_pricing_summary
+
+    _prep(spark)
+    return q1_pricing_summary(load(spark, sf_dir, "lineitem"))
+
+
+@_q(
+    "tpch_q3",
+    """
+    SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, o_orderpriority,
+           revenue
+    FROM (
+      SELECT l_orderkey, o_orderdate, o_orderpriority,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      WHERE c_mktsegment = 'BUILDING'
+        AND o_orderdate < TIMESTAMP '1995-03-15' AND l_shipdate > TIMESTAMP '1995-03-15'
+      GROUP BY 1, 2, 3)
+    ORDER BY revenue DESC, l_orderkey ASC LIMIT 10
+    """,
+)
+def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.relational import q3_top_orders
+
+    _prep(spark)
+    out = q3_top_orders(
+        load(spark, sf_dir, "customer"), load(spark, sf_dir, "orders"), load(spark, sf_dir, "lineitem")
+    )
+    return out.select(
+        "l_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+        "o_orderpriority",
+        "revenue",
+    )
+
+
+@_q(
+    "tpch_q5",
+    """
+    SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+    GROUP BY 1 ORDER BY revenue DESC, n_name ASC
+    """,
+)
+def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.relational import q5_region_revenue
+
+    _prep(spark)
+    return q5_region_revenue(
+        load(spark, sf_dir, "region"),
+        load(spark, sf_dir, "nation"),
+        load(spark, sf_dir, "customer"),
+        load(spark, sf_dir, "supplier"),
+        load(spark, sf_dir, "orders"),
+        load(spark, sf_dir, "lineitem"),
+    )
+
+
+@_q(
+    "top_customers",
+    """
+    SELECT n_name, c_name, revenue, rk FROM (
+      SELECT n_name, c_name, revenue,
+             dense_rank() OVER (PARTITION BY n_name ORDER BY revenue DESC, c_custkey ASC) AS rk
+      FROM (
+        SELECT n_name, c_name, c_custkey, round(sum(o_totalprice), 2) AS revenue
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY 1, 2, 3))
+    WHERE rk <= 3 ORDER BY n_name, rk, c_name
+    """,
+)
+def top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.relational import top_customers_by_nation
+
+    _prep(spark)
+    out = top_customers_by_nation(
+        load(spark, sf_dir, "customer"), load(spark, sf_dir, "nation"), load(spark, sf_dir, "orders")
+    )
+    return out.withColumn("rk", F.col("rk").cast("bigint"))
+
+
+@_q(
+    "order_priority",
+    """
+    SELECT o_orderpriority, count(*)::BIGINT AS order_count
+    FROM orders
+    WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.relational import order_priority_counts
+
+    _prep(spark)
+    return order_priority_counts(load(spark, sf_dir, "orders"), load(spark, sf_dir, "lineitem"))
+
+
+# ===========================================================================
+# G. multimodal plumbing (SURVEY.md §2c)
+# ===========================================================================
+
+
+@_q(
+    "multimodal_features",
+    """
+    SELECT doc_id AS media_id, 'image/fake' AS kind,
+           octet_length(encode(text))::BIGINT AS byte_len, md5(text) AS digest,
+           ((ascii(substr(text, 1, 1)) % 64 + 1) * 16)::INTEGER AS width,
+           ((ascii(substr(text, length(text), 1)) % 64 + 1) * 16)::INTEGER AS height,
+           'stub' AS decode_ok
+    FROM documents
+    """,
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.multimodal import documents_as_media, extract_features
+
+    _prep(spark)
+    return extract_features(documents_as_media(load(spark, sf_dir, "documents")))
+
+
+@_q(
+    "multimodal_frames",
+    """
+    SELECT doc_id AS media_id, (byte_offset // 100)::BIGINT AS frame_idx,
+           byte_offset::BIGINT AS byte_offset
+    FROM (
+      SELECT doc_id, unnest(range(0, greatest(octet_length(encode(text)) - 1, 0) + 1, 100)) AS byte_offset
+      FROM documents)
+    """,
+)
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.multimodal import documents_as_media, frame_sample_plan
+
+    _prep(spark)
+    out = frame_sample_plan(documents_as_media(load(spark, sf_dir, "documents")), every_n_bytes=100)
+    return out.select(
+        "media_id",
+        F.col("frame_idx").cast("bigint"),
+        F.col("byte_offset").cast("bigint"),
+    )
+
+
+# ===========================================================================
+# entry / exports
+# ===========================================================================
+
+
+def entry(spark: SparkSession) -> DataFrame:
+    """Flagship: encrypted-document pipeline at sf0.001 — round-trip an
+    age-encrypted documents table and join quality stats (SURVEY.md §7.3)."""
+    from .operators.text import doc_stats
+
+    _prep(spark)
+    sf_dir = "/root/testdata/sf0.001"
+    docs = load(spark, sf_dir, "documents")
+    ct = F.call_function("age_encrypt", F.col("text").cast("binary"), F.lit(KP1.public_key))
+    crypto = (
+        docs.withColumn("ct", ct)
+        .select(
+            "doc_id",
+            (
+                F.call_function("age_decrypt", F.col("ct"), F.lit(KP1.private_key))
+                == F.col("text").cast("binary")
+            ).alias("rt_ok"),
+            F.octet_length("ct").cast("bigint").alias("ct_len"),
+        )
+    )
+    stats = doc_stats(docs).select("doc_id", "lang", "n_words", "quality_score")
+    return crypto.join(stats, "doc_id").orderBy("doc_id")

@@ -1,0 +1,292 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+Design for 100 TB (this is the module where scale matters most):
+
+* **Exact dedup** — hash-aggregate on a digest of the content, never on the
+  content itself: the shuffle moves 16-byte keys, not documents.  With AQE on,
+  skewed hot digests (e.g. empty docs) get split automatically.
+* **MinHash** — signatures are computed per-row with JVM higher-order
+  functions (no Python, no explode of the shingle set into rows), so the
+  pre-LSH stage is a narrow map.  LSH banding then shuffles only
+  (band_id, band_signature, doc_id) tuples — bytes per doc, not the doc.
+  Candidate verification joins happen per-bucket, i.e. the classic
+  O(n²)→O(candidates) cut.
+* **Cross-engine determinism** — every hash is md5 (identical in DuckDB for
+  the oracle); "hash i of shingle s" = md5(i || '|' || s).  Min over hex
+  strings is lexicographic in both engines.
+
+The synthetic corpus has no true duplicates, so pair-producing operators are
+exercised on a *planted* corpus: the table unioned with prefix-mutated copies
+of a deterministic subset (same construction in the oracle SQL) — this proves
+the operators actually find near-dups, not just that they return empty sets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup_stats(docs: DataFrame) -> DataFrame:
+    """Digest-level duplicate census: one row per distinct md5, with count.
+    Only digests shuffle; at 100 TB the map side reduces each partition to
+    (digest → count) before the exchange."""
+    return (
+        docs.select(F.md5(F.col("text").cast("binary")).alias("md5_hex"))
+        .groupBy("md5_hex")
+        .agg(F.count("*").alias("n_copies"))
+        .groupBy()
+        .agg(
+            F.count("*").alias("n_distinct"),
+            F.sum("n_copies").alias("n_total"),
+            F.sum(F.when(F.col("n_copies") > 1, F.col("n_copies") - 1).otherwise(0)).alias("n_redundant"),
+        )
+    )
+
+
+def drop_exact_dups(docs: DataFrame) -> DataFrame:
+    """Keep the lowest doc_id per content digest.  Window over digest avoids
+    a full self-join; partitions by 16-byte keys."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(F.md5(F.col("text").cast("binary"))).orderBy("doc_id")
+    return (
+        docs.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# shingling + MinHash
+# ---------------------------------------------------------------------------
+
+
+def _word_ngrams(col, n: int):
+    """Array of word n-grams via sequence+transform — no Python, no explode."""
+    words = F.split(F.trim(col), r"\s+")
+    return F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
+        lambda i: F.array_join(F.slice(words, i + 1, n), " "),
+    )
+
+
+def minhash_signatures(docs: DataFrame, n_hashes: int = 8, ngram: int = 3) -> DataFrame:
+    """(doc_id, mh_0..mh_{n-1}): per-doc MinHash signature over word n-grams.
+
+    Hash family i = md5(i || '|' || shingle); signature element i is the
+    minimum over the doc's shingles.  Narrow map stage — scales to any size.
+    """
+    grams = _word_ngrams(F.col("text"), ngram)
+
+    def min_hash(i: int):
+        # NB: closure factory, not a default-arg lambda — PySpark treats a
+        # 2-param lambda as (element, index) and would shadow ``i``.
+        return F.array_min(F.transform(grams, lambda g: F.md5(F.concat(F.lit(f"{i}|"), g).cast("binary"))))
+
+    return docs.select("doc_id", *[min_hash(i).alias(f"mh_{i}") for i in range(n_hashes)])
+
+
+def planted_near_dup_corpus(docs: DataFrame, every: int = 10, keep_words: int = 30) -> DataFrame:
+    """documents ∪ prefix-mutations of every ``every``-th doc (planted
+    near-dups with ids offset by 1_000_000).  Deterministic; the oracle SQL
+    constructs the identical corpus."""
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    mutated = (
+        docs.where(F.col("doc_id") % every == 0)
+        .select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"),
+            F.array_join(F.slice(words, 1, keep_words), " ").alias("text"),
+        )
+    )
+    return docs.select("doc_id", "text").unionByName(mutated)
+
+
+def minhash_lsh_pairs(
+    corpus: DataFrame, n_hashes: int = 8, bands: int = 4, ngram: int = 3
+) -> DataFrame:
+    """Candidate near-dup pairs via LSH banding + exact signature-overlap
+    estimate.
+
+    rows/band = n_hashes/bands.  Docs agreeing on ALL rows of any band become
+    candidates (single shuffle keyed by (band, band_signature)); candidates
+    are scored by fraction of matching signature elements.
+
+    Returns (doc_a, doc_b, est_jaccard) with doc_a < doc_b, est ≥ 0.5.
+    """
+    rows_per_band = n_hashes // bands
+    sig = minhash_signatures(corpus, n_hashes=n_hashes, ngram=ngram)
+
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws("|", *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]).alias("key"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sig.select("doc_id", *[F.col(f"mh_{i}") for i in range(n_hashes)], F.explode(band_structs).alias("bk"))
+    a = banded.select(F.col("doc_id").alias("doc_a"), F.col("bk"), *[F.col(f"mh_{i}").alias(f"a_{i}") for i in range(n_hashes)])
+    b = banded.select(F.col("doc_id").alias("doc_b"), F.col("bk"), *[F.col(f"mh_{i}").alias(f"b_{i}") for i in range(n_hashes)])
+    cand = (
+        a.join(b, on=["bk"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", *[F.col(f"a_{i}") for i in range(n_hashes)], *[F.col(f"b_{i}") for i in range(n_hashes)])
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    matches = sum(F.when(F.col(f"a_{i}") == F.col(f"b_{i}"), 1).otherwise(0) for i in range(n_hashes))
+    return (
+        cand.withColumn("est_jaccard", F.round(matches / F.lit(float(n_hashes)), 4))
+        .where(F.col("est_jaccard") >= 0.5)
+        .select("doc_a", "doc_b", "est_jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact, for candidate verification / small corpora)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(corpus: DataFrame, pairs: DataFrame, ngram: int = 3) -> DataFrame:
+    """Exact Jaccard over word n-gram sets for given candidate (doc_a, doc_b)
+    pairs — the verification stage after LSH.  Set ops run as JVM
+    array_intersect/array_union on deduped shingle arrays."""
+    grams = corpus.select(
+        "doc_id", F.array_distinct(_word_ngrams(F.col("text"), ngram)).alias("grams")
+    )
+    ga = grams.select(F.col("doc_id").alias("doc_a"), F.col("grams").alias("grams_a"))
+    gb = grams.select(F.col("doc_id").alias("doc_b"), F.col("grams").alias("grams_b"))
+    return (
+        pairs.join(ga, "doc_a")
+        .join(gb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.size(F.array_intersect("grams_a", "grams_b"))
+                / F.size(F.array_union("grams_a", "grams_b")),
+                4,
+            ).alias("jaccard"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 32
+
+
+def simhash(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
+    """Per-doc SimHash over words (32-bit): bit j is set iff sum over words of
+    (±1 by word-hash bit j) is positive.
+
+    Word hash = first 15 hex chars of md5 (60 bits) — cross-engine stable via
+    conv(hex,16,10).  Computed entirely with higher-order functions: the
+    words array folds per bit position without leaving the JVM.
+    """
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    word_hashes = F.transform(words, lambda w: F.conv(F.substring(F.md5(w.cast("binary")), 1, 15), 16, 10).cast("bigint"))
+
+    def vote(j: int):
+        # closure factory (see min_hash above for why not a default-arg lambda)
+        return F.aggregate(
+            word_hashes,
+            F.lit(0).cast("long"),
+            lambda acc, h: acc + F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+
+    bit_votes = [vote(j) for j in range(bits)]
+    sim = sum(
+        (F.when(bit_votes[j] > 0, F.lit(1 << j)).otherwise(0) for j in range(bits)),
+        F.lit(0),
+    )
+    return docs.select("doc_id", sim.cast("long").alias("simhash"))
+
+
+def simhash_near_pairs(corpus: DataFrame, max_hamming: int = 3, bits: int = SIMHASH_BITS) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ 3, bucketed by the four
+    4-bit quarters (pigeonhole: ≤3 flipped bits across 4 quarters ⇒ at least
+    one quarter matches exactly — LOSSLESS banding) so the join is
+    band-local, not all-pairs."""
+    sh = simhash(corpus, bits=bits)
+    quarter = bits // 4
+    mask = (1 << quarter) - 1
+    buckets = F.array(
+        *[
+            F.struct(
+                F.lit(p).alias("part"),
+                F.shiftright(F.col("simhash"), p * quarter).bitwiseAND(F.lit(mask)).alias("key"),
+            )
+            for p in range(4)
+        ]
+    )
+    banded = sh.select("doc_id", "simhash", F.explode(buckets).alias("bk"))
+    a = banded.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"), "bk")
+    b = banded.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"), "bk")
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (
+        a.join(b, on=["bk"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+        .withColumn("hamming", hamming.cast("int"))
+        .where(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+
+def planted_near_dup_embeddings(embeddings: DataFrame, every: int = 10) -> DataFrame:
+    """embeddings ∪ near-copies of every ``every``-th vector (first dim
+    scaled by 1.25 — exact in IEEE double, so the oracle replays it
+    bit-identically; cosine to the original stays ≈0.99)."""
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    planted = embeddings.where(F.col("vec_id") % every == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.concat(F.array(F.element_at(v, 1) * 1.25), F.slice(v, 2, 63)).alias("embedding"),
+    )
+    return embeddings.select("vec_id", v.alias("embedding")).unionByName(planted)
+
+
+def embedding_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.95) -> DataFrame:
+    """Near-identical vectors by cosine ≥ threshold.
+
+    Scale path: bucket by sign-pattern of the first 8 dims (a 1-projection
+    LSH) so the self-join is bucket-local; the full dot product only runs on
+    bucket collisions.  At 100 TB the bucket key also becomes the shuffle
+    key, bounding the join fan-out.
+    """
+    dims = 8
+    sign_key = sum(
+        (
+            F.when(F.element_at("embedding", i + 1) >= 0, F.lit(1 << i)).otherwise(0)
+            for i in range(dims)
+        ),
+        F.lit(0),
+    )
+    e = embeddings.select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
+        sign_key.alias("bucket"),
+    )
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), "bucket")
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), "bucket")
+    dot = F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+    norm = lambda c: F.sqrt(F.aggregate(F.transform(F.col(c), lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))  # noqa: E731
+    return (
+        a.join(b, "bucket")
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cosine", F.round(dot / (norm("va") * norm("vb")), 4))
+        .where(F.col("cosine") >= threshold)
+        .select("vec_a", "vec_b", "cosine")
+    )

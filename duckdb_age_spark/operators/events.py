@@ -1,0 +1,120 @@
+"""Event-stream operators over an ``events``-shaped table
+(event_id, ts, user_id, event_type, value, props JSON).
+
+Batch DataFrame forms here (the correctness/oracle surface); the streaming
+module wraps the same logic over readStream with watermarks.
+
+Scale notes: tumbling windows and sessionization both shuffle exactly once,
+keyed by (window/user).  Sessionization uses a per-user sort window — at
+100 TB user_id is the partition key and AQE handles skewed power-users;
+the lag/cumsum pattern never materializes more than a partition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+SESSION_GAP_MIN = 30
+
+
+def tumbling_counts(events: DataFrame, hours: int = 24) -> DataFrame:
+    """Per-day, per-type event counts + value stats.  date_trunc matches
+    DuckDB exactly; one shuffle with map-side partial aggregation."""
+    return (
+        events.groupBy(
+            F.date_trunc("day", F.col("ts")).alias("day"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("day", "event_type")
+    )
+
+
+def hourly_activity(events: DataFrame) -> DataFrame:
+    """Hour-of-day histogram per event type (48h footprint regardless of
+    data size — the canonical pre-aggregation rollup)."""
+    return (
+        events.groupBy(F.hour("ts").alias("hour"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .orderBy("hour", "event_type")
+    )
+
+
+def sessionize(events: DataFrame, gap_minutes: int = SESSION_GAP_MIN) -> DataFrame:
+    """Assign session ids: a session breaks after ``gap_minutes`` of
+    inactivity.  lag → boundary flag → running sum, all inside one per-user
+    sort window (single shuffle on user_id)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    return (
+        events.withColumn("new_session", F.when(gap.isNull() | (gap > gap_minutes * 60), 1).otherwise(0))
+        .withColumn("session_seq", F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .drop("new_session")
+    )
+
+
+def session_stats(events: DataFrame, gap_minutes: int = SESSION_GAP_MIN) -> DataFrame:
+    """Per-user session rollup: session count, avg session length (sec),
+    avg events/session.  Deterministic; oracle-mirrored with the same
+    window-function construction in DuckDB."""
+    s = sessionize(events, gap_minutes)
+    per_session = s.groupBy("user_id", "session_seq").agg(
+        F.count("*").alias("n_events"),
+        (F.max(F.col("ts").cast("long")) - F.min(F.col("ts").cast("long"))).alias("dur_sec"),
+    )
+    return (
+        per_session.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.round(F.avg("dur_sec"), 2).alias("avg_session_sec"),
+            F.round(F.avg("n_events"), 4).alias("avg_events_per_session"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def props_extract(events: DataFrame) -> DataFrame:
+    """JSON props → typed column + rollup: distribution of props.k by event
+    type.  get_json_object stays JVM-side; DuckDB mirrors with
+    json_extract."""
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        events.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.round(F.avg("k"), 4).alias("avg_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def user_funnel(events: DataFrame) -> DataFrame:
+    """Per-user funnel: did signup→view→purchase happen in order?
+    Conditional min-timestamp aggregation — one shuffle on user_id."""
+    t = lambda et: F.min(F.when(F.col("event_type") == et, F.col("ts")))  # noqa: E731
+    return (
+        events.groupBy("user_id")
+        .agg(
+            t("signup").alias("first_signup"),
+            t("view").alias("first_view"),
+            t("purchase").alias("first_purchase"),
+        )
+        .select(
+            "user_id",
+            (
+                F.col("first_signup").isNotNull()
+                & F.col("first_view").isNotNull()
+                & F.col("first_purchase").isNotNull()
+                & (F.col("first_signup") <= F.col("first_view"))
+                & (F.col("first_view") <= F.col("first_purchase"))
+            ).alias("completed_funnel"),
+        )
+        .orderBy("user_id")
+    )

@@ -1,0 +1,124 @@
+"""Similarity search over an embedding column (array<float>).
+
+Two paths, same contract (query_id, vec_id, cosine, rank):
+
+* ``brute_force_topk`` — exact: broadcast the (small) query set against the
+  corpus, rank per query.  The corpus never shuffles; each partition scores
+  its rows against the broadcast queries, and only (query, candidate, score)
+  triples move.  This is THE baseline at any scale where queries ≪ corpus.
+* ``lsh_topk`` — approximate: random-hyperplane LSH (sign-pattern buckets,
+  multi-probe via Hamming-adjacent buckets) so the candidate set per query
+  is a bucket, not the corpus.  At 100 TB, bucket keys become shuffle keys;
+  recall is tunable via n_planes/probe distance.
+
+Determinism for the oracle: dot products in double precision, cosine rounded
+to 4 decimals, rank ties broken by vec_id — DuckDB reproduces all of it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def _as_double(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(col):
+    return F.sqrt(F.aggregate(F.transform(col, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+
+
+def cosine_col(a, b):
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(
+    embeddings: DataFrame, queries: DataFrame, k: int = 5
+) -> DataFrame:
+    """Exact top-k by cosine for each query vector.
+
+    ``queries``: (query_id, qv array<double>) — small; gets broadcast.
+    Excludes self-matches (query_id == vec_id).  Plan: BroadcastNestedLoopJoin
+    (cross) → narrow score → single shuffle for the per-query window.
+    """
+    corpus = embeddings.select("vec_id", _as_double(F.col("embedding")).alias("v"))
+    scored = (
+        corpus.join(F.broadcast(queries))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine_col(F.col("qv"), F.col("v")), 4).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )
+
+
+def queries_from_ids(embeddings: DataFrame, ids: list[int]) -> DataFrame:
+    return embeddings.where(F.col("vec_id").isin(ids)).select(
+        F.col("vec_id").alias("query_id"), _as_double(F.col("embedding")).alias("qv")
+    )
+
+
+# ---------------------------------------------------------------------------
+# LSH-bucketed approximate path
+# ---------------------------------------------------------------------------
+
+
+def _sign_bucket(vec_col, n_planes: int):
+    """Random-hyperplane signature using deterministic pseudo-planes: plane j
+    weights dim i by a fixed ±1 pattern derived from (i*31 + j*17) % 3 - 1 —
+    cheap, reproducible everywhere, and good enough to cut candidates ~2^n."""
+    def plane_dot(j):
+        return F.aggregate(
+            F.zip_with(
+                vec_col,
+                F.sequence(F.lit(0), F.size(vec_col) - 1),
+                lambda x, i: x * ((i * 31 + j * 17) % 3 - 1),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    return sum((F.when(plane_dot(j) >= 0, F.lit(1 << j)).otherwise(0) for j in range(n_planes)), F.lit(0))
+
+
+def lsh_topk(
+    embeddings: DataFrame, queries: DataFrame, k: int = 5, n_planes: int = 4
+) -> DataFrame:
+    """Approximate top-k: only corpus vectors in the query's LSH bucket (or a
+    1-bit-probe neighbor) are scored.  Same output contract as brute force."""
+    corpus = embeddings.select(
+        "vec_id", _as_double(F.col("embedding")).alias("v")
+    ).withColumn("bucket", _sign_bucket(F.col("v"), n_planes))
+
+    q = queries.withColumn("qbucket", _sign_bucket(F.col("qv"), n_planes))
+    # multi-probe: exact bucket + all 1-bit flips
+    probes = F.array(*([F.col("qbucket")] + [F.col("qbucket").bitwiseXOR(F.lit(1 << j)) for j in range(n_planes)]))
+    q = q.select("query_id", "qv", F.explode(probes).alias("bucket"))
+
+    scored = (
+        corpus.join(F.broadcast(q), "bucket")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine_col(F.col("qv"), F.col("v")), 4).alias("cosine"),
+        )
+        .dropDuplicates(["query_id", "vec_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )

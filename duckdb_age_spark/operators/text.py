@@ -1,0 +1,144 @@
+"""Text-analysis operators over a ``documents``-shaped table.
+
+All pure built-in column expressions — no Python UDFs anywhere on this path,
+so every operator stays inside whole-stage codegen and scales linearly with
+executors.  Each operator has an exact DuckDB-SQL twin in
+``__spark_entry__.oracle_sql`` for the correctness gate.
+
+Scale notes (100 TB): these are embarrassingly parallel narrow transforms —
+no shuffle at all until the final aggregate, which does a map-side partial
+aggregation first.  Regex work happens once per row in the JVM.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# A small fixed stopword list per language — deterministic, mirrored verbatim
+# in the oracle SQL.  (A real pipeline would broadcast a large dict; the
+# operator shape is identical.)
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to"],
+    "de": ["der", "die", "das", "und", "zu"],
+    "fr": ["le", "la", "et", "de", "un"],
+    "es": ["el", "la", "y", "de", "un"],
+}
+
+# BPE-ish token pattern: runs of word chars, or single non-space punctuation.
+TOKEN_PATTERN = r"[A-Za-z0-9_]+|[^A-Za-z0-9_\s]"
+
+
+def token_count(col_name: str = "text") -> Column:
+    """BPE-ish token count (JVM-side regexp_extract_all)."""
+    return F.size(F.regexp_extract_all(F.col(col_name), F.lit(TOKEN_PATTERN), F.lit(0)))
+
+
+def word_count(col_name: str = "text") -> Column:
+    """Whitespace token count."""
+    return F.size(F.split(F.trim(F.col(col_name)), r"\s+"))
+
+
+def stopword_hits(col_name: str, words: list[str]) -> Column:
+    """Number of stopword occurrences (word-boundary matched)."""
+    pattern = r"\b(" + "|".join(words) + r")\b"
+    return F.size(F.regexp_extract_all(F.col(col_name), F.lit(pattern), F.lit(0)))
+
+
+def punct_count(col_name: str = "text") -> Column:
+    return F.size(F.regexp_extract_all(F.col(col_name), F.lit(r"[^A-Za-z0-9_\s]"), F.lit(0)))
+
+
+def doc_stats(docs: DataFrame) -> DataFrame:
+    """Per-document token/char/punct/stopword statistics + quality score.
+
+    Quality score (deterministic arithmetic, oracle-mirrored):
+        0.4 * min(1, words/100) + 0.3 * (1 - punct_ratio) + 0.3 * stop_ratio
+    — long-enough, low-punctuation, natural-language-looking docs score high.
+    """
+    en_stops = STOPWORDS["en"]
+    d = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.octet_length("text").alias("byte_len"),
+        F.length("text").alias("char_len"),
+        word_count().alias("n_words"),
+        token_count().alias("n_tokens"),
+        punct_count().alias("n_punct"),
+        stopword_hits("text", en_stops).alias("n_stopwords"),
+    )
+    return d.withColumn(
+        "quality_score",
+        F.round(
+            0.4 * F.least(F.lit(1.0), F.col("n_words") / F.lit(100.0))
+            + 0.3 * (F.lit(1.0) - F.col("n_punct") / F.greatest(F.col("char_len"), F.lit(1)))
+            + 0.3 * F.least(F.lit(1.0), F.col("n_stopwords") / F.greatest(F.col("n_words"), F.lit(1)) * 5.0),
+            4,
+        ),
+    )
+
+
+def lang_stats(docs: DataFrame) -> DataFrame:
+    """Corpus rollup per language: doc counts + length/token aggregates.
+    Map-side partial agg → single small shuffle on lang."""
+    return (
+        doc_stats(docs)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_words").alias("total_words"),
+            F.round(F.avg("char_len"), 2).alias("avg_chars"),
+            F.round(F.avg("quality_score"), 4).alias("avg_quality"),
+            F.max("n_tokens").alias("max_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Language-ID heuristic: argmax of per-language stopword hit counts.
+
+    Deterministic tie-break: highest count wins, then alphabetically-first
+    language.  Returns (doc_id, lang, predicted_lang, matched).  The
+    synthetic corpus is English word-salad under all labels, so ``matched``
+    measures label agreement, not accuracy — the operator shape is the
+    deliverable.
+    """
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        *[stopword_hits("text", ws).alias(f"hits_{lg}") for lg, ws in STOPWORDS.items()],
+    )
+    pairs = F.array(
+        *[F.struct(F.col(f"hits_{lg}").alias("hits"), F.lit(lg).alias("lg")) for lg in sorted(STOPWORDS)]
+    )
+    max_hits = F.array_max(F.transform(pairs, lambda p: p["hits"]))
+    predicted = F.array_min(F.transform(F.filter(pairs, lambda p: p["hits"] == max_hits), lambda p: p["lg"]))
+    return (
+        scored.withColumn("predicted_lang", predicted)
+        .withColumn("matched", F.col("predicted_lang") == F.col("lang"))
+        .select("doc_id", "lang", "predicted_lang", "matched")
+    )
+
+
+def fingerprints(docs: DataFrame, shingle_k: int = 8) -> DataFrame:
+    """Document fingerprinting: full-text digest + min-shingle digest.
+
+    * ``md5_hex`` — exact-content fingerprint (md5 of UTF-8 bytes; identical
+      value in DuckDB, which the oracle exploits).
+    * ``min_shingle_hash`` — min of md5 over all k-char shingles: a 1-hash
+      MinHash, the building block the dedup module generalizes.
+
+    Shingling uses sequence+transform (JVM higher-order functions) — the
+    shingle array never round-trips through Python.
+    """
+    shingle_hashes = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length("text") - F.lit(shingle_k - 1), F.lit(1))),
+        lambda i: F.md5(F.col("text").substr(i, F.lit(shingle_k)).cast("binary")),
+    )
+    return docs.select(
+        "doc_id",
+        F.md5(F.col("text").cast("binary")).alias("md5_hex"),
+        F.array_min(shingle_hashes).alias("min_shingle_hash"),
+        F.octet_length("text").alias("byte_len"),
+    )
