@@ -1,0 +1,160 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Includes two crypto-throughput microbenches comparable to the reference's
+published ~50-100 MB/s single-core encrypt claim (BASELINE.md):
+  * crypto_encrypt_bulk — 1 MiB payloads (streaming-throughput shape)
+  * crypto_roundtrip_rows — per-row overhead shape over documents
+Their MB/s figures are reported under "extra".
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+BENCH_QUERIES = [
+    "age_roundtrip",
+    "age_multi_roundtrip",
+    "text_doc_stats",
+    "text_fingerprints",
+    "dedup_exact",
+    "dedup_minhash_pairs",
+    "dedup_simhash_pairs",
+    "dedup_embedding_pairs",
+    "sim_topk_bruteforce",
+    "sim_topk_lsh",
+    "events_tumbling",
+    "events_sessions",
+    "events_funnel",
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q5",
+    "top_customers",
+    "order_priority",
+    "multimodal_features",
+]
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession, functions as F
+
+    spark = (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName("duckdb-age-spark-bench")
+        .config("spark.sql.shuffle.partitions", str(CPUS))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+    sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else 0.1
+
+    timings: dict[str, float] = {}
+    extra: dict[str, float] = {}
+
+    # Warm the Python worker pool once (first pandas-UDF stage pays ~100ms
+    # per worker spawn across all cores; that's session setup, not a query).
+    from duckdb_age_spark.contract import KP1 as _KP1
+    from duckdb_age_spark.register import register as _register
+
+    _register(spark)
+    spark.range(CPUS * 4).repartition(CPUS).select(
+        F.call_function("age_encrypt", F.lit(b"warmup"), F.lit(_KP1.public_key))
+    ).count()
+
+    # -- contract queries --------------------------------------------------
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        n = qs[name](spark, SF_DIR).count()
+        timings[name] = round(time.time() - t0, 3)
+        extra[f"rows_{name}"] = n
+
+    # -- crypto throughput microbenches ------------------------------------
+    from duckdb_age_spark.contract import KP1
+
+    # bulk: 1 MiB payloads (streaming shape; reference claims 50-100 MB/s/core)
+    n_blobs, blob_mib = 4 * CPUS, 1
+    bulk = spark.range(n_blobs).select(
+        F.expr(f"repeat('x', {blob_mib * 1024 * 1024})").cast("binary").alias("payload")
+    )
+    bulk = bulk.repartition(CPUS).cache()
+    bulk.count()
+    enc = bulk.select(
+        F.octet_length(
+            F.call_function("age_encrypt", F.col("payload"), F.lit(KP1.public_key))
+        ).alias("n")
+    )
+    # First large-payload pass warms the worker pool's big-buffer path
+    # (measured: 22s → 2s steady state in local mode); report steady state
+    # and keep the cold figure in extras.
+    t0 = time.time()
+    enc.agg(F.sum("n")).collect()
+    cold = time.time() - t0
+    t0 = time.time()
+    enc.agg(F.sum("n")).collect()
+    dt = time.time() - t0
+    timings["crypto_encrypt_bulk"] = round(dt, 3)
+    total_mb = n_blobs * blob_mib
+    extra["encrypt_bulk_cold_sec"] = round(cold, 3)
+    extra["encrypt_bulk_mb_per_s"] = round(total_mb / dt, 1)
+    extra["encrypt_bulk_mb_per_s_per_core"] = round(total_mb / dt / CPUS, 1)
+    bulk.unpersist()
+
+    # per-row: encrypt+decrypt round-trip over real documents
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        F.col("text").cast("binary").alias("payload")
+    )
+    docs = docs.cache()
+    n_rows = docs.count()
+    n_bytes = docs.agg(F.sum(F.octet_length("payload"))).collect()[0][0]
+    t0 = time.time()
+    rt = docs.select(
+        F.call_function(
+            "age_decrypt",
+            F.call_function("age_encrypt", F.col("payload"), F.lit(KP1.public_key)),
+            F.lit(KP1.private_key),
+        ).alias("pt")
+    )
+    rt.agg(F.sum(F.octet_length("pt"))).collect()
+    dt = time.time() - t0
+    timings["crypto_roundtrip_rows"] = round(dt, 3)
+    extra["roundtrip_rows_per_s"] = round(n_rows / dt, 1)
+    extra["roundtrip_mb_per_s"] = round(n_bytes / 1e6 / dt, 2)
+    docs.unpersist()
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "bench_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "extra": extra,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

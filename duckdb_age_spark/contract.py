@@ -472,8 +472,8 @@ def _simhash_sql(table_expr: str) -> str:
     return f"""
     wh_t AS (
       SELECT doc_id,
-             list_transform(string_split_regex(trim(text), '\\s+'),
-                            w -> ('0x' || substr(md5(w), 1, 15))::BIGINT) AS wh
+             list_transform({_NGRAMS_SQL},
+                            g -> ('0x' || substr(md5(g), 1, 15))::BIGINT) AS wh
       FROM ({table_expr})),
     sims AS (SELECT doc_id, ({sim})::BIGINT AS simhash FROM wh_t)
     """

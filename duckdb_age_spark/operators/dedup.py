@@ -81,14 +81,24 @@ def minhash_signatures(docs: DataFrame, n_hashes: int = 8, ngram: int = 3) -> Da
     Hash family i = md5(i || '|' || shingle); signature element i is the
     minimum over the doc's shingles.  Narrow map stage — scales to any size.
     """
-    grams = _word_ngrams(F.col("text"), ngram)
-
-    def min_hash(i: int):
-        # NB: closure factory, not a default-arg lambda — PySpark treats a
-        # 2-param lambda as (element, index) and would shadow ``i``.
-        return F.array_min(F.transform(grams, lambda g: F.md5(F.concat(F.lit(f"{i}|"), g).cast("binary"))))
-
-    return docs.select("doc_id", *[min_hash(i).alias(f"mh_{i}") for i in range(n_hashes)])
+    # explode-then-aggregate: Catalyst inlines higher-order-function
+    # expressions per consumer, so a transform-based formulation re-splits
+    # and re-hashes the text once per hash function (~8× waste, measured).
+    # Exploding computes each shingle hash exactly once; groupBy(doc_id)
+    # does map-side partial MIN before the single shuffle.
+    grams = docs.select(
+        "doc_id", F.explode(F.array_distinct(_word_ngrams(F.col("text"), ngram))).alias("gram")
+    )
+    hashed = grams.select(
+        "doc_id",
+        *[
+            F.md5(F.concat(F.lit(f"{i}|"), F.col("gram")).cast("binary")).alias(f"h_{i}")
+            for i in range(n_hashes)
+        ],
+    )
+    return hashed.groupBy("doc_id").agg(
+        *[F.min(f"h_{i}").alias(f"mh_{i}") for i in range(n_hashes)]
+    )
 
 
 def planted_near_dup_corpus(docs: DataFrame, every: int = 10, keep_words: int = 30) -> DataFrame:
@@ -183,31 +193,34 @@ def ngram_jaccard_pairs(corpus: DataFrame, pairs: DataFrame, ngram: int = 3) -> 
 SIMHASH_BITS = 32
 
 
-def simhash(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
-    """Per-doc SimHash over words (32-bit): bit j is set iff sum over words of
-    (±1 by word-hash bit j) is positive.
+def simhash(docs: DataFrame, bits: int = SIMHASH_BITS, ngram: int = 3) -> DataFrame:
+    """Per-doc SimHash (32-bit) over word 3-gram shingles: bit j is set iff
+    the sum over shingles of (±1 by shingle-hash bit j) is positive.
 
-    Word hash = first 15 hex chars of md5 (60 bits) — cross-engine stable via
-    conv(hex,16,10).  Computed entirely with higher-order functions: the
-    words array folds per bit position without leaving the JVM.
+    Shingle hash = first 15 hex chars of md5 (60 bits) — cross-engine stable
+    via conv(hex,16,10).  Shingles (not bare words) keep unrelated docs that
+    merely share vocabulary from clustering in hamming space.
+
+    Same explode-then-aggregate shape as MinHash (see minhash_signatures for
+    why not higher-order functions): each shingle is hashed once, the 32 bit
+    votes are partial-aggregated map-side, one shuffle on doc_id.
     """
-    words = F.split(F.trim(F.col("text")), r"\s+")
-    word_hashes = F.transform(words, lambda w: F.conv(F.substring(F.md5(w.cast("binary")), 1, 15), 16, 10).cast("bigint"))
-
-    def vote(j: int):
-        # closure factory (see min_hash above for why not a default-arg lambda)
-        return F.aggregate(
-            word_hashes,
-            F.lit(0).cast("long"),
-            lambda acc, h: acc + F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
-        )
-
-    bit_votes = [vote(j) for j in range(bits)]
+    grams = docs.select("doc_id", F.explode(_word_ngrams(F.col("text"), ngram)).alias("gram"))
+    h = F.conv(F.substring(F.md5(F.col("gram").cast("binary")), 1, 15), 16, 10).cast("bigint")
+    hashed = grams.select("doc_id", h.alias("h"))
+    votes = hashed.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright("h", j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"v_{j}")
+            for j in range(bits)
+        ]
+    )
     sim = sum(
-        (F.when(bit_votes[j] > 0, F.lit(1 << j)).otherwise(0) for j in range(bits)),
+        (F.when(F.col(f"v_{j}") > 0, F.lit(1 << j)).otherwise(0) for j in range(bits)),
         F.lit(0),
     )
-    return docs.select("doc_id", sim.cast("long").alias("simhash"))
+    return votes.select("doc_id", sim.cast("long").alias("simhash"))
 
 
 def simhash_near_pairs(corpus: DataFrame, max_hamming: int = 3, bits: int = SIMHASH_BITS) -> DataFrame:

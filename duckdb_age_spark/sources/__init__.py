@@ -1,0 +1,13 @@
+"""Sources & sinks.
+
+* ``read_table`` — schema-normalizing reader for the driver-provided parquet
+  tables (handles the TIMESTAMP(NANOS) events column Spark 4 refuses).
+* ``write_encrypted`` / ``read_encrypted`` — parquet sink/source with
+  age-encrypted columns: the Spark-native analog of the reference's
+  encrypt-on-write pipelines (reference: FUNCTIONS.md pipeline examples).
+"""
+
+from .tables import read_table
+from .encrypted import read_encrypted, write_encrypted
+
+__all__ = ["read_table", "read_encrypted", "write_encrypted"]

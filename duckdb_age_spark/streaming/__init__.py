@@ -1,0 +1,168 @@
+"""Structured Streaming over an ``events``-shaped stream.
+
+Batch semantics live in :mod:`duckdb_age_spark.operators.events`; this module
+runs the same logic incrementally:
+
+* ``stream_events`` — file-source readStream over the events parquet
+  (schema pinned; ts normalized ns→µs like the batch reader);
+* ``windowed_counts_stream`` — tumbling-window counts with a watermark for
+  late data;
+* ``sessionize_stream`` — gap-based sessions via
+  ``applyInPandasWithState`` (the custom-stateful-operator seam);
+* ``run_available_now`` — drain a stream to a memory sink with the
+  availableNow trigger (how tests compare stream vs batch results).
+
+Scale notes: windowed aggregation state is keyed by (window, event_type) —
+bounded by watermark horizon; sessionization state is per user_id with
+explicit timeout, the standard unbounded-key pattern.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),  # raw ns (nanosAsLong), normalized below
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events parquet with the ns→µs normalization the
+    batch path uses (sources/tables.py)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # The file-stream source wants a directory; the test dirs hold all ten
+    # tables in one flat dir, so stage a symlink-dir containing only events.
+    import os
+    import tempfile
+
+    stage = os.path.join(tempfile.gettempdir(), "duckdb_age_spark_stream", os.path.basename(sf_dir.rstrip("/")))
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"), link)
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+
+def windowed_counts_stream(events: DataFrame, window: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
+    """Tumbling-window counts per event type with late-data watermark."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def sessionize_stream(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Per-user session aggregation with ``applyInPandasWithState``: emits
+    one row per closed session (user_id, n_events, dur_sec).
+
+    State per user: (session_start_sec, last_sec, n_events); a session closes
+    when a batch shows a gap past ``gap_minutes``.  NoTimeout: a live
+    deployment would add a processing-time timeout to flush trailing
+    sessions, but that conflicts with bounded availableNow drains (the query
+    never terminates waiting for the timer), so the trailing session of each
+    user intentionally stays in state.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_events", LongType()),
+            StructField("dur_sec", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("start_sec", LongType()),
+            StructField("last_sec", LongType()),
+            StructField("n_events", LongType()),
+        ]
+    )
+    gap_sec = gap_minutes * 60
+
+    cols = ["user_id", "n_events", "dur_sec"]
+
+    def fn(key, pdf_iter, state: GroupState):
+        (user_id,) = key
+        if state.hasTimedOut:
+            start, last, n = state.get
+            state.remove()
+            yield pd.DataFrame([{"user_id": user_id, "n_events": n, "dur_sec": last - start}])
+            return
+        secs: list[int] = []
+        for pdf in pdf_iter:
+            secs.extend(int(t.timestamp()) for t in pdf["ts"])
+        secs.sort()
+        if not secs:
+            yield pd.DataFrame(columns=cols)
+            return
+        if state.exists:
+            start, last, n = state.get
+        else:
+            start, last, n = secs[0], secs[0], 0
+        closed = []
+        for s in secs:
+            if s - last > gap_sec and n > 0:
+                closed.append({"user_id": user_id, "n_events": n, "dur_sec": last - start})
+                start, n = s, 0
+            n += 1
+            last = s
+        state.update((start, last, n))
+        yield pd.DataFrame(closed, columns=cols) if closed else pd.DataFrame(columns=cols)
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_available_now(stream_df: DataFrame, output_mode: str = "complete", query_name: str | None = None):
+    """Drain a streaming DataFrame into a memory sink (availableNow trigger)
+    and return the bounded result as a batch DataFrame.  ``complete`` suits
+    windowed aggregations; stateful append operators need ``append``."""
+    name = query_name or f"mem_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(name)

@@ -1,0 +1,154 @@
+"""Operator-level tests over the driver test tables (sf0.001): semantic
+properties the oracle comparison can't express (recall of LSH vs brute force,
+dedup actually removing rows, session gap invariants, etc.)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
+    yield df
+    df.unpersist()
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    df = spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+    yield df
+    df.unpersist()
+
+
+@pytest.fixture(scope="module")
+def events(spark, sf_dir):
+    from duckdb_age_spark.sources import read_table
+
+    df = read_table(spark, sf_dir, "events").cache()
+    yield df
+    df.unpersist()
+
+
+def test_exact_dedup_removes_planted_copies(spark, docs):
+    from duckdb_age_spark.operators.dedup import drop_exact_dups
+
+    n = docs.count()
+    planted = docs.select("doc_id", "text").unionByName(
+        docs.limit(25).select((F.col("doc_id") + 9_000_000).alias("doc_id"), "text")
+    )
+    deduped = drop_exact_dups(planted)
+    assert deduped.count() == n
+    # survivor is always the lowest doc_id (the original)
+    assert deduped.where(F.col("doc_id") >= 9_000_000).count() == 0
+
+
+def test_minhash_lsh_finds_planted_pairs(docs):
+    from duckdb_age_spark.operators.dedup import minhash_lsh_pairs, planted_near_dup_corpus
+
+    corpus = planted_near_dup_corpus(docs)
+    pairs = minhash_lsh_pairs(corpus).collect()
+    planted_hits = {r.doc_a for r in pairs if r.doc_b == r.doc_a + 1_000_000}
+    # every planted short doc (identical after 30-word truncation) must be found
+    short_planted = (
+        docs.where((F.col("doc_id") % 10 == 0))
+        .where(F.size(F.split(F.trim("text"), r"\s+")) <= 30)
+        .count()
+    )
+    assert len(planted_hits) >= short_planted
+    assert all(0.5 <= r.est_jaccard <= 1.0 for r in pairs)
+
+
+def test_simhash_identical_and_disjoint(spark):
+    from duckdb_age_spark.operators.dedup import simhash
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"), (2, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    vals = {r.doc_id: r.simhash for r in simhash(df).collect()}
+    assert vals[1] == vals[2]  # identical text → identical simhash
+
+
+def test_lsh_topk_recall_vs_bruteforce(emb):
+    from duckdb_age_spark.operators.similarity import brute_force_topk, lsh_topk, queries_from_ids
+
+    q = queries_from_ids(emb, [0, 1, 2, 3, 4])
+    exact = brute_force_topk(emb, q, k=5).collect()
+    approx = lsh_topk(emb, q, k=5, n_planes=4).collect()
+    exact_set = {(r.query_id, r.vec_id) for r in exact}
+    approx_set = {(r.query_id, r.vec_id) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.3, f"LSH recall {recall} collapsed"
+    # approx scores must be true cosines (subset of scored universe, same rounding)
+    exact_scores = {(r.query_id, r.vec_id): r.cosine for r in exact}
+    for r in approx:
+        if (r.query_id, r.vec_id) in exact_scores:
+            assert abs(exact_scores[(r.query_id, r.vec_id)] - r.cosine) < 1e-9
+
+
+def test_sessionize_gap_invariant(events):
+    from duckdb_age_spark.operators.events import sessionize
+
+    s = sessionize(events, gap_minutes=30).cache()
+    # within a session, no gap exceeds 30 min; session_seq is monotone per user
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id", "session_seq").orderBy("ts")
+    gaps = s.withColumn("gap", F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w))
+    assert gaps.where(F.col("gap") > 1800).count() == 0
+    # first event of every user is session 1
+    firsts = s.groupBy("user_id").agg(F.min("session_seq").alias("m"))
+    assert firsts.where(F.col("m") != 1).count() == 0
+
+
+def test_funnel_subset_of_users_with_all_three(events):
+    from duckdb_age_spark.operators.events import user_funnel
+
+    out = user_funnel(events)
+    completed = out.where("completed_funnel").count()
+    with_all = (
+        events.groupBy("user_id")
+        .agg(F.collect_set("event_type").alias("ts"))
+        .where(F.array_contains("ts", "signup") & F.array_contains("ts", "view") & F.array_contains("ts", "purchase"))
+        .count()
+    )
+    assert 0 < completed <= with_all
+
+
+def test_multimodal_feature_schema_and_determinism(spark, docs):
+    from duckdb_age_spark.operators.multimodal import documents_as_media, extract_features
+
+    feats = extract_features(documents_as_media(docs))
+    a = {r.media_id: (r.digest, r.width, r.height) for r in feats.collect()}
+    b = {r.media_id: (r.digest, r.width, r.height) for r in feats.collect()}
+    assert a == b and len(a) == docs.count()
+    assert all(16 <= w <= 1024 and 16 <= h <= 1024 for (_, w, h) in a.values())
+
+
+def test_multimodal_stub_raises_on_empty():
+    from duckdb_age_spark.operators.multimodal import decode_image_stub
+
+    with pytest.raises(NotImplementedError):
+        decode_image_stub(b"")
+
+
+def test_encrypted_sink_roundtrip(spark, tmp_path, manager, docs):
+    from duckdb_age_spark.sources import read_encrypted, write_encrypted
+    from duckdb_age_spark.contract import KP1
+
+    manager.create_secret("sink_key", public_key=KP1.public_key, private_key=KP1.private_key, replace=True)
+    path = str(tmp_path / "enc_docs")
+    write_encrypted(docs.limit(50), path, ["text"], recipient="sink_key")
+
+    # on-disk column is ciphertext (age header magic), not plaintext
+    raw = spark.read.parquet(path)
+    assert dict(raw.dtypes)["text"] == "binary"
+    first = raw.select("text").first().text
+    assert bytes(first).startswith(b"age-encryption.org/v1")
+
+    back = read_encrypted(spark, path, ["text"], identity="sink_key")
+    orig = {r.doc_id: r.text for r in docs.limit(50).collect()}
+    got = {r.doc_id: r.text for r in back.collect()}
+    assert got == orig

@@ -1,0 +1,108 @@
+"""Physical-plan audits: the plans we'd want at 100 TB, asserted at sf0.001.
+
+These catch scale regressions that correctness tests can't: a lost
+broadcast, a filter that stopped pushing down, a scan reading columns the
+query doesn't need, a missing map-side partial aggregate.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from duckdb_age_spark.plans import (
+    count_exchanges,
+    has_broadcast_join,
+    has_partial_aggregate,
+    pushed_filters,
+    read_schemas,
+)
+
+
+@pytest.fixture(scope="module")
+def t(spark, sf_dir):
+    from duckdb_age_spark.sources import read_table
+
+    return {
+        n: read_table(spark, sf_dir, n)
+        for n in ("region", "nation", "customer", "supplier", "orders", "lineitem", "documents", "events")
+    }
+
+
+def test_q5_broadcasts_dimensions(t):
+    from duckdb_age_spark.operators.relational import q5_region_revenue
+
+    df = q5_region_revenue(t["region"], t["nation"], t["customer"], t["supplier"], t["orders"], t["lineitem"])
+    assert has_broadcast_join(df)
+    assert has_partial_aggregate(df)
+
+
+def test_q1_pushes_filter_and_prunes_columns(t):
+    from duckdb_age_spark.operators.relational import q1_pricing_summary
+
+    df = q1_pricing_summary(t["lineitem"])
+    # shipdate predicate reaches the parquet scan
+    assert any("l_shipdate" in p for p in pushed_filters(df)), pushed_filters(df)
+    # scan reads only the 7 needed columns, not all 11
+    schemas = read_schemas(df)
+    assert schemas and all("l_orderkey" not in s and "l_partkey" not in s for s in schemas), schemas
+    assert has_partial_aggregate(df)
+
+
+def test_q1_single_shuffle(t):
+    from duckdb_age_spark.operators.relational import q1_pricing_summary
+
+    # groupBy + orderBy = exactly 2 exchanges (agg + sort), nothing hidden
+    assert count_exchanges(q1_pricing_summary(t["lineitem"])) <= 2
+
+
+def test_doc_stats_is_shuffle_free(t):
+    from duckdb_age_spark.operators.text import doc_stats
+
+    assert count_exchanges(doc_stats(t["documents"])) == 0
+
+
+def test_lang_stats_partial_aggregates(t):
+    from duckdb_age_spark.operators.text import lang_stats
+
+    df = lang_stats(t["documents"])
+    assert has_partial_aggregate(df)
+
+
+def test_minhash_partial_min_before_shuffle(t):
+    from duckdb_age_spark.operators.dedup import minhash_signatures
+
+    df = minhash_signatures(t["documents"])
+    # min() aggregates partially before the doc_id exchange
+    assert has_partial_aggregate(df)
+    assert count_exchanges(df) == 1
+
+
+def test_bruteforce_topk_broadcasts_queries(t, spark, sf_dir):
+    from duckdb_age_spark.operators.similarity import brute_force_topk, queries_from_ids
+    from duckdb_age_spark.sources import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    df = brute_force_topk(emb, queries_from_ids(emb, [0, 1]), k=3)
+    assert has_broadcast_join(df)
+
+
+def test_projection_pruning_reaches_scan(t):
+    # 2-column projection over an 11-column table must prune the scan
+    df = t["lineitem"].select("l_orderkey", "l_quantity")
+    schemas = read_schemas(df)
+    assert schemas == ["struct<l_orderkey:bigint,l_quantity:double>"], schemas
+
+
+def test_filter_outside_udf_still_pushes_down(spark, sf_dir, manager):
+    """Filters composed around the crypto UDFs must still reach the scan
+    (SURVEY.md §4.2: keep filters visible to Catalyst)."""
+    from duckdb_age_spark.contract import KP1
+    from duckdb_age_spark.sources import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    df = docs.where(F.col("lang") == "en").select(
+        "doc_id",
+        F.call_function("age_encrypt", F.col("text").cast("binary"), F.lit(KP1.public_key)),
+    )
+    assert any("lang" in p and "en" in p for p in pushed_filters(df)), pushed_filters(df)

@@ -1,0 +1,67 @@
+"""Structured Streaming tests: stream results must agree with the batch
+operators on the same bounded input (availableNow drain)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def batch_events(spark, sf_dir):
+    from duckdb_age_spark.sources import read_table
+
+    df = read_table(spark, sf_dir, "events").cache()
+    yield df
+    df.unpersist()
+
+
+def test_windowed_counts_match_batch(spark, sf_dir, batch_events):
+    from duckdb_age_spark.streaming import (
+        run_available_now,
+        stream_events,
+        windowed_counts_stream,
+    )
+
+    stream = windowed_counts_stream(stream_events(spark, sf_dir), window="1 hour")
+    got = run_available_now(stream, output_mode="complete")
+
+    expected = (
+        batch_events.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(F.col("win.start").alias("window_start"), "event_type", "n_events", "total_value")
+    )
+    g = {(r.window_start, r.event_type): (r.n_events, r.total_value) for r in got.collect()}
+    e = {(r.window_start, r.event_type): (r.n_events, r.total_value) for r in expected.collect()}
+    assert g == e and len(g) > 0
+
+
+def test_sessionize_stream_emits_closed_sessions(spark, sf_dir, batch_events):
+    from duckdb_age_spark.operators.events import sessionize
+    from duckdb_age_spark.streaming import run_available_now, sessionize_stream, stream_events
+
+    got = run_available_now(
+        sessionize_stream(stream_events(spark, sf_dir), gap_minutes=30),
+        output_mode="append",
+    ).collect()
+
+    # batch truth: per-user closed sessions (all but each user's last session)
+    s = sessionize(batch_events, gap_minutes=30)
+    per_session = (
+        s.groupBy("user_id", "session_seq")
+        .agg(
+            F.count("*").alias("n_events"),
+            (F.max(F.col("ts").cast("long")) - F.min(F.col("ts").cast("long"))).alias("dur_sec"),
+        )
+    )
+    last_seq = per_session.groupBy("user_id").agg(F.max("session_seq").alias("last"))
+    closed_batch = (
+        per_session.join(last_seq, "user_id")
+        .where(F.col("session_seq") < F.col("last"))
+        .select("user_id", "n_events", "dur_sec")
+    )
+    got_set = {(r.user_id, r.n_events, r.dur_sec) for r in got}
+    exp_set = {(r.user_id, r.n_events, r.dur_sec) for r in closed_batch.collect()}
+    # single-file availableNow drain sees all data in one batch: closed
+    # sessions must match the batch computation exactly
+    assert got_set == exp_set and len(got_set) > 0
