@@ -892,6 +892,169 @@ def order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# F2. as-of / range joins and time-bucket rollups
+# ===========================================================================
+
+
+@_q(
+    "asof_join",
+    """
+    WITH o AS (
+      SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+      FROM orders GROUP BY 1, 2)
+    SELECT e.event_id, e.user_id, o.o_orderkey AS o_orderkey_asof
+    FROM events e ASOF LEFT JOIN o
+      ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+    """,
+)
+def asof_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most recent order per event (union+window as-of join); oracle uses
+    DuckDB's native ASOF JOIN — host-engine-pinned semantics."""
+    from .operators.asof import asof_join
+
+    _prep(spark)
+    events = load(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_orderkey").alias("o_orderkey"))
+    )
+    out = asof_join(
+        events,
+        orders,
+        left_key="user_id",
+        right_key="o_custkey",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        value_cols=["o_orderkey"],
+    )
+    return out.select("event_id", "user_id", F.col("o_orderkey_asof").cast("bigint"))
+
+
+@_q(
+    "range_join",
+    """
+    SELECT tier, count(*)::BIGINT AS n_orders, round(sum(o_totalprice), 2) AS revenue
+    FROM orders
+    JOIN (VALUES ('small', 0.0, 100000.0), ('medium', 100000.0, 250000.0),
+                 ('large', 250000.0, 1000000000.0)) AS t(tier, lo, hi)
+      ON o_totalprice >= lo AND o_totalprice < hi
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def range_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed range join of orders onto price tiers."""
+    from .operators.asof import range_join_bucketed
+
+    _prep(spark)
+    orders = load(spark, sf_dir, "orders")
+    tiers = spark.createDataFrame(
+        [("small", 0.0, 100000.0), ("medium", 100000.0, 250000.0), ("large", 250000.0, 1e9)],
+        "tier string, lo double, hi double",
+    )
+    joined = range_join_bucketed(orders, tiers, "o_totalprice", "lo", "hi", bucket_width=50000.0)
+    return (
+        joined.groupBy("tier")
+        .agg(F.count("*").cast("bigint").alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+        .orderBy("tier")
+    )
+
+
+@_q(
+    "rollup_timebuckets",
+    """
+    WITH f AS (
+      SELECT (floor(epoch(ts))::BIGINT - floor(epoch(ts))::BIGINT % 300) AS bucket_sec,
+             event_type, count(*)::BIGINT AS n_events, round(sum(value), 2) AS total_value
+      FROM events GROUP BY 1, 2),
+    h AS (
+      SELECT (bucket_sec - bucket_sec % 3600) AS bucket_sec, event_type,
+             sum(n_events)::BIGINT AS n_events, round(sum(total_value), 2) AS total_value
+      FROM f GROUP BY 1, 2),
+    d AS (
+      SELECT (bucket_sec - bucket_sec % 86400) AS bucket_sec, event_type,
+             sum(n_events)::BIGINT AS n_events, round(sum(total_value), 2) AS total_value
+      FROM h GROUP BY 1, 2)
+    SELECT '5min' AS grain, * FROM f
+    UNION ALL SELECT '1hour', * FROM h
+    UNION ALL SELECT '1day', * FROM d
+    """,
+)
+def rollup_timebuckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style cascade rollup at 5min/1hour/1day grains."""
+    from .operators.rollup import continuous_rollup
+
+    _prep(spark)
+    out = continuous_rollup(load(spark, sf_dir, "events"))
+    return out.select(
+        "grain",
+        F.col("bucket").cast("long").alias("bucket_sec"),
+        "event_type",
+        F.col("n_events").cast("bigint"),
+        "total_value",
+    )
+
+
+@_q(
+    "rollup_grouping_sets",
+    """
+    SELECT n_name, o_orderpriority, round(sum(o_totalprice), 2) AS revenue,
+           count(*)::BIGINT AS n_orders
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY ROLLUP (n_name, o_orderpriority)
+    ORDER BY n_name ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+    """,
+)
+def rollup_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets — host-engine aggregation parity."""
+    from .operators.rollup import revenue_grouping_sets
+
+    _prep(spark)
+    return revenue_grouping_sets(
+        load(spark, sf_dir, "orders"), load(spark, sf_dir, "customer"), load(spark, sf_dir, "nation")
+    )
+
+
+# ===========================================================================
+# F3. custom function surfaces (UDAF / UDTF)
+# ===========================================================================
+
+
+@_q(
+    "udaf_geomean",
+    """
+    SELECT o_orderpriority, round(exp(avg(ln(o_totalprice))), 2) AS geomean_price
+    FROM orders GROUP BY 1 ORDER BY 1
+    """,
+)
+def udaf_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-agg pandas UDAF (geometric mean) vs closed-form SQL oracle."""
+    from .operators.custom_fns import order_price_geomean
+
+    _prep(spark)
+    return order_price_geomean(load(spark, sf_dir, "orders"))
+
+
+@_q(
+    "udtf_chunks",
+    r"""
+    SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
+           array_to_string(words[i * 10 + 1 : i * 10 + 10], ' ') AS chunk
+    FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS words FROM documents),
+         unnest(range(0, (len(words) + 9) // 10)) AS t(i)
+    """,
+)
+def udtf_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF document chunker vs DuckDB unnest oracle."""
+    from .operators.custom_fns import chunk_documents
+
+    _prep(spark)
+    return chunk_documents(load(spark, sf_dir, "documents"), chunk_words=10)
+
+
+# ===========================================================================
 # G. multimodal plumbing (SURVEY.md §2c)
 # ===========================================================================
 

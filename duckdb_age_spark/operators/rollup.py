@@ -1,0 +1,73 @@
+"""Hypertable-style time-bucket rollups + grouping-set aggregates.
+
+``time_bucket`` floors timestamps to fixed-width buckets via epoch
+arithmetic (identical in DuckDB — the oracle replays the same expression, no
+reliance on engine-specific time_bucket builtins).  ``continuous_rollup``
+materializes multiple granularities in one pass over the fact table — the
+batch shape of a streaming continuous aggregate.
+
+Scale: each granularity is a partial-aggregated groupBy; the multi-grain
+union aggregates the COARSER grains from the finest rollup, not the raw
+facts, so the raw table is scanned exactly once.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def time_bucket(ts: Column, width_sec: int) -> Column:
+    """Floor ``ts`` to a ``width_sec`` bucket (epoch-truncation arithmetic)."""
+    sec = ts.cast("long")
+    return F.timestamp_seconds((sec - sec % width_sec).cast("long"))
+
+
+GRAINS = {"5min": 300, "1hour": 3600, "1day": 86400}
+
+
+def continuous_rollup(events: DataFrame, grains: dict[str, int] | None = None) -> DataFrame:
+    """Multi-granularity rollup of events: (grain, bucket, event_type,
+    n_events, total_value).  The finest grain aggregates the raw facts; each
+    coarser grain re-aggregates the previous rollup (classic rollup cascade —
+    one fact scan, tiny follow-on aggregations)."""
+    grains = grains or GRAINS
+    ordered = sorted(grains.items(), key=lambda kv: kv[1])
+
+    finest_name, finest_sec = ordered[0]
+    finest = (
+        events.groupBy(
+            time_bucket(F.col("ts"), finest_sec).alias("bucket"), F.col("event_type")
+        )
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .withColumn("grain", F.lit(finest_name))
+    )
+    out = finest
+    prev = finest
+    for name, sec in ordered[1:]:
+        nxt = (
+            prev.groupBy(time_bucket(F.col("bucket"), sec).alias("bucket"), "event_type")
+            .agg(
+                F.sum("n_events").alias("n_events"),
+                F.round(F.sum("total_value"), 2).alias("total_value"),
+            )
+            .withColumn("grain", F.lit(name))
+        )
+        out = out.unionByName(nxt)
+        prev = nxt
+    return out.select("grain", "bucket", "event_type", "n_events", "total_value")
+
+
+def revenue_grouping_sets(orders: DataFrame, customer: DataFrame, nation: DataFrame) -> DataFrame:
+    """ROLLUP(n_name, o_orderpriority) revenue — grouping-set aggregation
+    parity with the host engine (DuckDB ROLLUP in the oracle)."""
+    joined = (
+        orders.join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    return (
+        joined.rollup("n_name", "o_orderpriority")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"), F.count("*").alias("n_orders"))
+        .orderBy(
+            F.col("n_name").asc_nulls_first(), F.col("o_orderpriority").asc_nulls_first()
+        )
+    )
