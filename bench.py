@@ -41,8 +41,16 @@ BENCH_QUERIES = [
     "tpch_q1",
     "tpch_q3",
     "tpch_q5",
+    "tpch_q6",
+    "tpch_q13",
+    "tpch_q14",
     "top_customers",
     "order_priority",
+    "skew_salted_agg",
+    "skew_salted_join",
+    "asof_join",
+    "rollup_timebuckets",
+    "streaming_windowed",
     "multimodal_features",
 ]
 

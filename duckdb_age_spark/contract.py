@@ -274,6 +274,118 @@ def age_secret_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "age_secrets_listing",
+    """
+    SELECT * FROM (VALUES
+      ('listing_a', 'age', 'config', 'key-a', true),
+      ('listing_b', 'age', 'config', NULL, true)
+    ) AS t(name, type, provider, key_id, private_redacted)
+    ORDER BY name
+    """,
+)
+def age_secrets_listing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The duckdb_secrets() analog: create→list with redaction (reference:
+    test/sql/age_secret.test:23-41)."""
+    from .register import register
+    from .secrets import default_manager
+
+    register(spark)
+    default_manager.create_secret(
+        "listing_a", public_key=KP1.public_key, private_key=KP1.private_key, key_id="key-a", replace=True
+    )
+    default_manager.create_secret(
+        "listing_b", public_key=KP2.public_key, private_key=KP2.private_key, replace=True
+    )
+    df = default_manager.secrets(spark)
+    return (
+        df.where(F.col("name").startswith("listing_"))
+        .select(
+            "name",
+            "type",
+            "provider",
+            "key_id",
+            (F.col("private_key") == "***REDACTED***").alias("private_redacted"),
+        )
+        .orderBy("name")
+    )
+
+
+_HOURLY_SQL = """
+    SELECT hour(ts)::BIGINT AS hour, event_type, count(*)::BIGINT AS n_events
+    FROM events GROUP BY 1, 2 ORDER BY 1, 2
+    """
+
+
+@_q("sink_csv_roundtrip", _HOURLY_SQL)
+def sink_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV sink+source: write events to CSV, read back, aggregate — the
+    result must equal the oracle computed from the original parquet."""
+    import tempfile
+
+    from .operators.events import hourly_activity
+
+    _prep(spark)
+    path = tempfile.mkdtemp(prefix="age_spark_csv_")
+    load(spark, sf_dir, "events").write.mode("overwrite").option("header", True).option(
+        "timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    ).csv(path)
+    back = (
+        spark.read.option("header", True)
+        .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+        .option("inferSchema", True)
+        .csv(path)
+    )
+    out = hourly_activity(back)
+    return out.select(F.col("hour").cast("bigint"), "event_type", F.col("n_events").cast("bigint"))
+
+
+@_q("sink_json_roundtrip", _HOURLY_SQL)
+def sink_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines sink+source round-trip, same oracle as the CSV one."""
+    import tempfile
+
+    from .operators.events import hourly_activity
+
+    _prep(spark)
+    path = tempfile.mkdtemp(prefix="age_spark_json_")
+    load(spark, sf_dir, "events").write.mode("overwrite").option(
+        "timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    ).json(path)
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    back = spark.read.schema(schema).option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS").json(path)
+    out = hourly_activity(back)
+    return out.select(F.col("hour").cast("bigint"), "event_type", F.col("n_events").cast("bigint"))
+
+
+@_q(
+    "streaming_windowed",
+    """
+    SELECT (floor(epoch(ts))::BIGINT - floor(epoch(ts))::BIGINT % 3600) AS window_sec,
+           event_type, count(*)::BIGINT AS n_events, round(sum(value), 2) AS total_value
+    FROM events GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def streaming_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming windowed aggregation drained with availableNow —
+    streaming results enter the correctness gate against the batch oracle."""
+    from .streaming import run_available_now, stream_events, windowed_counts_stream
+
+    _prep(spark)
+    out = run_available_now(
+        windowed_counts_stream(stream_events(spark, sf_dir), window="1 hour"),
+        output_mode="complete",
+    )
+    return out.select(
+        F.col("window_start").cast("long").alias("window_sec"),
+        "event_type",
+        F.col("n_events").cast("bigint"),
+        "total_value",
+    ).orderBy("window_sec", "event_type")
+
+
 # ===========================================================================
 # B. text analysis (SURVEY.md §2c)
 # ===========================================================================
@@ -889,6 +1001,171 @@ def order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _prep(spark)
     return order_priority_counts(load(spark, sf_dir, "orders"), load(spark, sf_dir, "lineitem"))
+
+
+@_q(
+    "tpch_q6",
+    """
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1994-01-01' AND l_shipdate < TIMESTAMP '1995-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+    """,
+)
+def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure filter+agg — every predicate must reach the
+    parquet scan (asserted in tests/test_plans.py)."""
+    _prep(spark)
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1994-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+    )
+
+
+@_q(
+    "tpch_q13",
+    """
+    SELECT c_count, count(*)::BIGINT AS custdist FROM (
+      SELECT c_custkey, count(o_orderkey)::BIGINT AS c_count
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey)
+    GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: customer order-count distribution (left join +
+    double aggregation)."""
+    _prep(spark)
+    customer, orders = load(spark, sf_dir, "customer"), load(spark, sf_dir, "orders")
+    per_cust = (
+        customer.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("bigint").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").cast("bigint").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@_q(
+    "tpch_q14",
+    """
+    SELECT round(100.00 * sum(CASE WHEN p_type LIKE 'PROMO%'
+                                   THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+                 / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1995-09-01' AND l_shipdate < TIMESTAMP '1995-10-01'
+    """,
+)
+def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo revenue share (broadcast part join +
+    conditional aggregation)."""
+    _prep(spark)
+    li, part = load(spark, sf_dir, "lineitem"), load(spark, sf_dir, "part")
+    j = li.where(
+        (F.col("l_shipdate") >= F.lit("1995-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1995-10-01").cast("timestamp"))
+    ).join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return j.agg(
+        F.round(
+            100.0 * F.sum(F.when(F.col("p_type").startswith("PROMO"), disc).otherwise(0.0)) / F.sum(disc),
+            4,
+        ).alias("promo_revenue")
+    )
+
+
+@_q(
+    "skew_salted_agg",
+    """
+    SELECT l_returnflag, count(*)::BIGINT AS n, round(sum(l_extendedprice), 2) AS total,
+           round(min(l_discount), 2) AS min_disc, round(max(l_discount), 2) AS max_disc
+    FROM lineitem GROUP BY 1 ORDER BY 1
+    """,
+)
+def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-phase aggregation over a 3-value (maximally hot) key —
+    must be value-identical to the naive GROUP BY the oracle runs."""
+    from .operators.skew import salted_aggregate
+
+    _prep(spark)
+    li = load(spark, sf_dir, "lineitem")
+    out = salted_aggregate(
+        li,
+        key="l_returnflag",
+        salt_from="l_orderkey",
+        aggs={
+            "n": "count:*",
+            "total": "sum:l_extendedprice",
+            "min_disc": "min:l_discount",
+            "max_disc": "max:l_discount",
+        },
+        n_salts=16,
+    )
+    return out.select(
+        "l_returnflag",
+        F.col("n").cast("bigint"),
+        F.round("total", 2).alias("total"),
+        F.round("min_disc", 2).alias("min_disc"),
+        F.round("max_disc", 2).alias("max_disc"),
+    ).orderBy("l_returnflag")
+
+
+@_q(
+    "skew_salted_join",
+    """
+    SELECT o_orderpriority, count(*)::BIGINT AS n_items, round(sum(l_quantity), 2) AS total_qty
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted join (small side replicated 8×) — row-identical to the plain
+    join per the oracle."""
+    from .operators.skew import salted_join
+
+    _prep(spark)
+    li = load(spark, sf_dir, "lineitem").withColumnRenamed("l_orderkey", "k")
+    orders = load(spark, sf_dir, "orders").withColumnRenamed("o_orderkey", "k")
+    joined = salted_join(li, orders.select("k", "o_orderpriority"), key="k", salt_from="l_linenumber", n_salts=8)
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(F.count("*").cast("bigint").alias("n_items"), F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@_q(
+    "sketch_approx_distinct",
+    """
+    SELECT event_type, count(DISTINCT user_id)::BIGINT AS exact_users, true AS approx_within_5pct
+    FROM events GROUP BY 1 ORDER BY 1
+    """,
+)
+def sketch_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL sketch (approx_count_distinct) sanity-gated against the exact
+    count — the sketch value itself is engine-specific, the bound is not."""
+    _prep(spark)
+    ev = load(spark, sf_dir, "events")
+    out = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("bigint").alias("exact_users"),
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx"),
+    )
+    return out.select(
+        "event_type",
+        "exact_users",
+        (
+            F.abs(F.col("approx") - F.col("exact_users")) / F.col("exact_users") <= 0.05
+        ).alias("approx_within_5pct"),
+    ).orderBy("event_type")
 
 
 # ===========================================================================

@@ -129,7 +129,9 @@ def minhash_lsh_pairs(
     Returns (doc_a, doc_b, est_jaccard) with doc_a < doc_b, est ≥ 0.5.
     """
     rows_per_band = n_hashes // bands
-    sig = minhash_signatures(corpus, n_hashes=n_hashes, ngram=ngram)
+    # persist: the banded self-join would otherwise recompute the whole
+    # shingle->hash->min pipeline for BOTH join sides (measured 2x cost)
+    sig = minhash_signatures(corpus, n_hashes=n_hashes, ngram=ngram).persist()
 
     band_structs = F.array(
         *[
@@ -228,7 +230,7 @@ def simhash_near_pairs(corpus: DataFrame, max_hamming: int = 3, bits: int = SIMH
     4-bit quarters (pigeonhole: ≤3 flipped bits across 4 quarters ⇒ at least
     one quarter matches exactly — LOSSLESS banding) so the join is
     band-local, not all-pairs."""
-    sh = simhash(corpus, bits=bits)
+    sh = simhash(corpus, bits=bits).persist()  # self-join below (see minhash_lsh_pairs)
     quarter = bits // 4
     mask = (1 << quarter) - 1
     buckets = F.array(
@@ -291,7 +293,7 @@ def embedding_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.95) -> 
         "vec_id",
         F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
         sign_key.alias("bucket"),
-    )
+    ).persist()  # self-join below (see minhash_lsh_pairs)
     a = e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), "bucket")
     b = e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), "bucket")
     dot = F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
