@@ -753,6 +753,82 @@ def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("bigint"))
 
 
+_IVF_COS6 = (
+    "round(list_sum(list_transform(range(1, 65), i -> {a}[i] * {b}[i]))"
+    " / (sqrt(list_sum(list_transform({a}, x -> x * x)))"
+    " * sqrt(list_sum(list_transform({b}, x -> x * x)))), 6)"
+)
+_IVF_COS4 = _IVF_COS6.replace(", 6)", ", 4)")
+
+
+@_q(
+    "sim_topk_ivf",
+    f"""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+    cents AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < 8),
+    assigned AS (
+      SELECT vec_id, v, cent_id FROM (
+        SELECT e.vec_id, e.v, cents.cent_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_IVF_COS6.format(a='e.v', b='cents.cv')} DESC, cents.cent_id ASC) AS rn
+        FROM e CROSS JOIN cents)
+      WHERE rn = 1),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+    probes AS (
+      SELECT query_id, qv, cent_id FROM (
+        SELECT q.query_id, q.qv, cents.cent_id,
+               row_number() OVER (PARTITION BY q.query_id
+                                  ORDER BY {_IVF_COS6.format(a='q.qv', b='cents.cv')} DESC, cents.cent_id ASC) AS rn
+        FROM q CROSS JOIN cents)
+      WHERE rn <= 2),
+    cand AS (
+      SELECT query_id, vec_id, {_IVF_COS4.format(a='qv', b='v')} AS cosine
+      FROM assigned JOIN probes USING (cent_id)
+      WHERE vec_id != query_id)
+    SELECT query_id, vec_id, cosine, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
+      FROM cand)
+    WHERE rank <= 5
+    """,
+)
+def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed ANN (fixed coarse centroids, 2-probe) vs the same
+    construction in DuckDB SQL."""
+    from .operators.similarity import ivf_topk, queries_from_ids
+
+    _prep(spark)
+    emb = load(spark, sf_dir, "embeddings")
+    out = ivf_topk(emb, queries_from_ids(emb, [0, 1, 2, 3, 4]), k=5, n_lists=8, n_probe=2)
+    return out.withColumn("rank", F.col("rank").cast("bigint"))
+
+
+@_q(
+    "grouped_map_zscore",
+    """
+    SELECT doc_id, lang,
+           round((length(text) - avg(length(text)) OVER (PARTITION BY lang))
+                 / stddev_samp(length(text)) OVER (PARTITION BY lang), 4) AS len_zscore
+    FROM documents
+    """,
+)
+def grouped_map_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandas grouped-map (per-language z-score of doc length) vs a
+    window-function oracle — the Arrow grouped-map surface."""
+    import pandas as pd
+
+    _prep(spark)
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang", F.length("text").alias("n"))
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        mu = pdf["n"].mean()
+        sd = pdf["n"].std(ddof=1)
+        return pd.DataFrame(
+            {"doc_id": pdf["doc_id"], "lang": pdf["lang"], "len_zscore": ((pdf["n"] - mu) / sd).round(4)}
+        )
+
+    return docs.groupBy("lang").applyInPandas(zscore, schema="doc_id long, lang string, len_zscore double")
+
+
 # ===========================================================================
 # E. events (SURVEY.md §2c)
 # ===========================================================================

@@ -92,6 +92,57 @@ def _sign_bucket(vec_col, n_planes: int):
     return sum((F.when(plane_dot(j) >= 0, F.lit(1 << j)).otherwise(0) for j in range(n_planes)), F.lit(0))
 
 
+def ivf_topk(
+    embeddings: DataFrame, queries: DataFrame, k: int = 5, n_lists: int = 8, n_probe: int = 2
+) -> DataFrame:
+    """IVF-style approximate top-k: corpus vectors are assigned to the
+    nearest of ``n_lists`` coarse centroids; a query scores only vectors in
+    its ``n_probe`` closest lists.
+
+    Centroids here are the first ``n_lists`` corpus vectors (deterministic,
+    no training step) — a real deployment would k-means them, but the
+    *query path* (assign → probe → rescore) is identical and that's the part
+    that must scale: the inverted-list id becomes the shuffle/partition key,
+    so each query touches ~n_probe/n_lists of the corpus.
+    """
+    cents = (
+        embeddings.where(F.col("vec_id") < n_lists)
+        .select(F.col("vec_id").alias("cent_id"), _as_double(F.col("embedding")).alias("cv"))
+    )
+    corpus = embeddings.select("vec_id", _as_double(F.col("embedding")).alias("v"))
+
+    # assign every corpus vector to its nearest centroid (broadcast cents)
+    scored_c = corpus.join(F.broadcast(cents)).select(
+        "vec_id", "v", "cent_id", F.round(cosine_col(F.col("v"), F.col("cv")), 6).alias("cs")
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("cs"), F.asc("cent_id"))
+    assigned = (
+        scored_c.withColumn("rn", F.row_number().over(w_assign)).where(F.col("rn") == 1).select("vec_id", "v", "cent_id")
+    )
+
+    # queries probe their n_probe nearest lists
+    scored_q = queries.join(F.broadcast(cents)).select(
+        "query_id", "qv", "cent_id", F.round(cosine_col(F.col("qv"), F.col("cv")), 6).alias("cs")
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(F.desc("cs"), F.asc("cent_id"))
+    probes = (
+        scored_q.withColumn("rn", F.row_number().over(w_probe)).where(F.col("rn") <= n_probe).select("query_id", "qv", "cent_id")
+    )
+
+    cand = (
+        assigned.join(F.broadcast(probes), "cent_id")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", F.round(cosine_col(F.col("qv"), F.col("v")), 4).alias("cosine"))
+        .dropDuplicates(["query_id", "vec_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )
+
+
 def lsh_topk(
     embeddings: DataFrame, queries: DataFrame, k: int = 5, n_planes: int = 4
 ) -> DataFrame:
