@@ -152,6 +152,30 @@ def sessionize_stream(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     )
 
 
+def stream_to_encrypted_parquet(
+    stream_df: DataFrame,
+    path: str,
+    columns: list[str],
+    recipient: str,
+    checkpoint: str,
+):
+    """foreachBatch sink: every micro-batch lands as parquet with
+    ``columns`` age-encrypted — the streaming composition of the crypto UDFs
+    with the encrypted sink (sources/encrypted.py).  Returns the started
+    query; callers trigger/await as they choose."""
+    from ..sources.encrypted import write_encrypted
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        write_encrypted(batch_df, f"{path}/batch={batch_id}", columns, recipient, mode="overwrite")
+
+    return (
+        stream_df.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def run_available_now(stream_df: DataFrame, output_mode: str = "complete", query_name: str | None = None):
     """Drain a streaming DataFrame into a memory sink (availableNow trigger)
     and return the bounded result as a batch DataFrame.  ``complete`` suits

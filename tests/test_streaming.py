@@ -36,6 +36,35 @@ def test_windowed_counts_match_batch(spark, sf_dir, batch_events):
     assert g == e and len(g) > 0
 
 
+def test_stream_to_encrypted_sink(spark, sf_dir, batch_events, tmp_path, manager):
+    from duckdb_age_spark.contract import KP1
+    from duckdb_age_spark.streaming import stream_events, stream_to_encrypted_parquet
+
+    manager.create_secret("stream_key", public_key=KP1.public_key, private_key=KP1.private_key, replace=True)
+    out = str(tmp_path / "enc_stream")
+    q = stream_to_encrypted_parquet(
+        stream_events(spark, sf_dir),
+        out,
+        columns=["props"],
+        recipient="stream_key",
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination()
+
+    written = spark.read.option("basePath", out).parquet(out)
+    assert written.count() == batch_events.count()
+    # props is ciphertext on disk, decrypts back to the original JSON
+    raw = bytes(written.select("props").first().props)
+    assert raw.startswith(b"age-encryption.org/v1")
+    dec = written.select(
+        F.col("event_id"),
+        F.call_function("age_decrypt", F.col("props"), F.lit("stream_key")).cast("string").alias("props"),
+    )
+    orig = {r.event_id: r.props for r in batch_events.select("event_id", "props").collect()}
+    got = {r.event_id: r.props for r in dec.collect()}
+    assert got == orig
+
+
 def test_sessionize_stream_emits_closed_sessions(spark, sf_dir, batch_events):
     from duckdb_age_spark.operators.events import sessionize
     from duckdb_age_spark.streaming import run_available_now, sessionize_stream, stream_events
