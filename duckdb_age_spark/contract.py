@@ -802,6 +802,83 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("bigint"))
 
 
+def _kmeans_ivf_sql(n_lists: int = 8, n_probe: int = 2, n_iters: int = 2, k: int = 5) -> str:
+    """DuckDB twin of ``kmeans_ivf_topk``: the same Lloyd iterations unrolled
+    as CTEs (assign → per-dim avg → re-assembled centroid arrays, rounded to
+    6 dp at every step so both engines train bit-identical centroids)."""
+    ctes = [
+        "e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings)",
+        f"cents0 AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < {n_lists})",
+    ]
+    for i in range(n_iters):
+        ctes.append(
+            f"""assigned{i} AS (
+      SELECT vec_id, v, cent_id FROM (
+        SELECT e.vec_id, e.v, c.cent_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_IVF_COS6.format(a='e.v', b='c.cv')} DESC, c.cent_id ASC) AS rn
+        FROM e CROSS JOIN cents{i} c)
+      WHERE rn = 1)"""
+        )
+        ctes.append(
+            f"""cents{i + 1} AS (
+      SELECT cent_id, list(round(m, 6) ORDER BY pos) AS cv FROM (
+        SELECT cent_id, pos, avg(x) AS m FROM (
+          SELECT cent_id, unnest(v) AS x, unnest(range(len(v))) AS pos FROM assigned{i})
+        GROUP BY cent_id, pos)
+      GROUP BY cent_id)"""
+        )
+    fin = f"cents{n_iters}"
+    ctes.append(
+        f"""final_assigned AS (
+      SELECT vec_id, v, cent_id FROM (
+        SELECT e.vec_id, e.v, c.cent_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_IVF_COS6.format(a='e.v', b='c.cv')} DESC, c.cent_id ASC) AS rn
+        FROM e CROSS JOIN {fin} c)
+      WHERE rn = 1)"""
+    )
+    ctes.append(
+        f"""probes AS (
+      SELECT query_id, qv, cent_id FROM (
+        SELECT q.query_id, q.qv, c.cent_id,
+               row_number() OVER (PARTITION BY q.query_id
+                                  ORDER BY {_IVF_COS6.format(a='q.qv', b='c.cv')} DESC, c.cent_id ASC) AS rn
+        FROM (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5) q CROSS JOIN {fin} c)
+      WHERE rn <= {n_probe})"""
+    )
+    ctes.append(
+        f"""cand AS (
+      SELECT query_id, vec_id, {_IVF_COS4.format(a='qv', b='v')} AS cosine
+      FROM final_assigned JOIN probes USING (cent_id)
+      WHERE vec_id != query_id)"""
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT query_id, vec_id, cosine, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
+      FROM cand)
+    WHERE rank <= {k}
+    """
+    )
+
+
+@_q("sim_topk_kmeans", _kmeans_ivf_sql())
+def sim_topk_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with k-means-trained centroids (2 Lloyd iterations,
+    deterministic init) vs the identical unrolled training in DuckDB."""
+    from .operators.similarity import kmeans_ivf_topk, queries_from_ids
+
+    _prep(spark)
+    emb = load(spark, sf_dir, "embeddings")
+    out = kmeans_ivf_topk(
+        emb, queries_from_ids(emb, [0, 1, 2, 3, 4]), k=5, n_lists=8, n_probe=2, n_iters=2
+    )
+    return out.withColumn("rank", F.col("rank").cast("bigint"))
+
+
 @_q(
     "grouped_map_zscore",
     """

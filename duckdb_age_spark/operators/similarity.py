@@ -92,6 +92,89 @@ def _sign_bucket(vec_col, n_planes: int):
     return sum((F.when(plane_dot(j) >= 0, F.lit(1 << j)).otherwise(0) for j in range(n_planes)), F.lit(0))
 
 
+def _assign(corpus: DataFrame, cents: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment: broadcast the (tiny) centroid set, score
+    every corpus vector against all centroids partition-locally, keep the
+    best.  The only shuffle is the per-vector window — and since ``vec_id``
+    is unique, AQE typically collapses it; corpus rows never co-shuffle by
+    centroid."""
+    scored = corpus.join(F.broadcast(cents)).select(
+        "vec_id", "v", "cent_id", F.round(cosine_col(F.col("v"), F.col("cv")), 6).alias("cs")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cs"), F.asc("cent_id"))
+    return scored.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1).select("vec_id", "v", "cent_id")
+
+
+def _recenter(assigned: DataFrame) -> DataFrame:
+    """Element-wise mean of each cluster's vectors (one Lloyd step).
+    posexplode → (cent_id, pos) partial aggregation (map-side combine) →
+    re-assemble ordered arrays.  Components rounded to 6 dp so the result is
+    bit-stable across engines and partitionings."""
+    return (
+        assigned.select("cent_id", F.posexplode("v").alias("pos", "x"))
+        .groupBy("cent_id", "pos")
+        .agg(F.avg("x").alias("m"))
+        .groupBy("cent_id")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+        .select("cent_id", F.transform(F.col("pm"), lambda s: F.round(s["m"], 6)).alias("cv"))
+    )
+
+
+def kmeans_ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_lists: int = 8,
+    n_probe: int = 2,
+    n_iters: int = 2,
+) -> DataFrame:
+    """IVF ANN with *trained* coarse centroids: ``n_iters`` Lloyd (k-means)
+    iterations from a deterministic seed (the first ``n_lists`` corpus
+    vectors), then the standard assign → probe → rescore query path.
+
+    Scale shape: centroids are k×dim doubles — after each iteration they are
+    ``collect()``ed to the driver (tiny) and re-broadcast as a literal frame,
+    which truncates lineage so each Lloyd step is one bounded job instead of
+    an exponentially nesting plan.  The corpus itself is scanned once per
+    iteration (the classic distributed-Lloyd cost) and never shuffles by
+    centroid.  Rounding to 6 dp makes training reproducible engine-to-engine
+    (the DuckDB oracle unrolls the identical iterations as CTEs).
+    """
+    spark = embeddings.sparkSession
+    corpus = embeddings.select("vec_id", _as_double(F.col("embedding")).alias("v"))
+    cents = corpus.where(F.col("vec_id") < n_lists).select(
+        F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")
+    )
+    for _ in range(n_iters):
+        rows = _recenter(_assign(corpus, cents)).collect()
+        cents = spark.createDataFrame(
+            [(r.cent_id, r.cv) for r in rows], "cent_id bigint, cv array<double>"
+        )
+
+    assigned = _assign(corpus, cents)
+    scored_q = queries.join(F.broadcast(cents)).select(
+        "query_id", "qv", "cent_id", F.round(cosine_col(F.col("qv"), F.col("cv")), 6).alias("cs")
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(F.desc("cs"), F.asc("cent_id"))
+    probes = (
+        scored_q.withColumn("rn", F.row_number().over(w_probe))
+        .where(F.col("rn") <= n_probe)
+        .select("query_id", "qv", "cent_id")
+    )
+    cand = (
+        assigned.join(F.broadcast(probes), "cent_id")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", F.round(cosine_col(F.col("qv"), F.col("v")), 4).alias("cosine"))
+        .dropDuplicates(["query_id", "vec_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )
+
+
 def ivf_topk(
     embeddings: DataFrame, queries: DataFrame, k: int = 5, n_lists: int = 8, n_probe: int = 2
 ) -> DataFrame:

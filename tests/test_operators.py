@@ -88,6 +88,30 @@ def test_lsh_topk_recall_vs_bruteforce(emb):
             assert abs(exact_scores[(r.query_id, r.vec_id)] - r.cosine) < 1e-9
 
 
+def test_kmeans_ivf_trains_and_beats_or_matches_untrained(emb):
+    from duckdb_age_spark.operators.similarity import (
+        brute_force_topk,
+        kmeans_ivf_topk,
+        queries_from_ids,
+    )
+
+    q = queries_from_ids(emb, [0, 1, 2, 3, 4])
+    exact = brute_force_topk(emb, q, k=5).collect()
+    approx = kmeans_ivf_topk(emb, q, k=5, n_lists=8, n_probe=2, n_iters=2).collect()
+    # contract shape: exactly k rows per query, ranks 1..k
+    by_q = {}
+    for r in approx:
+        by_q.setdefault(r.query_id, []).append(r.rank)
+    assert all(sorted(v) == [1, 2, 3, 4, 5] for v in by_q.values())
+    exact_set = {(r.query_id, r.vec_id) for r in exact}
+    approx_set = {(r.query_id, r.vec_id) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.2, f"k-means IVF recall {recall} collapsed"
+    # determinism: re-running training yields identical output
+    again = kmeans_ivf_topk(emb, q, k=5, n_lists=8, n_probe=2, n_iters=2).collect()
+    assert sorted(map(tuple, approx)) == sorted(map(tuple, again))
+
+
 def test_sessionize_gap_invariant(events):
     from duckdb_age_spark.operators.events import sessionize
 
