@@ -386,6 +386,32 @@ def streaming_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("window_sec", "event_type")
 
 
+@_q(
+    "streaming_join",
+    """
+    SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id,
+           p.value AS purchase_value
+    FROM (SELECT user_id, event_id, ts FROM events WHERE event_type = 'view') v
+    JOIN (SELECT user_id, event_id, ts, value FROM events WHERE event_type = 'purchase') p
+      ON v.user_id = p.user_id
+     AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+    """,
+)
+def streaming_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream interval join (view→purchase attribution)
+    drained with availableNow vs the batch interval join in DuckDB."""
+    from .streaming import run_available_now, stream_events, view_purchase_join_stream
+
+    _prep(spark)
+    out = run_available_now(
+        view_purchase_join_stream(stream_events(spark, sf_dir), within="1 hour"),
+        output_mode="append",
+    )
+    return out.select(
+        "user_id", "view_id", "purchase_id", "purchase_value"
+    )
+
+
 # ===========================================================================
 # B. text analysis (SURVEY.md §2c)
 # ===========================================================================

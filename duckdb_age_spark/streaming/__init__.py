@@ -83,16 +83,54 @@ def windowed_counts_stream(events: DataFrame, window: str = "1 hour", watermark:
     )
 
 
-def sessionize_stream(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+def view_purchase_join_stream(
+    events: DataFrame, within: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Watermarked stream-stream interval join: each ``purchase`` is matched
+    to the ``view`` events by the same user in the preceding ``within``
+    interval.
+
+    Scale shape: both sides carry a watermark so the join state store evicts
+    rows once ``view_ts < watermark - within`` (views) / ``purchase_ts <
+    watermark`` (purchases) — without the time bound in the join condition,
+    state would grow without bound.  The join shuffles both streams by
+    user_id; an inner join emits matches eagerly, so an availableNow drain
+    yields the complete batch-equivalent answer.
+    """
+    v = events.where(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    ).withWatermark("view_ts", watermark)
+    p = events.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    ).withWatermark("purchase_ts", watermark)
+    joined = v.join(
+        p,
+        F.expr(
+            f"v_user = p_user AND purchase_ts >= view_ts "
+            f"AND purchase_ts <= view_ts + INTERVAL {within}"
+        ),
+    )
+    return joined.select(
+        F.col("v_user").alias("user_id"), "view_id", "purchase_id", "purchase_value"
+    )
+
+
+def sessionize_stream(events: DataFrame, gap_minutes: int = 30, timeout_ms: int | None = None) -> DataFrame:
     """Per-user session aggregation with ``applyInPandasWithState``: emits
     one row per closed session (user_id, n_events, dur_sec).
 
     State per user: (session_start_sec, last_sec, n_events); a session closes
-    when a batch shows a gap past ``gap_minutes``.  NoTimeout: a live
-    deployment would add a processing-time timeout to flush trailing
-    sessions, but that conflicts with bounded availableNow drains (the query
-    never terminates waiting for the timer), so the trailing session of each
-    user intentionally stays in state.
+    when a batch shows a gap past ``gap_minutes``.  Default NoTimeout: a live
+    deployment passes ``timeout_ms`` to flush trailing sessions on a
+    processing-time timer, but that conflicts with bounded availableNow
+    drains (the query never terminates waiting for the timer), so tests leave
+    it None and the trailing session of each user intentionally stays in
+    state.
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -141,6 +179,8 @@ def sessionize_stream(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
             n += 1
             last = s
         state.update((start, last, n))
+        if timeout_ms is not None:
+            state.setTimeoutDuration(timeout_ms)
         yield pd.DataFrame(closed, columns=cols) if closed else pd.DataFrame(columns=cols)
 
     return events.groupBy("user_id").applyInPandasWithState(
@@ -148,7 +188,9 @@ def sessionize_stream(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
         outputStructType=out_schema,
         stateStructType=state_schema,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.NoTimeout if timeout_ms is None else GroupStateTimeout.ProcessingTimeTimeout
+        ),
     )
 
 

@@ -94,3 +94,93 @@ def test_sessionize_stream_emits_closed_sessions(spark, sf_dir, batch_events):
     # single-file availableNow drain sees all data in one batch: closed
     # sessions must match the batch computation exactly
     assert got_set == exp_set and len(got_set) > 0
+
+
+def test_stream_stream_interval_join_matches_batch(spark, sf_dir, batch_events):
+    from duckdb_age_spark.streaming import (
+        run_available_now,
+        stream_events,
+        view_purchase_join_stream,
+    )
+
+    got = run_available_now(
+        view_purchase_join_stream(stream_events(spark, sf_dir), within="1 hour"),
+        output_mode="append",
+    ).collect()
+
+    v = batch_events.where(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"), F.col("event_id").alias("view_id"), F.col("ts").alias("view_ts")
+    )
+    p = batch_events.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    expected = v.join(
+        p,
+        F.expr(
+            "v_user = p_user AND purchase_ts >= view_ts AND purchase_ts <= view_ts + INTERVAL 1 hour"
+        ),
+    ).select(F.col("v_user").alias("user_id"), "view_id", "purchase_id", "purchase_value")
+
+    got_set = {(r.user_id, r.view_id, r.purchase_id) for r in got}
+    exp_set = {(r.user_id, r.view_id, r.purchase_id) for r in expected.collect()}
+    assert got_set == exp_set and len(got_set) > 0
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Controlled late-data scenario: phase 1 establishes the watermark,
+    phase 2 delivers a row whose window is already finalized — append-mode
+    output must never contain that window."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from datetime import datetime
+
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    def write(name, rows):
+        pq.write_table(
+            pa.table(
+                {
+                    "ts": pa.array([datetime(2024, 1, 1, *hm) for hm, _ in rows], pa.timestamp("us")),
+                    "k": pa.array([k for _, k in rows], pa.string()),
+                }
+            ),
+            str(src / name),
+        )
+
+    out = str(tmp_path / "out")
+
+    def drain():
+        stream = (
+            spark.readStream.schema("ts timestamp, k string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+            .withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "5 minutes").alias("win"))
+            .agg(F.count("*").alias("n"))
+            .select(F.col("win.start").alias("ws"), "n")
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(out).collect()
+
+    write("f1.parquet", [((12, 0), "on-time"), ((12, 1), "on-time")])
+    drain()
+    # late row: 10:00 window finalized long ago (watermark now 11:51);
+    # 13:00 row advances the watermark past the 12:00 window
+    write("f2.parquet", [((10, 0), "late"), ((13, 0), "advance")])
+    rows2 = drain()
+    windows = {r.ws.hour for r in rows2}
+    assert 10 not in windows, f"late row leaked into finalized window: {rows2}"
+    assert any(r.ws.hour == 12 and r.n == 2 for r in rows2), f"12:00 window not finalized: {rows2}"
