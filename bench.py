@@ -35,6 +35,8 @@ BENCH_QUERIES = [
     "dedup_embedding_pairs",
     "sim_topk_bruteforce",
     "sim_topk_lsh",
+    "sim_topk_kmeans",
+    "streaming_join",
     "events_tumbling",
     "events_sessions",
     "events_funnel",
@@ -90,10 +92,19 @@ def main() -> None:
     ).count()
 
     # -- contract queries --------------------------------------------------
+    # Median of REPS runs per query: this box runs concurrent JVMs and
+    # single-shot timings swing 2-3×; the median is the stable figure the
+    # round-over-round comparison needs.  Streaming entries checkpoint, so
+    # rerunning them measures the same work each time (fresh temp sink).
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    extra["reps"] = reps
     for name in BENCH_QUERIES:
-        t0 = time.time()
-        n = qs[name](spark, SF_DIR).count()
-        timings[name] = round(time.time() - t0, 3)
+        samples = []
+        for _ in range(reps):
+            t0 = time.time()
+            n = qs[name](spark, SF_DIR).count()
+            samples.append(time.time() - t0)
+        timings[name] = round(sorted(samples)[len(samples) // 2], 3)
         extra[f"rows_{name}"] = n
 
     # -- crypto throughput microbenches ------------------------------------

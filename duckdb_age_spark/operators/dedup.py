@@ -142,23 +142,15 @@ def minhash_lsh_pairs(
             for b in range(bands)
         ]
     )
-    # Band join on NARROW rows — (band_key, doc_id) only, not the 8-column
-    # signature: the band shuffle and the pair-dedup move ids, and the full
-    # signatures are fetched once per *surviving* pair (candidates ≪ corpus,
-    # so two id-keyed joins against the persisted sig are cheaper than
-    # dragging 2×n_hashes hex strings through the hot shuffle).
-    banded = sig.select("doc_id", F.explode(band_structs).alias("bk"))
-    a = banded.select(F.col("doc_id").alias("doc_a"), F.col("bk"))
-    b = banded.select(F.col("doc_id").alias("doc_b"), F.col("bk"))
-    cand_ids = (
+    banded = sig.select("doc_id", *[F.col(f"mh_{i}") for i in range(n_hashes)], F.explode(band_structs).alias("bk"))
+    a = banded.select(F.col("doc_id").alias("doc_a"), F.col("bk"), *[F.col(f"mh_{i}").alias(f"a_{i}") for i in range(n_hashes)])
+    b = banded.select(F.col("doc_id").alias("doc_b"), F.col("bk"), *[F.col(f"mh_{i}").alias(f"b_{i}") for i in range(n_hashes)])
+    cand = (
         a.join(b, on=["bk"])
         .where(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
+        .select("doc_a", "doc_b", *[F.col(f"a_{i}") for i in range(n_hashes)], *[F.col(f"b_{i}") for i in range(n_hashes)])
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    sa = sig.select(F.col("doc_id").alias("doc_a"), *[F.col(f"mh_{i}").alias(f"a_{i}") for i in range(n_hashes)])
-    sb = sig.select(F.col("doc_id").alias("doc_b"), *[F.col(f"mh_{i}").alias(f"b_{i}") for i in range(n_hashes)])
-    cand = cand_ids.join(sa, "doc_a").join(sb, "doc_b")
     matches = sum(F.when(F.col(f"a_{i}") == F.col(f"b_{i}"), 1).otherwise(0) for i in range(n_hashes))
     return (
         cand.withColumn("est_jaccard", F.round(matches / F.lit(float(n_hashes)), 4))
