@@ -1263,6 +1263,166 @@ def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "tpch_q7",
+    """
+    SELECT supp_nation, cust_nation, l_year, round(sum(volume), 2) AS revenue FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             year(l_shipdate)::BIGINT AS l_year,
+             l_extendedprice * (1 - l_discount) AS volume
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+             OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        AND l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31')
+    GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+    """,
+)
+def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.relational import q7_volume_shipping
+
+    _prep(spark)
+    out = q7_volume_shipping(
+        load(spark, sf_dir, "supplier"),
+        load(spark, sf_dir, "lineitem"),
+        load(spark, sf_dir, "orders"),
+        load(spark, sf_dir, "customer"),
+        load(spark, sf_dir, "nation"),
+    )
+    return out.withColumn("l_year", F.col("l_year").cast("bigint"))
+
+
+@_q(
+    "tpch_q10",
+    """
+    SELECT c_custkey, c_name, c_acctbal, n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1996-10-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY 1, 2, 3, 4
+    ORDER BY revenue DESC, c_custkey ASC LIMIT 20
+    """,
+)
+def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.relational import q10_returned_items
+
+    _prep(spark)
+    return q10_returned_items(
+        load(spark, sf_dir, "customer"),
+        load(spark, sf_dir, "orders"),
+        load(spark, sf_dir, "lineitem"),
+        load(spark, sf_dir, "nation"),
+    )
+
+
+@_q(
+    "tpch_q15",
+    """
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY 1)
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+    ORDER BY s_suppkey
+    """,
+)
+def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.relational import q15_top_supplier
+
+    _prep(spark)
+    return q15_top_supplier(load(spark, sf_dir, "supplier"), load(spark, sf_dir, "lineitem"))
+
+
+@_q(
+    "tpch_q17",
+    """
+    SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    JOIN (SELECT l_partkey AS t_partkey, round(0.2 * avg(l_quantity), 4) AS qty_threshold
+          FROM lineitem GROUP BY 1) t ON l_partkey = t_partkey
+    WHERE p_brand = 'Brand#1' AND l_quantity < qty_threshold
+    """,
+)
+def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.relational import q17_small_quantity_revenue
+
+    _prep(spark)
+    return q17_small_quantity_revenue(load(spark, sf_dir, "lineitem"), load(spark, sf_dir, "part"))
+
+
+@_q(
+    "tpch_q18",
+    """
+    SELECT c_custkey, c_name, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+           o_totalprice, round(total_qty, 2) AS total_qty
+    FROM orders
+    JOIN (SELECT l_orderkey AS big_orderkey, sum(l_quantity) AS total_qty
+          FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 300) ON o_orderkey = big_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100
+    """,
+)
+def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.relational import q18_large_volume_customers
+
+    _prep(spark)
+    return q18_large_volume_customers(
+        load(spark, sf_dir, "customer"), load(spark, sf_dir, "orders"), load(spark, sf_dir, "lineitem")
+    )
+
+
+@_q(
+    "tpch_q19",
+    """
+    SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.relational import q19_disjunctive_revenue
+
+    _prep(spark)
+    return q19_disjunctive_revenue(load(spark, sf_dir, "lineitem"), load(spark, sf_dir, "part"))
+
+
+@_q(
+    "tpch_q22",
+    """
+    WITH pos AS (SELECT round(avg(c_acctbal), 4) AS avg_bal FROM customer WHERE c_acctbal > 0)
+    SELECT (c_custkey % 5)::BIGINT AS cntrycode, count(*)::BIGINT AS numcust,
+           round(sum(c_acctbal), 2) AS totacctbal
+    FROM customer, pos
+    WHERE c_acctbal > avg_bal
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '2000-01-01')
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.relational import q22_idle_customers
+
+    _prep(spark)
+    out = q22_idle_customers(load(spark, sf_dir, "customer"), load(spark, sf_dir, "orders"))
+    return out.withColumn("cntrycode", F.col("cntrycode").cast("bigint")).withColumn(
+        "numcust", F.col("numcust").cast("bigint")
+    )
+
+
+@_q(
     "skew_salted_agg",
     """
     SELECT l_returnflag, count(*)::BIGINT AS n, round(sum(l_extendedprice), 2) AS total,

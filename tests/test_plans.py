@@ -106,3 +106,30 @@ def test_filter_outside_udf_still_pushes_down(spark, sf_dir, manager):
         F.call_function("age_encrypt", F.col("text").cast("binary"), F.lit(KP1.public_key)),
     )
     assert any("lang" in p and "en" in p for p in pushed_filters(df)), pushed_filters(df)
+
+def test_q19_disjunction_pushes_to_lineitem_scan(t, spark, sf_dir):
+    from duckdb_age_spark.operators.relational import q19_disjunctive_revenue
+    from duckdb_age_spark.sources import read_table
+
+    df = q19_disjunctive_revenue(t["lineitem"], read_table(spark, sf_dir, "part"))
+    # the l_quantity bound common to all three branches reaches the scan
+    assert any("l_quantity" in p for p in pushed_filters(df)), pushed_filters(df)
+    assert has_broadcast_join(df)
+
+
+def test_q22_anti_join_and_scalar_broadcast(t):
+    from duckdb_age_spark.operators.relational import q22_idle_customers
+
+    df = q22_idle_customers(t["customer"], t["orders"])
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan, plan[:2000]
+    assert has_broadcast_join(df)
+
+
+def test_q15_single_pass_revenue(t):
+    from duckdb_age_spark.operators.relational import q15_top_supplier
+
+    df = q15_top_supplier(t["supplier"], t["lineitem"])
+    assert has_partial_aggregate(df)
+    # shipdate quarter filter reaches the scan
+    assert any("l_shipdate" in p for p in pushed_filters(df)), pushed_filters(df)
