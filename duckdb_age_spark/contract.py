@@ -360,6 +360,83 @@ def sink_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("hour").cast("bigint"), "event_type", F.col("n_events").cast("bigint"))
 
 
+@_q("sink_orc_roundtrip", _HOURLY_SQL)
+def sink_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink+source round-trip (columnar alternative to parquet; same
+    hourly oracle)."""
+    import tempfile
+
+    from .operators.events import hourly_activity
+
+    _prep(spark)
+    path = tempfile.mkdtemp(prefix="age_spark_orc_")
+    load(spark, sf_dir, "events").write.mode("overwrite").orc(path)
+    out = hourly_activity(spark.read.orc(path))
+    return out.select(F.col("hour").cast("bigint"), "event_type", F.col("n_events").cast("bigint"))
+
+
+@_q("sink_partitioned_roundtrip", _HOURLY_SQL)
+def sink_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-partitioned parquet sink (partitionBy day — the layout that makes
+    time-range scans prune directories at 100 TB), read back through partition
+    discovery and re-aggregated against the same hourly oracle."""
+    import tempfile
+
+    from .operators.events import hourly_activity
+
+    _prep(spark)
+    path = tempfile.mkdtemp(prefix="age_spark_part_")
+    ev = load(spark, sf_dir, "events").withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
+    ev.write.mode("overwrite").partitionBy("day").parquet(path)
+    out = hourly_activity(spark.read.parquet(path))
+    return out.select(F.col("hour").cast("bigint"), "event_type", F.col("n_events").cast("bigint"))
+
+
+@_q(
+    "setops_customer_cohorts",
+    """
+    WITH y96 AS (SELECT DISTINCT o_custkey FROM orders
+                 WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'),
+         y97 AS (SELECT DISTINCT o_custkey FROM orders
+                 WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'),
+         both_years AS (SELECT o_custkey FROM y96 INTERSECT SELECT o_custkey FROM y97),
+         churned    AS (SELECT o_custkey FROM y96 EXCEPT    SELECT o_custkey FROM y97),
+         either_y   AS (SELECT o_custkey FROM y96 UNION     SELECT o_custkey FROM y97)
+    SELECT 'both'::VARCHAR AS cohort, count(*)::BIGINT AS n FROM both_years
+    UNION ALL SELECT 'churned', count(*)::BIGINT FROM churned
+    UNION ALL SELECT 'either', count(*)::BIGINT FROM either_y
+    ORDER BY cohort
+    """,
+)
+def setops_customer_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operators (INTERSECT / EXCEPT / UNION-distinct) as cohort algebra
+    over yearly active-customer sets."""
+    _prep(spark)
+    orders = load(spark, sf_dir, "orders")
+
+    def active(y: int):
+        return (
+            orders.where(
+                (F.col("o_orderdate") >= F.lit(f"{y}-01-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit(f"{y + 1}-01-01").cast("timestamp"))
+            )
+            .select("o_custkey")
+            .distinct()
+        )
+
+    y96, y97 = active(1996), active(1997)
+    rows = [
+        ("both", y96.intersect(y97)),
+        ("churned", y96.exceptAll(y97).distinct()),
+        ("either", y96.union(y97).distinct()),
+    ]
+    counts = None
+    for name, df in rows:
+        c = df.agg(F.count("*").alias("n")).select(F.lit(name).alias("cohort"), "n")
+        counts = c if counts is None else counts.unionByName(c)
+    return counts.orderBy("cohort")
+
+
 @_q(
     "streaming_windowed",
     """
