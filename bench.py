@@ -146,10 +146,13 @@ def main() -> None:
     bulk.unpersist()
 
     # per-row: encrypt+decrypt round-trip over real documents
+    # repartition: the sf0.1 parquet is a single split, which would serialize
+    # the UDF onto one core — at target scale the input arrives in thousands
+    # of partitions, so the parallel shape is the representative one.
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
         F.col("text").cast("binary").alias("payload")
     )
-    docs = docs.cache()
+    docs = docs.repartition(CPUS).cache()
     n_rows = docs.count()
     n_bytes = docs.agg(F.sum(F.octet_length("payload"))).collect()[0][0]
     t0 = time.time()
