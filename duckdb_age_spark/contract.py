@@ -1560,6 +1560,70 @@ def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "quantiles_exact",
+    """
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+           round(quantile_cont(l_extendedprice, 0.50), 4) AS p50,
+           round(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+           round(quantile_cont(l_extendedprice, 0.95), 4) AS p95
+    FROM lineitem GROUP BY 1 ORDER BY 1
+    """,
+)
+def quantiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact continuous percentiles (ordered-set aggregate) per group —
+    Spark ``percentile`` vs DuckDB ``quantile_cont`` (same linear
+    interpolation).  At scale you'd switch to ``percentile_approx`` (t-digest
+    sketch, mergeable map-side); the exact form is the oracle-able twin."""
+    _prep(spark)
+    li = load(spark, sf_dir, "lineitem")
+    pct = F.expr("percentile(l_extendedprice, array(0.25, 0.5, 0.75, 0.95))")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(pct.alias("q"))
+        .select(
+            "l_returnflag",
+            F.round(F.col("q")[0], 4).alias("p25"),
+            F.round(F.col("q")[1], 4).alias("p50"),
+            F.round(F.col("q")[2], 4).alias("p75"),
+            F.round(F.col("q")[3], 4).alias("p95"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@_q(
+    "pivot_priority_by_flag",
+    """
+    SELECT l_returnflag,
+           round(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN l_extendedprice ELSE 0 END), 2) AS rev_urgent,
+           round(sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN l_extendedprice ELSE 0 END), 2) AS rev_medium,
+           round(sum(CASE WHEN o_orderpriority = '5-LOW'    THEN l_extendedprice ELSE 0 END), 2) AS rev_low
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def pivot_priority_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (wide conditional aggregation): revenue by returnflag ×
+    order priority.  ``pivot`` with an explicit value list stays a single
+    hash-aggregate — no extra shuffle, no value-discovery job."""
+    _prep(spark)
+    li, orders = load(spark, sf_dir, "lineitem"), load(spark, sf_dir, "orders")
+    out = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .pivot("o_orderpriority", ["1-URGENT", "3-MEDIUM", "5-LOW"])
+        .agg(F.sum("l_extendedprice"))
+    )
+    return out.select(
+        "l_returnflag",
+        F.round(F.coalesce(F.col("`1-URGENT`"), F.lit(0.0)), 2).alias("rev_urgent"),
+        F.round(F.coalesce(F.col("`3-MEDIUM`"), F.lit(0.0)), 2).alias("rev_medium"),
+        F.round(F.coalesce(F.col("`5-LOW`"), F.lit(0.0)), 2).alias("rev_low"),
+    ).orderBy("l_returnflag")
+
+
+@_q(
     "sketch_approx_distinct",
     """
     SELECT event_type, count(DISTINCT user_id)::BIGINT AS exact_users, true AS approx_within_5pct
