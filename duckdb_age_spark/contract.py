@@ -1500,6 +1500,219 @@ def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "tpch_q2",
+    """
+    WITH cost AS (
+      SELECT l_partkey, l_suppkey, round(min(l_extendedprice / l_quantity), 4) AS unit_cost
+      FROM lineitem GROUP BY 1, 2),
+    mc AS (SELECT l_partkey AS m_partkey, min(unit_cost) AS min_cost FROM cost GROUP BY 1)
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_name, unit_cost
+    FROM cost
+    JOIN mc ON l_partkey = m_partkey AND unit_cost = min_cost
+    JOIN part ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'EUROPE' AND p_type = 'STANDARD' AND p_size BETWEEN 10 AND 20
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100
+    """,
+)
+def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.relational import q2_min_cost_supplier
+
+    _prep(spark)
+    return q2_min_cost_supplier(
+        load(spark, sf_dir, "part"),
+        load(spark, sf_dir, "supplier"),
+        load(spark, sf_dir, "lineitem"),
+        load(spark, sf_dir, "nation"),
+        load(spark, sf_dir, "region"),
+    )
+
+
+@_q(
+    "tpch_q8",
+    """
+    SELECT year(o_orderdate)::BIGINT AS o_year,
+           round(sum(CASE WHEN sn.n_name = 'NATION_1'
+                          THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+                 / sum(l_extendedprice * (1 - l_discount)), 4) AS mkt_share
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation cn ON c_nationkey = cn.n_nationkey
+    JOIN region ON cn.n_regionkey = r_regionkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation sn ON s_nationkey = sn.n_nationkey
+    WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+      AND o_orderdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1996-12-31'
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.relational import q8_market_share
+
+    _prep(spark)
+    return q8_market_share(
+        load(spark, sf_dir, "part"),
+        load(spark, sf_dir, "supplier"),
+        load(spark, sf_dir, "lineitem"),
+        load(spark, sf_dir, "orders"),
+        load(spark, sf_dir, "customer"),
+        load(spark, sf_dir, "nation"),
+        load(spark, sf_dir, "region"),
+    )
+
+
+@_q(
+    "tpch_q9",
+    """
+    SELECT n_name AS nation, year(o_orderdate)::BIGINT AS o_year,
+           round(sum(l_extendedprice * (1 - l_discount) - 0.1 * p_retailprice * l_quantity), 2)
+             AS sum_profit
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN orders ON l_orderkey = o_orderkey
+    WHERE p_name LIKE '%plate%'
+    GROUP BY 1, 2 ORDER BY nation, o_year DESC
+    """,
+)
+def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.relational import q9_product_profit
+
+    _prep(spark)
+    return q9_product_profit(
+        load(spark, sf_dir, "part"),
+        load(spark, sf_dir, "supplier"),
+        load(spark, sf_dir, "lineitem"),
+        load(spark, sf_dir, "orders"),
+        load(spark, sf_dir, "nation"),
+    )
+
+
+@_q(
+    "tpch_q11",
+    """
+    WITH pp AS (
+      SELECT l_partkey, round(sum(l_extendedprice * l_quantity), 2) AS part_value
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_name = 'NATION_1' GROUP BY 1)
+    SELECT l_partkey, part_value
+    FROM pp, (SELECT sum(part_value) * 0.001 AS threshold FROM pp) t
+    WHERE part_value > threshold
+    ORDER BY part_value DESC, l_partkey
+    """,
+)
+def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.relational import q11_important_parts
+
+    _prep(spark)
+    return q11_important_parts(
+        load(spark, sf_dir, "lineitem"), load(spark, sf_dir, "supplier"), load(spark, sf_dir, "nation")
+    )
+
+
+@_q(
+    "tpch_q12",
+    """
+    SELECT l_linestatus,
+           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)::BIGINT
+             AS high_line_count,
+           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END)::BIGINT
+             AS low_line_count
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-12-31'
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.relational import q12_priority_by_status
+
+    _prep(spark)
+    return q12_priority_by_status(load(spark, sf_dir, "lineitem"), load(spark, sf_dir, "orders"))
+
+
+@_q(
+    "tpch_q16",
+    """
+    SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey)::BIGINT AS supplier_cnt
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_brand <> 'Brand#1' AND p_size IN (1, 5, 10, 15, 20, 25)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY 1, 2, 3
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+)
+def tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.relational import q16_supplier_counts
+
+    _prep(spark)
+    return q16_supplier_counts(
+        load(spark, sf_dir, "lineitem"), load(spark, sf_dir, "part"), load(spark, sf_dir, "supplier")
+    )
+
+
+@_q(
+    "tpch_q20",
+    """
+    WITH shipped AS (
+      SELECT l_partkey, l_suppkey, sum(l_quantity) AS supp_qty
+      FROM lineitem
+      WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-12-31'
+        AND l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+      GROUP BY 1, 2),
+    totals AS (SELECT l_partkey AS t_partkey, sum(supp_qty) AS part_qty FROM shipped GROUP BY 1)
+    SELECT s_name, s_acctbal
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_2'
+      AND s_suppkey IN (SELECT l_suppkey FROM shipped JOIN totals ON l_partkey = t_partkey
+                        WHERE supp_qty > 0.25 * part_qty)
+    ORDER BY s_name
+    """,
+)
+def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.relational import q20_heavy_shippers
+
+    _prep(spark)
+    return q20_heavy_shippers(
+        load(spark, sf_dir, "lineitem"),
+        load(spark, sf_dir, "part"),
+        load(spark, sf_dir, "supplier"),
+        load(spark, sf_dir, "nation"),
+    )
+
+
+@_q(
+    "tpch_q21",
+    """
+    SELECT s_name, count(*)::BIGINT AS numwait
+    FROM lineitem l1
+    JOIN orders ON l1.l_orderkey = o_orderkey
+    JOIN supplier ON l1.l_suppkey = s_suppkey
+    WHERE l1.l_returnflag = 'R' AND o_orderstatus = 'F'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+    GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 20
+    """,
+)
+def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.relational import q21_waiting_suppliers
+
+    _prep(spark)
+    return q21_waiting_suppliers(
+        load(spark, sf_dir, "lineitem"), load(spark, sf_dir, "orders"), load(spark, sf_dir, "supplier")
+    )
+
+
+@_q(
     "skew_salted_agg",
     """
     SELECT l_returnflag, count(*)::BIGINT AS n, round(sum(l_extendedprice), 2) AS total,

@@ -263,6 +263,279 @@ def q19_disjunctive_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
     )
 
 
+def q2_min_cost_supplier(
+    part: DataFrame,
+    supplier: DataFrame,
+    lineitem: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    r_name: str = "EUROPE",
+    p_type: str = "STANDARD",
+    k: int = 100,
+) -> DataFrame:
+    """TPC-H Q2 shape: for each part in a type/size slice, the supplier(s)
+    offering the minimum unit cost, restricted to one region.  The fixture has
+    no partsupp table, so unit cost is derived from lineitem
+    (min extendedprice/quantity per part+supplier).  The correlated MIN
+    subquery becomes a two-level aggregate re-joined on (partkey, cost);
+    part/supplier/nation/region dims all broadcast."""
+    cost = (
+        lineitem.groupBy("l_partkey", "l_suppkey")
+        .agg(F.round(F.min(F.col("l_extendedprice") / F.col("l_quantity")), 4).alias("unit_cost"))
+    )
+    min_cost = cost.groupBy(F.col("l_partkey").alias("m_partkey")).agg(
+        F.min("unit_cost").alias("min_cost")
+    )
+    dims = (
+        F.broadcast(supplier)
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region.where(F.col("r_name") == r_name)), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    parts = part.where((F.col("p_type") == p_type) & F.col("p_size").between(10, 20))
+    return (
+        cost.join(
+            min_cost,
+            (F.col("l_partkey") == F.col("m_partkey")) & (F.col("unit_cost") == F.col("min_cost")),
+        )
+        .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(dims), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name", "unit_cost")
+        .orderBy(F.desc("s_acctbal"), F.asc("n_name"), F.asc("s_name"), F.asc("p_partkey"))
+        .limit(k)
+    )
+
+
+def q8_market_share(
+    part: DataFrame,
+    supplier: DataFrame,
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    share_nation: str = "NATION_1",
+    r_name: str = "ASIA",
+    p_type: str = "PROMO",
+) -> DataFrame:
+    """TPC-H Q8 shape: one nation's market share of a part type sold to one
+    region's customers, by order year.  The share is a conditional-sum /
+    total-sum ratio inside a single aggregate (no second pass); all dims
+    broadcast, facts shuffle on orderkey/custkey only."""
+    cust_region = (
+        F.broadcast(nation)
+        .join(F.broadcast(region.where(F.col("r_name") == r_name)), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(F.col("n_nationkey").alias("cr_nationkey"))
+    )
+    supp_nation = F.broadcast(
+        nation.select(F.col("n_nationkey").alias("sn_nationkey"), F.col("n_name").alias("supp_nation"))
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        lineitem.join(F.broadcast(part.where(F.col("p_type") == p_type)), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            orders.where(
+                F.col("o_orderdate").between(
+                    F.lit("1995-01-01").cast("timestamp"), F.lit("1996-12-31").cast("timestamp")
+                )
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(cust_region), F.col("c_nationkey") == F.col("cr_nationkey"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supp_nation, F.col("s_nationkey") == F.col("sn_nationkey"))
+        .groupBy(F.year("o_orderdate").cast("bigint").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == share_nation, vol).otherwise(F.lit(0.0))) / F.sum(vol), 4
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+def q9_product_profit(
+    part: DataFrame,
+    supplier: DataFrame,
+    lineitem: DataFrame,
+    orders: DataFrame,
+    nation: DataFrame,
+    name_pattern: str = "%plate%",
+) -> DataFrame:
+    """TPC-H Q9 shape: profit by supplier nation and order year for parts
+    matching a name pattern.  The fixture has no ps_supplycost, so cost is
+    modeled as 10% of p_retailprice per unit.  part/supplier/nation broadcast;
+    lineitem⋈orders is the one big shuffle."""
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.lit(0.1) * F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    return (
+        lineitem.join(
+            F.broadcast(part.where(F.col("p_name").like(name_pattern))),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").cast("bigint").alias("o_year"))
+        .agg(F.round(F.sum(profit), 2).alias("sum_profit"))
+        .orderBy(F.asc("nation"), F.desc("o_year"))
+    )
+
+
+def q11_important_parts(
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    n_name: str = "NATION_1",
+    fraction: float = 0.001,
+) -> DataFrame:
+    """TPC-H Q11 shape: parts whose inventory value (here: shipped
+    extendedprice*quantity via one nation's suppliers) exceeds a fraction of
+    the total — HAVING against a scalar subquery, expressed as a one-row
+    aggregate broadcast back over the per-part totals."""
+    nat_supp = (
+        F.broadcast(supplier)
+        .join(F.broadcast(nation.where(F.col("n_name") == n_name)), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey")
+    )
+    value = F.col("l_extendedprice") * F.col("l_quantity")
+    per_part = (
+        lineitem.join(F.broadcast(nat_supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.round(F.sum(value), 2).alias("part_value"))
+    )
+    total = per_part.agg((F.sum("part_value") * fraction).alias("threshold"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .where(F.col("part_value") > F.col("threshold"))
+        .select("l_partkey", "part_value")
+        .orderBy(F.desc("part_value"), F.asc("l_partkey"))
+    )
+
+
+def q12_priority_by_status(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
+    """TPC-H Q12 shape: per line-status (fixture stand-in for shipmode),
+    counts of high- vs low-priority orders shipped in one year — conditional
+    aggregation after the fact-fact join."""
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        lineitem.where(
+            F.col("l_shipdate").between(
+                F.lit("1996-01-01").cast("timestamp"), F.lit("1996-12-31").cast("timestamp")
+            )
+        )
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+def q16_supplier_counts(
+    lineitem: DataFrame, part: DataFrame, supplier: DataFrame, excl_brand: str = "Brand#1"
+) -> DataFrame:
+    """TPC-H Q16 shape: distinct-supplier counts per (brand, type, size),
+    excluding one brand and a "complaints" supplier set (fixture stand-in:
+    negative account balance), which is removed with a broadcast anti-join
+    before the distinct aggregation."""
+    complaints = supplier.where(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        lineitem.join(
+            F.broadcast(
+                part.where((F.col("p_brand") != excl_brand) & F.col("p_size").isin(1, 5, 10, 15, 20, 25))
+            ),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(F.broadcast(complaints), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), F.asc("p_brand"), F.asc("p_type"), F.asc("p_size"))
+    )
+
+
+def q20_heavy_shippers(
+    lineitem: DataFrame,
+    part: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    name_pattern: str = "red%",
+    n_name: str = "NATION_2",
+    share: float = 0.25,
+) -> DataFrame:
+    """TPC-H Q20 shape: suppliers in one nation who shipped more than a
+    share of any matching part's 1996 volume.  The nested IN-subqueries
+    become: per-(part,supplier) sums → per-part totals re-joined → key set →
+    left_semi into supplier.  Everything after the one lineitem aggregation
+    is broadcast-sized."""
+    red = part.where(F.col("p_name").like(name_pattern)).select("p_partkey")
+    shipped = (
+        lineitem.where(
+            F.col("l_shipdate").between(
+                F.lit("1996-01-01").cast("timestamp"), F.lit("1996-12-31").cast("timestamp")
+            )
+        )
+        .join(F.broadcast(red), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("supp_qty"))
+    )
+    totals = shipped.groupBy(F.col("l_partkey").alias("t_partkey")).agg(F.sum("supp_qty").alias("part_qty"))
+    heavy_keys = (
+        shipped.join(F.broadcast(totals), F.col("l_partkey") == F.col("t_partkey"))
+        .where(F.col("supp_qty") > F.lit(share) * F.col("part_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        supplier.join(F.broadcast(heavy_keys), F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .join(F.broadcast(nation.where(F.col("n_name") == n_name)), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
+
+
+def q21_waiting_suppliers(
+    lineitem: DataFrame, orders: DataFrame, supplier: DataFrame, k: int = 20
+) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who were the SOLE returned-flag supplier on
+    a multi-supplier finished order.  EXISTS(other supplier on the order) →
+    left_semi with a non-equi residual; NOT EXISTS(other supplier also
+    flagged) → left_anti with the same shape.  Both joins shuffle on
+    orderkey once each; supplier dim broadcast."""
+    l1 = (
+        lineitem.where(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_suppkey")
+        .join(orders.where(F.col("o_orderstatus") == "F").select("o_orderkey"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .drop("o_orderkey")
+    )
+    l2 = lineitem.select(F.col("l_orderkey").alias("l2_orderkey"), F.col("l_suppkey").alias("l2_suppkey"))
+    l3 = (
+        lineitem.where(F.col("l_returnflag") == "R")
+        .select(F.col("l_orderkey").alias("l3_orderkey"), F.col("l_suppkey").alias("l3_suppkey"))
+    )
+    return (
+        l1.join(
+            l2,
+            (F.col("l_orderkey") == F.col("l2_orderkey")) & (F.col("l_suppkey") != F.col("l2_suppkey")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l_orderkey") == F.col("l3_orderkey")) & (F.col("l_suppkey") != F.col("l3_suppkey")),
+            "left_anti",
+        )
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(k)
+    )
+
+
 def q22_idle_customers(customer: DataFrame, orders: DataFrame, since: str = "2000-01-01") -> DataFrame:
     """TPC-H Q22 shape: above-average-balance customers with no recent
     orders.  NOT EXISTS → left_anti join (no recent-order keys materialize);

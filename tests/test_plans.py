@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 
 from duckdb_age_spark.plans import (
     count_exchanges,
+    formatted_plan,
     has_broadcast_join,
     has_partial_aggregate,
     pushed_filters,
@@ -133,3 +134,54 @@ def test_q15_single_pass_revenue(t):
     assert has_partial_aggregate(df)
     # shipdate quarter filter reaches the scan
     assert any("l_shipdate" in p for p in pushed_filters(df)), pushed_filters(df)
+
+
+def test_q21_semi_and_anti_joins(t):
+    from duckdb_age_spark.operators.relational import q21_waiting_suppliers
+    from duckdb_age_spark.sources import read_table
+
+    df = q21_waiting_suppliers(t["lineitem"], t["orders"], t["supplier"])
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # EXISTS → LeftSemi, NOT EXISTS → LeftAnti, both with the non-equi residual
+    assert "LeftSemi" in plan, plan[:2000]
+    assert "LeftAnti" in plan, plan[:2000]
+    assert has_broadcast_join(df)  # supplier dim
+
+
+def test_q16_anti_join_is_broadcast(t, spark, sf_dir):
+    from duckdb_age_spark.operators.relational import q16_supplier_counts
+    from duckdb_age_spark.sources import read_table
+
+    df = q16_supplier_counts(t["lineitem"], read_table(spark, sf_dir, "part"), t["supplier"])
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the complaints exclusion must not shuffle lineitem: broadcast anti join
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan[:2000]
+
+
+def test_q2_dims_broadcast_one_fact_shuffle(t, spark, sf_dir):
+    from duckdb_age_spark.operators.relational import q2_min_cost_supplier
+    from duckdb_age_spark.sources import read_table
+
+    df = q2_min_cost_supplier(
+        read_table(spark, sf_dir, "part"), t["supplier"], t["lineitem"], t["nation"], t["region"]
+    )
+    assert has_broadcast_join(df)
+    assert has_partial_aggregate(df)
+    # only the (partkey,suppkey) cost aggregation + its partkey re-agg + sort
+    # shuffle; all dimension joins must stay broadcast
+    assert count_exchanges(df) <= 4, formatted_plan(df)
+
+
+def test_q8_single_shuffle_chain(t, spark, sf_dir):
+    from duckdb_age_spark.operators.relational import q8_market_share
+    from duckdb_age_spark.sources import read_table
+
+    df = q8_market_share(
+        read_table(spark, sf_dir, "part"), t["supplier"], t["lineitem"], t["orders"],
+        t["customer"], t["nation"], read_table(spark, sf_dir, "region"),
+    )
+    # part/supplier/nation/region broadcast; shuffles: l⋈o, ⋈c, agg, sort
+    assert has_broadcast_join(df)
+    assert count_exchanges(df) <= 5, formatted_plan(df)
+    # orderdate window reaches the orders scan
+    assert any("o_orderdate" in p for p in pushed_filters(df)), pushed_filters(df)
