@@ -590,6 +590,65 @@ def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("byte_len", F.col("byte_len").cast("bigint"))
 
 
+@_q(
+    "pipeline_sample_split",
+    """
+    SELECT doc_id, lang,
+           CASE WHEN substr(md5(doc_id::VARCHAR), 5, 2) < '29' THEN 'eval' ELSE 'train' END AS split
+    FROM documents
+    WHERE substr(md5(doc_id::VARCHAR), 1, 4) <
+          CASE lang WHEN 'en' THEN '8000' ELSE '4000' END
+    """,
+)
+def pipeline_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.pipeline import hash_sample_split
+
+    _prep(spark)
+    return hash_sample_split(load(spark, sf_dir, "documents"))
+
+
+@_q(
+    "pipeline_pack",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\s]'))::BIGINT AS n_tokens
+      FROM documents),
+    c AS (
+      SELECT lang, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM toks)
+    SELECT lang, CAST(floor((cum - n_tokens) / 2048.0) AS BIGINT) AS bin_id,
+           count(*)::BIGINT AS n_docs, sum(n_tokens)::BIGINT AS bin_tokens
+    FROM c GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def pipeline_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.pipeline import pack_sequences
+
+    _prep(spark)
+    return pack_sequences(load(spark, sf_dir, "documents"))
+
+
+@_q(
+    "pipeline_quality_topk",
+    f"""
+    WITH stats AS ({_DOC_STATS_SQL}),
+    ranked AS (
+      SELECT doc_id, lang, quality_score,
+             row_number() OVER (PARTITION BY lang ORDER BY quality_score DESC, doc_id ASC)::BIGINT AS rk
+      FROM stats)
+    SELECT doc_id, lang, quality_score, rk FROM ranked WHERE rk <= 10 ORDER BY lang, rk
+    """,
+)
+def pipeline_quality_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.pipeline import quality_topk
+
+    _prep(spark)
+    return quality_topk(load(spark, sf_dir, "documents")).withColumn("rk", F.col("rk").cast("bigint"))
+
+
 # ===========================================================================
 # C. dedup (SURVEY.md §2c)
 # ===========================================================================

@@ -1,0 +1,100 @@
+"""Training-data pipeline operators: deterministic sampling/splits, sequence
+packing, and quality-based curation over a ``documents``-shaped table.
+
+These are the corpus-construction steps an LLM pretraining pipeline runs
+after text analysis and dedup: draw a stratified sample, carve out a held-out
+eval split, pack documents into fixed token budgets (the concat-and-chunk
+step before tokenizer sharding), and keep only the best-scoring documents
+per stratum.
+
+Everything is built on content hashes and window functions — no RNG anywhere,
+so every operator is reproducible run-to-run and engine-to-engine (the DuckDB
+oracles compute the identical md5-prefix arithmetic).
+
+Scale notes (100 TB):
+
+* ``hash_sample_split`` is a pure map-side filter — md5 + substring compare
+  per row, no shuffle, no state.  This is THE way to sample at scale:
+  rate changes re-select a superset/subset (threshold monotonicity), and
+  membership is stable across reruns and engines — no seed coordination.
+* ``pack_sequences`` needs a per-stratum ordered running sum.  A window
+  over PARTITION BY lang has as much parallelism as there are strata; for
+  100 TB shard the stratum key finer (e.g., (lang, crc-bucket of doc_id))
+  so each partition fits an executor — the bin arithmetic is unchanged.
+* ``quality_topk`` keeps k rows per stratum: Catalyst rewrites the
+  rank-filter into a per-partition top-k (WindowGroupLimit) before the
+  shuffle, so only ~k·partitions rows move.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from .text import doc_stats, token_count
+
+# Per-language md5-prefix thresholds: a doc is sampled iff the first 4 hex
+# chars of md5(doc_id) sort below the threshold (en: 0x8000/0x10000 = 50%,
+# others 25%).  Mirrored verbatim in the oracle SQL.
+SAMPLE_THRESHOLDS = {"en": "8000", "de": "4000", "fr": "4000", "es": "4000", "zh": "4000"}
+
+# Docs whose md5 chars 5-6 sort below '29' (41/256 ≈ 16%) land in eval.
+EVAL_THRESHOLD = "29"
+
+
+def hash_sample_split(docs: DataFrame, thresholds: dict[str, str] | None = None) -> DataFrame:
+    """Deterministic stratified sample + train/eval split in one pass.
+
+    Sampling and splitting both key off disjoint md5(doc_id) prefix ranges,
+    so the two decisions are independent and individually stable.  Returns
+    (doc_id, lang, split) for the sampled rows only.
+    """
+    thresholds = thresholds or SAMPLE_THRESHOLDS
+    digest = F.md5(F.col("doc_id").cast("string"))
+    thr_map = F.create_map(*[F.lit(x) for kv in thresholds.items() for x in kv])
+    return (
+        docs.withColumn("_bucket", digest.substr(1, 4))
+        .withColumn("_thr", thr_map[F.col("lang")])
+        .where(F.col("_bucket") < F.col("_thr"))
+        .withColumn(
+            "split",
+            F.when(digest.substr(5, 2) < F.lit(EVAL_THRESHOLD), F.lit("eval")).otherwise(F.lit("train")),
+        )
+        .select("doc_id", "lang", "split")
+    )
+
+
+def pack_sequences(docs: DataFrame, budget_tokens: int = 2048) -> DataFrame:
+    """Pack documents into fixed token-budget bins per language (the
+    concat-and-chunk step of pretraining corpus construction).
+
+    Documents are laid out in doc_id order per language; a document's bin is
+    the budget-multiple its starting token offset falls in (greedy streaming
+    packing — identical in any engine, no RNG).  Returns one row per bin:
+    (lang, bin_id, n_docs, bin_tokens).
+    """
+    w = Window.partitionBy("lang").orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        docs.select("doc_id", "lang", token_count().cast("bigint").alias("n_tokens"))
+        .withColumn("cum", F.sum("n_tokens").over(w))
+        .withColumn("bin_id", F.floor((F.col("cum") - F.col("n_tokens")) / F.lit(float(budget_tokens))))
+        .groupBy("lang", "bin_id")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_tokens").alias("bin_tokens"))
+        .orderBy("lang", "bin_id")
+    )
+
+
+def quality_topk(docs: DataFrame, k: int = 10) -> DataFrame:
+    """Top-k documents per language by quality score (curation step).
+
+    Deterministic tie-break: score desc, then doc_id asc.  The rank filter
+    compiles to a pre-shuffle group-limit, so executors ship only their own
+    top-k candidates per stratum.
+    """
+    w = Window.partitionBy("lang").orderBy(F.desc("quality_score"), F.asc("doc_id"))
+    return (
+        doc_stats(docs)
+        .select("doc_id", "lang", "quality_score")
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .orderBy("lang", "rk")
+    )

@@ -277,10 +277,17 @@ def q2_min_cost_supplier(
     offering the minimum unit cost, restricted to one region.  The fixture has
     no partsupp table, so unit cost is derived from lineitem
     (min extendedprice/quantity per part+supplier).  The correlated MIN
-    subquery becomes a two-level aggregate re-joined on (partkey, cost);
-    part/supplier/nation/region dims all broadcast."""
+    subquery becomes a two-level aggregate re-joined on (partkey, cost).
+
+    Scale shape: the part-slice filter is applied BEFORE the cost aggregation
+    (a broadcast semi-join on the lineitem scan — per-part min is unaffected
+    by dropping other parts' rows), so the only shuffle is the one cost
+    groupBy over the slice; the per-part MIN and every dimension join are
+    broadcast-sized after that."""
+    parts = part.where((F.col("p_type") == p_type) & F.col("p_size").between(10, 20))
     cost = (
-        lineitem.groupBy("l_partkey", "l_suppkey")
+        lineitem.join(F.broadcast(parts.select("p_partkey")), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
         .agg(F.round(F.min(F.col("l_extendedprice") / F.col("l_quantity")), 4).alias("unit_cost"))
     )
     min_cost = cost.groupBy(F.col("l_partkey").alias("m_partkey")).agg(
@@ -292,10 +299,9 @@ def q2_min_cost_supplier(
         .join(F.broadcast(region.where(F.col("r_name") == r_name)), F.col("n_regionkey") == F.col("r_regionkey"))
         .select("s_suppkey", "s_name", "s_acctbal", "n_name")
     )
-    parts = part.where((F.col("p_type") == p_type) & F.col("p_size").between(10, 20))
     return (
         cost.join(
-            min_cost,
+            F.broadcast(min_cost),
             (F.col("l_partkey") == F.col("m_partkey")) & (F.col("unit_cost") == F.col("min_cost")),
         )
         .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))

@@ -176,3 +176,54 @@ def test_encrypted_sink_roundtrip(spark, tmp_path, manager, docs):
     orig = {r.doc_id: r.text for r in docs.limit(50).collect()}
     got = {r.doc_id: r.text for r in back.collect()}
     assert got == orig
+
+
+def test_hash_sample_is_stable_and_stratified(docs):
+    from duckdb_age_spark.operators.pipeline import hash_sample_split
+
+    a = hash_sample_split(docs)
+    b = hash_sample_split(docs)
+    # deterministic: identical membership and splits run-to-run
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    rows = a.groupBy("lang").count().collect()
+    total = {r["lang"]: r["count"] for r in docs.groupBy("lang").count().collect()}
+    for r in rows:
+        rate = r["count"] / total[r["lang"]]
+        hi = 0.5 if r["lang"] == "en" else 0.25
+        # md5 uniformity: sampled rate within ±60% relative of the threshold
+        assert 0.4 * hi <= rate <= 1.6 * hi, (r["lang"], rate)
+    # both splits present, eval the minority
+    splits = {r["split"]: r["count"] for r in a.groupBy("split").count().collect()}
+    assert set(splits) == {"train", "eval"} and splits["eval"] < splits["train"]
+
+
+def test_pack_sequences_respects_budget_arithmetic(docs):
+    from duckdb_age_spark.operators.pipeline import pack_sequences
+    from duckdb_age_spark.operators.text import token_count
+
+    budget = 2048
+    bins = pack_sequences(docs, budget).collect()
+    # every document is packed exactly once
+    assert sum(r["n_docs"] for r in bins) == docs.count()
+    # bin ids are contiguous from 0 per language
+    by_lang: dict[str, list[int]] = {}
+    for r in bins:
+        by_lang.setdefault(r["lang"], []).append(r["bin_id"])
+    for lang, ids in by_lang.items():
+        assert sorted(ids) == list(range(len(ids))), (lang, ids)
+    # a bin overflows the budget by at most one document's tokens
+    max_doc = docs.select(F.max(token_count()).alias("m")).first().m
+    assert all(r["bin_tokens"] < budget + max_doc for r in bins)
+
+
+def test_quality_topk_rank_and_ordering(docs):
+    from duckdb_age_spark.operators.pipeline import quality_topk
+
+    out = quality_topk(docs, k=5).collect()
+    per_lang: dict[str, list] = {}
+    for r in out:
+        per_lang.setdefault(r["lang"], []).append(r)
+    for lang, rows in per_lang.items():
+        assert [r["rk"] for r in rows] == list(range(1, len(rows) + 1))
+        scores = [r["quality_score"] for r in rows]
+        assert scores == sorted(scores, reverse=True), (lang, scores)
