@@ -1097,6 +1097,70 @@ def events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "events_sliding",
+    """
+    WITH w AS (
+      SELECT date_trunc('hour', ts) - o * INTERVAL 1 HOUR AS window_start, event_type, value
+      FROM events, (VALUES (0), (1)) AS offs(o))
+    SELECT strftime(window_start, '%Y-%m-%d %H') AS window_start, event_type,
+           count(*)::BIGINT AS n_events, round(sum(value), 2) AS total_value
+    FROM w GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.events import sliding_counts
+
+    _prep(spark)
+    out = sliding_counts(load(spark, sf_dir, "events"))
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH").alias("window_start"),
+        "event_type",
+        F.col("n_events").cast("bigint"),
+        "total_value",
+    )
+
+
+@_q(
+    "cube_priority_status",
+    """
+    SELECT o_orderpriority, o_orderstatus, count(*)::BIGINT AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM orders
+    GROUP BY CUBE (o_orderpriority, o_orderstatus)
+    ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST
+    """,
+)
+def cube_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.rollup import priority_status_cube
+
+    _prep(spark)
+    out = priority_status_cube(load(spark, sf_dir, "orders"))
+    return out.withColumn("n_orders", F.col("n_orders").cast("bigint"))
+
+
+@_q(
+    "order_gaps",
+    """
+    WITH seq AS (
+      SELECT o_custkey, o_orderkey, o_orderdate,
+             lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                    ORDER BY o_orderdate, o_orderkey) AS prev_dt
+      FROM orders)
+    SELECT o_custkey, count(*)::BIGINT AS n_orders,
+           round(avg(date_diff('day', prev_dt, o_orderdate)), 2) AS avg_gap_days,
+           max(date_diff('day', prev_dt, o_orderdate))::BIGINT AS max_gap_days
+    FROM seq GROUP BY 1 ORDER BY 1
+    """,
+)
+def order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.relational import order_gap_stats
+
+    _prep(spark)
+    out = order_gap_stats(load(spark, sf_dir, "orders"))
+    return out.withColumn("n_orders", F.col("n_orders").cast("bigint"))
+
+
+@_q(
     "events_hourly",
     """
     SELECT hour(ts)::BIGINT AS hour, event_type, count(*)::BIGINT AS n_events

@@ -118,3 +118,18 @@ def user_funnel(events: DataFrame) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+def sliding_counts(events: DataFrame, window: str = "2 hours", slide: str = "1 hour") -> DataFrame:
+    """Sliding (hopping) window counts per event type: each event lands in
+    window/slide overlapping windows via ``F.window``, which explodes to the
+    window instances BEFORE the aggregation — so the shuffle is still a
+    single partial-aggregated groupBy on (window_start, type), just over
+    window/slide× the rows.  At 100 TB keep the overlap factor small and
+    derive coarser grains from rollups (see rollup.py), not wider slides."""
+    return (
+        events.groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")
+        .orderBy("window_start", "event_type")
+    )

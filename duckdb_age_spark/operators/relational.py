@@ -560,3 +560,26 @@ def q22_idle_customers(customer: DataFrame, orders: DataFrame, since: str = "200
         .agg(F.count("*").alias("numcust"), F.round(F.sum("c_acctbal"), 2).alias("totacctbal"))
         .orderBy("cntrycode")
     )
+
+
+def order_gap_stats(orders: DataFrame) -> DataFrame:
+    """Per-customer inter-order gap statistics via lag() — the sequential
+    window pattern (lag/lead) the as-of and sessionization operators build
+    on.  One shuffle on custkey; the window never materializes more than a
+    partition, and AQE splits skewed heavy customers."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = (
+        orders.withColumn("prev_dt", F.lag("o_orderdate").over(w))
+        .withColumn("gap_days", F.datediff("o_orderdate", "prev_dt"))
+    )
+    return (
+        gaps.groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.avg("gap_days"), 2).alias("avg_gap_days"),
+            F.max("gap_days").cast("bigint").alias("max_gap_days"),
+        )
+        .orderBy("o_custkey")
+    )

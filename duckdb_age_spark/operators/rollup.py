@@ -71,3 +71,16 @@ def revenue_grouping_sets(orders: DataFrame, customer: DataFrame, nation: DataFr
             F.col("n_name").asc_nulls_first(), F.col("o_orderpriority").asc_nulls_first()
         )
     )
+
+
+def priority_status_cube(orders: DataFrame) -> DataFrame:
+    """CUBE over (priority, status): all four grouping combinations in one
+    pass — Spark expands the cube map-side, so it is still one shuffle with
+    partial aggregation, output size bounded by the attribute domains."""
+    return (
+        orders.cube("o_orderpriority", "o_orderstatus")
+        .agg(F.count("*").alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("total_price"))
+        .orderBy(
+            F.col("o_orderpriority").asc_nulls_first(), F.col("o_orderstatus").asc_nulls_first()
+        )
+    )

@@ -203,3 +203,20 @@ def test_quality_topk_uses_group_limit(t):
     # rank<=k over a window must compile to a pre-shuffle top-k
     # (WindowGroupLimit), not a full sort of every stratum
     assert "WindowGroupLimit" in df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_sliding_window_single_shuffle(t):
+    from duckdb_age_spark.operators.events import sliding_counts
+
+    df = sliding_counts(t["events"])
+    # window expansion happens map-side; one partial-aggregated exchange + sort
+    assert has_partial_aggregate(df)
+    assert count_exchanges(df) <= 2, formatted_plan(df)
+
+
+def test_cube_is_one_partial_aggregated_shuffle(t):
+    from duckdb_age_spark.operators.rollup import priority_status_cube
+
+    df = priority_status_cube(t["orders"])
+    assert has_partial_aggregate(df)
+    assert count_exchanges(df) <= 2, formatted_plan(df)
