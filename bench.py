@@ -38,8 +38,12 @@ BENCH_QUERIES = [
     "sim_topk_kmeans",
     "streaming_join",
     "events_tumbling",
+    "events_sliding",
     "events_sessions",
     "events_funnel",
+    "pipeline_sample_split",
+    "pipeline_pack",
+    "pipeline_quality_topk",
     "tpch_q1",
     "tpch_q2",
     "tpch_q3",
