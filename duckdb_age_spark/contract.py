@@ -464,6 +464,36 @@ def streaming_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "streaming_dedup",
+    """
+    SELECT event_type, count(*)::BIGINT AS n_events,
+           count(DISTINCT user_id)::BIGINT AS n_users, round(sum(value), 2) AS total_value
+    FROM events GROUP BY 1 ORDER BY 1
+    """,
+)
+def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup over an at-least-once source: every event is delivered
+    twice (two micro-batches of the same file); dropDuplicatesWithinWatermark
+    must restore exactly-once rows, so the per-type aggregate of the drained
+    stream matches the plain batch aggregate of the single-copy oracle."""
+    from .streaming import dedup_stream, run_available_now, stream_duplicated_events
+
+    _prep(spark)
+    out = run_available_now(
+        dedup_stream(stream_duplicated_events(spark, sf_dir)), output_mode="append"
+    )
+    return (
+        out.groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@_q(
     "streaming_join",
     """
     SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id,

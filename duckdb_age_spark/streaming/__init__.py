@@ -194,6 +194,38 @@ def sessionize_stream(events: DataFrame, gap_minutes: int = 30, timeout_ms: int 
     )
 
 
+def dedup_stream(events: DataFrame, watermark: str = "2 hours", keys: list[str] | None = None) -> DataFrame:
+    """Streaming deduplication: emit each key's first arrival, drop repeats
+    arriving within the watermark horizon (turns an at-least-once source
+    into exactly-once rows).
+
+    Scale shape: the state store holds one entry per key seen inside the
+    horizon and evicts it once the watermark passes its event time — state
+    is bounded by (arrival rate × horizon), not by stream length, which is
+    what makes this safe on an unbounded 100 TB/day feed."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys or ["event_id"])
+
+
+def stream_duplicated_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over a staged dir holding TWO links to the same events
+    parquet — an at-least-once delivery simulation: with maxFilesPerTrigger=1
+    every event arrives again in the next micro-batch."""
+    import os
+    import tempfile
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stage = os.path.join(
+        tempfile.gettempdir(), "duckdb_age_spark_stream_dup", os.path.basename(sf_dir.rstrip("/"))
+    )
+    os.makedirs(stage, exist_ok=True)
+    for name in ("events_a.parquet", "events_b.parquet"):
+        link = os.path.join(stage, name)
+        if not os.path.exists(link):
+            os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"), link)
+    raw = spark.readStream.schema(EVENTS_SCHEMA).option("maxFilesPerTrigger", 1).parquet(stage)
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+
 def stream_to_encrypted_parquet(
     stream_df: DataFrame,
     path: str,

@@ -184,3 +184,23 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     windows = {r.ws.hour for r in rows2}
     assert 10 not in windows, f"late row leaked into finalized window: {rows2}"
     assert any(r.ws.hour == 12 and r.n == 2 for r in rows2), f"12:00 window not finalized: {rows2}"
+
+
+def test_stream_dedup_restores_exactly_once(spark, sf_dir):
+    """Every event arrives twice (two micro-batches of the same file);
+    dropDuplicatesWithinWatermark must emit each event_id exactly once."""
+    from duckdb_age_spark.streaming import (
+        dedup_stream,
+        run_available_now,
+        stream_duplicated_events,
+    )
+    from duckdb_age_spark.sources import read_table
+
+    n_unique = read_table(spark, sf_dir, "events").count()
+    raw = run_available_now(stream_duplicated_events(spark, sf_dir), output_mode="append")
+    assert raw.count() == 2 * n_unique  # the source really is at-least-once
+    deduped = run_available_now(
+        dedup_stream(stream_duplicated_events(spark, sf_dir)), output_mode="append"
+    )
+    assert deduped.count() == n_unique
+    assert deduped.select("event_id").distinct().count() == n_unique
