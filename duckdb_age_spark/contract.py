@@ -317,6 +317,47 @@ _HOURLY_SQL = """
     """
 
 
+@_q(
+    "upsert_merge",
+    """
+    WITH updates AS (
+      SELECT c_custkey, c_name, c_nationkey, c_acctbal + 1000.0 AS c_acctbal, c_mktsegment
+      FROM customer WHERE c_custkey % 10 = 0),
+    merged AS (
+      SELECT * FROM customer WHERE c_custkey NOT IN (SELECT c_custkey FROM updates)
+      UNION ALL SELECT * FROM updates)
+    SELECT c_mktsegment, count(*)::BIGINT AS n_customers, round(sum(c_acctbal), 2) AS total_bal
+    FROM merged GROUP BY 1 ORDER BY 1
+    """,
+)
+def upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPDATE ... FROM parity (reference host-engine surface, SURVEY §2b):
+    copy customer to a scratch dir, MERGE a +1000-balance update for every
+    10th customer via the keyed parquet upsert, and aggregate the published
+    table — must equal the oracle's pure-SQL merge of the original."""
+    import tempfile
+
+    from .sources import upsert_parquet
+
+    _prep(spark)
+    path = tempfile.mkdtemp(prefix="age_spark_upsert_") + "/customer"
+    cust = load(spark, sf_dir, "customer")
+    cust.write.parquet(path)
+    updates = cust.where(F.col("c_custkey") % 10 == 0).withColumn(
+        "c_acctbal", F.col("c_acctbal") + 1000.0
+    )
+    upsert_parquet(spark, path, updates, "c_custkey")
+    return (
+        spark.read.parquet(path)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").cast("bigint").alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
 @_q("sink_csv_roundtrip", _HOURLY_SQL)
 def sink_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CSV sink+source: write events to CSV, read back, aggregate — the

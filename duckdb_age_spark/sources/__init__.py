@@ -9,5 +9,6 @@
 
 from .tables import read_table
 from .encrypted import read_encrypted, write_encrypted
+from .upsert import upsert_parquet
 
 __all__ = ["read_table", "read_encrypted", "write_encrypted"]

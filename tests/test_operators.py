@@ -227,3 +227,30 @@ def test_quality_topk_rank_and_ordering(docs):
         assert [r["rk"] for r in rows] == list(range(1, len(rows) + 1))
         scores = [r["quality_score"] for r in rows]
         assert scores == sorted(scores, reverse=True), (lang, scores)
+
+
+def test_upsert_parquet_replaces_and_appends(spark, tmp_path):
+    from duckdb_age_spark.sources import upsert_parquet
+
+    path = str(tmp_path / "tbl")
+    spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "k long, name string, v double"
+    ).write.parquet(path)
+    updates = spark.createDataFrame(
+        [(2, "b2", 21.0), (4, "d", 40.0)], "k long, name string, v double"
+    )
+    upsert_parquet(spark, path, updates, "k")
+    got = {r.k: (r.name, r.v) for r in spark.read.parquet(path).collect()}
+    assert got == {1: ("a", 10.0), 2: ("b2", 21.0), 3: ("c", 30.0), 4: ("d", 40.0)}
+
+
+def test_upsert_parquet_is_idempotent(spark, tmp_path):
+    from duckdb_age_spark.sources import upsert_parquet
+
+    path = str(tmp_path / "tbl2")
+    spark.createDataFrame([(1, 1.0)], "k long, v double").write.parquet(path)
+    updates = spark.createDataFrame([(1, 2.0)], "k long, v double")
+    upsert_parquet(spark, path, updates, "k")
+    upsert_parquet(spark, path, updates, "k")
+    rows = spark.read.parquet(path).collect()
+    assert len(rows) == 1 and rows[0].v == 2.0
