@@ -318,6 +318,36 @@ _HOURLY_SQL = """
 
 
 @_q(
+    "dq_report",
+    """
+    SELECT 'customer_dup_key' AS check, (count(c_custkey) - count(DISTINCT c_custkey))::BIGINT AS violations FROM customer
+    UNION ALL
+    SELECT 'lineitem_discount_range', sum(CASE WHEN l_discount NOT BETWEEN 0.0 AND 1.0 THEN 1 ELSE 0 END)::BIGINT FROM lineitem
+    UNION ALL
+    SELECT 'lineitem_nonpositive_qty', sum(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END)::BIGINT FROM lineitem
+    UNION ALL
+    SELECT 'lineitem_orphan_order', count(*)::BIGINT FROM lineitem
+      WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+    UNION ALL
+    SELECT 'orders_nonpositive_price', sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END)::BIGINT FROM orders
+    UNION ALL
+    SELECT 'orders_null_custkey', sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)::BIGINT FROM orders
+    UNION ALL
+    SELECT 'orders_orphan_custkey', count(*)::BIGINT FROM orders
+      WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+    ORDER BY 1
+    """,
+)
+def dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dq import dq_report as _dq
+
+    _prep(spark)
+    return _dq(
+        load(spark, sf_dir, "orders"), load(spark, sf_dir, "customer"), load(spark, sf_dir, "lineitem")
+    )
+
+
+@_q(
     "upsert_merge",
     """
     WITH updates AS (

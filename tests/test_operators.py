@@ -254,3 +254,32 @@ def test_upsert_parquet_is_idempotent(spark, tmp_path):
     upsert_parquet(spark, path, updates, "k")
     rows = spark.read.parquet(path).collect()
     assert len(rows) == 1 and rows[0].v == 2.0
+
+
+def test_dq_single_pass_and_planted_violations(spark):
+    from duckdb_age_spark.operators.dq import dq_report, single_pass_violations
+
+    orders = spark.createDataFrame(
+        [(1, 10, 5.0), (2, None, -1.0), (3, 99, 7.0)], "o_orderkey long, o_custkey long, o_totalprice double"
+    )
+    customer = spark.createDataFrame([(10,), (10,), (11,)], "c_custkey long")
+    lineitem = spark.createDataFrame(
+        [(1, 1.0, 0.5), (7, -2.0, 1.5)], "l_orderkey long, l_quantity double, l_discount double"
+    )
+    got = {r.check: r.violations for r in dq_report(orders, customer, lineitem).collect()}
+    assert got == {
+        "orders_null_custkey": 1,
+        "orders_nonpositive_price": 1,
+        "lineitem_nonpositive_qty": 1,
+        "lineitem_discount_range": 1,
+        "customer_dup_key": 1,
+        "orders_orphan_custkey": 1,  # custkey 99 (NULL keys don't join, aren't orphans)
+        "lineitem_orphan_order": 1,  # orderkey 7
+    }
+    # intra-table rules really are one scan: a single aggregate node
+    from duckdb_age_spark.plans import count_exchanges
+
+    one_pass = single_pass_violations(
+        orders, {"a": F.col("o_custkey").isNull(), "b": F.col("o_totalprice") <= 0}
+    )
+    assert count_exchanges(one_pass) <= 1
