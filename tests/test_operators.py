@@ -283,3 +283,16 @@ def test_dq_single_pass_and_planted_violations(spark):
         orders, {"a": F.col("o_custkey").isNull(), "b": F.col("o_totalprice") <= 0}
     )
     assert count_exchanges(one_pass) <= 1
+
+
+def test_hash_sample_threshold_monotonicity(docs):
+    """The SCALING.md claim behind md5-prefix sampling: raising a stratum's
+    rate keeps every previously sampled row (superset property), so rate
+    changes never reshuffle membership."""
+    from duckdb_age_spark.operators.pipeline import hash_sample_split
+
+    low = hash_sample_split(docs, {l: "2000" for l in ("en", "de", "fr", "es", "zh")})
+    high = hash_sample_split(docs, {l: "8000" for l in ("en", "de", "fr", "es", "zh")})
+    assert low.count() < high.count()
+    # every low-rate row is in the high-rate sample, with the same split label
+    assert low.exceptAll(high).count() == 0
