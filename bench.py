@@ -167,7 +167,6 @@ def main() -> None:
     docs = docs.repartition(CPUS).cache()
     n_rows = docs.count()
     n_bytes = docs.agg(F.sum(F.octet_length("payload"))).collect()[0][0]
-    t0 = time.time()
     rt = docs.select(
         F.call_function(
             "age_decrypt",
@@ -175,26 +174,72 @@ def main() -> None:
             F.lit(KP1.private_key),
         ).alias("pt")
     )
-    rt.agg(F.sum(F.octet_length("pt"))).collect()
-    dt = time.time() - t0
+    # Median of reps, same policy as the contract queries above: the first
+    # execution pays one-time python-worker ramp for the chained two-UDF
+    # stage (measured 5.9s cold vs 1.3s steady at sf0.1); report the steady
+    # state and keep the cold figure in extras.
+    samples = []
+    for _ in range(max(reps, 3)):
+        t0 = time.time()
+        rt.agg(F.sum(F.octet_length("pt"))).collect()
+        samples.append(time.time() - t0)
+    dt = sorted(samples)[len(samples) // 2]
     timings["crypto_roundtrip_rows"] = round(dt, 3)
+    extra["roundtrip_cold_sec"] = round(samples[0], 3)
     extra["roundtrip_rows_per_s"] = round(n_rows / dt, 1)
     extra["roundtrip_mb_per_s"] = round(n_bytes / 1e6 / dt, 2)
     docs.unpersist()
 
+    # -- pure-kernel single-core throughput (no Spark/Arrow in the loop) ----
+    # The Spark-side bulk figure above includes JVM→Arrow→Python transfer of
+    # every payload byte, which dominates at this small scale; this is the
+    # per-core number comparable to the reference's 50-100 MB/s claim.
+    from duckdb_age_spark.crypto import format as _fmt
+    from duckdb_age_spark.crypto import keys as _keys
+
+    _pub = _keys.parse_recipient(KP1.public_key)
+    _priv = _keys.parse_identity(KP1.private_key)
+    _pt = b"x" * (1024 * 1024)
+    for _ in range(3):
+        _fmt.decrypt(_fmt.encrypt(_pt, [_pub]), _priv)
+    t0 = time.time()
+    _cts = [_fmt.encrypt(_pt, [_pub]) for _ in range(32)]
+    extra["kernel_encrypt_mb_per_s_per_core"] = round(32 / (time.time() - t0), 1)
+    t0 = time.time()
+    for _ct in _cts:
+        _fmt.decrypt(_ct, _priv)
+    extra["kernel_decrypt_mb_per_s_per_core"] = round(32 / (time.time() - t0), 1)
+
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "bench_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "extra": extra,
-            }
-        )
-    )
+    # The driver tail-captures stdout and parses the LAST line as JSON: keep
+    # that line small (headline only — no per-query row counts).  The full
+    # detail (row counts, MB/s figures) goes to stderr and BENCH_extra.json
+    # so a human can still diff it.
+    detail = {"queries": timings, "extra": extra, "sf": sf, "total_sec": total}
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_extra.json"), "w") as f:
+            json.dump(detail, f, indent=1, sort_keys=True)
+    except OSError:
+        pass
+    print(json.dumps(detail), file=sys.stderr)
+    headline = {
+        "metric": "bench_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    line = json.dumps(headline)
+    # Belt and braces: if the timing dict ever grows past ~4 KiB, drop to the
+    # five headline queries so the driver's capture window always sees valid
+    # JSON start-to-end.
+    if len(line) > 4096:
+        keep = ["crypto_encrypt_bulk", "crypto_roundtrip_rows", "tpch_q1", "dedup_minhash_pairs", "sim_topk_bruteforce"]
+        headline["queries"] = {k: timings[k] for k in keep if k in timings}
+        headline["n_queries"] = len(timings)
+        line = json.dumps(headline)
+    sys.stdout.flush()
+    print(line)
 
 
 if __name__ == "__main__":

