@@ -16,6 +16,7 @@ tables.  Design rules that keep the two engines value-identical:
 
 from __future__ import annotations
 
+import os
 from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -52,6 +53,26 @@ def _prep(spark: SparkSession) -> None:
 
     register(spark)
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def _scratch(name: str, sf_dir: str) -> str:
+    """Deterministic scratch dir for sink/upsert round-trips.
+
+    A FIXED path per (query, fixture) that is wiped and recreated on every
+    call — unlike ``tempfile.mkdtemp``, repeated oracle/bench runs reuse one
+    directory instead of leaking a table copy per invocation.  The returned
+    DataFrames read from this dir lazily, so it must outlive the call (no
+    TemporaryDirectory context manager).
+    """
+    import hashlib
+    import shutil
+    import tempfile
+
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(), "age_spark_scratch", f"{name}-{key}")
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+    return path
 
 
 # Deterministic contract keypairs (derived from fixed seeds — same values
@@ -381,12 +402,10 @@ def upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     copy customer to a scratch dir, MERGE a +1000-balance update for every
     10th customer via the keyed parquet upsert, and aggregate the published
     table — must equal the oracle's pure-SQL merge of the original."""
-    import tempfile
-
     from .sources import upsert_parquet
 
     _prep(spark)
-    path = tempfile.mkdtemp(prefix="age_spark_upsert_") + "/customer"
+    path = _scratch("upsert", sf_dir) + "/customer"
     cust = load(spark, sf_dir, "customer")
     cust.write.parquet(path)
     updates = cust.where(F.col("c_custkey") % 10 == 0).withColumn(
@@ -408,12 +427,10 @@ def upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sink_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CSV sink+source: write events to CSV, read back, aggregate — the
     result must equal the oracle computed from the original parquet."""
-    import tempfile
-
     from .operators.events import hourly_activity
 
     _prep(spark)
-    path = tempfile.mkdtemp(prefix="age_spark_csv_")
+    path = _scratch("sink_csv", sf_dir)
     load(spark, sf_dir, "events").write.mode("overwrite").option("header", True).option(
         "timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS"
     ).csv(path)
@@ -430,12 +447,10 @@ def sink_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q("sink_json_roundtrip", _HOURLY_SQL)
 def sink_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON-lines sink+source round-trip, same oracle as the CSV one."""
-    import tempfile
-
     from .operators.events import hourly_activity
 
     _prep(spark)
-    path = tempfile.mkdtemp(prefix="age_spark_json_")
+    path = _scratch("sink_json", sf_dir)
     load(spark, sf_dir, "events").write.mode("overwrite").option(
         "timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS"
     ).json(path)
@@ -451,12 +466,10 @@ def sink_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sink_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORC sink+source round-trip (columnar alternative to parquet; same
     hourly oracle)."""
-    import tempfile
-
     from .operators.events import hourly_activity
 
     _prep(spark)
-    path = tempfile.mkdtemp(prefix="age_spark_orc_")
+    path = _scratch("sink_orc", sf_dir)
     load(spark, sf_dir, "events").write.mode("overwrite").orc(path)
     out = hourly_activity(spark.read.orc(path))
     return out.select(F.col("hour").cast("bigint"), "event_type", F.col("n_events").cast("bigint"))
@@ -467,12 +480,10 @@ def sink_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Date-partitioned parquet sink (partitionBy day — the layout that makes
     time-range scans prune directories at 100 TB), read back through partition
     discovery and re-aggregated against the same hourly oracle."""
-    import tempfile
-
     from .operators.events import hourly_activity
 
     _prep(spark)
-    path = tempfile.mkdtemp(prefix="age_spark_part_")
+    path = _scratch("sink_part", sf_dir)
     ev = load(spark, sf_dir, "events").withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
     ev.write.mode("overwrite").partitionBy("day").parquet(path)
     out = hourly_activity(spark.read.parquet(path))

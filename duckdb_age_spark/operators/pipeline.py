@@ -53,7 +53,11 @@ def hash_sample_split(docs: DataFrame, thresholds: dict[str, str] | None = None)
     thr_map = F.create_map(*[F.lit(x) for kv in thresholds.items() for x in kv])
     return (
         docs.withColumn("_bucket", digest.substr(1, 4))
-        .withColumn("_thr", thr_map[F.col("lang")])
+        # Languages outside the threshold map fall back to '4000' (≈25%
+        # sample), mirroring the oracle's CASE ... ELSE branch — without the
+        # coalesce a new lang value would be silently dropped on the Spark
+        # side only.
+        .withColumn("_thr", F.coalesce(thr_map[F.col("lang")], F.lit("4000")))
         .where(F.col("_bucket") < F.col("_thr"))
         .withColumn(
             "split",

@@ -29,14 +29,37 @@ from pyspark.sql import DataFrame, SparkSession
 
 def upsert_parquet(spark: SparkSession, path: str, updates: DataFrame, key: str) -> None:
     """MERGE ``updates`` into the parquet dir at ``path`` by ``key``:
-    matching rows are replaced, new keys appended."""
+    matching rows are replaced, new keys appended.
+
+    Duplicate keys within ``updates`` are collapsed to one arbitrary row per
+    key (MERGE semantics forbid updating the same target row twice; DuckDB
+    errors there, we pick deterministically-one like ``dropDuplicates``).
+
+    Re-entrancy: a crashed prior run can leave ``._staging`` (pre-swap) or
+    ``._old`` (post-swap) behind — both are swept before starting.  If a
+    crash stranded the table at ``._old`` with nothing at ``path``, the old
+    copy is restored first.  The swap itself has a small window between the
+    two renames where no directory exists at ``path``; readers racing the
+    swap must retry (documented trade-off standing in for a transactional
+    table format's commit atomicity — see module docstring).
+    """
+    staging = path.rstrip("/") + "._staging"
+    old = path.rstrip("/") + "._old"
+    # sweep leftovers from a crashed prior run
+    if not os.path.exists(path) and os.path.isdir(old):
+        os.rename(old, path)  # recover: prior run crashed mid-swap
+    for leftover in (staging, old):
+        if os.path.isdir(leftover):
+            shutil.rmtree(leftover)
+        elif os.path.lexists(leftover):
+            os.remove(leftover)  # stray file/symlink at the scratch name
+
     current = spark.read.parquet(path)
+    updates = updates.dropDuplicates([key])
     merged = current.join(updates.select(key).distinct(), on=key, how="left_anti").unionByName(
         updates.select(*current.columns)
     )
-    staging = path.rstrip("/") + "._staging"
     merged.write.mode("overwrite").parquet(staging)
-    old = path.rstrip("/") + "._old"
     os.rename(path, old)
     try:
         os.rename(staging, path)

@@ -43,20 +43,39 @@ EVENTS_SCHEMA = StructType(
 )
 
 
+def _stage_links(kind: str, sf_dir: str, names: list[str]) -> str:
+    """Create (or repair) a scratch dir of symlinks to the events parquet.
+
+    The dir key includes a hash of the ABSOLUTE source path — two fixtures
+    with the same basename must not share a stage — and links are checked
+    with ``os.path.lexists`` + target comparison so a broken or stale link
+    is re-created instead of raising FileExistsError.
+    """
+    import hashlib
+    import os
+    import tempfile
+
+    target = os.path.abspath(f"{sf_dir}/events.parquet")
+    key = f"{os.path.basename(sf_dir.rstrip('/'))}-{hashlib.md5(target.encode()).hexdigest()[:12]}"
+    stage = os.path.join(tempfile.gettempdir(), kind, key)
+    os.makedirs(stage, exist_ok=True)
+    for name in names:
+        link = os.path.join(stage, name)
+        if os.path.lexists(link):
+            if os.path.islink(link) and os.readlink(link) == target:
+                continue
+            os.remove(link)
+        os.symlink(target, link)
+    return stage
+
+
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream over the events parquet with the ns→µs normalization the
     batch path uses (sources/tables.py)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # The file-stream source wants a directory; the test dirs hold all ten
     # tables in one flat dir, so stage a symlink-dir containing only events.
-    import os
-    import tempfile
-
-    stage = os.path.join(tempfile.gettempdir(), "duckdb_age_spark_stream", os.path.basename(sf_dir.rstrip("/")))
-    os.makedirs(stage, exist_ok=True)
-    link = os.path.join(stage, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"), link)
+    stage = _stage_links("duckdb_age_spark_stream", sf_dir, ["events.parquet"])
     raw = (
         spark.readStream.schema(EVENTS_SCHEMA)
         .option("maxFilesPerTrigger", 1)
@@ -210,18 +229,10 @@ def stream_duplicated_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream over a staged dir holding TWO links to the same events
     parquet — an at-least-once delivery simulation: with maxFilesPerTrigger=1
     every event arrives again in the next micro-batch."""
-    import os
-    import tempfile
-
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    stage = os.path.join(
-        tempfile.gettempdir(), "duckdb_age_spark_stream_dup", os.path.basename(sf_dir.rstrip("/"))
+    stage = _stage_links(
+        "duckdb_age_spark_stream_dup", sf_dir, ["events_a.parquet", "events_b.parquet"]
     )
-    os.makedirs(stage, exist_ok=True)
-    for name in ("events_a.parquet", "events_b.parquet"):
-        link = os.path.join(stage, name)
-        if not os.path.exists(link):
-            os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"), link)
     raw = spark.readStream.schema(EVENTS_SCHEMA).option("maxFilesPerTrigger", 1).parquet(stage)
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
 

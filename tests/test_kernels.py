@@ -113,3 +113,44 @@ def test_multi_mixed_keys_and_secrets():
     ct = encrypt_multi_kernel(b"mixed", [PUB1, "test_secret"], SECRETS)
     assert ct is not None
     assert decrypt_kernel(ct, PRIV1, NO_SECRETS) == b"mixed"
+
+
+# --- driver priority order (VERDICT r1 item 1b) ------------------------------
+
+
+def test_priority_50_covers_every_operator_family():
+    """The driver records CORRECTNESS rows for only the first 50 queries()
+    entries; this pins that those 50 slots include at least one query from
+    every operator family, so a family can never silently lose its driver
+    gate when queries are added."""
+    from duckdb_age_spark import contract
+
+    names = list(contract.QUERIES)
+    first50 = set(names[:50])
+    assert names[:50] == contract._PRIORITY_50
+    families = {
+        "crypto": ["age_roundtrip", "age_version", "age_error_dispatch"],
+        "dq": ["dq_report"],
+        "upsert": ["upsert_merge"],
+        "sinks": ["sink_csv_roundtrip"],
+        "setops": ["setops_customer_cohorts"],
+        "streaming": ["streaming_windowed", "streaming_dedup", "streaming_join"],
+        "text": ["text_doc_stats", "text_lang_id"],
+        "pipeline": ["pipeline_sample_split", "pipeline_pack", "pipeline_quality_topk"],
+        "dedup": ["dedup_exact", "dedup_minhash_pairs", "dedup_embedding_pairs"],
+        "similarity": ["sim_topk_bruteforce", "sim_topk_lsh", "sim_topk_kmeans"],
+        "grouped_map": ["grouped_map_zscore"],
+        "events": ["events_tumbling", "events_sessions", "events_funnel"],
+        "window_cube": ["cube_priority_status", "order_gaps"],
+        "relational": ["tpch_q1", "tpch_q3", "tpch_q6", "tpch_q13"],
+        "skew": ["skew_salted_join"],
+        "stats": ["quantiles_exact", "pivot_priority_by_flag", "sketch_approx_distinct"],
+        "temporal": ["asof_join", "range_join", "rollup_timebuckets"],
+        "extension_points": ["udaf_geomean", "udtf_chunks"],
+        "multimodal": ["multimodal_features", "multimodal_frames"],
+    }
+    for family, members in families.items():
+        assert first50 & set(members), f"family {family} has no query in the first 50"
+    # every priority entry must also have an oracle so all 50 driver rows are
+    # full three-check comparisons, not weaker rows-only checks
+    assert all(n in contract.ORACLE_SQL for n in contract._PRIORITY_50)

@@ -256,6 +256,41 @@ def test_upsert_parquet_is_idempotent(spark, tmp_path):
     assert len(rows) == 1 and rows[0].v == 2.0
 
 
+def test_upsert_parquet_recovers_from_crashed_swap(spark, tmp_path):
+    """A prior run that crashed after renaming path→._old (or left ._staging
+    behind) must not wedge the next call (ADVICE r1 item 3)."""
+    import os
+    import shutil
+
+    from duckdb_age_spark.sources import upsert_parquet
+
+    path = str(tmp_path / "tbl3")
+    spark.createDataFrame([(1, 1.0), (2, 2.0)], "k long, v double").write.parquet(path)
+    # simulate: crashed mid-swap — table stranded at ._old, stale ._staging
+    os.rename(path, path + "._old")
+    os.makedirs(path + "._staging")
+    updates = spark.createDataFrame([(2, 20.0)], "k long, v double")
+    upsert_parquet(spark, path, updates, "k")
+    got = {r.k: r.v for r in spark.read.parquet(path).collect()}
+    assert got == {1: 1.0, 2: 20.0}
+    assert not os.path.exists(path + "._old") and not os.path.exists(path + "._staging")
+    shutil.rmtree(path)
+
+
+def test_upsert_parquet_dedupes_update_keys(spark, tmp_path):
+    """Duplicate keys within updates collapse to one row per key instead of
+    inserting both (MERGE can't update the same target row twice)."""
+    from duckdb_age_spark.sources import upsert_parquet
+
+    path = str(tmp_path / "tbl4")
+    spark.createDataFrame([(1, 1.0)], "k long, v double").write.parquet(path)
+    updates = spark.createDataFrame([(1, 5.0), (1, 5.0), (2, 7.0)], "k long, v double")
+    upsert_parquet(spark, path, updates, "k")
+    rows = spark.read.parquet(path).collect()
+    assert len(rows) == 2
+    assert {r.k for r in rows} == {1, 2}
+
+
 def test_dq_single_pass_and_planted_violations(spark):
     from duckdb_age_spark.operators.dq import dq_report, single_pass_violations
 
