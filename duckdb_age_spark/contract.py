@@ -81,11 +81,25 @@ KP1 = age_keys.keygen_from_seed(b"contract-key-1")
 KP2 = age_keys.keygen_from_seed(b"contract-key-2")
 KP3 = age_keys.keygen_from_seed(b"contract-key-3")
 
-# ciphertext_length constants (crypto/format.py): header 22 + 98/recipient +
-# MAC 48, payload nonce 16 + 16-byte tag per 64 KiB chunk.
+# Oracle-side closed form of crypto.format.ciphertext_length, generated from
+# the SAME constants the Python implementation uses (single source of truth —
+# a wire-format change shifts both sides together and the golden-ciphertext
+# test still pins absolute sizes).  Derivation mirrors format.py: version
+# line 22 = len(VERSION_LINE)+1, stanza 98 = 10+43+1+43+1, MAC line 48 =
+# 4+43+1; payload = nonce + plaintext + tag/chunk.
+from .crypto import format as _age_format  # noqa: E402
+
+_CT_VERSION = len(_age_format.VERSION_LINE) + 1
+_CT_STANZA = 10 + 43 + 1 + 43 + 1
+_CT_MACLINE = 4 + 43 + 1
+assert _age_format.ciphertext_length(0, 1) == (
+    _CT_VERSION + _CT_STANZA + _CT_MACLINE + _age_format.NONCE_SIZE + _age_format.TAG_SIZE
+)
 _CT_LEN_SQL = (
-    "(22 + 98 * {n} + 48 + 16 + octet_length(encode(text)) "
-    "+ 16 * greatest(1, CAST(ceil(octet_length(encode(text)) / 65536.0) AS BIGINT)))::BIGINT"
+    f"({_CT_VERSION} + {_CT_STANZA} * {{n}} + {_CT_MACLINE} + {_age_format.NONCE_SIZE} "
+    "+ octet_length(encode(text)) "
+    f"+ {_age_format.TAG_SIZE} * greatest(1, CAST(ceil(octet_length(encode(text)) "
+    f"/ {_age_format.CHUNK_SIZE}.0) AS BIGINT)))::BIGINT"
 )
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}

@@ -158,6 +158,39 @@ def test_multimodal_stub_raises_on_empty():
         decode_image_stub(b"")
 
 
+def test_multimodal_payload_properties_large_and_edge(spark):
+    """Payload-level property check (VERDICT r1 item 6): digest/byte_len
+    computed by the mapInPandas path must equal hashlib/len ground truth for
+    real binary payloads — multi-chunk-sized (≥64 KiB), exactly-64-KiB,
+    1-byte, empty, and NULL — not just the small documents fixture."""
+    import hashlib
+
+    from duckdb_age_spark.operators.multimodal import MEDIA_SCHEMA, extract_features
+
+    payloads = {
+        1: bytes(range(256)) * 512,            # 128 KiB, all byte values
+        2: b"\x00" * (64 * 1024),              # exactly one chunk of zeros
+        3: b"\xff",                            # single byte
+        4: b"",                                # empty
+        5: None,                               # NULL
+    }
+    rows = [(i, "image/fake", p, "{}") for i, p in payloads.items()]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA).repartition(3)
+    got = {r.media_id: r for r in extract_features(media).collect()}
+    assert set(got) == set(payloads)
+    for i, p in payloads.items():
+        r = got[i]
+        if p is None:
+            assert r.byte_len == 0 and r.digest is None
+            continue
+        assert r.byte_len == len(p)
+        assert r.digest == hashlib.md5(p).hexdigest()
+        if p:
+            assert r.width == (p[0] % 64 + 1) * 16 and r.height == (p[-1] % 64 + 1) * 16
+        else:
+            assert r.width is None and r.height is None
+
+
 def test_encrypted_sink_roundtrip(spark, tmp_path, manager, docs):
     from duckdb_age_spark.sources import read_encrypted, write_encrypted
     from duckdb_age_spark.contract import KP1

@@ -204,3 +204,53 @@ def test_stream_dedup_restores_exactly_once(spark, sf_dir):
     )
     assert deduped.count() == n_unique
     assert deduped.select("event_id").distinct().count() == n_unique
+
+
+def test_sessionize_stream_timeout_flushes_trailing_sessions(spark, tmp_path):
+    """With ``timeout_ms`` set (ProcessingTimeTimeout) and a continuous
+    trigger, the trailing session of each user — which an availableNow drain
+    intentionally leaves in state — is flushed once the timer fires
+    (VERDICT r1 item 5 / ROADMAP #4)."""
+    import datetime as dt
+    import time
+
+    from duckdb_age_spark.streaming import sessionize_stream
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, t0), (1, t0 + dt.timedelta(minutes=5)),               # user 1: one open session, 2 events
+        (2, t0),                                                  # user 2: closed by the 40min gap below
+        (2, t0 + dt.timedelta(minutes=40)),
+        (2, t0 + dt.timedelta(minutes=41)),                       # ... trailing 2-event session
+    ]
+    src = str(tmp_path / "sess_src")
+    spark.createDataFrame(rows, "user_id long, ts timestamp").write.parquet(src)
+
+    stream = spark.readStream.schema("user_id long, ts timestamp").parquet(src)
+    out = sessionize_stream(stream, gap_minutes=30, timeout_ms=1000)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sess_timeout")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        # expect 3 rows total: user 2's closed session in the first batch,
+        # then both trailing sessions via the timeout path
+        deadline = time.time() + 90
+        while time.time() < deadline:
+            if spark.sql("SELECT count(*) AS n FROM sess_timeout").first().n >= 3:
+                break
+            time.sleep(1)
+        got = {
+            (r.user_id, r.n_events, r.dur_sec)
+            for r in spark.sql("SELECT * FROM sess_timeout").collect()
+        }
+    finally:
+        q.stop()
+    assert (2, 1, 0) in got, got          # closed by gap inside the data
+    assert (1, 2, 300) in got, got        # trailing session flushed by timer
+    assert (2, 2, 60) in got, got         # trailing session flushed by timer
+    assert len(got) == 3, got
