@@ -877,6 +877,56 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(corpus, n_hashes=8, bands=4)
 
 
+_CLUSTERS_SQL = f"""
+    WITH RECURSIVE {_MINHASH_SIG_SQL},
+    pairs AS (
+      SELECT doc_a, doc_b FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               round(({_MINHASH_MATCHES_SQL}) / 8.0, 4) AS est_jaccard
+        FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+        WHERE {_MINHASH_BANDS_SQL})
+      WHERE est_jaccard >= 0.5),
+    edges AS (SELECT doc_a AS node, doc_b AS neigh FROM pairs
+              UNION ALL
+              SELECT doc_b AS node, doc_a AS neigh FROM pairs),
+    reach(node, lab) AS (
+        SELECT doc_id, doc_id FROM corpus
+      UNION
+        SELECT e.node, r.lab FROM reach r JOIN edges e ON e.neigh = r.node)
+    SELECT node::BIGINT AS doc_id, min(lab)::BIGINT AS cluster_id
+    FROM reach GROUP BY node
+"""
+
+
+@_q("dedup_clusters", _CLUSTERS_SQL)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering: MinHash+LSH pair graph → distributed connected
+    components (min-label propagation) → (doc_id, cluster_id) for every doc.
+    Oracle: DuckDB recursive CTE computing min reachable id per node."""
+    from .operators.dedup import dedup_clusters as _clusters
+
+    _prep(spark)
+    out = _clusters(load(spark, sf_dir, "documents"))
+    return out.select(F.col("doc_id").cast("bigint"), F.col("cluster_id").cast("bigint"))
+
+
+@_q(
+    "dedup_keep_canonical",
+    f"""
+    SELECT doc_id FROM ({_CLUSTERS_SQL}) WHERE doc_id = cluster_id
+    """,
+)
+def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The retention decision on top of the clustering: the deduplicated
+    corpus keeps exactly one (minimum-id) doc per connected component."""
+    from .operators.dedup import dedup_clusters as _clusters, keep_canonical
+
+    _prep(spark)
+    return keep_canonical(_clusters(load(spark, sf_dir, "documents"))).select(
+        F.col("doc_id").cast("bigint")
+    )
+
+
 def _simhash_sql(table_expr: str) -> str:
     votes = []
     for j in range(32):
@@ -2399,11 +2449,11 @@ _PRIORITY_50 = [
     "pipeline_sample_split",
     "pipeline_pack",
     "pipeline_quality_topk",
-    # dedup family (exact + 4 near-dup algorithms)
+    # dedup family (exact + near-dup algorithms + clustering)
     "dedup_exact",
     "dedup_minhash_pairs",
     "dedup_simhash_pairs",
-    "dedup_ngram_jaccard",
+    "dedup_clusters",
     "dedup_embedding_pairs",
     # similarity search
     "sim_topk_bruteforce",

@@ -305,3 +305,86 @@ def embedding_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.95) -> 
         .where(F.col("cosine") >= threshold)
         .select("vec_a", "vec_b", "cosine")
     )
+
+
+# ---------------------------------------------------------------------------
+# connected components: pair graph → dedup clusters → canonical retention
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    edges: DataFrame, nodes: DataFrame, max_iter: int = 25
+) -> DataFrame:
+    """Label every node with the MINIMUM node id reachable through ``edges``
+    (undirected) — the clustering step that turns near-dup PAIRS into dedup
+    GROUPS, so "keep one document per group" is well-defined even when dup
+    relations are only pairwise-transitive (a~b, b~c but a≁c directly).
+
+    ``edges``: (src, dst) — direction ignored.  ``nodes``: (id) — must cover
+    every endpoint plus any singletons to label.  Returns (id, cluster_id).
+
+    Algorithm: distributed min-label propagation.  Each round every node
+    takes min(own label, neighbors' labels); converges in O(graph diameter)
+    rounds — near-dup clusters are shallow (diameter ≤ a few hops), so this
+    terminates in 2-4 rounds in practice, bounded by ``max_iter``.
+
+    Scale shape: each round is one shuffle keyed by node id (the groupBy
+    min) plus one broadcast-or-shuffle join of the label table against the
+    edge list; no step ever materializes a component's member list on one
+    executor, so a 10-billion-node pair graph streams through.  Lineage is
+    truncated every round with localCheckpoint (at cluster scale use a
+    checkpoint dir); the loop stops early on a converged round via a 1-row
+    count action — the standard distributed-CC control pattern, moving only
+    a counter to the driver, never data.
+    """
+    sym = edges.select(F.col("src").alias("node"), F.col("dst").alias("neigh")).unionAll(
+        edges.select(F.col("dst").alias("node"), F.col("src").alias("neigh"))
+    )
+    sym = sym.persist()
+    labels = nodes.select(F.col("id"), F.col("id").alias("label"))
+    for _ in range(max_iter):
+        neigh_min = (
+            sym.join(labels, sym.neigh == labels.id)
+            .groupBy("node")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neigh_min, labels.id == F.col("node"), "left")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels.select("id", F.col("label").alias("cluster_id"))
+
+
+def dedup_clusters(docs: DataFrame, every: int = 10) -> DataFrame:
+    """End-to-end near-dup clustering on the planted corpus: MinHash+LSH
+    pairs → connected components → (doc_id, cluster_id) for every doc
+    (singletons label themselves)."""
+    corpus = planted_near_dup_corpus(docs, every=every)
+    pairs = minhash_lsh_pairs(corpus)
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    nodes = corpus.select(F.col("doc_id").alias("id"))
+    return connected_components(edges, nodes).select(
+        F.col("id").alias("doc_id"), "cluster_id"
+    )
+
+
+def keep_canonical(clusters: DataFrame) -> DataFrame:
+    """Retention decision from the clustering: keep exactly the canonical
+    (minimum-id) document of each cluster — the final 'deduplicated corpus'
+    row set.  Shuffle-free on top of ``clusters``: the canonical doc is by
+    construction the one whose id equals its cluster label."""
+    return clusters.where(F.col("doc_id") == F.col("cluster_id")).select("doc_id")

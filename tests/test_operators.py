@@ -364,3 +364,38 @@ def test_hash_sample_threshold_monotonicity(docs):
     assert low.count() < high.count()
     # every low-rate row is in the high-rate sample, with the same split label
     assert low.exceptAll(high).count() == 0
+
+
+def test_connected_components_chain_and_singletons(spark):
+    """Pairwise-transitive chain (1-2, 2-3) must collapse to one cluster even
+    though 1~3 was never emitted as a pair; separate components and
+    singletons keep their own labels."""
+    from duckdb_age_spark.operators.dedup import connected_components, keep_canonical
+
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (10, 11), (30, 20)], "src long, dst long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in (1, 2, 3, 10, 11, 20, 30, 99)], "id long")
+    got = {r.id: r.cluster_id for r in connected_components(edges, nodes).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 30: 20, 99: 99}
+    kept = {
+        r.doc_id
+        for r in keep_canonical(
+            connected_components(edges, nodes).select(
+                F.col("id").alias("doc_id"), "cluster_id"
+            )
+        ).collect()
+    }
+    assert kept == {1, 10, 20, 99}
+
+
+def test_connected_components_long_path_converges(spark):
+    """A 12-node path graph needs ~log-diameter rounds of min propagation;
+    the loop must reach the true fixpoint, not stop after one round."""
+    from duckdb_age_spark.operators.dedup import connected_components
+
+    n = 12
+    edges = spark.createDataFrame([(i, i + 1) for i in range(1, n)], "src long, dst long")
+    nodes = spark.createDataFrame([(i,) for i in range(1, n + 1)], "id long")
+    got = {r.id: r.cluster_id for r in connected_components(edges, nodes).collect()}
+    assert got == {i: 1 for i in range(1, n + 1)}
