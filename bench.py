@@ -29,7 +29,9 @@ BENCH_QUERIES = [
     "age_multi_roundtrip",
     "text_doc_stats",
     "text_fingerprints",
+    "text_bm25_topk",
     "dedup_exact",
+    "dedup_clusters",
     "dedup_minhash_pairs",
     "dedup_simhash_pairs",
     "dedup_embedding_pairs",

@@ -732,6 +732,47 @@ def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("byte_len", F.col("byte_len").cast("bigint"))
 
 
+_BM25_TERMS = ["hash", "join", "vector"]
+_BM25_K1, _BM25_B, _BM25_K = 1.2, 0.75, 20
+
+
+def _bm25_oracle() -> str:
+    words = r"string_split_regex(lower(trim(text)), '\s+')"
+    tf_cols = ",\n           ".join(
+        f"len(list_filter({words}, x -> x = '{t}')) AS tf_{i}" for i, t in enumerate(_BM25_TERMS)
+    )
+    df_cols = ", ".join(
+        f"sum(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS df_{i}" for i in range(len(_BM25_TERMS))
+    )
+    parts = " + ".join(
+        f"ln(1 + (n_docs - df_{i} + 0.5)/(df_{i} + 0.5)) * tf_{i} * {_BM25_K1 + 1.0} "
+        f"/ (tf_{i} + {_BM25_K1}*({1.0 - _BM25_B} + {_BM25_B}*dl/avgdl))"
+        for i in range(len(_BM25_TERMS))
+    )
+    return f"""
+    WITH d AS (
+      SELECT doc_id, len({words}) AS dl,
+           {tf_cols}
+      FROM documents),
+    g AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl, {df_cols} FROM d),
+    s AS (SELECT doc_id, round({parts}, 3) AS bm25 FROM d, g)
+    SELECT doc_id, bm25, row_number() OVER (ORDER BY bm25 DESC, doc_id)::BIGINT AS rk
+    FROM s WHERE bm25 > 0 QUALIFY rk <= {_BM25_K}
+    """
+
+
+@_q("text_bm25_topk", _bm25_oracle())
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (Robertson idf, k1=1.2 b=0.75) for a fixed
+    3-term query; scores rounded to 3dp BEFORE ranking, ties by doc_id."""
+    from .operators.text import bm25_topk
+
+    _prep(spark)
+    return bm25_topk(
+        load(spark, sf_dir, "documents"), _BM25_TERMS, k=_BM25_K, k1=_BM25_K1, b=_BM25_B
+    )
+
+
 @_q(
     "pipeline_sample_split",
     """

@@ -142,3 +142,71 @@ def fingerprints(docs: DataFrame, shingle_k: int = 8) -> DataFrame:
         F.array_min(shingle_hashes).alias("min_shingle_hash"),
         F.octet_length("text").alias("byte_len"),
     )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 ranked retrieval over ``docs.text`` for a bag of query terms —
+    the relevance-scoring half of text analysis (quality scoring's sibling).
+
+    Scoring is the standard Robertson/Lucene form with the +1 idf smoothing:
+    ``idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5))``;
+    ``score  = Σ_t idf(t) · tf·(k1+1)/(tf + k1·(1 - b + b·dl/avgdl))``.
+
+    Scale shape: the query term list is tiny and fixed, so per-term tf
+    columns are computed with JVM higher-order functions (no explode — the
+    token array never shuffles), and the corpus statistics (N, avgdl, per-
+    term df) reduce to ONE broadcast row joined back with ``crossJoin``;
+    the only wide operation is the final top-k, which prunes per-partition
+    via row_number before the single-partition tail.  Zero Python UDFs.
+    """
+    from pyspark.sql import Window
+
+    terms = [t.lower() for t in query_terms]
+    words = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+
+    def _tf(term: str) -> Column:
+        # NB: the lambda must stay single-parameter — Spark treats a 2-arg
+        # lambda (e.g. a `t=term` default) as the (element, index) form.
+        return F.size(F.filter(words, lambda x: x == F.lit(term)))
+
+    d = docs.select(
+        "doc_id",
+        F.size(words).alias("dl"),
+        *[_tf(t).alias(f"tf_{i}") for i, t in enumerate(terms)],
+    )
+    stats = d.agg(
+        F.count("*").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+            for i in range(len(terms))
+        ],
+    )
+    scored = d.crossJoin(F.broadcast(stats))
+    idf = lambda i: F.log(  # noqa: E731
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col(f"df_{i}") + F.lit(0.5)) / (F.col(f"df_{i}") + F.lit(0.5))
+    )
+    part = lambda i: (  # noqa: E731
+        idf(i)
+        * F.col(f"tf_{i}")
+        * F.lit(k1 + 1.0)
+        / (F.col(f"tf_{i}") + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl")))
+    )
+    score = sum((part(i) for i in range(len(terms))), F.lit(0.0))
+    ranked = (
+        scored.withColumn("bm25", F.round(score, 3))
+        .where(F.col("bm25") > 0)
+        .withColumn(
+            "rk",
+            F.row_number().over(Window.orderBy(F.col("bm25").desc(), F.col("doc_id"))),
+        )
+        .where(F.col("rk") <= k)
+    )
+    return ranked.select("doc_id", "bm25", F.col("rk").cast("bigint").alias("rk"))

@@ -220,3 +220,31 @@ def test_cube_is_one_partial_aggregated_shuffle(t):
     df = priority_status_cube(t["orders"])
     assert has_partial_aggregate(df)
     assert count_exchanges(df) <= 2, formatted_plan(df)
+
+
+def test_bm25_broadcasts_stats_and_limits_topk(t):
+    from duckdb_age_spark.operators.text import bm25_topk
+
+    df = bm25_topk(t["documents"], ["hash", "join", "vector"], k=20)
+    # corpus stats (N, avgdl, df_t) are ONE row joined via broadcast — the
+    # corpus itself never re-shuffles for the join
+    assert has_broadcast_join(df), formatted_plan(df)
+    # per-term tf stays in JVM higher-order functions: no Python evals
+    plan = formatted_plan(df)
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    # global top-k must not full-sort the corpus: either the rank-filter
+    # rewrite (WindowGroupLimit) or the even stronger limit pushdown
+    # (TakeOrderedAndProject = per-partition heaps + merge) is acceptable
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in executed or "WindowGroupLimit" in executed, executed
+
+
+def test_connected_components_round_is_bounded_shuffles(t, spark):
+    from duckdb_age_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    nodes = spark.createDataFrame([(i,) for i in (1, 2, 3, 9)], "id long")
+    out = connected_components(edges, nodes, max_iter=2)
+    # post-convergence frame reads from the checkpointed RDD: the iterative
+    # lineage must NOT accumulate (the whole point of localCheckpoint)
+    assert "Scan ExistingRDD" in formatted_plan(out), formatted_plan(out)
