@@ -261,6 +261,42 @@ def stream_to_encrypted_parquet(
     )
 
 
+def stream_to_keyed_upsert(
+    stream_df: DataFrame,
+    path: str,
+    key: str,
+    checkpoint: str,
+):
+    """foreachBatch CDC-apply sink: every micro-batch MERGEs into the keyed
+    parquet table at ``path`` via :func:`sources.upsert_parquet` — re-deliveries
+    and updates collapse onto their key instead of appending duplicates, so an
+    at-least-once source lands as an exactly-once-per-key table.
+
+    The first batch bootstraps the table (nothing to merge into yet).
+    foreachBatch + idempotent-per-key merge is the standard Spark pattern for
+    streaming upserts without a transactional table format; the checkpoint
+    makes batch replay after failure converge to the same table state.
+    Returns the started query; callers trigger/await as they choose."""
+    import os
+
+    from ..sources import upsert_parquet
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        deduped = batch_df.dropDuplicates([key])
+        if os.path.isdir(path):
+            upsert_parquet(spark, path, deduped, key)
+        else:
+            deduped.write.parquet(path)
+
+    return (
+        stream_df.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def run_available_now(stream_df: DataFrame, output_mode: str = "complete", query_name: str | None = None):
     """Drain a streaming DataFrame into a memory sink (availableNow trigger)
     and return the bounded result as a batch DataFrame.  ``complete`` suits

@@ -254,3 +254,24 @@ def test_sessionize_stream_timeout_flushes_trailing_sessions(spark, tmp_path):
     assert (1, 2, 300) in got, got        # trailing session flushed by timer
     assert (2, 2, 60) in got, got         # trailing session flushed by timer
     assert len(got) == 3, got
+
+
+def test_stream_to_keyed_upsert_collapses_redeliveries(spark, sf_dir, batch_events, tmp_path):
+    """The duplicated stream delivers every event (at least) twice across
+    micro-batches; the upsert sink must land exactly one row per event_id,
+    equal to the batch-distinct events."""
+    from duckdb_age_spark.streaming import stream_duplicated_events, stream_to_keyed_upsert
+
+    path = str(tmp_path / "events_upserted")
+    q = stream_to_keyed_upsert(
+        stream_duplicated_events(spark, sf_dir),
+        path,
+        key="event_id",
+        checkpoint=str(tmp_path / "ckpt_upsert"),
+    )
+    q.awaitTermination(180)
+    got = spark.read.parquet(path)
+    assert got.count() == batch_events.count()
+    g = {r.event_id: r.event_type for r in got.collect()}
+    e = {r.event_id: r.event_type for r in batch_events.collect()}
+    assert g == e
