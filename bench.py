@@ -46,6 +46,8 @@ BENCH_QUERIES = [
     "pipeline_sample_split",
     "pipeline_pack",
     "pipeline_quality_topk",
+    "pipeline_decontaminate",
+    "text_unigram_logprob",
     "tpch_q1",
     "tpch_q2",
     "tpch_q3",

@@ -732,6 +732,59 @@ def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("byte_len", F.col("byte_len").cast("bigint"))
 
 
+_GRAMS5_SQL = r"""list_transform(
+      range(0, greatest(len(string_split_regex(trim(text), '\s+')) - 5, 0) + 1),
+      i -> array_to_string((string_split_regex(trim(text), '\s+'))[i + 1 : i + 5], ' '))"""
+
+
+@_q(
+    "pipeline_decontaminate",
+    f"""
+    WITH dg AS (
+      SELECT doc_id, unnest(list_distinct(list_transform({_GRAMS5_SQL}, g -> md5(g)))) AS g
+      FROM documents),
+    eg AS (
+      SELECT DISTINCT unnest(list_transform({_GRAMS5_SQL}, g -> md5(g))) AS g
+      FROM documents WHERE doc_id % 50 = 0),
+    hits AS (SELECT doc_id, count(*) AS n FROM dg JOIN eg USING (g) GROUP BY doc_id)
+    SELECT d.doc_id, coalesce(n, 0)::BIGINT AS n_shared_grams,
+           coalesce(n, 0) > 0 AS contaminated
+    FROM documents d LEFT JOIN hits ON d.doc_id = hits.doc_id
+    """,
+)
+def pipeline_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination: every 50th doc is the 'benchmark'; flag
+    training docs sharing any word 5-gram with it (those docs themselves
+    must flag, near-copies usually do, unrelated docs must not)."""
+    from .operators.pipeline import ngram_decontaminate
+
+    _prep(spark)
+    docs = load(spark, sf_dir, "documents")
+    return ngram_decontaminate(docs, docs.where(F.col("doc_id") % 50 == 0), n=5)
+
+
+@_q(
+    "text_unigram_logprob",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+      FROM documents),
+    vocab AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+    g AS (SELECT sum(c) AS total FROM vocab)
+    SELECT doc_id, round(avg(ln(c / total)), 3) AS mean_logprob
+    FROM toks JOIN vocab USING (tok), g
+    GROUP BY doc_id
+    """,
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc mean unigram log-probability under the corpus's own unigram
+    model (KenLM-style fluency proxy); rounded 3dp."""
+    from .operators.pipeline import unigram_logprob
+
+    _prep(spark)
+    return unigram_logprob(load(spark, sf_dir, "documents"))
+
+
 _BM25_TERMS = ["hash", "join", "vector"]
 _BM25_K1, _BM25_B, _BM25_K = 1.2, 0.75, 20
 

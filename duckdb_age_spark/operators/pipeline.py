@@ -102,3 +102,67 @@ def quality_topk(docs: DataFrame, k: int = 10) -> DataFrame:
         .where(F.col("rk") <= k)
         .orderBy("lang", "rk")
     )
+
+
+def ngram_decontaminate(
+    docs: DataFrame, eval_docs: DataFrame, n: int = 5
+) -> DataFrame:
+    """Training/eval contamination check: flag every training doc that shares
+    at least one word ``n``-gram with the eval set — the decontamination step
+    every benchmark-clean pretraining pipeline runs before training.
+
+    Returns (doc_id, n_shared_grams, contaminated) for ALL training docs.
+
+    Scale shape: the eval side is distinct-hashed n-grams only (no text),
+    explicitly broadcast — eval sets are small relative to a 100 TB corpus
+    (~10⁶-10⁷ grams fits comfortably in an executor).  The training side
+    explodes to (doc_id, gram_hash) ONCE and semi-aggregates after the
+    broadcast hash join, so the only shuffle is the per-doc count; if the
+    eval set ever outgrows broadcast size, drop the explicit broadcast() and
+    let AQE pick a shuffle join — semantics unchanged.
+    """
+    from .dedup import _word_ngrams
+
+    def gram_hashes(col):
+        return F.transform(_word_ngrams(col, n), lambda g: F.md5(g.cast("binary")))
+
+    doc_grams = docs.select(
+        "doc_id", F.explode(F.array_distinct(gram_hashes(F.col("text")))).alias("g")
+    )
+    eval_grams = (
+        eval_docs.select(F.explode(gram_hashes(F.col("text"))).alias("g")).distinct()
+    )
+    hits = (
+        doc_grams.join(F.broadcast(eval_grams), "g")
+        .groupBy("doc_id")
+        .agg(F.count("g").alias("n_shared_grams"))
+    )
+    return docs.select("doc_id").join(hits, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_shared_grams", F.lit(0)).cast("bigint").alias("n_shared_grams"),
+        (F.coalesce("n_shared_grams", F.lit(0)) > 0).alias("contaminated"),
+    )
+
+
+def unigram_logprob(docs: DataFrame) -> DataFrame:
+    """Per-doc mean unigram log-probability under the corpus's own unigram
+    model — the cheap fluency/quality signal (gibberish and boilerplate
+    score far from the corpus mode; a stand-in for KenLM-style perplexity
+    filtering when no external LM is available).
+
+    Two aggregations: (1) corpus vocab counts (explode → map-side-combined
+    count per token); (2) per-doc mean of ln(count/total) over its tokens.
+    The vocab joins back by token — broadcast when small, AQE-shuffled when
+    not; no Python in either pass.
+    """
+    words = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    toks = docs.select("doc_id", F.explode(words).alias("tok"))
+    vocab = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    total = vocab.agg(F.sum("c").alias("total"))
+    scored = (
+        toks.join(F.broadcast(vocab), "tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(F.round(F.avg(F.log(F.col("c") / F.col("total"))), 3).alias("mean_logprob"))
+    )
+    return scored.select("doc_id", "mean_logprob")

@@ -399,3 +399,38 @@ def test_connected_components_long_path_converges(spark):
     nodes = spark.createDataFrame([(i,) for i in range(1, n + 1)], "id long")
     got = {r.id: r.cluster_id for r in connected_components(edges, nodes).collect()}
     assert got == {i: 1 for i in range(1, n + 1)}
+
+
+def test_ngram_decontaminate_flags_overlap_only(spark):
+    from duckdb_age_spark.operators.pipeline import ngram_decontaminate
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog tonight"),
+            (2, "completely different words appear in this training document here"),
+            (3, "prefix words then the quick brown fox jumps over everything"),
+        ],
+        "doc_id long, text string",
+    )
+    eval_docs = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over a fence")], "doc_id long, text string"
+    )
+    got = {r.doc_id: (r.n_shared_grams, r.contaminated) for r in ngram_decontaminate(docs, eval_docs, n=5).collect()}
+    # doc 1 and 3 share the 5-gram "the quick brown fox jumps"; doc 2 shares none
+    assert got[1][1] is True and got[1][0] >= 1
+    assert got[3][1] is True
+    assert got[2] == (0, False)
+
+
+def test_unigram_logprob_orders_common_above_rare(spark):
+    from duckdb_age_spark.operators.pipeline import unigram_logprob
+
+    docs = spark.createDataFrame(
+        [
+            (1, "common common common common"),       # only frequent tokens
+            (2, "common rareword"),                   # half rare
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.mean_logprob for r in unigram_logprob(docs).collect()}
+    assert got[1] > got[2]  # frequent-token doc scores higher (less negative)
