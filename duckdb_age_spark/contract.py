@@ -646,10 +646,14 @@ WITH d AS (
          len(regexp_extract_all(text, '\b(the|a|of|and|to)\b'))::BIGINT AS n_stopwords
   FROM (SELECT *, regexp_extract_all(text, '[^A-Za-z0-9_\s]') AS regexp_extall_punct FROM documents)
 )
-SELECT *, round(0.4 * least(1.0, n_words / 100.0)
-              + 0.3 * (1.0 - n_punct / greatest(char_len, 1))
-              + 0.3 * least(1.0, n_stopwords / greatest(n_words, 1) * 5.0), 4) AS quality_score
-FROM d
+SELECT * EXCLUDE (qnum, qden),
+       ((2 * qnum + qden) // (2 * qden)) / 10000.0 AS quality_score
+FROM (SELECT *,
+        (40 * least(n_words, 100) * greatest(char_len, 1) * greatest(n_words, 1)
+         + 3000 * greatest(n_words, 1) * (greatest(char_len, 1) - n_punct)
+         + 3000 * greatest(char_len, 1) * least(greatest(n_words, 1), 5 * n_stopwords))::BIGINT AS qnum,
+        (greatest(char_len, 1) * greatest(n_words, 1))::BIGINT AS qden
+      FROM d)
 """
 
 

@@ -341,7 +341,12 @@ def connected_components(
         edges.select(F.col("dst").alias("node"), F.col("src").alias("neigh"))
     )
     sym = sym.persist()
-    labels = nodes.select(F.col("id"), F.col("id").alias("label"))
+    # Iterate ONLY over nodes that appear in an edge: in a dedup corpus the
+    # overwhelming majority of docs are singletons, and carrying them through
+    # every round's join+shuffle would dominate the cost at scale.  They are
+    # unioned back (label = self) after convergence.
+    touched = sym.select(F.col("node").alias("id")).distinct().persist()
+    labels = touched.select("id", F.col("id").alias("label"))
     for _ in range(max_iter):
         neigh_min = (
             sym.join(labels, sym.neigh == labels.id)
@@ -365,8 +370,13 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    singletons = nodes.join(touched, "id", "left_anti").select(
+        "id", F.col("id").alias("label")
+    )
+    out = labels.unionByName(singletons)
     sym.unpersist()
-    return labels.select("id", F.col("label").alias("cluster_id"))
+    touched.unpersist()
+    return out.select("id", F.col("label").alias("cluster_id"))
 
 
 def dedup_clusters(docs: DataFrame, every: int = 10) -> DataFrame:

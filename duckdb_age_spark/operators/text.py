@@ -54,6 +54,17 @@ def doc_stats(docs: DataFrame) -> DataFrame:
     Quality score (deterministic arithmetic, oracle-mirrored):
         0.4 * min(1, words/100) + 0.3 * (1 - punct_ratio) + 0.3 * stop_ratio
     — long-enough, low-punctuation, natural-language-looking docs score high.
+
+    The 4-dp rounding happens entirely in INTEGER arithmetic: the score is
+    an exact rational NUM/DEN, and ``score4 = (2·NUM + DEN) DIV (2·DEN)``
+    is its half-up 4-dp value computed with integer division — float
+    round() is never applied.  Summing separately-rounded double terms (the
+    original form) lands exact-boundary values like 0.84025 on opposite
+    sides of round(.,4) in different engines (observed at sf0.1, doc 1828),
+    and even a single correctly-rounded IEEE division still produces exact
+    halves like 0.78875 on which Spark's BigDecimal HALF_UP and DuckDB's
+    C-library round() disagree.  Integer range: 2·NUM ≤ 2·10⁴·chars·words,
+    int64-safe to ~10^7 chars × 10^7 words per doc.
     """
     en_stops = STOPWORDS["en"]
     d = docs.select(
@@ -67,14 +78,21 @@ def doc_stats(docs: DataFrame) -> DataFrame:
         punct_count().alias("n_punct"),
         stopword_hits("text", en_stops).alias("n_stopwords"),
     )
-    return d.withColumn(
-        "quality_score",
-        F.round(
-            0.4 * F.least(F.lit(1.0), F.col("n_words") / F.lit(100.0))
-            + 0.3 * (F.lit(1.0) - F.col("n_punct") / F.greatest(F.col("char_len"), F.lit(1)))
-            + 0.3 * F.least(F.lit(1.0), F.col("n_stopwords") / F.greatest(F.col("n_words"), F.lit(1)) * 5.0),
-            4,
-        ),
+    m = F.least(F.col("n_words"), F.lit(100)).cast("long")
+    c_ = F.greatest(F.col("char_len"), F.lit(1)).cast("long")
+    w_ = F.greatest(F.col("n_words"), F.lit(1)).cast("long")
+    # score·10^4 = (40·m·C·W + 3000·W·(C-p) + 3000·C·min(W,5s)) / (C·W)
+    num = (
+        F.lit(40) * m * c_ * w_
+        + F.lit(3000) * w_ * (c_ - F.col("n_punct").cast("long"))
+        + F.lit(3000) * c_ * F.least(w_, F.lit(5) * F.col("n_stopwords").cast("long"))
+    )
+    den = c_ * w_
+    return (
+        d.withColumn("_qnum", num)
+        .withColumn("_qden", den)
+        .withColumn("quality_score", F.expr("(2 * _qnum + _qden) DIV (2 * _qden)") / F.lit(10000.0))
+        .drop("_qnum", "_qden")
     )
 
 
