@@ -48,6 +48,9 @@ BENCH_QUERIES = [
     "pipeline_quality_topk",
     "pipeline_decontaminate",
     "text_unigram_logprob",
+    "dedup_fuzzy_names",
+    "events_gapfill",
+    "window_balance_analytics",
     "tpch_q1",
     "tpch_q2",
     "tpch_q3",

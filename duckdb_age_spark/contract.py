@@ -789,6 +789,74 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_logprob(load(spark, sf_dir, "documents"))
 
 
+@_q(
+    "dedup_fuzzy_names",
+    """
+    WITH probes AS (SELECT c_custkey AS probe_key, c_name AS name FROM customer
+                    WHERE c_custkey % 500 = 0)
+    SELECT p.probe_key, c.c_custkey AS match_key,
+           levenshtein(p.name, c.c_name)::BIGINT AS dist
+    FROM probes p JOIN customer c
+      ON c.c_custkey != p.probe_key AND levenshtein(p.name, c.c_name) <= 1
+    """,
+)
+def dedup_fuzzy_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy record linkage: customers within levenshtein 1 of each probe
+    name.  Spark side bands by half-string pigeonhole then verifies with
+    exact levenshtein; oracle is the full quadratic join — a recall
+    mismatch (not just a score mismatch) would fail the hash."""
+    from .operators.dedup import fuzzy_name_pairs
+
+    _prep(spark)
+    cust = load(spark, sf_dir, "customer")
+    probes = cust.where(F.col("c_custkey") % 500 == 0).select(
+        F.col("c_custkey").alias("probe_key"), F.col("c_name").alias("name")
+    )
+    records = cust.select(F.col("c_custkey").alias("match_key"), F.col("c_name").alias("name"))
+    return fuzzy_name_pairs(records, probes, max_dist=1)
+
+
+@_q(
+    "events_gapfill",
+    """
+    WITH h AS (SELECT date_trunc('hour', ts) AS hr, count(*) AS n_events
+               FROM events WHERE event_type = 'signup' GROUP BY 1),
+    b AS (SELECT min(hr) AS lo, max(hr) AS hi FROM h),
+    spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hr FROM b)
+    SELECT strftime(s.hr, '%Y-%m-%d %H:00') AS hour,
+           coalesce(n_events, 0)::BIGINT AS n_events
+    FROM spine s LEFT JOIN h ON s.hr = h.hr
+    """,
+)
+def events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly gap-fill over signup events (the fixture has ~34 empty hours
+    in the 30-day span — the zero rows are real, not vacuous)."""
+    from .operators.rollup import gapfill_hourly
+
+    _prep(spark)
+    return gapfill_hourly(load(spark, sf_dir, "events"), event_type="signup")
+
+
+@_q(
+    "window_balance_analytics",
+    """
+    SELECT c_custkey, c_mktsegment, c_acctbal,
+           (ntile(4) OVER w)::BIGINT AS quartile,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cume
+    FROM customer WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def window_balance_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions (ntile / percent_rank / cume_dist) over
+    balance per segment; total order via the custkey tie-break, ratio
+    outputs unrounded (identical integer divisions in both engines)."""
+    from .operators.relational import balance_distribution_analytics
+
+    _prep(spark)
+    return balance_distribution_analytics(load(spark, sf_dir, "customer"))
+
+
 _BM25_TERMS = ["hash", "join", "vector"]
 _BM25_K1, _BM25_B, _BM25_K = 1.2, 0.75, 20
 

@@ -398,3 +398,51 @@ def keep_canonical(clusters: DataFrame) -> DataFrame:
     row set.  Shuffle-free on top of ``clusters``: the canonical doc is by
     construction the one whose id equals its cluster label."""
     return clusters.where(F.col("doc_id") == F.col("cluster_id")).select("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# fuzzy record linkage (edit-distance matching with pigeonhole banding)
+# ---------------------------------------------------------------------------
+
+
+def fuzzy_name_pairs(records: DataFrame, probes: DataFrame, max_dist: int = 1) -> DataFrame:
+    """Edit-distance record linkage: for every probe, find records whose
+    ``name`` is within levenshtein ``max_dist`` (default 1), excluding self.
+
+    Candidate generation is pigeonhole banding, not a cross join: two
+    equal-length strings within substitution distance 1 must agree on their
+    first OR second half, so each side emits two (band_id, half) keys and
+    candidates come from a hash join on them.  Exact levenshtein then
+    verifies candidates.  Complete for the substitution case (fixed-format
+    keys like the customer names here); insert/delete variants that shift
+    alignment need the classic length±1 block instead — at which point use
+    the full scan on the (small, broadcast) probe side.
+
+    Scale shape: the corpus shuffles once on the band key; probes are tiny.
+    Returns (probe_key, match_key, dist) with dist ≤ max_dist.
+    """
+    half = 9
+
+    def banded(df: DataFrame, key: str, name: str):
+        bands = F.array(
+            F.struct(F.lit(0).alias("b"), F.col("name").substr(1, half).alias("k")),
+            F.struct(F.lit(1).alias("b"), F.col("name").substr(half + 1, half).alias("k")),
+        )
+        return df.select(
+            F.col(key).alias(f"{key}_out"), F.col("name"), F.explode(bands).alias("bk")
+        ).select(
+            F.col(f"{key}_out").alias(key), F.col("name").alias(name), "bk"
+        )
+
+    a = banded(probes, "probe_key", "probe_name")
+    b = banded(records, "match_key", "match_name")
+    cand = (
+        a.join(b, "bk")
+        .where(F.col("probe_key") != F.col("match_key"))
+        .dropDuplicates(["probe_key", "match_key"])
+    )
+    return (
+        cand.withColumn("dist", F.levenshtein("probe_name", "match_name"))
+        .where(F.col("dist") <= max_dist)
+        .select("probe_key", "match_key", F.col("dist").cast("bigint").alias("dist"))
+    )

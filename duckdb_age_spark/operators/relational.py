@@ -583,3 +583,24 @@ def order_gap_stats(orders: DataFrame) -> DataFrame:
         )
         .orderBy("o_custkey")
     )
+
+
+def balance_distribution_analytics(customers):
+    """Distribution window functions over account balance per market segment:
+    quartile (ntile), percent_rank, cume_dist — the §2b window-function
+    breadth beyond rank/row_number.  The ORDER BY includes c_custkey so the
+    order is total and every rank-family value is engine-deterministic; the
+    two ratio outputs are emitted UNROUNDED (each engine divides the same
+    two integers — identical doubles; float round() of computed doubles is
+    banned from oracle-compared columns, see operators/text.py)."""
+    from pyspark.sql import Window, functions as F
+
+    w = Window.partitionBy("c_mktsegment").orderBy(F.asc("c_acctbal"), F.asc("c_custkey"))
+    return customers.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.col("c_acctbal"),
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )

@@ -84,3 +84,33 @@ def priority_status_cube(orders: DataFrame) -> DataFrame:
             F.col("o_orderpriority").asc_nulls_first(), F.col("o_orderstatus").asc_nulls_first()
         )
     )
+
+
+def gapfill_hourly(events, event_type: str = "signup"):
+    """Time-series gap filling: hourly counts of one event type with MISSING
+    hours materialized as zero rows — the hypertable `time_bucket_gapfill`
+    analog.  The hour spine is generated with sequence() between the
+    observed min/max (a 1-row broadcast), exploded, and left-joined to the
+    actual counts; no UDFs, no driver-side loop.
+
+    Scale shape: the spine is tiny (hours between bounds) while the counts
+    aggregation is the only corpus-sized shuffle; the spine join broadcasts.
+    """
+    from pyspark.sql import functions as F
+
+    h = (
+        events.where(F.col("event_type") == event_type)
+        .groupBy(F.date_trunc("hour", "ts").alias("hr"))
+        .agg(F.count("*").alias("n_events"))
+    )
+    bounds = h.agg(F.min("hr").alias("lo"), F.max("hr").alias("hi"))
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("hr")
+    )
+    return (
+        spine.join(h, "hr", "left")
+        .select(
+            F.date_format("hr", "yyyy-MM-dd HH:00").alias("hour"),
+            F.coalesce("n_events", F.lit(0)).cast("bigint").alias("n_events"),
+        )
+    )

@@ -434,3 +434,41 @@ def test_unigram_logprob_orders_common_above_rare(spark):
     )
     got = {r.doc_id: r.mean_logprob for r in unigram_logprob(docs).collect()}
     assert got[1] > got[2]  # frequent-token doc scores higher (less negative)
+
+
+def test_fuzzy_name_pairs_banding_recall(spark):
+    """Pigeonhole banding must catch a substitution in EITHER half of the
+    string, and exact levenshtein must exclude distance-2 candidates that
+    happen to share a band."""
+    from duckdb_age_spark.operators.dedup import fuzzy_name_pairs
+
+    rows = [
+        (1, "ABCDEFGHIJKLMNOPQR"),
+        (2, "XBCDEFGHIJKLMNOPQR"),  # sub in first half → shares second half
+        (3, "ABCDEFGHIJKLMNOPQX"),  # sub in second half → shares first half
+        (4, "XBCDEFGHIJKLMNOPQX"),  # distance 2 from 1 (shares NO half with 1)
+        (5, "ABCDEFGHIXXLMNOPQR"),  # distance 2, shares first half with 1
+    ]
+    df = spark.createDataFrame(rows, "k long, name string")
+    probes = df.where("k = 1").selectExpr("k AS probe_key", "name")
+    records = df.selectExpr("k AS match_key", "name")
+    got = {(r.probe_key, r.match_key): r.dist for r in fuzzy_name_pairs(records, probes).collect()}
+    assert got == {(1, 2): 1, (1, 3): 1}
+
+
+def test_gapfill_hourly_zero_rows_are_real(spark, events):
+    from duckdb_age_spark.operators.rollup import gapfill_hourly
+
+    out = gapfill_hourly(events, event_type="signup").collect()
+    hours = [r.hour for r in out]
+    assert len(hours) == len(set(hours))  # one row per hour, no dups
+    n_zero = sum(1 for r in out if r.n_events == 0)
+    nonzero = sum(r.n_events for r in out)
+    assert nonzero == events.where("event_type = 'signup'").count()
+    # spine is contiguous: count matches the hour span between bounds
+    import datetime as dt
+
+    lo = dt.datetime.strptime(min(hours), "%Y-%m-%d %H:%M")
+    hi = dt.datetime.strptime(max(hours), "%Y-%m-%d %H:%M")
+    assert len(hours) == int((hi - lo).total_seconds() // 3600) + 1
+    assert n_zero >= 0
