@@ -353,21 +353,21 @@ def connected_components(
             .groupBy("node")
             .agg(F.min("label").alias("nlabel"))
         )
-        new_labels = (
+        # One job per round: the update carries its own changed flag (label
+        # updates are monotone decreasing, so changed ⇔ nlabel < label), the
+        # checkpoint is lazy, and the convergence aggregate is the action
+        # that materializes it — no separate checkpoint job, no extra join.
+        upd = (
             labels.join(neigh_min, labels.id == F.col("node"), "left")
             .select(
                 "id",
                 F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias("label"),
+                (F.coalesce(F.col("nlabel"), F.col("label")) < F.col("label")).cast("long").alias("chg"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = upd.agg(F.sum("chg")).first()[0] or 0  # None on an empty graph
+        labels = upd.select("id", "label")
         if changed == 0:
             break
     singletons = nodes.join(touched, "id", "left_anti").select(

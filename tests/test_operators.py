@@ -472,3 +472,12 @@ def test_gapfill_hourly_zero_rows_are_real(spark, events):
     hi = dt.datetime.strptime(max(hours), "%Y-%m-%d %H:%M")
     assert len(hours) == int((hi - lo).total_seconds() // 3600) + 1
     assert n_zero >= 0
+
+
+def test_connected_components_empty_edges_all_singletons(spark):
+    from duckdb_age_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame([], "src long, dst long")
+    nodes = spark.createDataFrame([(1,), (2,)], "id long")
+    got = {r.id: r.cluster_id for r in connected_components(edges, nodes).collect()}
+    assert got == {1: 1, 2: 2}
