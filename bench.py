@@ -51,6 +51,9 @@ BENCH_QUERIES = [
     "dedup_fuzzy_names",
     "events_gapfill",
     "window_balance_analytics",
+    "stats_price_histogram",
+    "stats_corr_exact",
+    "pipeline_vocab_topk",
     "tpch_q1",
     "tpch_q2",
     "tpch_q3",

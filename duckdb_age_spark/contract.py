@@ -12,6 +12,12 @@ tables.  Design rules that keep the two engines value-identical:
   way on both sides); Spark session TZ pinned to UTC in the callables;
 * every hash is md5 (bit-identical in DuckDB); min over hex strings is
   lexicographic in both engines.
+* double→int conversion must go through an explicit round(): CAST truncates
+  in Spark but rounds in DuckDB, so `price*100` cents diverge without it
+  (caught by stats_corr_exact); float round() of engine-computed doubles is
+  likewise banned from compared columns — round in integer arithmetic
+  (quality_score) or emit the unrounded double of identical IEEE ops on
+  identical exact integers (corr_exact, percent_rank).
 """
 
 from __future__ import annotations
@@ -787,6 +793,73 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _prep(spark)
     return unigram_logprob(load(spark, sf_dir, "documents"))
+
+
+@_q(
+    "stats_price_histogram",
+    """
+    WITH c AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders)
+    SELECT (cents // 2500000)::BIGINT AS bucket, count(*)::BIGINT AS n_orders,
+           sum(cents) / 100.0 AS revenue
+    FROM c GROUP BY 1
+    """,
+)
+def stats_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width ($25k) histogram of order totals — all-integer bucketing
+    and exact cent sums (no float sums in compared columns)."""
+    from .operators.stats import price_histogram
+
+    _prep(spark)
+    return price_histogram(load(spark, sf_dir, "orders"))
+
+
+@_q(
+    "stats_corr_exact",
+    """
+    WITH d AS (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS x,
+                      CAST(round(l_extendedprice * 100) AS BIGINT) AS y FROM lineitem),
+    s AS (SELECT l_returnflag, count(*)::DOUBLE AS n,
+                 sum(x)::DOUBLE AS sx, sum(y)::DOUBLE AS sy,
+                 sum(x*x)::DOUBLE AS sxx, sum(y*y)::DOUBLE AS syy,
+                 sum(x*y)::DOUBLE AS sxy
+          FROM d GROUP BY 1)
+    SELECT l_returnflag,
+           (n*sxy - sx*sy) / (sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy)) AS corr_xy
+    FROM s
+    """,
+)
+def stats_corr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson corr(quantity, price) per returnflag from EXACT integer
+    sufficient statistics — built-in corr() accumulates doubles in
+    partition order and diverges across engines in the last ulp."""
+    from .operators.stats import corr_exact
+
+    _prep(spark)
+    li = load(spark, sf_dir, "lineitem")
+    return corr_exact(
+        li,
+        "l_returnflag",
+        F.col("l_quantity").cast("long"),
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long"),
+    )
+
+
+@_q(
+    "pipeline_vocab_topk",
+    r"""
+    WITH toks AS (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+                  FROM documents),
+    v AS (SELECT tok, count(*) AS c FROM toks GROUP BY 1)
+    SELECT tok, c::BIGINT AS n, row_number() OVER (ORDER BY c DESC, tok)::BIGINT AS rk
+    FROM v QUALIFY rk <= 100
+    """,
+)
+def pipeline_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary top-100 by corpus frequency (tokenizer-training prep)."""
+    from .operators.pipeline import vocab_topk
+
+    _prep(spark)
+    return vocab_topk(load(spark, sf_dir, "documents"), k=100)
 
 
 @_q(

@@ -166,3 +166,23 @@ def unigram_logprob(docs: DataFrame) -> DataFrame:
         .agg(F.round(F.avg(F.log(F.col("c") / F.col("total"))), 3).alias("mean_logprob"))
     )
     return scored.select("doc_id", "mean_logprob")
+
+
+def vocab_topk(docs: DataFrame, k: int = 100) -> DataFrame:
+    """Vocabulary construction: top-k tokens by corpus frequency (ties by
+    token) — the first step of tokenizer training.  One map-side-combined
+    count shuffle; the top-k compiles to a rank pushdown, so executors ship
+    only their local top-k candidates."""
+    from pyspark.sql import Window
+
+    words = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    return (
+        docs.select(F.explode(words).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("n"))
+        .withColumn(
+            "rk", F.row_number().over(Window.orderBy(F.desc("n"), F.asc("tok")))
+        )
+        .where(F.col("rk") <= k)
+        .select("tok", F.col("n").cast("bigint"), F.col("rk").cast("bigint"))
+    )
