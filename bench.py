@@ -54,6 +54,8 @@ BENCH_QUERIES = [
     "stats_price_histogram",
     "stats_corr_exact",
     "pipeline_vocab_topk",
+    "setops_full_outer_reconcile",
+    "events_session_window",
     "tpch_q1",
     "tpch_q2",
     "tpch_q3",

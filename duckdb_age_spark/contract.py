@@ -796,6 +796,89 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "setops_full_outer_reconcile",
+    """
+    WITH a AS (SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+               FROM orders WHERE o_orderkey % 3 = 0),
+         b AS (SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+               FROM orders WHERE o_orderkey % 2 = 0)
+    SELECT CASE WHEN a.o_orderkey IS NULL THEN 'right_only'
+                WHEN b.o_orderkey IS NULL THEN 'left_only'
+                ELSE 'both' END AS status,
+           count(*)::BIGINT AS n,
+           sum(coalesce(a.cents, b.cents)) / 100.0 AS total
+    FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def setops_full_outer_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER JOIN reconciliation (the host-engine join type not covered
+    by the TPC-H shapes): two overlapping order subsets classified into
+    both / left_only / right_only with exact cent totals."""
+    _prep(spark)
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents")
+    )
+    a = o.where(F.col("o_orderkey") % 3 == 0).select(
+        F.col("o_orderkey").alias("a_key"), F.col("cents").alias("a_cents")
+    )
+    b = o.where(F.col("o_orderkey") % 2 == 0).select(
+        F.col("o_orderkey").alias("b_key"), F.col("cents").alias("b_cents")
+    )
+    joined = a.join(b, a.a_key == b.b_key, "full_outer")
+    status = (
+        F.when(F.col("a_key").isNull(), F.lit("right_only"))
+        .when(F.col("b_key").isNull(), F.lit("left_only"))
+        .otherwise(F.lit("both"))
+    )
+    return (
+        joined.groupBy(status.alias("status"))
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            (F.sum(F.coalesce("a_cents", "b_cents")) / F.lit(100.0)).alias("total"),
+        )
+        .orderBy("status")
+    )
+
+
+@_q(
+    "events_session_window",
+    """
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts)
+                       > 1800 OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events),
+    numbered AS (
+      SELECT user_id, ts,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sess
+      FROM marked)
+    SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           count(*)::BIGINT AS n_events
+    FROM numbered GROUP BY user_id, sess
+    """,
+)
+def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native ``session_window`` (dynamic gap-close windows) as the batch
+    sessionizer — same session boundaries as the lag-based islands approach
+    (the oracle computes it that way), but expressed as a first-class
+    group-by window, which is also the Structured Streaming form."""
+    _prep(spark)
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count("*").cast("bigint").alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+@_q(
     "stats_price_histogram",
     """
     WITH c AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders)
