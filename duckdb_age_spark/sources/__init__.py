@@ -7,8 +7,16 @@
   encrypt-on-write pipelines (reference: FUNCTIONS.md pipeline examples).
 """
 
-from .tables import read_table
+from .compact import compact_parquet, parquet_data_size
 from .encrypted import read_encrypted, write_encrypted
+from .tables import read_table
 from .upsert import upsert_parquet
 
-__all__ = ["read_table", "read_encrypted", "write_encrypted"]
+__all__ = [
+    "compact_parquet",
+    "parquet_data_size",
+    "read_encrypted",
+    "read_table",
+    "upsert_parquet",
+    "write_encrypted",
+]

@@ -261,6 +261,18 @@ def stream_to_encrypted_parquet(
     )
 
 
+def enrich_stream_with_dim(stream_df: DataFrame, dim: DataFrame, on: str) -> DataFrame:
+    """Stream-static join: enrich a stream with a (slowly-changing) dimension
+    table.  The static side is re-read per micro-batch by Spark, so dim
+    updates between batches are picked up automatically; with a small dim
+    the join planner broadcasts it — no stream-side shuffle and no state
+    store at all (unlike stream-stream joins, a static join needs no
+    watermark bookkeeping)."""
+    from pyspark.sql import functions as F
+
+    return stream_df.join(F.broadcast(dim), on)
+
+
 def stream_to_keyed_upsert(
     stream_df: DataFrame,
     path: str,

@@ -481,3 +481,19 @@ def test_connected_components_empty_edges_all_singletons(spark):
     nodes = spark.createDataFrame([(1,), (2,)], "id long")
     got = {r.id: r.cluster_id for r in connected_components(edges, nodes).collect()}
     assert got == {1: 1, 2: 2}
+
+
+def test_compact_parquet_reduces_files_preserves_rows(spark, tmp_path, events):
+    import glob
+
+    from duckdb_age_spark.sources import compact_parquet
+
+    path = str(tmp_path / "frag")
+    events.repartition(24).write.parquet(path)
+    before = len(glob.glob(path + "/*.parquet"))
+    n = events.count()
+    written = compact_parquet(spark, path, target_file_bytes=1 << 30)
+    after = len(glob.glob(path + "/*.parquet"))
+    assert before == 24 and written == 1 and after == 1
+    assert spark.read.parquet(path).count() == n
+    assert not glob.glob(path + "._*")

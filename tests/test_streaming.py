@@ -275,3 +275,24 @@ def test_stream_to_keyed_upsert_collapses_redeliveries(spark, sf_dir, batch_even
     g = {r.event_id: r.event_type for r in got.collect()}
     e = {r.event_id: r.event_type for r in batch_events.collect()}
     assert g == e
+
+
+def test_enrich_stream_with_dim_matches_batch(spark, sf_dir, batch_events):
+    from duckdb_age_spark.streaming import enrich_stream_with_dim, run_available_now, stream_events
+
+    dim = spark.createDataFrame(
+        [("view", "browse"), ("click", "browse"), ("purchase", "convert"),
+         ("signup", "convert"), ("error", "ops")],
+        "event_type string, category string",
+    )
+    out = run_available_now(
+        enrich_stream_with_dim(stream_events(spark, sf_dir), dim, "event_type")
+        .groupBy("category").count(),
+        output_mode="complete",
+    )
+    got = {r.category: r["count"] for r in out.collect()}
+    exp = {
+        r.category: r["count"]
+        for r in batch_events.join(dim, "event_type").groupBy("category").count().collect()
+    }
+    assert got == exp and len(got) == 3
