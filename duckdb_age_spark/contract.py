@@ -572,6 +572,7 @@ def streaming_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = run_available_now(
         windowed_counts_stream(stream_events(spark, sf_dir), window="1 hour"),
         output_mode="complete",
+        shuffle_partitions=8,  # state-store commit cost, see run_available_now
     )
     return out.select(
         F.col("window_start").cast("long").alias("window_sec"),
@@ -598,7 +599,9 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _prep(spark)
     out = run_available_now(
-        dedup_stream(stream_duplicated_events(spark, sf_dir)), output_mode="append"
+        dedup_stream(stream_duplicated_events(spark, sf_dir)),
+        output_mode="append",
+        shuffle_partitions=8,
     )
     return (
         out.groupBy("event_type")
@@ -631,6 +634,7 @@ def streaming_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = run_available_now(
         view_purchase_join_stream(stream_events(spark, sf_dir), within="1 hour"),
         output_mode="append",
+        shuffle_partitions=8,
     )
     return out.select(
         "user_id", "view_id", "purchase_id", "purchase_value"
