@@ -56,6 +56,7 @@ BENCH_QUERIES = [
     "pipeline_vocab_topk",
     "setops_full_outer_reconcile",
     "events_session_window",
+    "sink_schema_evolution",
     "tpch_q1",
     "tpch_q2",
     "tpch_q3",

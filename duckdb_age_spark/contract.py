@@ -800,6 +800,46 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "sink_schema_evolution",
+    """
+    WITH v1 AS (SELECT c_custkey, c_mktsegment, CAST(NULL AS BOOLEAN) AS vip
+                FROM customer WHERE c_custkey % 2 = 0),
+         v2 AS (SELECT c_custkey, c_mktsegment, c_acctbal > 5000 AS vip
+                FROM customer WHERE c_custkey % 2 = 1),
+         merged AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+    SELECT c_mktsegment,
+           count(*)::BIGINT AS n_rows,
+           sum(CASE WHEN vip IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_legacy,
+           sum(CASE WHEN vip THEN 1 ELSE 0 END)::BIGINT AS n_vip
+    FROM merged GROUP BY 1 ORDER BY 1
+    """,
+)
+def sink_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet schema evolution (the ALTER TABLE ADD COLUMN analog): v1
+    files lack the ``vip`` column, v2 files carry it; a mergeSchema read
+    must surface v1 rows with NULL vip and v2 rows with real values."""
+    _prep(spark)
+    path = _scratch("schema_evo", sf_dir)
+    cust = load(spark, sf_dir, "customer")
+    cust.where(F.col("c_custkey") % 2 == 0).select("c_custkey", "c_mktsegment").write.mode(
+        "append"
+    ).parquet(path)
+    cust.where(F.col("c_custkey") % 2 == 1).select(
+        "c_custkey", "c_mktsegment", (F.col("c_acctbal") > 5000).alias("vip")
+    ).write.mode("append").parquet(path)
+    merged = spark.read.option("mergeSchema", True).parquet(path)
+    return (
+        merged.groupBy("c_mktsegment")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum(F.col("vip").isNull().cast("long")).cast("bigint").alias("n_legacy"),
+            F.sum(F.when(F.col("vip"), 1).otherwise(0)).cast("bigint").alias("n_vip"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@_q(
     "setops_full_outer_reconcile",
     """
     WITH a AS (SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents

@@ -248,3 +248,36 @@ def test_connected_components_round_is_bounded_shuffles(t, spark):
     # post-convergence frame reads from the checkpointed RDD: the iterative
     # lineage must NOT accumulate (the whole point of localCheckpoint)
     assert "Scan ExistingRDD" in formatted_plan(out), formatted_plan(out)
+
+
+def test_decontaminate_broadcasts_eval_grams(t):
+    from duckdb_age_spark.operators.pipeline import ngram_decontaminate
+
+    docs = t["documents"]
+    df = ngram_decontaminate(docs, docs.where("doc_id % 50 = 0"), n=5)
+    plan = formatted_plan(df)
+    assert has_broadcast_join(df), plan            # eval grams broadcast
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert has_partial_aggregate(df)               # per-doc hit count map-side combined
+
+
+def test_gapfill_spine_join_broadcasts(t):
+    from duckdb_age_spark.operators.rollup import gapfill_hourly
+
+    df = gapfill_hourly(t["events"])
+    # tiny hour spine joins the hourly counts without reshuffling them
+    assert has_broadcast_join(df), formatted_plan(df)
+
+
+def test_corr_exact_single_partial_aggregated_shuffle(t, spark):
+    from pyspark.sql import functions as F
+
+    from duckdb_age_spark.operators.stats import corr_exact
+
+    df = corr_exact(
+        t["lineitem"], "l_returnflag",
+        F.col("l_quantity").cast("long"),
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long"),
+    )
+    assert has_partial_aggregate(df)
+    assert count_exchanges(df) <= 1, formatted_plan(df)
