@@ -57,6 +57,8 @@ BENCH_QUERIES = [
     "setops_full_outer_reconcile",
     "events_session_window",
     "sink_schema_evolution",
+    "graph_pagerank",
+    "layout_zorder_stats",
     "tpch_q1",
     "tpch_q2",
     "tpch_q3",

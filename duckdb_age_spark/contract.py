@@ -799,6 +799,83 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_logprob(load(spark, sf_dir, "documents"))
 
 
+_PR_SCALE = 10**12
+_PR_EDGES_SQL = """
+    SELECT DISTINCT l_suppkey + 1000000 AS src, o_custkey AS dst
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+"""
+
+
+def _pagerank_oracle(n_iter: int = 3) -> str:
+    ctes = [
+        f"edges AS ({_PR_EDGES_SQL})",
+        "nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges)",
+        "params AS (SELECT count(*) AS n FROM nodes)",
+        "outdeg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1)",
+        f"r0 AS (SELECT node, ({_PR_SCALE} // n)::BIGINT AS rank FROM nodes CROSS JOIN params)",
+    ]
+    for i in range(1, n_iter + 1):
+        ctes.append(
+            f"c{i} AS (SELECT dst, sum(rank // deg) AS s FROM edges "
+            f"JOIN r{i-1} ON src = node JOIN outdeg USING (src) GROUP BY dst)"
+        )
+        ctes.append(
+            f"r{i} AS (SELECT node, ((15 * {_PR_SCALE}) // (100 * n) "
+            f"+ (85 * coalesce(s, 0)) // 100)::BIGINT AS rank "
+            f"FROM nodes CROSS JOIN params LEFT JOIN c{i} ON node = dst)"
+        )
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT node, rank FROM r{n_iter}"
+
+
+def _zorder_oracle(bits: int = 10, file_bits: int = 6) -> str:
+    interleave = " + ".join(
+        f"(((x >> {i}) & 1) << {2 * i}) + (((y >> {i}) & 1) << {2 * i + 1})"
+        for i in range(bits)
+    )
+    return f"""
+    WITH d AS (
+      SELECT (o_custkey % {1 << bits})::BIGINT AS x,
+             (CAST(round(o_totalprice * 100) AS BIGINT) // 5000000 % {1 << bits})::BIGINT AS y
+      FROM orders),
+    coded AS (SELECT x, y, ({interleave})::BIGINT AS z FROM d)
+    SELECT (z // {1 << (2 * bits - file_bits)})::BIGINT AS z_file,
+           count(*)::BIGINT AS n_rows,
+           min(x)::BIGINT AS min_cust, max(x)::BIGINT AS max_cust,
+           min(y)::BIGINT AS min_price_bucket, max(y)::BIGINT AS max_price_bucket
+    FROM coded GROUP BY 1
+    """
+
+
+@_q("layout_zorder_stats", _zorder_oracle())
+def layout_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout assignment over (customer, price-bucket) with
+    the per-file min/max skipping index — the multi-dimensional clustering
+    a 100 TB table uses so predicates on EITHER dimension prune files."""
+    from .operators.graph import zorder_layout_stats
+
+    _prep(spark)
+    return zorder_layout_stats(load(spark, sf_dir, "orders"))
+
+
+@_q("graph_pagerank", _pagerank_oracle())
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point PageRank (3 unrolled iterations) over the supplier→
+    customer bipartite graph derived from lineitem⋈orders.  All-integer
+    arithmetic makes the distributed iteration bit-exact against the
+    oracle's unrolled CTE chain — float PageRank could never hash-match."""
+    from .operators.graph import pagerank_exact
+
+    _prep(spark)
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select((F.col("l_suppkey") + 1_000_000).alias("src"), F.col("o_custkey").alias("dst"))
+        .distinct()
+    )
+    return pagerank_exact(edges, n_iter=3)
+
+
 @_q(
     "sink_schema_evolution",
     """

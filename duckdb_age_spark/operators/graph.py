@@ -1,0 +1,104 @@
+"""Graph operators over derived relational graphs.
+
+PageRank here is the 'iterative distributed algorithm' counterpart to
+connected components (dedup.py) and Lloyd k-means (similarity.py), with one
+extra discipline: ALL arithmetic is fixed-point integer.  Floating-point
+PageRank sums contributions in partition order, so two engines (or two
+runs) disagree in the last ulp; with ranks scaled to integers and integer
+division everywhere, every iteration is bit-exact in any engine — which is
+what lets a DuckDB oracle verify a distributed Spark computation hash-for-
+hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+SCALE = 10**12
+
+
+def pagerank_exact(
+    edges: DataFrame, n_iter: int = 3, damping_pct: int = 85
+) -> DataFrame:
+    """Fixed-point PageRank over a directed edge list (src, dst).
+
+    rank₀(v) = SCALE ÷ N; each iteration
+        rank'(v) = (15·SCALE) ÷ (100·N) + (85 · Σ_{u→v} rank(u) ÷ outdeg(u)) ÷ 100
+    with every ÷ an integer division — deterministic at any partitioning.
+    Dangling-node mass is dropped (the standard simplification; determinism
+    is unaffected because the same rule runs in the oracle).
+
+    Scale shape: per iteration one join (ranks⋈edges, broadcast-or-shuffle
+    by AQE) and one map-side-combined sum shuffle keyed by dst — identical
+    to the classic Pregel formulation; lineage stays flat because the
+    iteration count is small and fixed (unrolled, no checkpoint needed).
+    Returns (node, rank) with rank in SCALE units.
+    """
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionAll(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    n = nodes.count()  # one scalar to the driver; fixed for the run
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    base = SCALE * 15 // (100 * n)
+    ranks = nodes.select("node", F.lit(SCALE // n).cast("long").alias("rank"))
+    for _ in range(n_iter):
+        contrib = (
+            edges.join(ranks, edges.src == ranks.node)
+            .join(outdeg, "src")
+            .select("dst", F.expr("rank DIV deg").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes.node == contrib.dst, "left")
+            .select(
+                "node",
+                (F.lit(base) + F.expr(f"({damping_pct} * coalesce(s, 0)) DIV 100")).cast("long").alias("rank"),
+            )
+        )
+    return ranks
+
+
+def morton_code(x, y, bits: int = 10):
+    """Interleave the low ``bits`` of two integer columns into a Z-order
+    (Morton) code — pure integer bit arithmetic, identical in any engine."""
+    z = F.lit(0)
+    for i in range(bits):
+        z = (
+            z
+            + F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i)
+            + F.shiftleft(F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    return z
+
+
+def zorder_layout_stats(orders: DataFrame, bits: int = 10, file_bits: int = 6) -> DataFrame:
+    """Z-order data-layout assignment + locality report.
+
+    Multi-dimensional clustering for scan pruning: rows sorted by the Morton
+    code of (customer, price-bucket) land in files whose min/max ranges are
+    TIGHT in BOTH dimensions, so a predicate on either column prunes most
+    files — the technique behind Delta/Iceberg Z-ordering, expressed as
+    plain integer arithmetic.  Returns one row per z-file: row count and
+    min/max of each dimension (the file-skipping index a 100 TB table would
+    persist).  Everything is exact integer math, oracle-verifiable.
+    """
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    x = (F.col("o_custkey") % (1 << bits)).cast("long")
+    y = F.expr(f"CAST(round(o_totalprice * 100) AS BIGINT) DIV 5000000 % {1 << bits}").cast("long")
+    z = morton_code(x, y, bits)
+    zfile = F.expr(f"z DIV {1 << (2 * bits - file_bits)}")
+    return (
+        orders.select(x.alias("x"), y.alias("y"), z.alias("z"), cents.alias("cents"))
+        .withColumn("z_file", zfile.cast("long"))
+        .groupBy("z_file")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.min("x").cast("bigint").alias("min_cust"),
+            F.max("x").cast("bigint").alias("max_cust"),
+            F.min("y").cast("bigint").alias("min_price_bucket"),
+            F.max("y").cast("bigint").alias("max_price_bucket"),
+        )
+    )

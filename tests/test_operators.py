@@ -497,3 +497,38 @@ def test_compact_parquet_reduces_files_preserves_rows(spark, tmp_path, events):
     assert before == 24 and written == 1 and after == 1
     assert spark.read.parquet(path).count() == n
     assert not glob.glob(path + "._*")
+
+
+def test_morton_code_locality(spark):
+    """Morton bit-interleave: verify against a direct Python computation and
+    the locality property (nearby (x,y) → nearby z)."""
+    from duckdb_age_spark.operators.graph import morton_code
+
+    def py_morton(x, y, bits=10):
+        z = 0
+        for i in range(bits):
+            z += ((x >> i) & 1) << (2 * i)
+            z += ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    rows = [(x, y) for x in (0, 1, 5, 512, 1023) for y in (0, 3, 700, 1023)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    got = {
+        (r.x, r.y): r.z
+        for r in df.select("x", "y", morton_code(F.col("x"), F.col("y")).alias("z")).collect()
+    }
+    assert got == {(x, y): py_morton(x, y) for x, y in rows}
+
+
+def test_pagerank_exact_properties(spark):
+    """Rank mass flows to high-in-degree nodes; sum of ranks stays near
+    SCALE minus dangling leakage; deterministic across runs."""
+    from duckdb_age_spark.operators.graph import SCALE, pagerank_exact
+
+    # star: 1,2,3 all point to 9; plus 9 -> 1 so node 9 is not dangling
+    edges = spark.createDataFrame([(1, 9), (2, 9), (3, 9), (9, 1)], "src long, dst long")
+    a = {r.node: r.rank for r in pagerank_exact(edges, n_iter=3).collect()}
+    b = {r.node: r.rank for r in pagerank_exact(edges, n_iter=3).collect()}
+    assert a == b
+    assert a[9] == max(a.values()) and a[9] > a[2] == a[3]
+    assert 0 < sum(a.values()) <= SCALE
