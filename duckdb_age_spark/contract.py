@@ -2908,9 +2908,10 @@ _PRIORITY_50 = [
     "events_tumbling",
     "events_sessions",
     "events_props",
-    "events_funnel",
-    "cube_priority_status",
     "order_gaps",
+    # iterative graph + data layout
+    "graph_pagerank",
+    "layout_zorder_stats",
     # relational core (representatives; full TPC-H still oracle-checked locally)
     "tpch_q1",
     "tpch_q3",

@@ -140,8 +140,9 @@ def test_priority_50_covers_every_operator_family():
         "dedup": ["dedup_exact", "dedup_minhash_pairs", "dedup_embedding_pairs"],
         "similarity": ["sim_topk_bruteforce", "sim_topk_lsh", "sim_topk_kmeans"],
         "grouped_map": ["grouped_map_zscore"],
-        "events": ["events_tumbling", "events_sessions", "events_funnel"],
-        "window_cube": ["cube_priority_status", "order_gaps"],
+        "events": ["events_tumbling", "events_sessions", "events_props"],
+        "window_cube": ["order_gaps"],
+        "graph_layout": ["graph_pagerank", "layout_zorder_stats"],
         "relational": ["tpch_q1", "tpch_q3", "tpch_q6", "tpch_q13"],
         "skew": ["skew_salted_join"],
         "stats": ["quantiles_exact", "pivot_priority_by_flag", "sketch_approx_distinct"],
