@@ -59,6 +59,7 @@ BENCH_QUERIES = [
     "sink_schema_evolution",
     "graph_pagerank",
     "layout_zorder_stats",
+    "pipeline_bpe_pairs",
     "tpch_q1",
     "tpch_q2",
     "tpch_q3",

@@ -1067,6 +1067,26 @@ def pipeline_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "pipeline_bpe_pairs",
+    r"""
+    WITH w AS (SELECT string_split_regex(lower(trim(text)), '\s+') AS ws FROM documents),
+    p AS (SELECT unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i + 1])) AS pair
+          FROM w),
+    v AS (SELECT pair, count(*) AS c FROM p GROUP BY 1)
+    SELECT pair, c::BIGINT AS n, row_number() OVER (ORDER BY c DESC, pair)::BIGINT AS rk
+    FROM v QUALIFY rk <= 50
+    """,
+)
+def pipeline_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge-step statistics: top-50 adjacent token pairs by corpus
+    frequency (the aggregate each BPE training round runs)."""
+    from .operators.pipeline import bpe_pair_stats
+
+    _prep(spark)
+    return bpe_pair_stats(load(spark, sf_dir, "documents"), k=50)
+
+
+@_q(
     "dedup_fuzzy_names",
     """
     WITH probes AS (SELECT c_custkey AS probe_key, c_name AS name FROM customer

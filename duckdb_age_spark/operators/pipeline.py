@@ -186,3 +186,32 @@ def vocab_topk(docs: DataFrame, k: int = 100) -> DataFrame:
         .where(F.col("rk") <= k)
         .select("tok", F.col("n").cast("bigint"), F.col("rk").cast("bigint"))
     )
+
+
+def bpe_pair_stats(docs: DataFrame, k: int = 50) -> DataFrame:
+    """First merge step of BPE tokenizer training: frequency of ADJACENT
+    token pairs across the corpus, top-k by count (ties by pair).
+
+    The pair list per doc is built with ``zip_with`` over the token array
+    and its shifted self (JVM-side, no Python); one map-side-combined count
+    shuffle; rank pushdown for the top-k.  Iterating this (merge the top
+    pair, re-tokenize, repeat) is full BPE training — each round is this
+    same aggregate, which is why the single step is the representative
+    scale unit.
+    """
+    from pyspark.sql import Window
+
+    words = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    pairs = F.zip_with(
+        F.slice(words, 1, F.greatest(F.size(words) - 1, F.lit(0))),
+        F.slice(words, 2, F.greatest(F.size(words) - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    return (
+        docs.select(F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count("*").alias("n"))
+        .withColumn("rk", F.row_number().over(Window.orderBy(F.desc("n"), F.asc("pair"))))
+        .where(F.col("rk") <= k)
+        .select("pair", F.col("n").cast("bigint"), F.col("rk").cast("bigint"))
+    )
