@@ -63,6 +63,7 @@ BENCH_QUERIES = [
     "tpch_q1",
     "tpch_q2",
     "tpch_q3",
+    "tpch_q4",
     "tpch_q5",
     "tpch_q6",
     "tpch_q7",

@@ -1970,6 +1970,24 @@ def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "tpch_q4",
+    """
+    SELECT o_orderpriority, count(*)::BIGINT AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-07-01' AND o_orderdate < TIMESTAMP '1996-10-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.relational import q4_order_priority
+
+    _prep(spark)
+    return q4_order_priority(load(spark, sf_dir, "orders"), load(spark, sf_dir, "lineitem"))
+
+
+@_q(
     "tpch_q5",
     """
     SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue

@@ -122,6 +122,33 @@ def order_priority_counts(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
     )
 
 
+def q4_order_priority(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q4 literal: date-windowed orders + correlated EXISTS on lineitem.
+
+    The canonical predicate (l_commitdate < l_receiptdate) uses columns the
+    synthetic corpus lacks; the late-delivery analog here (l_shipdate after
+    the order date) keeps Q4's exact plan shape — a correlated non-equi
+    EXISTS, which Spark plans as a left_semi join on the orderkey equi-key
+    with the date comparison as a residual, so the (huge) lineitem side is
+    never materialized and the orders date filter reaches the scan.
+    """
+    windowed = orders.where(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    return (
+        windowed.join(
+            lineitem.select("l_orderkey", "l_shipdate"),
+            (F.col("o_orderkey") == F.col("l_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
 def q7_volume_shipping(
     supplier: DataFrame,
     lineitem: DataFrame,

@@ -281,3 +281,17 @@ def test_corr_exact_single_partial_aggregated_shuffle(t, spark):
     )
     assert has_partial_aggregate(df)
     assert count_exchanges(df) <= 1, formatted_plan(df)
+
+
+def test_q4_semi_join_with_pushed_date_window(t):
+    from duckdb_age_spark.operators.relational import q4_order_priority
+
+    df = q4_order_priority(t["orders"], t["lineitem"])
+    plan = formatted_plan(df)
+    # EXISTS becomes a semi join (lineitem never materialized into the result)
+    assert "LeftSemi" in plan, plan
+    # the orders date window reaches the parquet scan
+    assert any("o_orderdate" in p for p in pushed_filters(df)), pushed_filters(df)
+    # lineitem scan reads only the join/residual columns
+    schemas = read_schemas(df)
+    assert any("l_shipdate" in s and "l_extendedprice" not in s for s in schemas), schemas
