@@ -2923,17 +2923,19 @@ _PRIORITY_50 = [
     "streaming_windowed",
     "streaming_dedup",
     "streaming_join",
-    # text analysis
+    # text analysis (bm25 promoted r3 — the most user-visible retrieval op;
+    # text_lang_id and dedup_simhash_pairs dropped to post-50, still in the
+    # local oracle sweep)
     "text_doc_stats",
-    "text_lang_id",
+    "text_bm25_topk",
     # training-pipeline ops
     "pipeline_sample_split",
     "pipeline_pack",
     "pipeline_quality_topk",
+    "pipeline_decontaminate",
     # dedup family (exact + near-dup algorithms + clustering)
     "dedup_exact",
     "dedup_minhash_pairs",
-    "dedup_simhash_pairs",
     "dedup_clusters",
     "dedup_embedding_pairs",
     # similarity search

@@ -135,8 +135,8 @@ def test_priority_50_covers_every_operator_family():
         "sinks": ["sink_csv_roundtrip"],
         "setops": ["setops_customer_cohorts"],
         "streaming": ["streaming_windowed", "streaming_dedup", "streaming_join"],
-        "text": ["text_doc_stats", "text_lang_id"],
-        "pipeline": ["pipeline_sample_split", "pipeline_pack", "pipeline_quality_topk"],
+        "text": ["text_doc_stats", "text_bm25_topk"],
+        "pipeline": ["pipeline_sample_split", "pipeline_pack", "pipeline_quality_topk", "pipeline_decontaminate"],
         "dedup": ["dedup_exact", "dedup_minhash_pairs", "dedup_embedding_pairs"],
         "similarity": ["sim_topk_bruteforce", "sim_topk_lsh", "sim_topk_kmeans"],
         "grouped_map": ["grouped_map_zscore"],
