@@ -49,6 +49,7 @@ BENCH_QUERIES = [
     "pipeline_decontaminate",
     "text_unigram_logprob",
     "dedup_fuzzy_names",
+    "dedup_fuzzy_names_d2",
     "events_gapfill",
     "window_balance_analytics",
     "stats_price_histogram",

@@ -1114,6 +1114,43 @@ def dedup_fuzzy_names(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "dedup_fuzzy_names_d2",
+    """
+    WITH probes AS (SELECT c_custkey AS probe_key, c_name AS name FROM customer
+                    WHERE c_custkey % 500 = 0),
+    variants AS (
+      SELECT probe_key + 2000000 AS match_key, 'ZZ' || substr(name, 3) AS name FROM probes
+      UNION ALL SELECT probe_key + 3000000, substr(name, 2) FROM probes
+      UNION ALL SELECT probe_key + 4000000, 'Q' || name FROM probes),
+    records AS (SELECT c_custkey AS match_key, c_name AS name FROM customer
+                UNION ALL SELECT match_key, name FROM variants)
+    SELECT p.probe_key, r.match_key, levenshtein(p.name, r.name)::BIGINT AS dist
+    FROM probes p JOIN records r
+      ON r.match_key != p.probe_key AND levenshtein(p.name, r.name) <= 2
+    """,
+)
+def dedup_fuzzy_names_d2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy linkage recall-hardening (VERDICT r2 item 5): the corpus is
+    customer plus PLANTED known-distance neighbors of every probe — a double
+    substitution (dist 2) and insert/delete variants whose shifted alignment
+    the old equal-length half-banding could not reach.  Runs at max_dist=2
+    with the PassJoin banding; the oracle is the full quadratic levenshtein
+    join over the identically-constructed corpus, so any recall miss fails
+    the hash, not just the score."""
+    from .operators.dedup import fuzzy_name_pairs, planted_fuzzy_variants
+
+    _prep(spark)
+    cust = load(spark, sf_dir, "customer")
+    probes = cust.where(F.col("c_custkey") % 500 == 0).select(
+        F.col("c_custkey").alias("probe_key"), F.col("c_name").alias("name")
+    )
+    records = cust.select(
+        F.col("c_custkey").alias("match_key"), F.col("c_name").alias("name")
+    ).unionByName(planted_fuzzy_variants(probes))
+    return fuzzy_name_pairs(records, probes, max_dist=2)
+
+
+@_q(
     "events_gapfill",
     """
     WITH h AS (SELECT date_trunc('hour', ts) AS hr, count(*) AS n_events

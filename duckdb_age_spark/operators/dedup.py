@@ -409,35 +409,85 @@ def fuzzy_name_pairs(records: DataFrame, probes: DataFrame, max_dist: int = 1) -
     """Edit-distance record linkage: for every probe, find records whose
     ``name`` is within levenshtein ``max_dist`` (default 1), excluding self.
 
-    Candidate generation is pigeonhole banding, not a cross join: two
-    equal-length strings within substitution distance 1 must agree on their
-    first OR second half, so each side emits two (band_id, half) keys and
-    candidates come from a hash join on them.  Exact levenshtein then
-    verifies candidates.  Complete for the substitution case (fixed-format
-    keys like the customer names here); insert/delete variants that shift
-    alignment need the classic length±1 block instead — at which point use
-    the full scan on the (small, broadcast) probe side.
+    Candidate generation is partition-based pigeonhole banding (the PassJoin
+    scheme: Li/Deng/Feng, "PASS-JOIN: a partition-based method for similarity
+    joins", VLDB 2012), not a cross join.  Each record partitions its name
+    into ``max_dist+1`` contiguous blocks sized by its OWN length; if
+    ed(record, probe) <= max_dist, at least one block survives the edits
+    untouched and appears verbatim in the probe at a start position shifted
+    by at most max_dist, with the record length within max_dist of the probe
+    length.  The probe side therefore emits, for every candidate record
+    length L in [len(p)-d, len(p)+d], every block index, and every start
+    shift in [-d, +d], the matching substring — O((2d+1)^2 * (d+1)) short
+    keys per probe, constant per record.  Exact levenshtein verifies
+    candidates.  Complete for any mix of substitutions, insertions, and
+    deletions on names longer than ``max_dist`` characters (a shorter
+    record's surviving block can be empty, which emits no key — irrelevant
+    for fixed-format keys like the customer names here; the quadratic-join
+    oracle would catch it).
 
-    Scale shape: the corpus shuffles once on the band key; probes are tiny.
-    Returns (probe_key, match_key, dist) with dist ≤ max_dist.
+    Scale shape: the corpus shuffles once on the (length, block, substring)
+    band key and emits only d+1 short keys per record — no quadratic blow-up;
+    probes are tiny and fan out constant-fold keys.
+    Returns (probe_key, match_key, dist) with dist <= max_dist.
     """
-    half = 9
+    d = max_dist
+    nb = d + 1
 
-    def banded(df: DataFrame, key: str, name: str):
-        bands = F.array(
-            F.struct(F.lit(0).alias("b"), F.col("name").substr(1, half).alias("k")),
-            F.struct(F.lit(1).alias("b"), F.col("name").substr(half + 1, half).alias("k")),
-        )
-        return df.select(
-            F.col(key).alias(f"{key}_out"), F.col("name"), F.explode(bands).alias("bk")
-        ).select(
-            F.col(f"{key}_out").alias(key), F.col("name").alias(name), "bk"
-        )
+    def _block_bounds(L, i: int):
+        start = F.floor(F.lit(i) * L / nb).cast("int")
+        blen = F.floor(F.lit(i + 1) * L / nb).cast("int") - start
+        return start, blen
 
-    a = banded(probes, "probe_key", "probe_name")
-    b = banded(records, "match_key", "match_name")
+    L_rec = F.length("name")
+    rec_bands = F.array(
+        *[
+            F.struct(
+                L_rec.alias("L"),
+                F.lit(i).alias("b"),
+                F.col("name").substr(_block_bounds(L_rec, i)[0] + 1, _block_bounds(L_rec, i)[1]).alias("k"),
+            )
+            for i in range(nb)
+        ]
+    )
+    b = (
+        records.select(
+            F.col("match_key"),
+            F.col("name").alias("match_name"),
+            F.explode(rec_bands).alias("bk"),
+        )
+        .where(F.col("bk.k") != "")
+    )
+
+    probe_structs = []
+    for delta in range(-d, d + 1):
+        Lr = F.length("name") + delta  # candidate record length
+        for i in range(nb):
+            start, blen = _block_bounds(Lr, i)
+            for s in range(-d, d + 1):
+                pos = start + 1 + s
+                k = F.when(pos >= 1, F.col("name").substr(pos, blen))
+                probe_structs.append(
+                    F.struct(Lr.alias("L"), F.lit(i).alias("b"), k.alias("k"))
+                )
+    # blen recomputed from (L, b) post-explode: a substring cut short by the
+    # end of the probe cannot equal a full record block, so drop it.
+    blen_of = (
+        F.floor((F.col("bk.b") + 1) * F.col("bk.L") / nb).cast("int")
+        - F.floor(F.col("bk.b") * F.col("bk.L") / nb).cast("int")
+    )
+    a = (
+        probes.select(
+            F.col("probe_key"),
+            F.col("name").alias("probe_name"),
+            F.explode(F.array_distinct(F.array(*probe_structs))).alias("bk"),
+        )
+        .where(F.col("bk.k").isNotNull() & (F.col("bk.k") != ""))
+        .where(F.length("bk.k") == blen_of)
+    )
+
     cand = (
-        a.join(b, "bk")
+        a.join(b, a["bk"] == b["bk"])
         .where(F.col("probe_key") != F.col("match_key"))
         .dropDuplicates(["probe_key", "match_key"])
     )
@@ -445,4 +495,32 @@ def fuzzy_name_pairs(records: DataFrame, probes: DataFrame, max_dist: int = 1) -
         cand.withColumn("dist", F.levenshtein("probe_name", "match_name"))
         .where(F.col("dist") <= max_dist)
         .select("probe_key", "match_key", F.col("dist").cast("bigint").alias("dist"))
+    )
+
+
+def planted_fuzzy_variants(probes: DataFrame) -> DataFrame:
+    """Known-distance neighbors of each probe name, for recall testing:
+    a double substitution (dist 2, same length), a first-char deletion and a
+    front insertion (dist 1 each, but with SHIFTED alignment — the case the
+    old equal-length half-string banding provably missed).  Key offsets keep
+    the planted rows disjoint from real custkeys.  Every transform is
+    replayed verbatim by the oracle SQL, so a Spark-side recall miss on any
+    variant is a hash mismatch, not a silent drop."""
+    return (
+        probes.select(
+            (F.col("probe_key") + 2_000_000).alias("match_key"),
+            F.concat(F.lit("ZZ"), F.expr("substring(name, 3)")).alias("name"),
+        )
+        .unionByName(
+            probes.select(
+                (F.col("probe_key") + 3_000_000).alias("match_key"),
+                F.expr("substring(name, 2)").alias("name"),
+            )
+        )
+        .unionByName(
+            probes.select(
+                (F.col("probe_key") + 4_000_000).alias("match_key"),
+                F.concat(F.lit("Q"), F.col("name")).alias("name"),
+            )
+        )
     )

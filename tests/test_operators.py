@@ -456,6 +456,32 @@ def test_fuzzy_name_pairs_banding_recall(spark):
     assert got == {(1, 2): 1, (1, 3): 1}
 
 
+def test_fuzzy_name_pairs_insert_delete_and_d2_recall(spark):
+    """PassJoin banding recall beyond substitutions (VERDICT r2 item 5):
+    insert/delete neighbors shift alignment and change length, and at
+    max_dist=2 a double edit must still be found — all cases the old
+    equal-length half-banding provably missed."""
+    from duckdb_age_spark.operators.dedup import fuzzy_name_pairs
+
+    base = "ABCDEFGHIJKLMNOPQR"
+    rows = [
+        (1, base),
+        (2, base[1:]),            # deletion at front (dist 1, shifted)
+        (3, "Q" + base),          # insertion at front (dist 1, shifted)
+        (4, base[:5] + base[6:]), # deletion mid-string (dist 1)
+        (5, "XX" + base[2:]),     # double substitution (dist 2)
+        (6, "X" + base[1:9] + "X" + base[10:]),  # two spread substitutions (dist 2)
+        (7, "XXX" + base[3:]),    # triple substitution (dist 3 — excluded)
+    ]
+    df = spark.createDataFrame(rows, "k long, name string")
+    probes = df.where("k = 1").selectExpr("k AS probe_key", "name")
+    records = df.selectExpr("k AS match_key", "name")
+    d1 = {(r.probe_key, r.match_key): r.dist for r in fuzzy_name_pairs(records, probes, max_dist=1).collect()}
+    assert d1 == {(1, 2): 1, (1, 3): 1, (1, 4): 1}
+    d2 = {(r.probe_key, r.match_key): r.dist for r in fuzzy_name_pairs(records, probes, max_dist=2).collect()}
+    assert d2 == {(1, 2): 1, (1, 3): 1, (1, 4): 1, (1, 5): 2, (1, 6): 2}
+
+
 def test_gapfill_hourly_zero_rows_are_real(spark, events):
     from duckdb_age_spark.operators.rollup import gapfill_hourly
 
