@@ -18,7 +18,10 @@ SCALE = 10**12
 
 
 def pagerank_exact(
-    edges: DataFrame, n_iter: int = 3, damping_pct: int = 85
+    edges: DataFrame,
+    n_iter: int = 3,
+    damping_pct: int = 85,
+    checkpoint_every: int | None = None,
 ) -> DataFrame:
     """Fixed-point PageRank over a directed edge list (src, dst).
 
@@ -30,8 +33,14 @@ def pagerank_exact(
 
     Scale shape: per iteration one join (ranks⋈edges, broadcast-or-shuffle
     by AQE) and one map-side-combined sum shuffle keyed by dst — identical
-    to the classic Pregel formulation; lineage stays flat because the
-    iteration count is small and fixed (unrolled, no checkpoint needed).
+    to the classic Pregel formulation.  At the default 3 unrolled iterations
+    lineage stays flat with no checkpoint; for long runs (n_iter 20+ at
+    cluster scale) pass ``checkpoint_every`` to truncate lineage every k
+    iterations with a lazy localCheckpoint — the same control pattern as the
+    connected-components loop (dedup.py) — otherwise each iteration's plan
+    embeds all previous ones and Catalyst analysis time grows quadratically.
+    (On a real cluster prefer a reliable checkpoint dir; localCheckpoint
+    trades executor-loss tolerance for speed.)
     Returns (node, rank) with rank in SCALE units.
     """
     nodes = (
@@ -43,7 +52,7 @@ def pagerank_exact(
     outdeg = edges.groupBy("src").agg(F.count("*").alias("deg"))
     base = SCALE * 15 // (100 * n)
     ranks = nodes.select("node", F.lit(SCALE // n).cast("long").alias("rank"))
-    for _ in range(n_iter):
+    for it in range(n_iter):
         contrib = (
             edges.join(ranks, edges.src == ranks.node)
             .join(outdeg, "src")
@@ -58,6 +67,8 @@ def pagerank_exact(
                 (F.lit(base) + F.expr(f"({damping_pct} * coalesce(s, 0)) DIV 100")).cast("long").alias("rank"),
             )
         )
+        if checkpoint_every and (it + 1) % checkpoint_every == 0 and it + 1 < n_iter:
+            ranks = ranks.localCheckpoint(eager=False)
     return ranks
 
 

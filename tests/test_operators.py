@@ -558,3 +558,26 @@ def test_pagerank_exact_properties(spark):
     assert a == b
     assert a[9] == max(a.values()) and a[9] > a[2] == a[3]
     assert 0 < sum(a.values()) <= SCALE
+
+
+def test_pagerank_checkpoint_every_truncates_lineage(spark):
+    """n_iter=20 with checkpoint_every=5: values are bit-identical to the
+    unrolled run (fixed-point math is partitioning-independent) and the
+    final plan no longer embeds all 20 iterations — lineage is cut at the
+    last checkpoint."""
+    from duckdb_age_spark.operators.graph import pagerank_exact
+
+    edges = spark.createDataFrame(
+        [(i, (i * 7) % 12) for i in range(12)] + [(1, 9), (2, 9)], "src long, dst long"
+    )
+    plain = pagerank_exact(edges, n_iter=20)
+    ckpt = pagerank_exact(edges, n_iter=20, checkpoint_every=5)
+    a = {r.node: r.rank for r in plain.collect()}
+    b = {r.node: r.rank for r in ckpt.collect()}
+    assert a == b
+    # after the action, the checkpointed plan is rooted in a materialized RDD
+    plan_ckpt = ckpt._jdf.queryExecution().toString()
+    assert "ExistingRDD" in plan_ckpt or "LogicalRDD" in plan_ckpt
+    # and it is materially smaller than 20 unrolled iterations
+    plan_plain = plain._jdf.queryExecution().toString()
+    assert len(plan_ckpt) < len(plan_plain) / 2
