@@ -64,18 +64,24 @@ def _prep(spark: SparkSession) -> None:
 def _scratch(name: str, sf_dir: str) -> str:
     """Deterministic scratch dir for sink/upsert round-trips.
 
-    A FIXED path per (query, fixture) that is wiped and recreated on every
-    call — unlike ``tempfile.mkdtemp``, repeated oracle/bench runs reuse one
-    directory instead of leaking a table copy per invocation.  The returned
-    DataFrames read from this dir lazily, so it must outlive the call (no
-    TemporaryDirectory context manager).
+    A FIXED path per (query, fixture, process) that is wiped and recreated
+    on every call — unlike ``tempfile.mkdtemp``, repeated oracle/bench runs
+    within a process reuse one directory instead of leaking a table copy per
+    invocation.  The pid component keeps concurrent runs (parallel pytest
+    workers, bench + oracle check on the same fixture) from wiping each
+    other's lazily-read tables mid-query, and makes the path unpredictable
+    enough to avoid the shared-/tmp symlink-hijack surface of a fixed name.
+    The returned DataFrames read from this dir lazily, so it must outlive
+    the call (no TemporaryDirectory context manager).
     """
     import hashlib
     import shutil
     import tempfile
 
     key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
-    path = os.path.join(tempfile.gettempdir(), "age_spark_scratch", f"{name}-{key}")
+    path = os.path.join(
+        tempfile.gettempdir(), "age_spark_scratch", f"{name}-{key}-{os.getpid()}"
+    )
     shutil.rmtree(path, ignore_errors=True)
     os.makedirs(path, exist_ok=True)
     return path
@@ -87,22 +93,23 @@ KP1 = age_keys.keygen_from_seed(b"contract-key-1")
 KP2 = age_keys.keygen_from_seed(b"contract-key-2")
 KP3 = age_keys.keygen_from_seed(b"contract-key-3")
 
-# Oracle-side closed form of crypto.format.ciphertext_length, generated from
-# the SAME constants the Python implementation uses (single source of truth —
-# a wire-format change shifts both sides together and the golden-ciphertext
-# test still pins absolute sizes).  Derivation mirrors format.py: version
-# line 22 = len(VERSION_LINE)+1, stanza 98 = 10+43+1+43+1, MAC line 48 =
-# 4+43+1; payload = nonce + plaintext + tag/chunk.
+# Oracle-side closed form of crypto.format.ciphertext_length, with every
+# constant solved FROM that function (single source of truth — a wire-format
+# change shifts both sides together and the golden-ciphertext test still
+# pins absolute sizes).  ct_len(L, n) is affine in n and piecewise-affine in
+# L: base + stanza*n + NONCE + L + TAG*ceil(L/CHUNK); probing it at
+# (L=0, n=1) and (L=0, n=2) recovers the per-recipient stanza size and the
+# fixed base (version line + MAC line) without restating any wire literal.
 from .crypto import format as _age_format  # noqa: E402
 
-_CT_VERSION = len(_age_format.VERSION_LINE) + 1
-_CT_STANZA = 10 + 43 + 1 + 43 + 1
-_CT_MACLINE = 4 + 43 + 1
-assert _age_format.ciphertext_length(0, 1) == (
-    _CT_VERSION + _CT_STANZA + _CT_MACLINE + _age_format.NONCE_SIZE + _age_format.TAG_SIZE
+_hdr1 = _age_format.ciphertext_length(0, 1) - _age_format.NONCE_SIZE - _age_format.TAG_SIZE
+_CT_STANZA = (
+    _age_format.ciphertext_length(0, 2) - _age_format.NONCE_SIZE - _age_format.TAG_SIZE - _hdr1
 )
+_CT_BASE = _hdr1 - _CT_STANZA  # version line + MAC line
+assert _CT_BASE == len(_age_format.VERSION_LINE) + 1 + 4 + 43 + 1  # sanity pin
 _CT_LEN_SQL = (
-    f"({_CT_VERSION} + {_CT_STANZA} * {{n}} + {_CT_MACLINE} + {_age_format.NONCE_SIZE} "
+    f"({_CT_BASE} + {_CT_STANZA} * {{n}} + {_age_format.NONCE_SIZE} "
     "+ octet_length(encode(text)) "
     f"+ {_age_format.TAG_SIZE} * greatest(1, CAST(ceil(octet_length(encode(text)) "
     f"/ {_age_format.CHUNK_SIZE}.0) AS BIGINT)))::BIGINT"
@@ -784,10 +791,13 @@ def pipeline_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
       FROM documents),
     vocab AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
-    g AS (SELECT sum(c) AS total FROM vocab)
-    SELECT doc_id, round(avg(ln(c / total)), 3) AS mean_logprob
-    FROM toks JOIN vocab USING (tok), g
-    GROUP BY doc_id
+    g AS (SELECT sum(c) AS total FROM vocab),
+    lp AS (SELECT doc_id, CAST(round(ln(c / total) * 1e9) AS BIGINT) AS lp
+           FROM toks JOIN vocab USING (tok), g)
+    SELECT doc_id,
+           -((2 * (-sum(lp)) * 1000 + count(*) * 1000000000)
+             // (2 * count(*) * 1000000000)) / 1000.0 AS mean_logprob
+    FROM lp GROUP BY doc_id
     """,
 )
 def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -967,8 +977,10 @@ def setops_full_outer_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH marked AS (
       SELECT user_id, ts,
+             -- >= 1800, NOT > 1800: Spark's session_window is half-open
+             -- [t, t+gap), so a gap of exactly 30 minutes breaks the session
              CASE WHEN epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts)
-                       > 1800 OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                       >= 1800 OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
                   THEN 1 ELSE 0 END AS new_s
       FROM events),
     numbered AS (

@@ -92,7 +92,15 @@ def _recipient_pub(recipient_raw: bytes) -> X25519PublicKey:
 @lru_cache(maxsize=64)
 def _identity_sk(identity_raw: bytes) -> tuple[X25519PrivateKey, bytes]:
     """Memoized identity private-key object + its public share (the
-    ``from_private_bytes`` + ``public_key()`` pair is ~50 µs/row)."""
+    ``from_private_bytes`` + ``public_key()`` pair is ~50 µs/row).
+
+    Security trade-off, deliberate: the cache retains up to 64 private-key
+    objects (and their raw bytes as keys) for the process lifetime, unlike
+    the reference, which constructs and drops the key per operation
+    (rust/src/lib.rs).  In this engine the executor process already holds
+    the full secrets snapshot in the UDF closure, so cache residency adds no
+    new exposure class; call ``_identity_sk.cache_clear()`` to drop the
+    objects early if reusing this module outside that model."""
     sk = X25519PrivateKey.from_private_bytes(identity_raw)
     return sk, sk.public_key().public_bytes_raw()
 

@@ -154,16 +154,37 @@ def unigram_logprob(docs: DataFrame) -> DataFrame:
     count per token); (2) per-doc mean of ln(count/total) over its tokens.
     The vocab joins back by token — broadcast when small, AQE-shuffled when
     not; no Python in either pass.
+
+    Determinism: each token's log-prob is rounded to integer nano-units
+    BEFORE aggregation, so the per-doc reduction is an integer sum —
+    order-independent at any partitioning — and the 3-dp mean is computed
+    with the integer-rounding identity round(a/b) = (2a+b) DIV (2b) (the
+    quality_score pattern).  A naive avg() of doubles accumulates in
+    partition order and can flip the 3-dp rounding when the true mean lies
+    near a 0.0005 boundary (operators/stats.py rule: no double sums in
+    compared columns).
     """
     words = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
     toks = docs.select("doc_id", F.explode(words).alias("tok"))
     vocab = toks.groupBy("tok").agg(F.count("*").alias("c"))
     total = vocab.agg(F.sum("c").alias("total"))
+    lp_nano = F.round(F.log(F.col("c") / F.col("total")) * 1e9, 0).cast("long")
     scored = (
         toks.join(F.broadcast(vocab), "tok")
         .crossJoin(F.broadcast(total))
+        .select("doc_id", lp_nano.alias("lp"))
         .groupBy("doc_id")
-        .agg(F.round(F.avg(F.log(F.col("c") / F.col("total"))), 3).alias("mean_logprob"))
+        # log-probs are <= 0, so negate into positive ints for DIV (integer
+        # division of negatives truncates toward zero in Spark but floors in
+        # DuckDB — keep every divided quantity positive)
+        .agg((-F.sum("lp")).alias("s_pos"), F.count("*").alias("cnt"))
+        .select(
+            "doc_id",
+            (
+                -F.expr("(2 * s_pos * 1000 + cnt * 1000000000) DIV (2 * cnt * 1000000000)")
+                / F.lit(1000.0)
+            ).alias("mean_logprob"),
+        )
     )
     return scored.select("doc_id", "mean_logprob")
 
