@@ -48,6 +48,8 @@ BENCH_QUERIES = [
     "pipeline_quality_topk",
     "pipeline_decontaminate",
     "text_unigram_logprob",
+    "text_pii_scrub",
+    "text_repetition",
     "dedup_fuzzy_names",
     "dedup_fuzzy_names_d2",
     "events_gapfill",

@@ -753,6 +753,94 @@ def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("byte_len", F.col("byte_len").cast("bigint"))
 
 
+@_q(
+    "text_pii_scrub",
+    r"""
+    WITH corpus AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0
+                  THEN text || ' contact user' || CAST(doc_id % 100 AS VARCHAR)
+                       || '@example.com call 555-123-4567 ip 10.0.0.1'
+                  ELSE text END AS text
+      FROM documents),
+    passes AS (
+      SELECT doc_id, text,
+             regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+      FROM corpus),
+    passes2 AS (
+      SELECT *, regexp_replace(t1, '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g') AS t2 FROM passes),
+    passes3 AS (
+      SELECT *, regexp_replace(t2, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS t3 FROM passes2)
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT AS n_emails,
+           len(regexp_extract_all(t1, '\b\d{3}[-.]\d{3}[-.]\d{4}\b'))::BIGINT AS n_phones,
+           len(regexp_extract_all(t2, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))::BIGINT AS n_ips,
+           md5(t3) AS scrubbed_md5
+    FROM passes3
+    """,
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction pass with PLANTED pii: every 7th doc gets a synthetic
+    email + phone + IP appended (replayed verbatim by the oracle), so the
+    counts and the md5 of the scrubbed text verify real redactions, not a
+    no-op over a pii-free corpus.  Counting happens on the pre-pass text for
+    each category (email count on raw, phone count after email removal, ip
+    count after phone removal) — same fixed order both sides."""
+    from .operators.text import pii_scrub
+
+    _prep(spark)
+    docs = load(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                (F.col("doc_id") % 100).cast("string"),
+                F.lit("@example.com call 555-123-4567 ip 10.0.0.1"),
+            ),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return pii_scrub(planted)
+
+
+@_q(
+    "text_repetition",
+    r"""
+    WITH base AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws FROM documents),
+    uni AS (
+      SELECT doc_id, max(c) AS max_tok_freq FROM (
+        SELECT doc_id, tok, count(*) AS c
+        FROM (SELECT doc_id, unnest(ws) AS tok FROM base) GROUP BY doc_id, tok)
+      GROUP BY doc_id),
+    bi AS (
+      SELECT doc_id, max(c) AS max_bigram_freq FROM (
+        SELECT doc_id, pair, count(*) AS c
+        FROM (SELECT doc_id,
+                     unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i + 1])) AS pair
+              FROM base)
+        GROUP BY doc_id, pair)
+      GROUP BY doc_id)
+    SELECT b.doc_id, len(b.ws)::BIGINT AS n_tokens,
+           len(list_distinct(b.ws))::BIGINT AS n_distinct,
+           coalesce(uni.max_tok_freq, 0)::BIGINT AS max_tok_freq,
+           coalesce(bi.max_bigram_freq, 0)::BIGINT AS max_bigram_freq
+    FROM base b LEFT JOIN uni ON b.doc_id = uni.doc_id
+    LEFT JOIN bi ON b.doc_id = bi.doc_id
+    """,
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals: exact total/distinct token counts and
+    max unigram/bigram frequencies per doc — the integers behind top-n-gram
+    boilerplate filters."""
+    from .operators.text import repetition_stats
+
+    _prep(spark)
+    return repetition_stats(load(spark, sf_dir, "documents"))
+
+
 _GRAMS5_SQL = r"""list_transform(
       range(0, greatest(len(string_split_regex(trim(text), '\s+')) - 5, 0) + 1),
       i -> array_to_string((string_split_regex(trim(text), '\s+'))[i + 1 : i + 5], ' '))"""

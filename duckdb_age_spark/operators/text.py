@@ -228,3 +228,98 @@ def bm25_topk(
         .where(F.col("rk") <= k)
     )
     return ranked.select("doc_id", "bm25", F.col("rk").cast("bigint").alias("rk"))
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing (redaction pass of a training-data pipeline)
+# ---------------------------------------------------------------------------
+
+# Patterns restricted to syntax Java regex and RE2 (DuckDB) parse identically:
+# no lookaround, no backrefs — both engines must count and replace the same
+# spans for the oracle to hash-match.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"\b\d{3}[-.]\d{3}[-.]\d{4}\b"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def pii_scrub(docs: DataFrame) -> DataFrame:
+    """Redact emails, phone numbers, and IPv4 addresses from ``text``.
+
+    The standard PII pass before training: count each category, then
+    replace in a fixed order (email -> phone -> ip, so an address inside an
+    email never double-counts as an IP after the email is gone).  All three
+    passes are JVM-side regexp_replace/regexp_count inside one narrow
+    projection — zero shuffles, scales with executors.
+
+    Returns (doc_id, n_emails, n_phones, n_ips, scrubbed_md5): counts are
+    exact integers and the scrubbed text is compared by md5 so the oracle
+    pins every redacted byte without hauling full texts through the compare.
+    """
+    t0 = F.col("text")
+    t1 = F.regexp_replace(t0, PII_EMAIL, "<EMAIL>")
+    t2 = F.regexp_replace(t1, PII_PHONE, "<PHONE>")
+    t3 = F.regexp_replace(t2, PII_IPV4, "<IP>")
+    return docs.select(
+        "doc_id",
+        F.regexp_count(t0, F.lit(PII_EMAIL)).cast("bigint").alias("n_emails"),
+        F.regexp_count(t1, F.lit(PII_PHONE)).cast("bigint").alias("n_phones"),
+        F.regexp_count(t2, F.lit(PII_IPV4)).cast("bigint").alias("n_ips"),
+        F.md5(t3.cast("binary")).alias("scrubbed_md5"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# repetition statistics (Gopher-style quality rule)
+# ---------------------------------------------------------------------------
+
+
+def repetition_stats(docs: DataFrame) -> DataFrame:
+    """Per-document token-repetition signals: total/distinct token counts and
+    the highest unigram and bigram frequencies — the exact integers behind
+    Gopher-style "top n-gram fraction" quality filters (templated/boilerplate
+    docs have a high max_tok_freq / n_tokens ratio; the caller applies its
+    own threshold arithmetic).
+
+    Scale shape: distinct count is shuffle-free (array_distinct inside the
+    row); the max frequencies explode to (doc_id, gram) and aggregate with
+    map-side combine keyed by doc — the same bounded-by-doc-length state as
+    any per-doc aggregate, never a corpus-wide key.
+    """
+    words = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    base = docs.select("doc_id", words.alias("ws")).select(
+        "doc_id",
+        "ws",
+        F.size("ws").cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct("ws")).cast("bigint").alias("n_distinct"),
+    )
+    uni = (
+        base.select("doc_id", F.explode("ws").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").cast("bigint").alias("max_tok_freq"))
+    )
+    bigrams = F.zip_with(
+        F.slice("ws", 1, F.greatest(F.size("ws") - 1, F.lit(0))),
+        F.slice("ws", 2, F.greatest(F.size("ws") - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    bi = (
+        base.select("doc_id", F.explode(bigrams).alias("pair"))
+        .groupBy("doc_id", "pair")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").cast("bigint").alias("max_bigram_freq"))
+    )
+    return (
+        base.select("doc_id", "n_tokens", "n_distinct")
+        .join(uni, "doc_id", "left")
+        .join(bi, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_distinct",
+            F.coalesce("max_tok_freq", F.lit(0)).alias("max_tok_freq"),
+            F.coalesce("max_bigram_freq", F.lit(0)).alias("max_bigram_freq"),
+        )
+    )

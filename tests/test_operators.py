@@ -581,3 +581,42 @@ def test_pagerank_checkpoint_every_truncates_lineage(spark):
     # and it is materially smaller than 20 unrolled iterations
     plan_plain = plain._jdf.queryExecution().toString()
     assert len(plan_ckpt) < len(plan_plain) / 2
+
+
+def test_pii_scrub_counts_and_redacts(spark):
+    from duckdb_age_spark.operators.text import pii_scrub
+
+    rows = [
+        (1, "mail me at alice.smith+x@sub.example.co or bob@ex.org thanks"),
+        (2, "call 555-123-4567 or 555.987.6543 from 10.0.0.1"),
+        (3, "server at 192.168.001.042 and 8.8.8.8"),
+        (4, "no pii here at all"),
+        (5, "mixed: carol@ex.io 555-000-1111 127.0.0.1"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in pii_scrub(df).collect()}
+    assert (got[1].n_emails, got[1].n_phones, got[1].n_ips) == (2, 0, 0)
+    assert (got[2].n_emails, got[2].n_phones, got[2].n_ips) == (0, 2, 1)
+    assert (got[3].n_emails, got[3].n_phones, got[3].n_ips) == (0, 0, 2)
+    assert (got[4].n_emails, got[4].n_phones, got[4].n_ips) == (0, 0, 0)
+    assert (got[5].n_emails, got[5].n_phones, got[5].n_ips) == (1, 1, 1)
+    # unredacted doc keeps its md5; redacted docs change theirs
+    import hashlib
+
+    assert got[4].scrubbed_md5 == hashlib.md5(rows[3][1].encode()).hexdigest()
+    assert got[5].scrubbed_md5 == hashlib.md5(b"mixed: <EMAIL> <PHONE> <IP>").hexdigest()
+
+
+def test_repetition_stats_exact(spark):
+    from duckdb_age_spark.operators.text import repetition_stats
+
+    rows = [
+        (1, "a a a b c"),          # max unigram 3, max bigram 'a a' = 2
+        (2, "x y x y x y"),        # max unigram 3, 'x y' = 3, 'y x' = 2
+        (3, "unique words only"),  # all distinct
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in repetition_stats(df).collect()}
+    assert (got[1].n_tokens, got[1].n_distinct, got[1].max_tok_freq, got[1].max_bigram_freq) == (5, 3, 3, 2)
+    assert (got[2].n_tokens, got[2].n_distinct, got[2].max_tok_freq, got[2].max_bigram_freq) == (6, 2, 3, 3)
+    assert (got[3].n_tokens, got[3].n_distinct, got[3].max_tok_freq, got[3].max_bigram_freq) == (3, 3, 1, 1)
