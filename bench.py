@@ -53,6 +53,8 @@ BENCH_QUERIES = [
     "dedup_fuzzy_names",
     "dedup_fuzzy_names_d2",
     "events_gapfill",
+    "events_rolling_1h",
+    "pipeline_balanced_sample",
     "window_balance_analytics",
     "stats_price_histogram",
     "stats_corr_exact",

@@ -1251,6 +1251,48 @@ def dedup_fuzzy_names_d2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "events_rolling_1h",
+    """
+    SELECT event_id, user_id,
+           CAST(count(*) OVER w AS BIGINT) AS n_1h,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w AS BIGINT) AS cents_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW)
+    """,
+)
+def events_rolling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event trailing one-hour activity via a RANGE-interval frame
+    (microsecond epoch ordering, integer-cent sums — bit-exact in both
+    engines at any partitioning)."""
+    from .operators.rollup import rolling_window_1h
+
+    _prep(spark)
+    return rolling_window_1h(load(spark, sf_dir, "events"))
+
+
+@_q(
+    "pipeline_balanced_sample",
+    """
+    SELECT doc_id, lang, CAST(rk AS BIGINT) AS rk FROM (
+      SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY md5(doc_id::VARCHAR), doc_id) AS rk
+      FROM documents)
+    WHERE rk <= 20
+    """,
+)
+def pipeline_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced per-language sample: at most 20 docs per stratum in
+    deterministic md5 order (the data-mixing cap against a dominant
+    stratum swamping a training mix)."""
+    from .operators.pipeline import balanced_sample
+
+    _prep(spark)
+    return balanced_sample(load(spark, sf_dir, "documents"), per_stratum=20)
+
+
+@_q(
     "events_gapfill",
     """
     WITH h AS (SELECT date_trunc('hour', ts) AS hr, count(*) AS n_events

@@ -236,3 +236,25 @@ def bpe_pair_stats(docs: DataFrame, k: int = 50) -> DataFrame:
         .where(F.col("rk") <= k)
         .select("pair", F.col("n").cast("bigint"), F.col("rk").cast("bigint"))
     )
+
+
+def balanced_sample(docs: DataFrame, per_stratum: int = 20, stratum: str = "lang") -> DataFrame:
+    """Balanced per-stratum sample: at most ``per_stratum`` docs from each
+    stratum (default: language), chosen by deterministic md5 order — the
+    data-mixing step that stops a dominant language/source from swamping a
+    training mix, with a reproducible, seedless pick.
+
+    Scale shape: one shuffle keyed by the stratum; the rank <= k predicate
+    compiles to WindowGroupLimit, so each executor ships only its local
+    top-k candidates per stratum instead of the full partition.
+    """
+    from pyspark.sql import Window
+
+    rk = F.row_number().over(
+        Window.partitionBy(stratum).orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+    )
+    return (
+        docs.select("doc_id", stratum)
+        .withColumn("rk", rk.cast("bigint"))
+        .where(F.col("rk") <= per_stratum)
+    )

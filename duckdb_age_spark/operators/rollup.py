@@ -114,3 +114,37 @@ def gapfill_hourly(events, event_type: str = "signup"):
             F.coalesce("n_events", F.lit(0)).cast("bigint").alias("n_events"),
         )
     )
+
+
+def rolling_window_1h(events: DataFrame) -> DataFrame:
+    """Per-user rolling one-hour trailing aggregates via a RANGE-interval
+    window frame: for every event, the count and integer-cent value sum of
+    the SAME USER's events in (ts - 1h, ts] — the time-series feature shape
+    (trailing activity, velocity checks) a fixed-width tumbling bucket
+    cannot express because every row needs its own window.
+
+    Determinism: the frame is ordered by microsecond epoch (integer — no
+    truncation ties beyond true duplicates, and RANGE includes ALL rows at
+    an equal timestamp in both engines); the value sum is integer cents, so
+    accumulation order cannot flip a bit.
+
+    Scale shape: one shuffle keyed by user_id, then a linear sliding-frame
+    scan per partition — Spark's range-frame implementation keeps a moving
+    window over the sorted run, O(n) per user, state bounded by the hour's
+    rows.
+    """
+    from pyspark.sql import Window
+
+    us = F.unix_micros(F.col("ts"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(us)
+        .rangeBetween(-3_600_000_000 + 1, 0)  # (ts - 1h, ts] — half-open like session windows
+    )
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    return events.select(
+        "event_id",
+        "user_id",
+        F.count("*").over(w).cast("bigint").alias("n_1h"),
+        F.sum(cents).over(w).cast("bigint").alias("cents_1h"),
+    )

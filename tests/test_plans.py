@@ -295,3 +295,29 @@ def test_q4_semi_join_with_pushed_date_window(t):
     # lineitem scan reads only the join/residual columns
     schemas = read_schemas(df)
     assert any("l_shipdate" in s and "l_extendedprice" not in s for s in schemas), schemas
+
+
+def test_pii_scrub_is_shuffle_free(t):
+    from duckdb_age_spark.operators.text import pii_scrub
+
+    assert count_exchanges(pii_scrub(t["documents"])) == 0
+
+
+def test_balanced_sample_uses_group_limit(t):
+    from duckdb_age_spark.operators.pipeline import balanced_sample
+
+    df = balanced_sample(t["documents"], per_stratum=20)
+    plan = formatted_plan(df)
+    assert "WindowGroupLimit" in plan, plan
+    assert count_exchanges(df) <= 1
+
+
+def test_rolling_1h_single_user_shuffle(t):
+    from duckdb_age_spark.operators.rollup import rolling_window_1h
+
+    df = rolling_window_1h(t["events"])
+    # one exchange keyed by user_id, then a linear range-frame scan
+    assert count_exchanges(df) <= 1
+    schemas = read_schemas(df)
+    # scan prunes to the 4 needed columns (no event_type/props)
+    assert schemas and all("props" not in s and "event_type" not in s for s in schemas), schemas
