@@ -434,56 +434,65 @@ def fuzzy_name_pairs(records: DataFrame, probes: DataFrame, max_dist: int = 1) -
     d = max_dist
     nb = d + 1
 
-    def _block_bounds(L, i: int):
-        start = F.floor(F.lit(i) * L / nb).cast("int")
-        blen = F.floor(F.lit(i + 1) * L / nb).cast("int") - start
+    # Explode SMALL literal index tuples first and compute the substring once
+    # per exploded row: inlining the substr expression into every array
+    # element (the obvious formulation) builds a Generate node with
+    # O((2d+1)^2*(d+1)) full expression trees whose whole-stage-codegen
+    # compile time dominates small runs (measured 3.7s -> sub-second at d=2).
+    def _bounds(L, i):
+        start = F.floor(i * L / nb).cast("int")
+        blen = F.floor((i + 1) * L / nb).cast("int") - start
         return start, blen
 
-    L_rec = F.length("name")
-    rec_bands = F.array(
-        *[
-            F.struct(
-                L_rec.alias("L"),
-                F.lit(i).alias("b"),
-                F.col("name").substr(_block_bounds(L_rec, i)[0] + 1, _block_bounds(L_rec, i)[1]).alias("k"),
-            )
-            for i in range(nb)
-        ]
-    )
+    rec_idx = F.array(*[F.lit(i) for i in range(nb)])
+    L_rec = F.length("match_name")
+    r_start, r_blen = _bounds(L_rec, F.col("bi"))
     b = (
         records.select(
             F.col("match_key"),
             F.col("name").alias("match_name"),
-            F.explode(rec_bands).alias("bk"),
+            F.explode(rec_idx).alias("bi"),
+        )
+        .select(
+            "match_key",
+            "match_name",
+            F.struct(
+                L_rec.cast("int").alias("L"),
+                F.col("bi").alias("b"),
+                F.col("match_name").substr(r_start + 1, r_blen).alias("k"),
+            ).alias("bk"),
         )
         .where(F.col("bk.k") != "")
     )
 
-    probe_structs = []
-    for delta in range(-d, d + 1):
-        Lr = F.length("name") + delta  # candidate record length
-        for i in range(nb):
-            start, blen = _block_bounds(Lr, i)
-            for s in range(-d, d + 1):
-                pos = start + 1 + s
-                k = F.when(pos >= 1, F.col("name").substr(pos, blen))
-                probe_structs.append(
-                    F.struct(Lr.alias("L"), F.lit(i).alias("b"), k.alias("k"))
-                )
-    # blen recomputed from (L, b) post-explode: a substring cut short by the
-    # end of the probe cannot equal a full record block, so drop it.
-    blen_of = (
-        F.floor((F.col("bk.b") + 1) * F.col("bk.L") / nb).cast("int")
-        - F.floor(F.col("bk.b") * F.col("bk.L") / nb).cast("int")
+    combos = F.array(
+        *[
+            F.struct(F.lit(delta).alias("dl"), F.lit(i).alias("b"), F.lit(s).alias("s"))
+            for delta in range(-d, d + 1)
+            for i in range(nb)
+            for s in range(-d, d + 1)
+        ]
     )
+    Lr = F.length("probe_name") + F.col("c.dl")  # candidate record length
+    p_start, p_blen = _bounds(Lr, F.col("c.b"))
+    pos = p_start + 1 + F.col("c.s")
+    k = F.when(pos >= 1, F.col("probe_name").substr(pos, p_blen))
     a = (
         probes.select(
             F.col("probe_key"),
             F.col("name").alias("probe_name"),
-            F.explode(F.array_distinct(F.array(*probe_structs))).alias("bk"),
+            F.explode(combos).alias("c"),
+        )
+        .select(
+            "probe_key",
+            "probe_name",
+            F.struct(Lr.cast("int").alias("L"), F.col("c.b").alias("b"), k.alias("k")).alias("bk"),
+            p_blen.alias("blen"),
         )
         .where(F.col("bk.k").isNotNull() & (F.col("bk.k") != ""))
-        .where(F.length("bk.k") == blen_of)
+        # a substring cut short by the end of the probe cannot equal a full block
+        .where(F.length("bk.k") == F.col("blen"))
+        .drop("blen")
     )
 
     cand = (
