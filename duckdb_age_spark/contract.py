@@ -2578,8 +2578,8 @@ def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN nation ON s_nationkey = n_nationkey
       WHERE n_name = 'NATION_1' GROUP BY 1)
     SELECT l_partkey, part_value
-    FROM pp, (SELECT sum(part_value) * 0.001 AS threshold FROM pp) t
-    WHERE part_value > threshold
+    FROM pp, (SELECT sum(part_value) AS total_value FROM pp) t
+    WHERE part_value * 5000 > total_value
     ORDER BY part_value DESC, l_partkey
     """,
 )

@@ -422,12 +422,19 @@ def q11_important_parts(
     supplier: DataFrame,
     nation: DataFrame,
     n_name: str = "NATION_1",
-    fraction: float = 0.001,
+    fraction_denom: int = 5000,
 ) -> DataFrame:
     """TPC-H Q11 shape: parts whose inventory value (here: shipped
     extendedprice*quantity via one nation's suppliers) exceeds a fraction of
     the total — HAVING against a scalar subquery, expressed as a one-row
-    aggregate broadcast back over the per-part totals."""
+    aggregate broadcast back over the per-part totals.
+
+    The fraction is 1/fraction_denom and the filter is the cross-multiplied
+    ``part_value * fraction_denom > total`` — an identical integer-factor
+    multiply on both engines, rather than each engine deriving its own float
+    threshold.  The default 1/5000 is chosen so the query is non-vacuous at
+    every fixture scale (sf0.01: 960 rows, sf0.1: 794; the TPC-H spec's
+    0.0001/SF yields 0 rows at sf0.1 on this synthetic distribution)."""
     nat_supp = (
         F.broadcast(supplier)
         .join(F.broadcast(nation.where(F.col("n_name") == n_name)), F.col("s_nationkey") == F.col("n_nationkey"))
@@ -439,10 +446,10 @@ def q11_important_parts(
         .groupBy("l_partkey")
         .agg(F.round(F.sum(value), 2).alias("part_value"))
     )
-    total = per_part.agg((F.sum("part_value") * fraction).alias("threshold"))
+    total = per_part.agg(F.sum("part_value").alias("total_value"))
     return (
         per_part.crossJoin(F.broadcast(total))
-        .where(F.col("part_value") > F.col("threshold"))
+        .where(F.col("part_value") * F.lit(fraction_denom) > F.col("total_value"))
         .select("l_partkey", "part_value")
         .orderBy(F.desc("part_value"), F.asc("l_partkey"))
     )
