@@ -3045,6 +3045,139 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# G. sketches with self-checking bounds + labeled-embedding analytics
+# ===========================================================================
+
+
+@_q(
+    "sketch_cms_heavy_hitters",
+    r"""
+    WITH toks AS (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+                  FROM documents),
+    b AS (SELECT j, (('0x' || substr(md5(j::VARCHAR || ':' || tok), 1, 8))::BIGINT % 512)
+                   AS bucket
+          FROM toks CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j) hj),
+    cells AS (SELECT j, bucket, count(*) AS cell_n FROM b GROUP BY 1, 2),
+    v AS (SELECT tok, count(*) AS c FROM toks GROUP BY 1),
+    top AS (SELECT tok, c, row_number() OVER (ORDER BY c DESC, tok) AS rk FROM v
+            QUALIFY rk <= 10),
+    probes AS (SELECT tok, c, rk, j,
+                      (('0x' || substr(md5(j::VARCHAR || ':' || tok), 1, 8))::BIGINT % 512)
+                        AS bucket
+               FROM top CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j) rows)
+    SELECT tok, c::BIGINT AS exact_n, min(cell_n)::BIGINT AS cms_est,
+           (min(cell_n) >= c) AS est_ge_exact, rk::BIGINT AS rk
+    FROM probes JOIN cells USING (j, bucket)
+    GROUP BY tok, c, rk ORDER BY rk
+    """,
+)
+def sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (4x512, portable md5 hashes) estimates vs exact
+    counts for the top-10 tokens — the bounded-memory frequency path whose
+    aggregate key space is 2048 cells regardless of corpus size."""
+    from .operators.stats import cms_heavy_hitters
+
+    _prep(spark)
+    return cms_heavy_hitters(load(spark, sf_dir, "documents"), depth=4, width=512, k=10)
+
+
+@_q(
+    "sketch_approx_percentile",
+    """
+    WITH q AS (
+      SELECT l_returnflag,
+             round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+             round(quantile_cont(l_extendedprice, 0.50), 4) AS p50,
+             round(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+             round(quantile_cont(l_extendedprice, 0.95), 4) AS p95
+      FROM lineitem GROUP BY 1)
+    SELECT l_returnflag, pct, exact_pct, true AS sketch_within_bound FROM (
+      SELECT l_returnflag, 0.25::DOUBLE AS pct, p25 AS exact_pct FROM q
+      UNION ALL SELECT l_returnflag, 0.50::DOUBLE, p50 FROM q
+      UNION ALL SELECT l_returnflag, 0.75::DOUBLE, p75 FROM q
+      UNION ALL SELECT l_returnflag, 0.95::DOUBLE, p95 FROM q)
+    ORDER BY 1, 2
+    """,
+)
+def sketch_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percentile_approx (GK sketch, the mergeable 100 TB path) gated by its
+    own rank-error guarantee against the raw data; the exact percentile is
+    the oracle-compared value, the sketch's bound check is the boolean."""
+    from .operators.stats import approx_percentile_check
+
+    _prep(spark)
+    return approx_percentile_check(load(spark, sf_dir, "lineitem"), accuracy=1000)
+
+
+@_q(
+    "sim_knn_label_vote",
+    f"""
+    WITH {_SIM_SCORED_SQL},
+    nb AS (
+      SELECT query_id, vec_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, vec_id ASC) AS rank
+        FROM scored)
+      WHERE rank <= 5),
+    votes AS (
+      SELECT nb.query_id, emb.label::BIGINT AS nb_label, count(*) AS votes
+      FROM nb JOIN embeddings emb USING (vec_id) GROUP BY 1, 2),
+    pred AS (
+      SELECT query_id, nb_label AS predicted_label, votes FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY votes DESC, nb_label ASC) AS rk
+        FROM votes)
+      WHERE rk = 1)
+    SELECT query_id::BIGINT AS query_id, emb.label::BIGINT AS true_label,
+           predicted_label, votes::BIGINT AS votes,
+           (emb.label = predicted_label) AS correct
+    FROM pred JOIN embeddings emb ON emb.vec_id = pred.query_id
+    ORDER BY query_id
+    """,
+)
+def sim_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-NN majority-vote classification of query vectors 0-4 against the
+    labeled corpus — neighbor ties by (cosine desc, vec_id), vote ties by
+    smaller label, so the whole prediction is oracle-deterministic."""
+    from .operators.similarity import knn_label_vote
+
+    _prep(spark)
+    return knn_label_vote(load(spark, sf_dir, "embeddings"), [0, 1, 2, 3, 4], k=5)
+
+
+@_q(
+    "stats_label_centroids",
+    """
+    WITH comp AS (
+      SELECT label, dim, sum(CAST(round(embedding[dim + 1]::DOUBLE * 1000000) AS BIGINT)) AS s
+      FROM embeddings CROSS JOIN (SELECT unnest(range(0, 64)) AS dim) d
+      GROUP BY 1, 2),
+    dots AS (
+      SELECT a.label AS label_a, b.label AS label_b, sum(a.s * b.s) AS dot
+      FROM comp a JOIN comp b USING (dim)
+      WHERE a.label <= b.label GROUP BY 1, 2)
+    SELECT d.label_a::BIGINT AS label_a, d.label_b::BIGINT AS label_b,
+           round(d.dot::DOUBLE / (sqrt(na.dot::DOUBLE) * sqrt(nb.dot::DOUBLE)), 6)
+             AS centroid_cosine
+    FROM dots d
+    JOIN dots na ON na.label_a = d.label_a AND na.label_b = d.label_a
+    JOIN dots nb ON nb.label_a = d.label_b AND nb.label_b = d.label_b
+    WHERE d.label_a < d.label_b
+    ORDER BY label_a, label_b
+    """,
+)
+def stats_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-separability matrix: pairwise cosine between per-label centroid
+    embeddings, from exact fixed-point integer component sums (cos of the
+    sums equals cos of the means, so no float division enters the compared
+    value until the final identical IEEE steps)."""
+    from .operators.similarity import label_centroid_cosines
+
+    _prep(spark)
+    return label_centroid_cosines(load(spark, sf_dir, "embeddings"))
+
+
+# ===========================================================================
 # entry / exports
 # ===========================================================================
 

@@ -256,3 +256,103 @@ def lsh_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "vec_id", "cosine", "rank")
     )
+
+
+def knn_label_vote(embeddings: DataFrame, query_ids: list[int], k: int = 5) -> DataFrame:
+    """k-NN classification by majority vote over the labeled corpus.
+
+    For each query vector, the k nearest neighbors by cosine (excluding the
+    query itself) vote with their ``label``; the plurality wins, ties broken
+    by the smaller label.  Output: (query_id, true_label, predicted_label,
+    votes, correct) — fully deterministic given the neighbor tie-break
+    (cosine 4-dp desc, vec_id asc), so a SQL oracle reproduces it exactly.
+
+    Scale shape: the query set is broadcast (queries ≪ corpus is the
+    labeling regime — a few thousand eval points against a 100 TB corpus),
+    the corpus never shuffles for scoring, and only (query, neighbor, score)
+    triples reach the per-query top-k window.  The vote aggregate then
+    touches k rows per query.  For corpus-scale query sets, swap the scoring
+    stage for ``lsh_topk``/``kmeans_ivf_topk`` — the vote logic is unchanged.
+    """
+    queries = queries_from_ids(embeddings, query_ids)
+    neighbors = brute_force_topk(embeddings, queries, k=k)
+    labeled = neighbors.join(
+        embeddings.select("vec_id", F.col("label").cast("bigint").alias("nb_label")), "vec_id"
+    )
+    votes = labeled.groupBy("query_id", "nb_label").agg(F.count("*").alias("votes"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("votes"), F.asc("nb_label"))
+    pred = (
+        votes.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("query_id", F.col("nb_label").alias("predicted_label"), "votes")
+    )
+    truth = embeddings.select(
+        F.col("vec_id").alias("query_id"), F.col("label").cast("bigint").alias("true_label")
+    )
+    return (
+        pred.join(truth, "query_id")
+        .select(
+            F.col("query_id").cast("bigint"),
+            "true_label",
+            "predicted_label",
+            F.col("votes").cast("bigint"),
+            (F.col("true_label") == F.col("predicted_label")).alias("correct"),
+        )
+        .orderBy("query_id")
+    )
+
+
+def label_centroid_cosines(embeddings: DataFrame, scale: int = 1_000_000) -> DataFrame:
+    """Pairwise cosine similarity between per-label centroid embeddings —
+    the class-separability matrix of a labeled embedding table.
+
+    Cross-engine-exact per the stats.py discipline: each component is
+    fixed-pointed to an integer (round(x * scale) — identical IEEE steps in
+    both engines), per-(label, dim) sums are exact decimal(38,0) aggregates
+    (order-independent, map-side combinable into |labels| x dim cells, safe
+    at 100 TB row counts), and cosine over centroids uses the identity
+    cos(mean_a, mean_b) = cos(sum_a, sum_b) so the count/scale divisions
+    cancel and never touch the compared value.  The final cosine is a fixed
+    sequence of double ops on identical exact integers — bit-identical in
+    any engine.
+
+    Scale shape: one explode to (label, dim, int) rows, one map-side
+    combined sum shuffle bounded by |labels| x dim cells, then an
+    all-pairs join on the TINY component table (|labels| x dim rows —
+    broadcast) — the corpus itself is touched exactly once.
+    """
+    comp = (
+        embeddings.select(
+            F.col("label").cast("bigint").alias("label"),
+            F.posexplode(F.transform(F.col("embedding"), lambda x: x.cast("double"))).alias(
+                "dim", "x"
+            ),
+        )
+        .select("label", "dim", F.round(F.col("x") * scale, 0).cast("decimal(38,0)").alias("xi"))
+        .groupBy("label", "dim")
+        .agg(F.sum("xi").alias("s"))
+        .persist()  # |labels| x dim rows; without this, the three consumers
+        # below each re-derive it and the CORPUS gets scanned once per branch
+    )
+    norms = comp.groupBy("label").agg(F.sum(F.col("s") * F.col("s")).alias("norm2"))
+    a = comp.select(F.col("label").alias("label_a"), "dim", F.col("s").alias("sa"))
+    b = comp.select(F.col("label").alias("label_b"), "dim", F.col("s").alias("sb"))
+    dots = (
+        a.join(F.broadcast(b), "dim")
+        .where(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(F.sum(F.col("sa") * F.col("sb")).alias("dot"))
+    )
+    na, nb = (
+        norms.select(F.col("label").alias(k), F.col("norm2").alias(v))
+        for k, v in (("label_a", "n2a"), ("label_b", "n2b"))
+    )
+    cos = F.col("dot").cast("double") / (
+        F.sqrt(F.col("n2a").cast("double")) * F.sqrt(F.col("n2b").cast("double"))
+    )
+    return (
+        dots.join(F.broadcast(na), "label_a")
+        .join(F.broadcast(nb), "label_b")
+        .select("label_a", "label_b", F.round(cos, 6).alias("centroid_cosine"))
+        .orderBy("label_a", "label_b")
+    )

@@ -79,3 +79,133 @@ def corr_exact(df: DataFrame, group: str, x, y) -> DataFrame:
         F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
     )
     return s.select(group, corr.alias("corr_xy"))
+
+
+def cms_heavy_hitters(
+    docs: DataFrame, depth: int = 4, width: int = 512, k: int = 10
+) -> DataFrame:
+    """Count-min-sketch frequency estimates for the corpus's top-k tokens,
+    side-by-side with the exact counts.
+
+    The sketch uses ``depth`` portable hash rows (md5-derived, so any SQL
+    engine reproduces the bucket assignment bit-for-bit) of ``width``
+    buckets each.  Cell counts are built directly from the token stream:
+    one map-side-combined aggregate whose key space is bounded by
+    depth x width cells — THE reason a sketch works at 100 TB, where a
+    token-keyed exact count must shuffle the full vocabulary.  The exact
+    top-k (computed the expensive way) is joined alongside to exhibit the
+    classic CMS guarantee est >= exact, est <= exact + eps*N.
+
+    Output (tok, exact_n, cms_est, est_ge_exact, rk) is deterministic:
+    the sketch has no RNG — hash functions are fixed — so even the
+    estimate values hash-match across engines.
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tok")
+    )
+
+    def bucket(tok, j: int):
+        hx = F.substring(F.md5(F.concat(F.lit(f"{j}:"), tok)), 1, 8)
+        return (F.conv(hx, 16, 10).cast("long") % width).alias("bucket")
+
+    cells = (
+        toks.select(
+            F.posexplode(F.array(*[bucket(F.col("tok"), j) for j in range(depth)])).alias(
+                "row", "bucket"
+            )
+        )
+        .groupBy("row", "bucket")
+        .agg(F.count("*").alias("cell_n"))
+    )
+    exact = toks.groupBy("tok").agg(F.count("*").alias("exact_n"))
+    top = (
+        exact.withColumn(
+            "rk", F.row_number().over(Window.orderBy(F.desc("exact_n"), F.asc("tok")))
+        )
+        .where(F.col("rk") <= k)
+    )
+    probes = top.select(
+        "tok",
+        "exact_n",
+        "rk",
+        F.posexplode(F.array(*[bucket(F.col("tok"), j) for j in range(depth)])).alias(
+            "row", "bucket"
+        ),
+    )
+    return (
+        probes.join(F.broadcast(cells), ["row", "bucket"])
+        .groupBy("tok", "exact_n", "rk")
+        .agg(F.min("cell_n").alias("cms_est"))
+        .select(
+            "tok",
+            F.col("exact_n").cast("bigint"),
+            F.col("cms_est").cast("bigint"),
+            (F.col("cms_est") >= F.col("exact_n")).alias("est_ge_exact"),
+            F.col("rk").cast("bigint"),
+        )
+        .orderBy("rk")
+    )
+
+
+def approx_percentile_check(
+    lineitem: DataFrame,
+    pcts: tuple[float, ...] = (0.25, 0.5, 0.75, 0.95),
+    accuracy: int = 1000,
+) -> DataFrame:
+    """Greenwald-Khanna percentile sketch, gated by its own rank-error bound.
+
+    ``percentile_approx`` is the 100 TB path (mergeable sketch, map-side
+    combinable, memory O(accuracy) instead of a full sort), but its VALUE
+    depends on partition-merge order, so it can never be a compared column.
+    What IS invariant — by the GK theorem, for any merge order — is the
+    rank guarantee: the returned value's true rank is within n/accuracy of
+    the target.  So the contract emits the exact percentile (oracle-able)
+    plus the sketch's bound check as a boolean, computed by ranking the
+    sketch value against the real data in one broadcast-join pass.
+    """
+    per_flag = lineitem.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", list(pcts), accuracy).alias("ap"),
+        F.expr(f"percentile(l_extendedprice, array({', '.join(str(p) for p in pcts)}))").alias(
+            "ex"
+        ),
+        F.count("*").alias("n"),
+    )
+    one = per_flag.select(
+        "l_returnflag",
+        "n",
+        F.posexplode(F.arrays_zip("ap", "ex")).alias("i", "z"),
+    ).select(
+        "l_returnflag",
+        "n",
+        F.element_at(F.lit(list(pcts)), F.col("i") + 1).alias("pct"),
+        F.col("z.ap").alias("ap_val"),
+        F.col("z.ex").alias("ex_val"),
+    )
+    ranked = (
+        lineitem.select("l_returnflag", "l_extendedprice")
+        .join(F.broadcast(one), "l_returnflag")
+        .groupBy("l_returnflag", "pct", "n", "ap_val", "ex_val")
+        .agg(
+            F.sum(F.when(F.col("l_extendedprice") < F.col("ap_val"), 1).otherwise(0)).alias(
+                "lo_rank"
+            ),
+            F.sum(F.when(F.col("l_extendedprice") <= F.col("ap_val"), 1).otherwise(0)).alias(
+                "hi_rank"
+            ),
+        )
+    )
+    # The returned value's possible ranks span [lo_rank+1, hi_rank] (ties);
+    # the sketch is correct iff that interval intersects the GK band
+    # pct*n +/- n/accuracy (+/-1 for the discrete-rank edge).
+    tol = 1.0 / accuracy
+    band_lo = (F.col("pct") - tol) * F.col("n") - 1
+    band_hi = (F.col("pct") + tol) * F.col("n") + 1
+    ok = (F.col("lo_rank") + 1 <= band_hi) & (F.col("hi_rank") >= band_lo)
+    return ranked.select(
+        "l_returnflag",
+        "pct",
+        F.round(F.col("ex_val"), 4).alias("exact_pct"),
+        ok.alias("sketch_within_bound"),
+    ).orderBy("l_returnflag", "pct")

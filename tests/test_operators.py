@@ -620,3 +620,85 @@ def test_repetition_stats_exact(spark):
     assert (got[1].n_tokens, got[1].n_distinct, got[1].max_tok_freq, got[1].max_bigram_freq) == (5, 3, 3, 2)
     assert (got[2].n_tokens, got[2].n_distinct, got[2].max_tok_freq, got[2].max_bigram_freq) == (6, 2, 3, 3)
     assert (got[3].n_tokens, got[3].n_distinct, got[3].max_tok_freq, got[3].max_bigram_freq) == (3, 3, 1, 1)
+
+
+def test_cms_estimate_dominates_exact_and_bounds_error(spark, docs):
+    from duckdb_age_spark.operators.stats import cms_heavy_hitters
+
+    out = cms_heavy_hitters(docs, depth=4, width=512, k=10).collect()
+    assert len(out) == 10
+    n_total = docs.select(
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("t")
+    ).count()
+    for r in out:
+        # CMS never underestimates, and the eps*N bound (eps = e/width,
+        # conservative form 4/width for the pairwise-independent variant)
+        # holds deterministically here because collisions are data-visible.
+        assert r.cms_est >= r.exact_n
+        assert r.est_ge_exact
+        assert r.cms_est <= r.exact_n + (4.0 / 512) * n_total
+
+
+def test_cms_width_controls_overestimate(spark, docs):
+    from duckdb_age_spark.operators.stats import cms_heavy_hitters
+
+    wide = {r.tok: r.cms_est for r in cms_heavy_hitters(docs, width=2048, k=5).collect()}
+    narrow = {r.tok: r.cms_est for r in cms_heavy_hitters(docs, width=64, k=5).collect()}
+    assert sum(narrow[t] for t in narrow) >= sum(wide[t] for t in wide)
+
+
+def test_knn_label_vote_planted_clusters(spark):
+    from duckdb_age_spark.operators.similarity import knn_label_vote
+
+    # Two well-separated planted clusters: label 0 along +e0, label 1 along
+    # +e1; query 0 sits in cluster 0, query 1 in cluster 1.
+    def vec(axis, wobble):
+        v = [0.0] * 64
+        v[axis] = 1.0
+        v[8 + wobble] = 0.01 * (wobble + 1)
+        return v
+
+    rows = [(0, vec(0, 0), 0), (1, vec(1, 0), 1)]
+    rows += [(10 + i, vec(0, i), 0) for i in range(1, 6)]
+    rows += [(20 + i, vec(1, i), 1) for i in range(1, 6)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = {r.query_id: r for r in knn_label_vote(emb, [0, 1], k=5).collect()}
+    assert out[0].predicted_label == 0 and out[0].correct
+    assert out[1].predicted_label == 1 and out[1].correct
+    assert out[0].votes == 5 and out[1].votes == 5
+
+
+def test_label_centroid_cosines_orthogonal_and_identical(spark):
+    from duckdb_age_spark.operators.similarity import label_centroid_cosines
+
+    def vec(axis, scale=1.0):
+        v = [0.0] * 64
+        v[axis] = scale
+        return v
+
+    # label 0 -> e0, label 1 -> e1 (orthogonal), label 2 -> e0 scaled
+    # (cosine 1 with label 0 regardless of magnitude).
+    rows = [(i, vec(0), 0) for i in range(3)]
+    rows += [(10 + i, vec(1), 1) for i in range(3)]
+    rows += [(20 + i, vec(0, 2.5), 2) for i in range(3)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = {(r.label_a, r.label_b): r.centroid_cosine for r in label_centroid_cosines(emb).collect()}
+    assert out[(0, 1)] == 0.0
+    assert out[(1, 2)] == 0.0
+    assert abs(out[(0, 2)] - 1.0) < 1e-9
+
+
+def test_approx_percentile_bound_check_holds(spark, sf_dir):
+    from duckdb_age_spark.operators.stats import approx_percentile_check
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    out = approx_percentile_check(li, accuracy=1000).collect()
+    assert len(out) == 4 * li.select("l_returnflag").distinct().count()
+    assert all(r.sketch_within_bound for r in out)
+    # exact percentiles are monotone in pct within each group
+    by_flag: dict = {}
+    for r in out:
+        by_flag.setdefault(r.l_returnflag, []).append((r.pct, r.exact_pct))
+    for vals in by_flag.values():
+        ordered = [v for _, v in sorted(vals)]
+        assert ordered == sorted(ordered)

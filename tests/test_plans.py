@@ -321,3 +321,37 @@ def test_rolling_1h_single_user_shuffle(t):
     schemas = read_schemas(df)
     # scan prunes to the 4 needed columns (no event_type/props)
     assert schemas and all("props" not in s and "event_type" not in s for s in schemas), schemas
+
+
+def test_cms_cells_aggregate_is_partial_and_broadcast_joined(t):
+    from duckdb_age_spark.operators.stats import cms_heavy_hitters
+
+    df = cms_heavy_hitters(t["documents"], depth=4, width=512, k=10)
+    # the 2048-cell sketch aggregate must map-side combine (that bounded
+    # key space is the whole point of the sketch at 100 TB) and the cell
+    # table must broadcast to the top-k probes, never shuffle-join them
+    assert has_partial_aggregate(df)
+    assert has_broadcast_join(df)
+
+
+def test_knn_vote_scores_via_broadcast(t, spark, sf_dir):
+    from duckdb_age_spark.operators.similarity import knn_label_vote
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    df = knn_label_vote(emb, [0, 1, 2], k=5)
+    plan = formatted_plan(df)
+    # query set reaches the corpus as a broadcast (nested-loop for the
+    # cross-score); the corpus itself must not shuffle before scoring
+    assert "BroadcastNestedLoopJoin" in plan or has_broadcast_join(df), plan
+
+
+def test_label_centroids_bounded_shuffles(t, spark, sf_dir):
+    from duckdb_age_spark.operators.similarity import label_centroid_cosines
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    df = label_centroid_cosines(emb)
+    # corpus -> (label, dim) cells: one map-side-combined shuffle; the
+    # pairwise-dot join runs on the tiny cell table via broadcast
+    assert has_partial_aggregate(df)
+    assert has_broadcast_join(df)
+    assert count_exchanges(df) <= 6, formatted_plan(df)
