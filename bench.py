@@ -58,6 +58,10 @@ BENCH_QUERIES = [
     "window_balance_analytics",
     "stats_price_histogram",
     "stats_corr_exact",
+    "stats_label_centroids",
+    "sketch_cms_heavy_hitters",
+    "sketch_approx_percentile",
+    "sim_knn_label_vote",
     "pipeline_vocab_topk",
     "setops_full_outer_reconcile",
     "events_session_window",

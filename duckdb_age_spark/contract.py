@@ -3146,6 +3146,49 @@ def sim_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "sim_lsh_recall",
+    f"""
+    WITH {_SIM_SCORED_SQL},
+    exact AS (
+      SELECT query_id, vec_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, vec_id ASC) AS rank
+        FROM scored)
+      WHERE rank <= 5),
+    c AS (SELECT vec_id, v, ({_LSH_BUCKET_SQL('v')}) AS bucket FROM e),
+    lq AS (SELECT vec_id AS query_id, v AS qv, ({_LSH_BUCKET_SQL('v')}) AS qbucket
+           FROM e WHERE vec_id < 5),
+    probes AS (SELECT query_id, qv, unnest([qbucket, xor(qbucket, 1), xor(qbucket, 2),
+                                            xor(qbucket, 4), xor(qbucket, 8)]) AS bucket FROM lq),
+    lscored AS (
+      SELECT DISTINCT query_id, c.vec_id,
+             round(list_sum(list_transform(range(1, 65), i -> qv[i] * c.v[i]))
+                   / (sqrt(list_sum(list_transform(qv, x -> x * x)))
+                      * sqrt(list_sum(list_transform(c.v, x -> x * x)))), 4) AS cosine
+      FROM c JOIN probes USING (bucket) WHERE c.vec_id != probes.query_id),
+    lsh AS (
+      SELECT query_id, vec_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, vec_id ASC) AS rank
+        FROM lscored)
+      WHERE rank <= 5),
+    hits AS (SELECT query_id, count(*) AS n
+             FROM exact JOIN lsh USING (query_id, vec_id) GROUP BY 1)
+    SELECT q.query_id::BIGINT AS query_id, coalesce(n, 0) / 5.0 AS recall_at_k
+    FROM q LEFT JOIN hits USING (query_id) ORDER BY query_id
+    """,
+)
+def sim_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the LSH ANN path against brute-force ground truth — the
+    metric that qualifies an approximate index.  Composes the two production
+    operators unchanged; integer-count / constant-k division is exact."""
+    from .operators.similarity import lsh_recall_at_k
+
+    _prep(spark)
+    return lsh_recall_at_k(load(spark, sf_dir, "embeddings"), [0, 1, 2, 3, 4], k=5)
+
+
+@_q(
     "stats_label_centroids",
     """
     WITH comp AS (

@@ -356,3 +356,31 @@ def label_centroid_cosines(embeddings: DataFrame, scale: int = 1_000_000) -> Dat
         .select("label_a", "label_b", F.round(cos, 6).alias("centroid_cosine"))
         .orderBy("label_a", "label_b")
     )
+
+
+def lsh_recall_at_k(embeddings: DataFrame, query_ids: list[int], k: int = 5, n_planes: int = 4) -> DataFrame:
+    """Recall@k of the LSH approximate path against brute-force ground
+    truth — the eval metric that decides whether an ANN index is usable.
+
+    recall@k = |topk_lsh ∩ topk_exact| / k per query.  Both sides reuse the
+    production operators unchanged, so this measures the real pipeline, not
+    a model of it.  Division is integer-count / constant-k — exact in any
+    engine.  Scale: ground truth over a SAMPLED query set is how recall is
+    audited at 100 TB (brute force over all queries would defeat the
+    index's purpose); the sample size only changes the broadcast width.
+    """
+    queries = queries_from_ids(embeddings, query_ids)
+    exact = brute_force_topk(embeddings, queries, k=k).select("query_id", "vec_id")
+    approx = lsh_topk(embeddings, queries, k=k, n_planes=n_planes).select("query_id", "vec_id")
+    hits = exact.join(approx, ["query_id", "vec_id"]).groupBy("query_id").agg(
+        F.count("*").alias("n_hits")
+    )
+    base = queries.select("query_id")
+    return (
+        base.join(hits, "query_id", "left")
+        .select(
+            F.col("query_id").cast("bigint"),
+            (F.coalesce(F.col("n_hits"), F.lit(0)) / F.lit(float(k))).alias("recall_at_k"),
+        )
+        .orderBy("query_id")
+    )

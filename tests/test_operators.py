@@ -702,3 +702,15 @@ def test_approx_percentile_bound_check_holds(spark, sf_dir):
     for vals in by_flag.values():
         ordered = [v for _, v in sorted(vals)]
         assert ordered == sorted(ordered)
+
+
+def test_lsh_recall_bounds_and_degenerate_exactness(spark, emb):
+    from duckdb_age_spark.operators.similarity import lsh_recall_at_k
+
+    out = lsh_recall_at_k(emb, [0, 1, 2], k=5).collect()
+    assert len(out) == 3
+    assert all(0.0 <= r.recall_at_k <= 1.0 for r in out)
+    # with zero hyperplanes every vector lands in bucket 0, so the "ANN"
+    # path scans the full corpus and recall must be exactly 1
+    degenerate = lsh_recall_at_k(emb, [0, 1, 2], k=5, n_planes=0).collect()
+    assert all(r.recall_at_k == 1.0 for r in degenerate)
