@@ -3189,6 +3189,77 @@ def sim_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "streaming_cms_topusers",
+    r"""
+    WITH b AS (SELECT j, (('0x' || substr(md5(j::VARCHAR || ':' || user_id::VARCHAR), 1, 8))::BIGINT
+                          % 256) AS bucket
+               FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j) hj),
+    cells AS (SELECT j, bucket, count(*) AS cell_n FROM b GROUP BY 1, 2),
+    v AS (SELECT user_id, count(*) AS c FROM events GROUP BY 1),
+    top AS (SELECT user_id, c, row_number() OVER (ORDER BY c DESC, user_id) AS rk FROM v
+            QUALIFY rk <= 10),
+    probes AS (SELECT user_id, c, rk, j,
+                      (('0x' || substr(md5(j::VARCHAR || ':' || user_id::VARCHAR), 1, 8))::BIGINT
+                       % 256) AS bucket
+               FROM top CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j) hj)
+    SELECT user_id::BIGINT AS user_id, c::BIGINT AS exact_n, min(cell_n)::BIGINT AS cms_est,
+           (min(cell_n) >= c) AS est_ge_exact, rk::BIGINT AS rk
+    FROM probes JOIN cells USING (j, bucket)
+    GROUP BY user_id, c, rk ORDER BY rk
+    """,
+)
+def streaming_cms_topusers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch maintained as a STREAMING aggregate (state = 1024
+    cells regardless of stream volume — the bounded-state alternative to a
+    per-user count whose state grows with the keyspace), drained with
+    availableNow and probed for the exact top-10 users' frequencies."""
+    from .streaming import cms_cells_stream, run_available_now, stream_events
+    from pyspark.sql import Window
+
+    _prep(spark)
+    cells = run_available_now(
+        cms_cells_stream(stream_events(spark, sf_dir), depth=4, width=256),
+        output_mode="complete",
+        shuffle_partitions=8,
+    )
+    ev = load(spark, sf_dir, "events")
+    top = (
+        ev.groupBy("user_id")
+        .agg(F.count("*").alias("exact_n"))
+        .withColumn(
+            "rk", F.row_number().over(Window.orderBy(F.desc("exact_n"), F.asc("user_id")))
+        )
+        .where(F.col("rk") <= 10)
+    )
+
+    def bucket(j: int):
+        hx = F.substring(
+            F.md5(F.concat(F.lit(f"{j}:"), F.col("user_id").cast("string"))), 1, 8
+        )
+        return F.conv(hx, 16, 10).cast("long") % 256
+
+    probes = top.select(
+        "user_id",
+        "exact_n",
+        "rk",
+        F.posexplode(F.array(*[bucket(j) for j in range(4)])).alias("row", "bucket"),
+    )
+    return (
+        probes.join(F.broadcast(cells), ["row", "bucket"])
+        .groupBy("user_id", "exact_n", "rk")
+        .agg(F.min("cell_n").alias("cms_est"))
+        .select(
+            F.col("user_id").cast("bigint"),
+            F.col("exact_n").cast("bigint"),
+            F.col("cms_est").cast("bigint"),
+            (F.col("cms_est") >= F.col("exact_n")).alias("est_ge_exact"),
+            F.col("rk").cast("bigint"),
+        )
+        .orderBy("rk")
+    )
+
+
+@_q(
     "stats_label_centroids",
     """
     WITH comp AS (

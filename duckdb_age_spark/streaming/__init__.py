@@ -346,3 +346,30 @@ def run_available_now(
         if shuffle_partitions is not None:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
+
+
+def cms_cells_stream(events: DataFrame, depth: int = 4, width: int = 256) -> DataFrame:
+    """Count-min sketch cells over the streaming ``user_id`` column.
+
+    The streaming-state angle of the sketch (see stats.cms_heavy_hitters
+    for the batch form): a per-user streaming count keeps one state row per
+    DISTINCT user — state grows with the keyspace and needs watermark
+    eviction policy.  The CMS aggregate's state is depth x width rows
+    FOREVER, no matter how many users or events flow through, while still
+    answering frequency queries within eps*N.  Hash rows are md5-derived
+    (portable), so the drained cells equal the batch-computed cells exactly
+    and a SQL oracle can reproduce the estimates bit-for-bit.
+    """
+    def bucket(j: int):
+        hx = F.substring(
+            F.md5(F.concat(F.lit(f"{j}:"), F.col("user_id").cast("string"))), 1, 8
+        )
+        return (F.conv(hx, 16, 10).cast("long") % width)
+
+    return (
+        events.select(
+            F.posexplode(F.array(*[bucket(j) for j in range(depth)])).alias("row", "bucket")
+        )
+        .groupBy("row", "bucket")
+        .agg(F.count("*").alias("cell_n"))
+    )

@@ -296,3 +296,21 @@ def test_enrich_stream_with_dim_matches_batch(spark, sf_dir, batch_events):
         for r in batch_events.join(dim, "event_type").groupBy("category").count().collect()
     }
     assert got == exp and len(got) == 3
+
+
+def test_cms_cells_stream_state_is_bounded_and_matches_batch(spark, sf_dir, batch_events):
+    from duckdb_age_spark.streaming import cms_cells_stream, run_available_now, stream_events
+
+    cells = run_available_now(
+        cms_cells_stream(stream_events(spark, sf_dir), depth=4, width=64),
+        output_mode="complete",
+        shuffle_partitions=4,
+    ).collect()
+    # state/result cardinality is bounded by depth*width no matter the volume
+    assert 0 < len(cells) <= 4 * 64
+    # every event contributes exactly one increment per hash row
+    n_events = batch_events.count()
+    per_row: dict = {}
+    for c in cells:
+        per_row[c.row] = per_row.get(c.row, 0) + c.cell_n
+    assert per_row == {j: n_events for j in range(4)}
