@@ -450,6 +450,78 @@ def upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "upsert_cdc_merge",
+    """
+    WITH latest AS (
+      -- the change feed below plants, per key class: updates (custkey%10=0,
+      -- seq 1), deletes (custkey%15=0, seq 2), inserts (fresh keys 900001-3,
+      -- seq 1); keys hit by both (%30=0) resolve to the HIGHER seq = delete
+      SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment, op FROM (
+        SELECT *, row_number() OVER (PARTITION BY c_custkey
+                                     ORDER BY seq DESC, (op = 'D') DESC) AS rn
+        FROM (
+          SELECT c_custkey, c_name, c_nationkey, c_acctbal + 1000.0 AS c_acctbal,
+                 c_mktsegment, 'U' AS op, 1 AS seq
+          FROM customer WHERE c_custkey % 10 = 0
+          UNION ALL
+          SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment, 'D', 2
+          FROM customer WHERE c_custkey % 15 = 0
+          UNION ALL
+          SELECT 900000 + i, 'NEW_' || (900000 + i), 1, 500.0 * i, 'CDC_SEG', 'I', 1
+          FROM (SELECT unnest([1, 2, 3]) AS i)))
+      WHERE rn = 1),
+    merged AS (
+      SELECT * EXCLUDE (op) FROM (
+        SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment, NULL AS op
+        FROM customer WHERE c_custkey NOT IN (SELECT c_custkey FROM latest)
+        UNION ALL
+        SELECT * FROM latest WHERE op != 'D'))
+    SELECT c_mktsegment, count(*)::BIGINT AS n_customers, round(sum(c_acctbal), 2) AS total_bal
+    FROM merged GROUP BY 1 ORDER BY 1
+    """,
+)
+def upsert_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC apply with DELETES: a change batch planting updates (every 10th
+    key), deletes (every 15th), fresh inserts, and same-key seq conflicts
+    (every 30th gets update seq 1 + delete seq 2 — latest wins) merged into
+    a scratch copy via apply_cdc_parquet, then aggregated — must equal the
+    oracle's pure-SQL MERGE of the original."""
+    from .sources import apply_cdc_parquet
+
+    _prep(spark)
+    path = _scratch("upsert_cdc", sf_dir) + "/customer"
+    cust = load(spark, sf_dir, "customer")
+    cust.write.parquet(path)
+    updates = (
+        cust.where(F.col("c_custkey") % 10 == 0)
+        .withColumn("c_acctbal", F.col("c_acctbal") + 1000.0)
+        .withColumn("op", F.lit("U"))
+        .withColumn("seq", F.lit(1))
+    )
+    deletes = (
+        cust.where(F.col("c_custkey") % 15 == 0)
+        .withColumn("op", F.lit("D"))
+        .withColumn("seq", F.lit(2))
+    )
+    inserts = spark.createDataFrame(
+        [(900000 + i, f"NEW_{900000 + i}", 1, 500.0 * i, "CDC_SEG", "I", 1) for i in (1, 2, 3)],
+        "c_custkey bigint, c_name string, c_nationkey bigint, c_acctbal double,"
+        " c_mktsegment string, op string, seq int",
+    )
+    changes = updates.unionByName(deletes).unionByName(inserts.select(*updates.columns))
+    apply_cdc_parquet(spark, path, changes, "c_custkey", op_col="op", seq_col="seq")
+    return (
+        spark.read.parquet(path)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").cast("bigint").alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
 @_q("sink_csv_roundtrip", _HOURLY_SQL)
 def sink_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CSV sink+source: write events to CSV, read back, aggregate — the

@@ -10,13 +10,14 @@
 from .compact import compact_parquet, parquet_data_size
 from .encrypted import read_encrypted, write_encrypted
 from .tables import read_table
-from .upsert import upsert_parquet
+from .upsert import apply_cdc_parquet, upsert_parquet
 
 __all__ = [
     "compact_parquet",
     "parquet_data_size",
     "read_encrypted",
     "read_table",
+    "apply_cdc_parquet",
     "upsert_parquet",
     "write_encrypted",
 ]

@@ -59,6 +59,11 @@ def upsert_parquet(spark: SparkSession, path: str, updates: DataFrame, key: str)
     merged = current.join(updates.select(key).distinct(), on=key, how="left_anti").unionByName(
         updates.select(*current.columns)
     )
+    _publish_swap(merged, path, staging, old)
+
+
+def _publish_swap(merged: DataFrame, path: str, staging: str, old: str) -> None:
+    """Write-aside-then-swap publication shared by the merge primitives."""
     merged.write.mode("overwrite").parquet(staging)
     os.rename(path, old)
     try:
@@ -67,3 +72,64 @@ def upsert_parquet(spark: SparkSession, path: str, updates: DataFrame, key: str)
         os.rename(old, path)  # roll back: the original table stays live
         raise
     shutil.rmtree(old)
+
+
+def _sweep_scratch(path: str, staging: str, old: str) -> None:
+    """Recover/clean leftovers of a crashed prior run (see upsert_parquet)."""
+    if not os.path.exists(path) and os.path.isdir(old):
+        os.rename(old, path)  # recover: prior run crashed mid-swap
+    for leftover in (staging, old):
+        if os.path.isdir(leftover):
+            shutil.rmtree(leftover)
+        elif os.path.lexists(leftover):
+            os.remove(leftover)  # stray file/symlink at the scratch name
+
+
+def apply_cdc_parquet(
+    spark: SparkSession,
+    path: str,
+    changes: DataFrame,
+    key: str,
+    op_col: str = "op",
+    seq_col: str | None = None,
+) -> None:
+    """Apply a CDC change batch — inserts, updates AND deletes — to the
+    parquet dir at ``path``.
+
+    ``changes`` carries the target's columns plus ``op_col`` with values
+    ``'I'``/``'U'`` (upsert — both apply the same rewrite-by-key way) or
+    ``'D'`` (delete the key).  When ``seq_col`` is given, the LATEST change
+    per key wins (ties by op: deletes last — the convention debezium-style
+    feeds use for a delete-after-write in one batch); without it, one
+    arbitrary-but-deterministic change per key is kept, like
+    ``upsert_parquet``.
+
+    Semantics = ``MERGE WHEN MATCHED AND op='D' THEN DELETE / WHEN MATCHED
+    THEN UPDATE / WHEN NOT MATCHED AND op<>'D' THEN INSERT``.  Scale notes
+    from the module docstring apply unchanged: whole-table rewrite for
+    dimension tables, per-partition application for facts, a transactional
+    format once available.
+    """
+    from pyspark.sql import Window, functions as F
+
+    staging = path.rstrip("/") + "._staging"
+    old = path.rstrip("/") + "._old"
+    _sweep_scratch(path, staging, old)
+
+    if seq_col is not None:
+        w = Window.partitionBy(key).orderBy(
+            F.desc(seq_col), F.desc(F.col(op_col) == "D")
+        )
+        latest = (
+            changes.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+    else:
+        latest = changes.dropDuplicates([key])
+
+    current = spark.read.parquet(path)
+    upserts = latest.where(F.col(op_col) != "D").select(*current.columns)
+    touched = latest.select(key).distinct()
+    merged = current.join(touched, on=key, how="left_anti").unionByName(upserts)
+    _publish_swap(merged, path, staging, old)
