@@ -113,3 +113,79 @@ def zorder_layout_stats(orders: DataFrame, bits: int = 10, file_bits: int = 6) -
             F.max("y").cast("bigint").alias("max_price_bucket"),
         )
     )
+
+
+def copurchase_edges(
+    orders: DataFrame, lineitem: DataFrame, min_shared_parts: int = 2
+) -> DataFrame:
+    """Customer similarity graph: an undirected edge (src < dst) between two
+    customers whose order histories share at least ``min_shared_parts``
+    distinct parts — the basket-overlap graph behind co-purchase
+    recommendations and audience clustering.
+
+    Shape: lineitem joins orders once to attach custkey, distinct
+    (cust, part) pairs, then a PART-keyed self-join — the join fan-out is
+    bounded per part by that part's buyer count, never all-pairs over
+    customers — and a map-side-combined count keyed by the pair.  The
+    support threshold is what keeps the graph sparse: co-buying ONE shared
+    part is noise at any scale, and filtering on count >= k drops the long
+    tail before the edge list materializes.  At 100 TB add a hot-part cap
+    (skip parts with more buyers than a bound) — a standard frequency
+    cutoff that bounds the quadratic per-key term; unnecessary at these SFs.
+    """
+    cp = (
+        lineitem.join(orders.select("o_orderkey", "o_custkey"), lineitem.l_orderkey == orders.o_orderkey)
+        .select(F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part"))
+        .distinct()
+    )
+    a = cp.select(F.col("cust").alias("src"), "part")
+    b = cp.select(F.col("cust").alias("dst"), "part")
+    return (
+        a.join(b, "part")
+        .where(F.col("src") < F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("shared_parts"))
+        .where(F.col("shared_parts") >= min_shared_parts)
+        .select("src", "dst", "shared_parts")
+    )
+
+
+def triangle_stats(edges: DataFrame) -> DataFrame:
+    """Triangle census of an undirected (src < dst) edge list: node/edge/
+    wedge/triangle counts and the closed-wedge ratio.
+
+    The join is ID-ORIENTED: edges already satisfy src < dst, so a wedge is
+    e1(a,b) ⋈ e2(a,c) with b < c and a triangle additionally needs (b,c) in
+    the edge set — each triangle a<b<c is counted exactly once with no
+    symmetric duplication.  Intermediate size is Σ_a C(outdeg(a), 2); at
+    cluster scale swap ID order for DEGREE order (orient each edge toward
+    the higher-degree endpoint) which provably caps that sum at O(E^1.5)
+    regardless of skew — the id-oriented form is kept here because the
+    oracle must replay the exact same orientation cheaply.  Two shuffles
+    total (self-join on a, hash join of wedges against edges); the census
+    aggregate is map-side combinable to a single row.
+    Ratio is an IEEE division of two exact longs — engine-identical.
+    """
+    e = edges.select("src", "dst")
+    w1 = e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    w2 = e.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+    wedges = w1.join(w2, "a").where(F.col("b") < F.col("c"))
+    tri = wedges.join(
+        e.select(F.col("src").alias("b"), F.col("dst").alias("c")), ["b", "c"]
+    )
+    nodes = e.select(F.col("src").alias("n")).unionAll(e.select(F.col("dst").alias("n"))).distinct()
+    census = (
+        wedges.agg(F.count("*").alias("n_wedges"))
+        .crossJoin(tri.agg(F.count("*").alias("n_triangles")))
+        .crossJoin(e.agg(F.count("*").alias("n_edges")))
+        .crossJoin(nodes.agg(F.count("*").alias("n_nodes")))
+    )
+    return census.select(
+        F.col("n_nodes").cast("bigint"),
+        F.col("n_edges").cast("bigint"),
+        F.col("n_wedges").cast("bigint"),
+        F.col("n_triangles").cast("bigint"),
+        (F.col("n_triangles").cast("double") / F.col("n_wedges").cast("double")).alias(
+            "closed_wedge_ratio"
+        ),
+    )

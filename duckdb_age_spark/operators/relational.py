@@ -638,3 +638,50 @@ def balance_distribution_analytics(customers):
         F.percent_rank().over(w).alias("pct_rank"),
         F.cume_dist().over(w).alias("cume"),
     )
+
+
+def scd2_priority_history(orders, sample_mod: int = 10):
+    """Slowly-Changing-Dimension Type-2 build: collapse each customer's
+    order-priority sequence into versioned effective-dated rows — the
+    dimension-maintenance pattern every warehouse load needs (Kimball SCD2).
+
+    Treats orders as the change log: per customer, ordered by
+    (o_orderdate, o_orderkey), a new VERSION starts whenever the priority
+    differs from the previous row (consecutive duplicates collapse);
+    each version carries effective_from = its first order's date,
+    effective_to = the next version's start (NULL = open), is_current on
+    the open row.  Epoch seconds keep the compared columns integer.
+
+    Shape: one window shuffle keyed by custkey (lag to detect changes,
+    lead for the close-out date, row_number for the version) — no join,
+    no second shuffle: lead/lag/row_number share one partition ordering so
+    Catalyst runs them in a single Window node.  The mod-sample filter is
+    pushed to the parquet scan.  At 100 TB this is exactly the plan you
+    want: the per-customer history is tiny, the shuffle is one pass.
+    """
+    from pyspark.sql import Window, functions as F
+
+    o = orders.where(F.col("o_custkey") % sample_mod == 0)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        "o_orderpriority",
+        F.lag("o_orderpriority").over(w).alias("prev_priority"),
+    )
+    changes = seq.where(
+        F.col("prev_priority").isNull()
+        | (F.col("prev_priority") != F.col("o_orderpriority"))
+    )
+    w2 = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    eff_from = F.unix_timestamp("o_orderdate").cast("bigint")
+    eff_to = F.lead(eff_from).over(w2)
+    return changes.select(
+        F.col("o_custkey").cast("bigint").alias("custkey"),
+        F.row_number().over(w2).cast("bigint").alias("version"),
+        F.col("o_orderpriority").alias("priority"),
+        eff_from.alias("eff_from"),
+        eff_to.cast("bigint").alias("eff_to"),
+        eff_to.isNull().alias("is_current"),
+    )

@@ -384,3 +384,76 @@ def lsh_recall_at_k(embeddings: DataFrame, query_ids: list[int], k: int = 5, n_p
         )
         .orderBy("query_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# int8-quantized path (memory/bandwidth-bound corpora)
+# ---------------------------------------------------------------------------
+
+
+def int8_quantize(embeddings: DataFrame) -> DataFrame:
+    """Per-vector symmetric int8 quantization: q_i = floor(x_i·s + ½) with
+    s = 127 / max|x| — the standard scalar-quantization layout (FAISS SQ8,
+    Milvus/Lucene int8) that shrinks a float32 corpus 4× so the scan is
+    memory-bandwidth-bound on int8 rows instead of float rows.
+
+    The rounding is spelled floor(x+0.5) EXPLICITLY: both engines' round()
+    on doubles have engine-specific half-rule corners, while floor of the
+    identical IEEE product is bit-deterministic everywhere.  The squared
+    norm is an exact integer, computed once at quantization time so the
+    scoring scan never re-aggregates it.  Returns (vec_id, qv array<long>,
+    qnorm2 long).  Assumes no all-zero vectors (s would be ±inf).
+    """
+    v = _as_double(F.col("embedding"))
+    s = F.lit(127.0) / F.array_max(F.transform(v, F.abs))
+    qv = F.transform(v, lambda x: F.floor(x * s + F.lit(0.5)).cast("long"))
+    return embeddings.select(
+        "vec_id",
+        qv.alias("qv"),
+        F.aggregate(
+            F.transform(qv, lambda x: x * x), F.lit(0).cast("long"), lambda acc, x: acc + x
+        ).alias("qnorm2"),
+    )
+
+
+def int8_topk(embeddings: DataFrame, query_ids: list[int], k: int = 5) -> DataFrame:
+    """Top-k cosine over the int8-quantized corpus.
+
+    Scoring is an integer dot product (exact long arithmetic — no float
+    accumulation-order hazard at ANY partitioning) followed by one IEEE
+    division by the precomputed norms; identical on every engine, so even
+    this APPROXIMATE index is hash-verifiable — the estimate itself is
+    deterministic, unlike float-accumulated scores.  Plan shape matches
+    brute_force_topk: corpus never shuffles, queries broadcast, one window
+    shuffle for top-k.  At 100 TB the int8 corpus is the resident index
+    (4× smaller than float32); re-ranking survivors against the float
+    column recovers exactness where needed.
+    Returns (query_id, vec_id, cosine_q8, rank).
+    """
+    q = int8_quantize(embeddings)
+    probes = q.where(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("qv").alias("pqv"),
+        F.col("qnorm2").alias("pnorm2"),
+    )
+    idot = F.aggregate(
+        F.zip_with("pqv", "qv", lambda x, y: x * y), F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+    scored = (
+        q.join(F.broadcast(probes))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            (
+                idot.cast("double")
+                / (F.sqrt(F.col("pnorm2").cast("double")) * F.sqrt(F.col("qnorm2").cast("double")))
+            ).alias("cosine_q8"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_q8"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine_q8", F.col("rank").cast("bigint").alias("rank"))
+    )

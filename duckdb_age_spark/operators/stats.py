@@ -209,3 +209,92 @@ def approx_percentile_check(
         F.round(F.col("ex_val"), 4).alias("exact_pct"),
         ok.alias("sketch_within_bound"),
     ).orderBy("l_returnflag", "pct")
+
+
+def linreg_exact(df: DataFrame, group: str, x, y) -> DataFrame:
+    """Per-group OLS fit y = slope*x + intercept from EXACT sufficient
+    statistics — the regression companion to :func:`corr_exact`.
+
+    ``ml.regression.LinearRegression`` (or any gradient/normal-equation
+    solver over doubles) accumulates in partition order and is not
+    bit-reproducible across engines; with integer x/y the five sums are
+    exact decimals and the closed-form solution is a fixed IEEE sequence on
+    identical inputs.  One map-side-combined shuffle keyed by the group —
+    the same cost as a COUNT(*) GROUP BY at any scale.
+    Returns (group, n_obs, slope, intercept).
+    """
+    s = _exact_sums(df, group, x, y)
+    n, sx, sy = (F.col(c).cast("double") for c in ("n", "sx", "sy"))
+    sxx, sxy = (F.col(c).cast("double") for c in ("sxx", "sxy"))
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n
+    return s.select(
+        group,
+        F.col("n").cast("bigint").alias("n_obs"),
+        slope.alias("slope"),
+        intercept.alias("intercept"),
+    )
+
+
+def winsorized_stats(
+    lineitem: DataFrame, lo: float = 0.05, hi: float = 0.95
+) -> DataFrame:
+    """Winsorized (outlier-clamped) price statistics per return flag — the
+    robust-mean data-cleaning step of a feature pipeline.
+
+    Thresholds are DISCRETE percentiles (the cent value at integer rank
+    ``floor(p*(n-1))+1``), not interpolated ones: rank selection over exact
+    integer cents is engine-deterministic, while interpolation arithmetic
+    on doubles can differ in the last ulp.  Ties on cents don't matter —
+    the VALUE at a rank is unique even when row numbering within equal keys
+    is not.  Shape: one per-group sort (the unavoidable cost of an exact
+    percentile; ``quantiles_exact`` makes the same call), one broadcast of
+    the 2-row-per-group thresholds, one map-side-combined aggregate.
+    Returns per-flag thresholds, clip counts, and the winsorized mean.
+    """
+    from pyspark.sql import Window
+
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    d = lineitem.select(F.col("l_returnflag").alias("flag"), cents.alias("cents"))
+    w = Window.partitionBy("flag").orderBy("cents")
+    ranked = d.select(
+        "flag",
+        "cents",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("flag")).alias("n"),
+    )
+    lo_rank = F.floor(F.lit(lo) * (F.col("n") - 1)).cast("long") + 1
+    hi_rank = F.floor(F.lit(hi) * (F.col("n") - 1)).cast("long") + 1
+    thresholds = (
+        ranked.where((F.col("rn") == lo_rank) | (F.col("rn") == hi_rank))
+        .groupBy("flag")
+        .agg(F.min("cents").alias("lo_c"), F.max("cents").alias("hi_c"))
+    )
+    clamped = d.join(F.broadcast(thresholds), "flag").select(
+        "flag",
+        "lo_c",
+        "hi_c",
+        F.greatest(F.col("lo_c"), F.least(F.col("hi_c"), F.col("cents"))).alias("wc"),
+        (F.col("cents") < F.col("lo_c")).cast("long").alias("clip_lo"),
+        (F.col("cents") > F.col("hi_c")).cast("long").alias("clip_hi"),
+    )
+    return (
+        clamped.groupBy("flag", "lo_c", "hi_c")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("clip_lo").alias("n_clipped_lo"),
+            F.sum("clip_hi").alias("n_clipped_hi"),
+            F.sum("wc").alias("sum_wc"),
+        )
+        .select(
+            F.col("flag").alias("l_returnflag"),
+            F.col("n_rows").cast("bigint"),
+            (F.col("lo_c") / F.lit(100.0)).alias("lo_threshold"),
+            (F.col("hi_c") / F.lit(100.0)).alias("hi_threshold"),
+            F.col("n_clipped_lo").cast("bigint"),
+            F.col("n_clipped_hi").cast("bigint"),
+            (F.col("sum_wc").cast("double") / F.col("n_rows").cast("double") / F.lit(100.0)).alias(
+                "winsorized_mean"
+            ),
+        )
+    )
