@@ -99,6 +99,13 @@ BENCH_QUERIES = [
     "rollup_timebuckets",
     "streaming_windowed",
     "multimodal_features",
+    "graph_copurchase",
+    "graph_triangles",
+    "scd2_priority_history",
+    "stats_linreg",
+    "stats_winsorized",
+    "sim_int8_quantize",
+    "sim_topk_int8",
 ]
 
 

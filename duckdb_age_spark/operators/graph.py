@@ -185,7 +185,10 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
         F.col("n_edges").cast("bigint"),
         F.col("n_wedges").cast("bigint"),
         F.col("n_triangles").cast("bigint"),
-        (F.col("n_triangles").cast("double") / F.col("n_wedges").cast("double")).alias(
-            "closed_wedge_ratio"
-        ),
+        F.when(
+            F.col("n_wedges") > 0,
+            F.col("n_triangles").cast("double") / F.col("n_wedges").cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("closed_wedge_ratio"),
     )

@@ -675,7 +675,11 @@ def scd2_priority_history(orders, sample_mod: int = 10):
         | (F.col("prev_priority") != F.col("o_orderpriority"))
     )
     w2 = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-    eff_from = F.unix_timestamp("o_orderdate").cast("bigint")
+    # datediff-based epoch: unix_timestamp() depends on the session
+    # timezone, silently shifting by the TZ offset outside the UTC-pinned
+    # contract harness; days-since-epoch * 86400 is calendar arithmetic,
+    # timezone-free in every engine.
+    eff_from = (F.datediff(F.col("o_orderdate"), F.lit("1970-01-01")).cast("bigint") * 86400)
     eff_to = F.lead(eff_from).over(w2)
     return changes.select(
         F.col("o_custkey").cast("bigint").alias("custkey"),

@@ -445,9 +445,10 @@ def int8_topk(embeddings: DataFrame, query_ids: list[int], k: int = 5) -> DataFr
         .select(
             "query_id",
             "vec_id",
-            (
+            F.round(
                 idot.cast("double")
-                / (F.sqrt(F.col("pnorm2").cast("double")) * F.sqrt(F.col("qnorm2").cast("double")))
+                / (F.sqrt(F.col("pnorm2").cast("double")) * F.sqrt(F.col("qnorm2").cast("double"))),
+                4,
             ).alias("cosine_q8"),
         )
     )

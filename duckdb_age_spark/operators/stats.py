@@ -226,8 +226,12 @@ def linreg_exact(df: DataFrame, group: str, x, y) -> DataFrame:
     s = _exact_sums(df, group, x, y)
     n, sx, sy = (F.col(c).cast("double") for c in ("n", "sx", "sy"))
     sxx, sxy = (F.col(c).cast("double") for c in ("sxx", "sxy"))
-    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
-    intercept = (sy - slope * sx) / n
+    # Degenerate group (constant x): the normal-equation denominator is 0
+    # and IEEE division would emit NaN/±Inf — emit NULLs instead so the
+    # result stays hash-comparable and downstream consumers can filter.
+    denom = n * sxx - sx * sx
+    slope = F.when(denom != 0, (n * sxy - sx * sy) / denom)
+    intercept = F.when(denom != 0, (sy - ((n * sxy - sx * sy) / denom) * sx) / n)
     return s.select(
         group,
         F.col("n").cast("bigint").alias("n_obs"),

@@ -3,17 +3,61 @@
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
 
 TABLE_NAMES = (
     "region nation customer supplier part orders lineitem events documents embeddings".split()
 )
 
 
-def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one test table; normalizes the events.ts TIMESTAMP(NANOS) column
-    (read as long, truncated ns→µs with integer DIV — exact)."""
-    if name == "events":
+def events_ts_is_nanos(path: str) -> bool:
+    """True when events.ts is parquet TIMESTAMP(NANOS) — the layout Spark 4
+    refuses to read natively (needs the nanosAsLong escape hatch).  Driver
+    fixtures have shipped BOTH layouts across rounds (ns through r3, µs from
+    r4), so every reader sniffs the footer instead of assuming one."""
+    import pyarrow.parquet as pq
+
+    return getattr(pq.read_schema(path).field("ts").type, "unit", None) == "ns"
+
+
+def events_schema(nanos: bool) -> StructType:
+    """Explicit read schema for the events table.  For the ns layout ts is
+    read as a raw long (nanosAsLong) and normalized by the caller; for the
+    µs layout an explicit TimestampType avoids the TIMESTAMP_NTZ inference
+    (keeping every downstream watermark/window on the same type it has
+    always used)."""
+    return StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", LongType() if nanos else TimestampType()),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
+
+
+def read_events(spark: SparkSession, path: str) -> DataFrame:
+    """Batch read of an events parquet, either ts layout, always yielding
+    TimestampType ts (ns truncated to µs with integer DIV — exact)."""
+    if events_ts_is_nanos(path):
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/events.parquet")
+        df = spark.read.parquet(path)
         return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return spark.read.schema(events_schema(nanos=False)).parquet(path)
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one test table; normalizes the events.ts column (see
+    :func:`read_events`)."""
+    if name == "events":
+        return read_events(spark, f"{sf_dir}/events.parquet")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")

@@ -31,16 +31,24 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
-EVENTS_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),  # raw ns (nanosAsLong), normalized below
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
+def _events_stream_source(spark: SparkSession, sf_dir: str, kind: str, names: list[str]) -> DataFrame:
+    """readStream over staged links to the events parquet, handling both ts
+    layouts the driver fixtures have shipped (ns-as-long through r3, µs from
+    r4 — see sources/tables.py) and always yielding TimestampType ts."""
+    from ..sources.tables import events_schema, events_ts_is_nanos
+
+    nanos = events_ts_is_nanos(f"{sf_dir}/events.parquet")
+    if nanos:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stage = _stage_links(kind, sf_dir, names)
+    raw = (
+        spark.readStream.schema(events_schema(nanos))
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    if nanos:
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return raw
 
 
 def _stage_links(kind: str, sf_dir: str, names: list[str]) -> str:
@@ -70,18 +78,11 @@ def _stage_links(kind: str, sf_dir: str, names: list[str]) -> str:
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """readStream over the events parquet with the ns→µs normalization the
+    """readStream over the events parquet with the same ts normalization the
     batch path uses (sources/tables.py)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # The file-stream source wants a directory; the test dirs hold all ten
     # tables in one flat dir, so stage a symlink-dir containing only events.
-    stage = _stage_links("duckdb_age_spark_stream", sf_dir, ["events.parquet"])
-    raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(stage)
-    )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return _events_stream_source(spark, sf_dir, "duckdb_age_spark_stream", ["events.parquet"])
 
 
 def windowed_counts_stream(events: DataFrame, window: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
@@ -229,12 +230,9 @@ def stream_duplicated_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream over a staged dir holding TWO links to the same events
     parquet — an at-least-once delivery simulation: with maxFilesPerTrigger=1
     every event arrives again in the next micro-batch."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    stage = _stage_links(
-        "duckdb_age_spark_stream_dup", sf_dir, ["events_a.parquet", "events_b.parquet"]
+    return _events_stream_source(
+        spark, sf_dir, "duckdb_age_spark_stream_dup", ["events_a.parquet", "events_b.parquet"]
     )
-    raw = spark.readStream.schema(EVENTS_SCHEMA).option("maxFilesPerTrigger", 1).parquet(stage)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
 
 
 def stream_to_encrypted_parquet(

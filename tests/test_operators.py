@@ -714,3 +714,81 @@ def test_lsh_recall_bounds_and_degenerate_exactness(spark, emb):
     # path scans the full corpus and recall must be exactly 1
     degenerate = lsh_recall_at_k(emb, [0, 1, 2], k=5, n_planes=0).collect()
     assert all(r.recall_at_k == 1.0 for r in degenerate)
+
+
+def test_triangle_stats_no_wedges_yields_zero_ratio(spark):
+    from duckdb_age_spark.operators.graph import triangle_stats
+
+    # A perfect matching has no wedges: the ratio must be 0.0, not NaN
+    # (0/0 would poison hash comparison and downstream consumers).
+    edges = spark.createDataFrame([(1, 2), (3, 4), (5, 6)], "src long, dst long")
+    row = triangle_stats(edges).collect()[0]
+    assert row.n_wedges == 0 and row.n_triangles == 0
+    assert row.closed_wedge_ratio == 0.0
+
+
+def test_triangle_stats_counts_single_triangle(spark):
+    from duckdb_age_spark.operators.graph import triangle_stats
+
+    # K3 plus a pendant edge: id-oriented wedges share the LOWER endpoint,
+    # so a=1 contributes C(3,2)=3 wedges (2,3),(2,4),(3,4) and a=2 none —
+    # 3 wedges, of which (2,3) closes the single triangle.
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (1, 4)], "src long, dst long"
+    )
+    row = triangle_stats(edges).collect()[0]
+    assert row.n_nodes == 4 and row.n_edges == 4
+    assert row.n_triangles == 1
+    assert row.n_wedges == 3
+    assert row.closed_wedge_ratio == pytest.approx(1 / 3)
+
+
+def test_linreg_exact_constant_x_yields_nulls(spark):
+    from duckdb_age_spark.operators.stats import linreg_exact
+
+    df = spark.createDataFrame(
+        [("a", 5, 10), ("a", 5, 20), ("b", 1, 1), ("b", 2, 3)],
+        "g string, x long, y long",
+    )
+    out = {r.g: r for r in linreg_exact(df, "g", F.col("x"), F.col("y")).collect()}
+    # constant x in group a: degenerate normal equation -> NULLs, never NaN
+    assert out["a"].slope is None and out["a"].intercept is None
+    # group b: y = 2x - 1 exactly
+    assert out["b"].slope == 2.0 and out["b"].intercept == -1.0
+
+
+def test_scd2_epoch_is_timezone_independent(spark):
+    from duckdb_age_spark.operators.relational import scd2_priority_history
+
+    orders = spark.createDataFrame(
+        [
+            (10, 1, "1-URGENT", "1995-03-05 00:00:00"),
+            (10, 2, "1-URGENT", "1995-04-01 00:00:00"),  # dup priority collapses
+            (10, 3, "3-MEDIUM", "1995-06-10 00:00:00"),
+        ],
+        "o_custkey long, o_orderkey long, o_orderpriority string, d string",
+    ).select("o_custkey", "o_orderkey", "o_orderpriority", F.to_timestamp("d").alias("o_orderdate"))
+
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        results = {}
+        for tz in ("UTC", "Asia/Tokyo"):
+            spark.conf.set("spark.sql.session.timeZone", tz)
+            rows = scd2_priority_history(orders, sample_mod=1).orderBy("version").collect()
+            results[tz] = [(r.version, r.priority, r.eff_from, r.eff_to, r.is_current) for r in rows]
+        assert results["UTC"] == results["Asia/Tokyo"]
+        assert len(results["UTC"]) == 2  # consecutive duplicate collapsed
+        assert results["UTC"][0][2] == 794361600  # 1995-03-05 * 86400
+        assert results["UTC"][1][4] is True  # open row
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+
+
+def test_int8_topk_rounds_cosine_to_4dp(spark, emb):
+    from duckdb_age_spark.operators.similarity import int8_topk
+
+    out = int8_topk(emb, [0, 1], k=3).collect()
+    assert len(out) == 6
+    for r in out:
+        assert abs(r.cosine_q8 - round(r.cosine_q8, 4)) < 1e-12
+        assert -1.0001 <= r.cosine_q8 <= 1.0001
