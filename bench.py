@@ -106,6 +106,9 @@ BENCH_QUERIES = [
     "stats_winsorized",
     "sim_int8_quantize",
     "sim_topk_int8",
+    "graph_bfs_hops",
+    "stats_chi_square",
+    "stats_benford",
 ]
 
 

@@ -3541,11 +3541,12 @@ def stats_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
 _INT8_Q_SQL = """
     e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
           FROM embeddings),
+    es AS (SELECT vec_id, v,
+                  127.0 / list_max(list_transform(v, y -> abs(y))) AS s
+           FROM e),
     q AS (SELECT vec_id,
-                 list_transform(v, x -> CAST(floor(
-                     x * (127.0 / list_max(list_transform(v, y -> abs(y)))) + 0.5)
-                   AS BIGINT)) AS qv
-          FROM e),
+                 list_transform(v, x -> CAST(floor(x * s + 0.5) AS BIGINT)) AS qv
+          FROM es),
     qq AS (SELECT vec_id, qv,
                   list_sum(list_transform(qv, x -> x * x))::BIGINT AS qnorm2
            FROM q)
@@ -3605,6 +3606,99 @@ def sim_topk_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _prep(spark)
     return int8_topk(load(spark, sf_dir, "embeddings"), [0, 1, 2, 3, 4], k=5)
+
+
+@_q(
+    "graph_bfs_hops",
+    f"""
+    WITH {_COPURCHASE_CP_SQL}, {_COPURCHASE_E_SQL},
+    src AS (SELECT min(src) AS s FROM e),
+    adj AS (SELECT src AS a, dst AS b FROM e
+            UNION ALL SELECT dst, src FROM e),
+    bfs AS (
+      WITH RECURSIVE walk(node, hops) AS (
+        SELECT s, 0 FROM src
+        UNION
+        SELECT adj.b, hops + 1 FROM walk JOIN adj ON adj.a = walk.node
+        WHERE hops < 3)
+      SELECT node, min(hops) AS hops FROM walk GROUP BY 1)
+    SELECT node::BIGINT AS node, hops::BIGINT AS hops FROM bfs
+    """,
+)
+def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS hop distances from the smallest customer in the co-purchase
+    graph, 3 hops: frontier-only expansion (work per round bounded by edges
+    touching the frontier) vs the oracle's recursive CTE in UNION-dedup
+    mode — exact integer hops, engine-bit-identical."""
+    from .operators.graph import bfs_hops, copurchase_edges
+
+    _prep(spark)
+    orders = load(spark, sf_dir, "orders").where(F.col("o_custkey") % 10 == 0)
+    edges = copurchase_edges(orders, load(spark, sf_dir, "lineitem"), min_shared_parts=2)
+    source = edges.agg(F.min("src")).collect()[0][0]  # one scalar, like pagerank's N
+    return bfs_hops(edges, int(source), max_hops=3)
+
+
+@_q(
+    "stats_chi_square",
+    """
+    WITH oc AS (SELECT o_orderpriority AS a, o_orderstatus AS b,
+                       count(*) AS n_obs
+                FROM orders GROUP BY 1, 2),
+    rt AS (SELECT a, sum(n_obs) AS row_total FROM oc GROUP BY 1),
+    ct AS (SELECT b, sum(n_obs) AS col_total FROM oc GROUP BY 1),
+    nt AS (SELECT sum(n_obs) AS n_total FROM oc),
+    -- full grid incl. zero cells: they still contribute `expected`
+    cells AS (SELECT a, b, row_total, col_total, coalesce(n_obs, 0) AS observed
+              FROM rt CROSS JOIN ct LEFT JOIN oc USING (a, b)),
+    pc AS (SELECT a, b, observed::BIGINT AS observed,
+                  row_total::DOUBLE * col_total::DOUBLE / n_total::DOUBLE AS expected,
+                  (observed::DOUBLE - row_total::DOUBLE * col_total::DOUBLE / n_total::DOUBLE)
+                  * (observed::DOUBLE - row_total::DOUBLE * col_total::DOUBLE / n_total::DOUBLE)
+                  / (row_total::DOUBLE * col_total::DOUBLE / n_total::DOUBLE)
+                    AS contribution
+           FROM cells CROSS JOIN nt),
+    tot AS (SELECT sum(CAST(floor(contribution * 1e9 + 0.5) AS BIGINT)) / 1e9 AS chi2
+            FROM pc)
+    SELECT a, b, observed, expected, contribution, chi2 FROM pc CROSS JOIN tot
+    """,
+)
+def stats_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence of order priority × status: exact-integer
+    contingency cells; the float total summed via order-free integer
+    nano-units (the unigram_logprob pattern)."""
+    from .operators.stats import chi_square_independence
+
+    _prep(spark)
+    return chi_square_independence(
+        load(spark, sf_dir, "orders"), "o_orderpriority", "o_orderstatus"
+    )
+
+
+@_q(
+    "stats_benford",
+    """
+    WITH c AS (SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                                       AS VARCHAR), 1, 1) AS BIGINT) AS digit
+               FROM orders),
+    counts AS (SELECT digit, count(*) AS n FROM c GROUP BY 1),
+    nt AS (SELECT sum(n) AS n_total FROM counts)
+    SELECT digit::BIGINT AS digit, n::BIGINT AS n,
+           n::DOUBLE / n_total::DOUBLE AS share,
+           round(log10(1.0 + 1.0 / digit::DOUBLE), 4) AS benford_share,
+           round(abs(n::DOUBLE / n_total::DOUBLE
+                     - log10(1.0 + 1.0 / digit::DOUBLE)), 4) AS abs_dev
+    FROM counts CROSS JOIN nt
+    """,
+)
+def stats_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford leading-digit screen on order totals — 9-key bounded
+    aggregate, exact counts, log10 columns rounded to 4 dp (libm ulp
+    divergence guard)."""
+    from .operators.stats import benford_check
+
+    _prep(spark)
+    return benford_check(load(spark, sf_dir, "orders"))
 
 
 def entry(spark: SparkSession) -> DataFrame:

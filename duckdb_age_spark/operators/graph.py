@@ -72,6 +72,45 @@ def pagerank_exact(
     return ranks
 
 
+def bfs_hops(edges: DataFrame, source: int, max_hops: int = 3) -> DataFrame:
+    """Breadth-first hop distances from ``source`` over an undirected
+    (src < dst) edge list — the frontier-expansion companion to
+    :func:`pagerank_exact` (fixed-point) and connected components
+    (min-label propagation, dedup.py).
+
+    Classic distributed BFS: per round, join the CURRENT frontier (nodes
+    first reached last round — not the whole visited set) against the
+    adjacency list, anti-join out already-visited nodes, and union the new
+    frontier in.  Work per round is O(edges touching the frontier), total
+    O(E) across all rounds — the reason frontier BFS scales where
+    whole-set relabeling doesn't.  Hop counts are exact integers, so the
+    result is engine-bit-identical and a DuckDB recursive CTE (UNION
+    dedup mode) replays it.  ``max_hops`` bounds the rounds (lineage depth
+    is max_hops joins; for deep traversals add the localCheckpoint pattern
+    from the CC loop).
+    Returns (node, hops) for every node within max_hops.
+    """
+    adj = edges.select("src", "dst").unionAll(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    visited = edges.sparkSession.createDataFrame([(source, 0)], "node long, hops int")
+    frontier = visited
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(adj, frontier.node == adj.src)
+            .select(F.col("dst").alias("node"), F.lit(hop).alias("hops"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+        )
+        # checkpoint the NEW frontier (it is consumed twice: unioned into
+        # visited and joined next round) so it computes once and the loop's
+        # lineage stays a flat union of checkpointed rounds
+        nxt = nxt.localCheckpoint(eager=False)
+        visited = visited.unionAll(nxt)
+        frontier = nxt
+    return visited.select("node", F.col("hops").cast("bigint").alias("hops"))
+
+
 def morton_code(x, y, bits: int = 10):
     """Interleave the low ``bits`` of two integer columns into a Z-order
     (Morton) code — pure integer bit arithmetic, identical in any engine."""

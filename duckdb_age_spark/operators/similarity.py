@@ -404,10 +404,16 @@ def int8_quantize(embeddings: DataFrame) -> DataFrame:
     scoring scan never re-aggregates it.  Returns (vec_id, qv array<long>,
     qnorm2 long).  Assumes no all-zero vectors (s would be ±inf).
     """
+    # The scale is materialized as its own projection column BEFORE the
+    # per-element transform: referencing the max-abs expression inside the
+    # lambda would re-scan the whole array per element (O(d²) per row —
+    # 64× redundant work at d=64, worse at real embedding widths).
     v = _as_double(F.col("embedding"))
-    s = F.lit(127.0) / F.array_max(F.transform(v, F.abs))
-    qv = F.transform(v, lambda x: F.floor(x * s + F.lit(0.5)).cast("long"))
-    return embeddings.select(
+    staged = embeddings.select(
+        "vec_id", v.alias("v"), (F.lit(127.0) / F.array_max(F.transform(v, F.abs))).alias("s")
+    )
+    qv = F.transform("v", lambda x: F.floor(x * F.col("s") + F.lit(0.5)).cast("long"))
+    return staged.select(
         "vec_id",
         qv.alias("qv"),
         F.aggregate(

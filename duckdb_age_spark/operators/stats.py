@@ -240,6 +240,100 @@ def linreg_exact(df: DataFrame, group: str, x, y) -> DataFrame:
     )
 
 
+def chi_square_independence(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
+    """Chi-square test of independence over a contingency table — the
+    categorical-association screen of a feature-selection pass.
+
+    Observed counts and marginals are EXACT longs (one map-side-combined
+    aggregate; cell count is bounded by |A|×|B|, not data size).  Expected
+    counts and per-cell contributions are fixed IEEE sequences on those
+    exact integers — engine-deterministic per cell.  The total statistic is
+    the one summation-order hazard (float Σ over cells), so each cell's
+    contribution is first fixed to integer NANO-UNITS (floor(x·1e9 + ½) —
+    deterministic per cell) and the total is an exact long sum — order-free
+    at any partitioning, the same pattern unigram_logprob uses.
+    Output: one row per cell + the total replicated (broadcast 1-row join).
+    """
+    observed_cells = (
+        df.select(F.col(col_a).alias("a"), F.col(col_b).alias("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("n_obs"))
+    )
+    row_tot = observed_cells.groupBy("a").agg(F.sum("n_obs").alias("row_total"))
+    col_tot = observed_cells.groupBy("b").agg(F.sum("n_obs").alias("col_total"))
+    n_tot = observed_cells.agg(F.sum("n_obs").alias("n_total"))
+    # The FULL |A|×|B| grid, not just observed combinations: a zero cell
+    # still has expected = row·col/n and contributes expected to the
+    # statistic — dropping it silently understates chi² (a perfect 2×2
+    # association would read n/2 instead of n).
+    cells = (
+        row_tot.crossJoin(F.broadcast(col_tot))
+        .join(observed_cells, ["a", "b"], "left")
+        .withColumn("observed", F.coalesce(F.col("n_obs"), F.lit(0)))
+    )
+    expected = (
+        F.col("row_total").cast("double")
+        * F.col("col_total").cast("double")
+        / F.col("n_total").cast("double")
+    )
+    per_cell = (
+        cells.crossJoin(F.broadcast(n_tot))
+        .select(
+            "a",
+            "b",
+            F.col("observed").cast("bigint"),
+            expected.alias("expected"),
+            (
+                (F.col("observed").cast("double") - expected)
+                * (F.col("observed").cast("double") - expected)
+                / expected
+            ).alias("contribution"),
+        )
+    )
+    total = per_cell.agg(
+        (
+            F.sum(F.floor(F.col("contribution") * 1e9 + F.lit(0.5)).cast("long"))
+            / F.lit(1e9)
+        ).alias("chi2")
+    )
+    return per_cell.crossJoin(F.broadcast(total))
+
+
+def benford_check(orders: DataFrame) -> DataFrame:
+    """Benford's-law screen on order totals — the classic fraud/data-quality
+    test: naturally occurring amounts have leading digit d with probability
+    log10(1 + 1/d), and a synthetic or truncated column deviates loudly.
+
+    The leading digit comes from the integer cents value via string ops
+    (exact in any engine); counts are exact longs from ONE bounded
+    9-key aggregate; observed share is a single IEEE division of exact
+    integers.  log10 is a libm transcendental (NOT guaranteed correctly
+    rounded, so the last ulp may differ across engines) — the two columns
+    that touch it are rounded to 4 dp, ~1e11 ulps of slack.  Returns 9
+    rows (digit, n, share, benford_share, abs_dev).
+    """
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    digit = F.substring(cents.cast("string"), 1, 1).cast("long")
+    counts = (
+        orders.select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count("*").alias("n"))
+    )
+    total = counts.agg(F.sum("n").alias("n_total"))
+    share = F.col("n").cast("double") / F.col("n_total").cast("double")
+    benford = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit").cast("double"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            F.col("digit").cast("bigint"),
+            F.col("n").cast("bigint"),
+            share.alias("share"),
+            F.round(benford, 4).alias("benford_share"),
+            F.round(F.abs(share - benford), 4).alias("abs_dev"),
+        )
+    )
+
+
 def winsorized_stats(
     lineitem: DataFrame, lo: float = 0.05, hi: float = 0.95
 ) -> DataFrame:

@@ -792,3 +792,60 @@ def test_int8_topk_rounds_cosine_to_4dp(spark, emb):
     for r in out:
         assert abs(r.cosine_q8 - round(r.cosine_q8, 4)) < 1e-12
         assert -1.0001 <= r.cosine_q8 <= 1.0001
+
+
+def test_bfs_hops_path_graph_and_bound(spark):
+    from duckdb_age_spark.operators.graph import bfs_hops
+
+    # path 1-2-3-4-5 plus isolated edge (8,9): hops exact, unreachable
+    # nodes absent, max_hops bound respected
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (8, 9)], "src long, dst long"
+    )
+    out = {r.node: r.hops for r in bfs_hops(edges, 1, max_hops=3).collect()}
+    assert out == {1: 0, 2: 1, 3: 2, 4: 3}  # 5 is 4 hops away; 8/9 unreachable
+
+
+def test_bfs_hops_takes_shortest_route(spark):
+    from duckdb_age_spark.operators.graph import bfs_hops
+
+    # triangle + tail: node 3 reachable in 1 hop directly and 2 hops via 2 —
+    # BFS must record 1 (first-reached wins, later frontier anti-joined out)
+    edges = spark.createDataFrame([(1, 2), (2, 3), (1, 3), (3, 4)], "src long, dst long")
+    out = {r.node: r.hops for r in bfs_hops(edges, 1, max_hops=3).collect()}
+    assert out == {1: 0, 2: 1, 3: 1, 4: 2}
+
+
+def test_chi_square_independent_table_is_zero(spark):
+    from duckdb_age_spark.operators.stats import chi_square_independence
+
+    # perfectly independent 2x2 design (every combination equally frequent):
+    # expected == observed, all contributions 0, chi2 == 0
+    rows = [(a, b) for a in ("x", "y") for b in ("u", "v") for _ in range(10)]
+    df = spark.createDataFrame(rows, "a string, b string")
+    out = chi_square_independence(df, "a", "b").collect()
+    assert len(out) == 4
+    assert all(r.observed == 10 and r.expected == 10.0 for r in out)
+    assert all(r.contribution == 0.0 and r.chi2 == 0.0 for r in out)
+
+
+def test_chi_square_dependent_table_positive(spark):
+    from duckdb_age_spark.operators.stats import chi_square_independence
+
+    # perfect association: a==x always pairs with u, y with v
+    rows = [("x", "u")] * 10 + [("y", "v")] * 10
+    df = spark.createDataFrame(rows, "a string, b string")
+    out = chi_square_independence(df, "a", "b").collect()
+    assert all(r.chi2 == 20.0 for r in out)  # chi2 == n for a perfect 2x2
+
+
+def test_benford_shares_and_bounds(spark, sf_dir):
+    from duckdb_age_spark.operators.stats import benford_check
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    out = benford_check(orders).collect()
+    assert {r.digit for r in out} <= set(range(1, 10))
+    assert abs(sum(r.share for r in out) - 1.0) < 1e-9
+    for r in out:
+        assert 0.0 <= r.benford_share <= 0.3011  # log10(2) rounded up
+        assert r.abs_dev >= 0.0

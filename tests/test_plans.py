@@ -355,3 +355,34 @@ def test_label_centroids_bounded_shuffles(t, spark, sf_dir):
     assert has_partial_aggregate(df)
     assert has_broadcast_join(df)
     assert count_exchanges(df) <= 6, formatted_plan(df)
+
+
+def test_chi_square_marginals_broadcast(t):
+    from duckdb_age_spark.operators.stats import chi_square_independence
+
+    df = chi_square_independence(t["orders"], "o_orderpriority", "o_orderstatus")
+    # the contingency aggregate must map-side combine (cell space is
+    # |A|x|B|, bounded regardless of data size) and every marginal/total
+    # joins back via broadcast, never a shuffle join of tiny tables
+    assert has_partial_aggregate(df)
+    assert has_broadcast_join(df)
+
+
+def test_benford_single_bounded_aggregate(t):
+    from duckdb_age_spark.operators.stats import benford_check
+
+    df = benford_check(t["orders"])
+    # one 9-key aggregate with map-side partials; the grand total joins
+    # back as a broadcast 1-row table
+    assert has_partial_aggregate(df)
+    assert has_broadcast_join(df)
+    assert count_exchanges(df) <= 3, formatted_plan(df)
+
+
+def test_copurchase_threshold_is_partial_aggregated(t):
+    from duckdb_age_spark.operators.graph import copurchase_edges
+
+    df = copurchase_edges(t["orders"], t["lineitem"], min_shared_parts=2)
+    # pair-count aggregate after the part-keyed self-join must map-side
+    # combine so the support threshold prunes before the final shuffle
+    assert has_partial_aggregate(df)
