@@ -3635,8 +3635,7 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     _prep(spark)
     orders = load(spark, sf_dir, "orders").where(F.col("o_custkey") % 10 == 0)
     edges = copurchase_edges(orders, load(spark, sf_dir, "lineitem"), min_shared_parts=2)
-    source = edges.agg(F.min("src")).collect()[0][0]  # one scalar, like pagerank's N
-    return bfs_hops(edges, int(source), max_hops=3)
+    return bfs_hops(edges, max_hops=3)  # source defaults to min node id
 
 
 @_q(

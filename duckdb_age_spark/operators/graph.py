@@ -72,7 +72,7 @@ def pagerank_exact(
     return ranks
 
 
-def bfs_hops(edges: DataFrame, source: int, max_hops: int = 3) -> DataFrame:
+def bfs_hops(edges: DataFrame, source: int | None = None, max_hops: int = 3) -> DataFrame:
     """Breadth-first hop distances from ``source`` over an undirected
     (src < dst) edge list — the frontier-expansion companion to
     :func:`pagerank_exact` (fixed-point) and connected components
@@ -90,10 +90,21 @@ def bfs_hops(edges: DataFrame, source: int, max_hops: int = 3) -> DataFrame:
     from the CC loop).
     Returns (node, hops) for every node within max_hops.
     """
-    adj = edges.select("src", "dst").unionAll(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    # checkpoint the adjacency ONCE: it is joined every round, and without
+    # truncation each round would re-execute the upstream lineage (for a
+    # derived graph like copurchase_edges, that is the whole self-join —
+    # measured 3× redundant work at max_hops=3)
+    adj = (
+        edges.select("src", "dst")
+        .unionAll(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .localCheckpoint(eager=False)
     )
-    visited = edges.sparkSession.createDataFrame([(source, 0)], "node long, hops int")
+    if source is None:
+        # default source = smallest node id; computed from the CHECKPOINTED
+        # adjacency so the (possibly expensive) edge derivation runs once,
+        # not once for the scalar and again for the rounds
+        source = adj.agg(F.min("src")).collect()[0][0]
+    visited = edges.sparkSession.createDataFrame([(int(source), 0)], "node long, hops int")
     frontier = visited
     for hop in range(1, max_hops + 1):
         nxt = (
