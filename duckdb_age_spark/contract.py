@@ -3700,6 +3700,69 @@ def stats_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     return benford_check(load(spark, sf_dir, "orders"))
 
 
+@_q(
+    "graph_edge_jaccard",
+    f"""
+    WITH {_COPURCHASE_CP_SQL}, {_COPURCHASE_E_SQL},
+    adj AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+    deg AS (SELECT src, count(*) AS deg FROM adj GROUP BY 1),
+    w AS (SELECT a1.dst AS b, a2.dst AS c, count(*) AS common
+          FROM adj a1 JOIN adj a2 ON a1.src = a2.src
+          WHERE a1.dst < a2.dst GROUP BY 1, 2)
+    SELECT e.src::BIGINT AS src, e.dst::BIGINT AS dst,
+           coalesce(w.common, 0)::BIGINT AS common_neighbors,
+           coalesce(w.common, 0)::DOUBLE
+             / (da.deg + db.deg - coalesce(w.common, 0))::DOUBLE AS jaccard
+    FROM e
+    LEFT JOIN w ON w.b = e.src AND w.c = e.dst
+    JOIN deg da ON da.src = e.src
+    JOIN deg db ON db.src = e.dst
+    """,
+)
+def graph_edge_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighborhood Jaccard for every co-purchase edge: common neighbors via
+    the wedge join, union via degrees; the embeddedness weight community
+    detection and link prediction consume."""
+    from .operators.graph import copurchase_edges, edge_jaccard_similarity
+
+    _prep(spark)
+    orders = load(spark, sf_dir, "orders").where(F.col("o_custkey") % 10 == 0)
+    edges = copurchase_edges(orders, load(spark, sf_dir, "lineitem"), min_shared_parts=2)
+    return edge_jaccard_similarity(edges)
+
+
+@_q(
+    "stats_mad_outliers",
+    """
+    WITH d AS (SELECT l_returnflag AS flag,
+                      CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+               FROM lineitem),
+    r1 AS (SELECT flag, cents, row_number() OVER (PARTITION BY flag ORDER BY cents) AS rn,
+                  count(*) OVER (PARTITION BY flag) AS n FROM d),
+    med AS (SELECT flag, min(cents) AS med FROM r1
+            WHERE rn = CAST(floor((n + 1) / 2) AS BIGINT) GROUP BY 1),
+    devs AS (SELECT d.flag, cents, med, abs(cents - med) AS dev
+             FROM d JOIN med USING (flag)),
+    r2 AS (SELECT flag, dev, row_number() OVER (PARTITION BY flag ORDER BY dev) AS rn,
+                  count(*) OVER (PARTITION BY flag) AS n FROM devs),
+    mad AS (SELECT flag, min(dev) AS mad FROM r2
+            WHERE rn = CAST(floor((n + 1) / 2) AS BIGINT) GROUP BY 1)
+    SELECT flag AS l_returnflag, count(*)::BIGINT AS n_rows,
+           med / 100.0 AS median, mad / 100.0 AS mad,
+           sum(CASE WHEN dev > 3 * mad THEN 1 ELSE 0 END)::BIGINT AS n_outliers
+    FROM devs JOIN mad USING (flag)
+    GROUP BY flag, med, mad
+    """,
+)
+def stats_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAD robust outlier screen per returnflag: discrete-rank medians over
+    exact integer cents, |x-med| > 3·mad as pure integer comparison."""
+    from .operators.stats import mad_outliers
+
+    _prep(spark)
+    return mad_outliers(load(spark, sf_dir, "lineitem"), k=3)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: encrypted-document pipeline at sf0.001 — round-trip an
     age-encrypted documents table and join quality stats (SURVEY.md §7.3)."""

@@ -334,6 +334,60 @@ def benford_check(orders: DataFrame) -> DataFrame:
     )
 
 
+def mad_outliers(lineitem: DataFrame, k: int = 3) -> DataFrame:
+    """Median-absolute-deviation robust outlier screen per return flag —
+    the data-cleaning gate that survives the heavy tails which break
+    mean±k·stddev rules.
+
+    Both medians are DISCRETE rank selections over exact integer cents
+    (value at rank floor((n+1)/2) — the lower middle for even n), not
+    interpolated: rank selection is engine-deterministic, interpolation
+    arithmetic is not (the winsorized_stats rule).  The outlier test
+    |x − med| > k·mad is pure integer comparison.  Shape: two per-group
+    sorts (one per median — the unavoidable exact-percentile cost), two
+    broadcast threshold joins, one map-side-combined final aggregate.
+    Returns (l_returnflag, n_rows, median, mad, n_outliers).
+    """
+    from pyspark.sql import Window
+
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    d = lineitem.select(F.col("l_returnflag").alias("flag"), cents.alias("cents"))
+
+    def _group_median(df: DataFrame, col: str) -> DataFrame:
+        w = Window.partitionBy("flag").orderBy(col)
+        ranked = df.select(
+            "flag",
+            F.col(col),
+            F.row_number().over(w).alias("rn"),
+            F.count("*").over(Window.partitionBy("flag")).alias("n"),
+        )
+        return (
+            ranked.where(F.col("rn") == F.floor((F.col("n") + 1) / 2).cast("long"))
+            .groupBy("flag")
+            .agg(F.min(col).alias("med"))
+        )
+    med = _group_median(d, "cents")
+    devs = d.join(F.broadcast(med), "flag").select(
+        "flag", "cents", "med", F.abs(F.col("cents") - F.col("med")).alias("dev")
+    )
+    mad = _group_median(devs.select("flag", "dev"), "dev").withColumnRenamed("med", "mad")
+    return (
+        devs.join(F.broadcast(mad), "flag")
+        .groupBy("flag", "med", "mad")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum((F.col("dev") > F.lit(k) * F.col("mad")).cast("long")).alias("n_outliers"),
+        )
+        .select(
+            F.col("flag").alias("l_returnflag"),
+            F.col("n_rows").cast("bigint"),
+            (F.col("med") / F.lit(100.0)).alias("median"),
+            (F.col("mad") / F.lit(100.0)).alias("mad"),
+            F.col("n_outliers").cast("bigint"),
+        )
+    )
+
+
 def winsorized_stats(
     lineitem: DataFrame, lo: float = 0.05, hi: float = 0.95
 ) -> DataFrame:

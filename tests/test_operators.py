@@ -849,3 +849,45 @@ def test_benford_shares_and_bounds(spark, sf_dir):
     for r in out:
         assert 0.0 <= r.benford_share <= 0.3011  # log10(2) rounded up
         assert r.abs_dev >= 0.0
+
+
+def test_edge_jaccard_known_graph(spark):
+    from duckdb_age_spark.operators.graph import edge_jaccard_similarity
+
+    # K3 + pendant: edge (1,2) has common neighbor {3}, N(1)={2,3,4},
+    # N(2)={1,3} -> union {1,2,3,4} = 4, jaccard 1/4; pendant edge (1,4)
+    # shares nothing -> 0
+    edges = spark.createDataFrame([(1, 2), (1, 3), (2, 3), (1, 4)], "src long, dst long")
+    out = {(r.src, r.dst): r for r in edge_jaccard_similarity(edges).collect()}
+    assert out[(1, 2)].common_neighbors == 1 and out[(1, 2)].jaccard == 0.25
+    assert out[(1, 3)].common_neighbors == 1 and out[(1, 3)].jaccard == 0.25
+    assert out[(2, 3)].common_neighbors == 1  # N(2)={1,3}, N(3)={1,2}: common {1}
+    assert out[(2, 3)].jaccard == pytest.approx(1 / 3)
+    assert out[(1, 4)].common_neighbors == 0 and out[(1, 4)].jaccard == 0.0
+
+
+def test_mad_outliers_flags_planted_extreme(spark):
+    from duckdb_age_spark.operators.stats import mad_outliers
+
+    # 9 prices clustered at ~$10 +/- small devs, one wild $10k row:
+    # median 10.00, mad small, exactly one point beyond 3*mad
+    prices = [9.97, 9.98, 9.99, 10.00, 10.00, 10.01, 10.02, 10.03, 10000.00]
+    df = spark.createDataFrame(
+        [("A", p) for p in prices], "l_returnflag string, l_extendedprice double"
+    )
+    row = mad_outliers(df, k=3).collect()[0]
+    assert row.n_rows == 9
+    assert row.median == 10.00
+    assert row.mad == 0.02  # devs sorted: 0,0,.01,.01,.02,.02,.03,.03,9990 -> rank5=.02
+    assert row.n_outliers == 1
+
+
+def test_mad_outliers_even_group_uses_lower_middle(spark):
+    from duckdb_age_spark.operators.stats import mad_outliers
+
+    df = spark.createDataFrame(
+        [("A", 1.00), ("A", 2.00), ("A", 3.00), ("A", 4.00)],
+        "l_returnflag string, l_extendedprice double",
+    )
+    row = mad_outliers(df, k=3).collect()[0]
+    assert row.median == 2.00  # rank floor((4+1)/2)=2 -> lower middle
