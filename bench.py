@@ -111,6 +111,7 @@ BENCH_QUERIES = [
     "stats_benford",
     "graph_edge_jaccard",
     "stats_mad_outliers",
+    "text_tfidf_keywords",
 ]
 
 

@@ -3763,6 +3763,33 @@ def stats_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mad_outliers(load(spark, sf_dir, "lineitem"), k=3)
 
 
+@_q(
+    "text_tfidf_keywords",
+    r"""
+    WITH toks AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+                  FROM documents),
+    tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+    dfr AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (SELECT doc_id, tok, tf::BIGINT AS tf, df::BIGINT AS df,
+                      round(tf * ln((n_docs + 1.0) / (df + 1.0)), 4) AS tfidf
+               FROM tf JOIN dfr USING (tok) CROSS JOIN n)
+    SELECT doc_id, tok, tf, df, tfidf, rk::BIGINT AS rk
+    FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY tfidf DESC, tok ASC) AS rk
+          FROM scored)
+    WHERE rk <= 3
+    """,
+)
+def text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 tf·idf keywords per document: one token-level shuffle, df from
+    the tf table (no second text pass), WindowGroupLimit per-doc top-k."""
+    from .operators.text import tfidf_keywords
+
+    _prep(spark)
+    return tfidf_keywords(load(spark, sf_dir, "documents"), k=3)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: encrypted-document pipeline at sf0.001 — round-trip an
     age-encrypted documents table and join quality stats (SURVEY.md §7.3)."""

@@ -230,6 +230,52 @@ def bm25_topk(
     return ranked.select("doc_id", "bm25", F.col("rk").cast("bigint").alias("rk"))
 
 
+def tfidf_keywords(docs: DataFrame, k: int = 3) -> DataFrame:
+    """Per-document top-k keywords by tf·idf — the tagging/labeling side of
+    text analysis (BM25 above is the query side; this scores every token of
+    every doc against the corpus, no query needed).
+
+    Shape: one explode into a map-side-combined (doc, token) count (the
+    same single token-level shuffle vocab_topk pays); document frequency
+    comes from THAT table (its rows are already distinct per doc — no
+    second pass over the text); N and idf join back broadcast-or-AQE; the
+    per-doc top-k compiles to WindowGroupLimit so executors pre-prune to k
+    rows per doc before the shuffle.  idf = ln((N+1)/(df+1)) is a libm
+    transcendental, so the score is rounded to 4 dp BEFORE ranking (the
+    module's established ulp guard) with token tie-break.
+    Returns (doc_id, tok, tf, df, tfidf, rk).
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tok")
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    df_tbl = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(df_tbl, "tok")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "tok",
+            F.col("tf").cast("bigint"),
+            F.col("df").cast("bigint"),
+            F.round(
+                F.col("tf")
+                * F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))),
+                4,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("tok"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("doc_id", "tok", "tf", "df", "tfidf", F.col("rk").cast("bigint").alias("rk"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # PII scrubbing (redaction pass of a training-data pipeline)
 # ---------------------------------------------------------------------------

@@ -891,3 +891,36 @@ def test_mad_outliers_even_group_uses_lower_middle(spark):
     )
     row = mad_outliers(df, k=3).collect()[0]
     assert row.median == 2.00  # rank floor((4+1)/2)=2 -> lower middle
+
+
+def test_tfidf_keywords_ranks_distinctive_terms(spark):
+    from duckdb_age_spark.operators.text import tfidf_keywords
+
+    # 'zebra' appears only in doc 0 and must outrank 'common' (in all docs,
+    # idf ln(4/4)=0 -> tfidf 0); within-doc ties break by token asc
+    docs = spark.createDataFrame(
+        [
+            (0, "common zebra zebra"),
+            (1, "common alpha"),
+            (2, "common beta"),
+        ],
+        "doc_id long, text string",
+    )
+    out = tfidf_keywords(docs, k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append((r.rk, r.tok, r.tf, r.df, r.tfidf))
+    top0 = sorted(by_doc[0])[0]
+    assert top0[1] == "zebra" and top0[2] == 2 and top0[3] == 1
+    assert top0[4] > 0
+    # 'common' has df == n_docs -> idf = ln(4/4) = 0 -> score exactly 0
+    common = [x for x in by_doc[1] if x[1] == "common"] + [x for x in by_doc[2] if x[1] == "common"]
+    assert all(x[4] == 0.0 for x in common)
+
+
+def test_tfidf_keywords_respects_k(spark, docs):
+    from duckdb_age_spark.operators.text import tfidf_keywords
+
+    out = tfidf_keywords(docs, k=3)
+    per_doc = out.groupBy("doc_id").count().agg(F.max("count")).collect()[0][0]
+    assert per_doc <= 3

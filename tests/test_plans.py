@@ -386,3 +386,14 @@ def test_copurchase_threshold_is_partial_aggregated(t):
     # pair-count aggregate after the part-keyed self-join must map-side
     # combine so the support threshold prunes before the final shuffle
     assert has_partial_aggregate(df)
+
+
+def test_tfidf_keywords_group_limit_and_partial_agg(t):
+    from duckdb_age_spark.operators.text import tfidf_keywords
+
+    df = tfidf_keywords(t["documents"], k=3)
+    plan = formatted_plan(df)
+    # the (doc, token) count must map-side combine; the per-doc top-k must
+    # pre-prune via WindowGroupLimit before the window shuffle
+    assert has_partial_aggregate(df)
+    assert "WindowGroupLimit" in plan, plan
