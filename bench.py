@@ -112,6 +112,7 @@ BENCH_QUERIES = [
     "graph_edge_jaccard",
     "stats_mad_outliers",
     "text_tfidf_keywords",
+    "pipeline_mixture_sample",
 ]
 
 

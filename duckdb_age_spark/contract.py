@@ -3790,6 +3790,30 @@ def text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_keywords(load(spark, sf_dir, "documents"), k=3)
 
 
+@_q(
+    "pipeline_mixture_sample",
+    """
+    WITH q(source, quota) AS (VALUES ('src0', 10), ('src1', 6), ('src2', 3)),
+    ranked AS (
+      SELECT doc_id, d.source, quota,
+             row_number() OVER (PARTITION BY d.source
+                                ORDER BY md5(doc_id::VARCHAR), doc_id) AS rk
+      FROM documents d JOIN q ON d.source = q.source)
+    SELECT doc_id, source, rk::BIGINT AS rk FROM ranked WHERE rk <= quota
+    """,
+)
+def pipeline_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture sample with per-source integer quotas (10/6/3 from
+    three sources, others excluded) — deterministic md5-order pick, quota
+    table broadcast."""
+    from .operators.pipeline import mixture_sample
+
+    _prep(spark)
+    return mixture_sample(
+        load(spark, sf_dir, "documents"), {"src0": 10, "src1": 6, "src2": 3}
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: encrypted-document pipeline at sf0.001 — round-trip an
     age-encrypted documents table and join quality stats (SURVEY.md §7.3)."""

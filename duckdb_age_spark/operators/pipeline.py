@@ -238,6 +238,42 @@ def bpe_pair_stats(docs: DataFrame, k: int = 50) -> DataFrame:
     )
 
 
+def mixture_sample(docs: DataFrame, quotas: dict[str, int], stratum: str = "source") -> DataFrame:
+    """Weighted domain-mixture sample: exactly ``quotas[s]`` docs from each
+    listed stratum (fewer only if the stratum is smaller), chosen by
+    deterministic md5 order — the curriculum-mixing step that composes a
+    training set from per-source target counts ("50% web, 30% code, 20%
+    books") reproducibly and seedlessly.  Strata absent from ``quotas`` are
+    excluded entirely.
+
+    Quotas are INTEGER COUNTS, not float weights: the caller derives counts
+    from its ratio spec once, and the operator stays float-free (no
+    engine-specific rounding of w·N at the selection boundary).
+
+    Scale shape: the quota table is tiny and broadcast; one shuffle keyed
+    by the stratum; rank <= quota compiles to WindowGroupLimit only when
+    the bound is a literal, so with per-group quotas the guard is the
+    ordinary rank filter — still one shuffle, and each group's sort is
+    bounded by that group's size.
+    Returns (doc_id, stratum, rk) for the selected rows.
+    """
+    from pyspark.sql import Window
+
+    spark = docs.sparkSession
+    quota_df = spark.createDataFrame(
+        sorted(quotas.items()), f"{stratum} string, quota int"
+    )
+    rk = F.row_number().over(
+        Window.partitionBy(stratum).orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+    )
+    return (
+        docs.join(F.broadcast(quota_df), stratum)
+        .select("doc_id", stratum, "quota", rk.cast("bigint").alias("rk"))
+        .where(F.col("rk") <= F.col("quota"))
+        .select("doc_id", stratum, "rk")
+    )
+
+
 def balanced_sample(docs: DataFrame, per_stratum: int = 20, stratum: str = "lang") -> DataFrame:
     """Balanced per-stratum sample: at most ``per_stratum`` docs from each
     stratum (default: language), chosen by deterministic md5 order — the

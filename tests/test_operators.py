@@ -924,3 +924,29 @@ def test_tfidf_keywords_respects_k(spark, docs):
     out = tfidf_keywords(docs, k=3)
     per_doc = out.groupBy("doc_id").count().agg(F.max("count")).collect()[0][0]
     assert per_doc <= 3
+
+
+def test_mixture_sample_quotas_and_determinism(spark, docs):
+    from duckdb_age_spark.operators.pipeline import mixture_sample
+
+    quotas = {"src0": 5, "src1": 2}
+    out = mixture_sample(docs, quotas).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r.source, set()).add(r.doc_id)
+    assert set(by_src) == {"src0", "src1"}  # unlisted sources excluded
+    assert len(by_src["src0"]) == 5 and len(by_src["src1"]) == 2
+    # deterministic: same pick on a second run
+    again = mixture_sample(docs, quotas).collect()
+    assert {(r.source, r.doc_id) for r in again} == {(r.source, r.doc_id) for r in out}
+
+
+def test_mixture_sample_quota_larger_than_stratum(spark):
+    from duckdb_age_spark.operators.pipeline import mixture_sample
+
+    docs = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b")], "doc_id long, source string"
+    )
+    out = mixture_sample(docs, {"a": 10, "b": 1})
+    counts = {r.source: r.n for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"a": 2, "b": 1}  # capped at availability
