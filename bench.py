@@ -355,15 +355,18 @@ def main() -> None:
             (k for k in timings if k not in crypto), key=lambda k: -timings[k]
         )
         headline["n_queries"] = len(timings)
-        keep = len(rest)
-        while keep >= 0:
-            headline["queries"] = {
-                k: timings[k] for k in crypto + sorted(rest[:keep])
-            }
+        # descending keep counts ending at an explicit 0 (crypto-only), so a
+        # fitting line is guaranteed if the fixed fields fit at all; the
+        # final fallback drops the queries dict entirely rather than ever
+        # printing an oversized line (the BENCH_r03 failure mode).
+        for keep in [*range(len(rest) - 5, 0, -5), 0]:
+            headline["queries"] = {k: timings[k] for k in crypto + sorted(rest[:keep])}
             line = json.dumps(headline)
             if len(line) <= BUDGET:
                 break
-            keep -= 5
+        if len(line) > BUDGET:
+            headline["queries"] = {}
+            line = json.dumps(headline)
     sys.stdout.flush()
     print(line)
 

@@ -90,13 +90,14 @@ def bfs_hops(edges: DataFrame, source: int | None = None, max_hops: int = 3) -> 
     from the CC loop).
     Returns (node, hops) for every node within max_hops.
     """
-    # checkpoint the adjacency ONCE: it is joined every round, and without
-    # truncation each round would re-execute the upstream lineage (for a
-    # derived graph like copurchase_edges, that is the whole self-join —
-    # measured 3× redundant work at max_hops=3)
+    # checkpoint the edge list, then the adjacency, ONCE: adj is joined
+    # every round, and without truncation each round would re-execute the
+    # upstream lineage (for a derived graph like copurchase_edges, the whole
+    # self-join — measured 3× redundant work at max_hops=3); checkpointing
+    # edges first also keeps the union's two branches from deriving it twice
+    edges = edges.select("src", "dst").localCheckpoint(eager=False)
     adj = (
-        edges.select("src", "dst")
-        .unionAll(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        edges.unionAll(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .localCheckpoint(eager=False)
     )
     if source is None:
@@ -104,6 +105,8 @@ def bfs_hops(edges: DataFrame, source: int | None = None, max_hops: int = 3) -> 
         # adjacency so the (possibly expensive) edge derivation runs once,
         # not once for the scalar and again for the rounds
         source = adj.agg(F.min("src")).collect()[0][0]
+        if source is None:  # empty graph: 0-row result, not a TypeError
+            return edges.sparkSession.createDataFrame([], "node bigint, hops bigint")
     visited = edges.sparkSession.createDataFrame([(int(source), 0)], "node long, hops int")
     frontier = visited
     for hop in range(1, max_hops + 1):
@@ -136,7 +139,12 @@ def edge_jaccard_similarity(edges: DataFrame) -> DataFrame:
     division of exact longs — engine-identical, no rounding needed.
     Returns (src, dst, common_neighbors, jaccard).
     """
-    adj = edges.select("src", "dst").unionAll(
+    # checkpoint the edge list ONCE: it feeds five branches (both wedge
+    # sides, the degree table, and the output join) and for a derived graph
+    # each branch would otherwise re-execute the whole upstream derivation —
+    # the same lineage-fan-out bfs_hops guards against
+    edges = edges.select("src", "dst").localCheckpoint(eager=False)
+    adj = edges.unionAll(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     deg = adj.groupBy("src").agg(F.count("*").alias("deg"))
@@ -148,7 +156,7 @@ def edge_jaccard_similarity(edges: DataFrame) -> DataFrame:
         .groupBy("b", "c")
         .agg(F.count("*").alias("common"))
     )
-    e = edges.select("src", "dst")
+    e = edges
     paired = e.join(common, (e.src == common.b) & (e.dst == common.c), "left").select(
         "src", "dst", F.coalesce(F.col("common"), F.lit(0)).alias("common")
     )

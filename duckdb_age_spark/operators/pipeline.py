@@ -238,6 +238,18 @@ def bpe_pair_stats(docs: DataFrame, k: int = 50) -> DataFrame:
     )
 
 
+def _md5_rank(stratum: str):
+    """The determinism-critical sampling order shared by every seedless
+    sampler in this module: rank within the stratum by md5(doc_id) with
+    doc_id tie-break.  ONE definition so a future tie-break change cannot
+    silently diverge between samplers."""
+    from pyspark.sql import Window
+
+    return F.row_number().over(
+        Window.partitionBy(stratum).orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+    )
+
+
 def mixture_sample(docs: DataFrame, quotas: dict[str, int], stratum: str = "source") -> DataFrame:
     """Weighted domain-mixture sample: exactly ``quotas[s]`` docs from each
     listed stratum (fewer only if the stratum is smaller), chosen by
@@ -257,18 +269,13 @@ def mixture_sample(docs: DataFrame, quotas: dict[str, int], stratum: str = "sour
     bounded by that group's size.
     Returns (doc_id, stratum, rk) for the selected rows.
     """
-    from pyspark.sql import Window
-
     spark = docs.sparkSession
     quota_df = spark.createDataFrame(
         sorted(quotas.items()), f"{stratum} string, quota int"
     )
-    rk = F.row_number().over(
-        Window.partitionBy(stratum).orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
-    )
     return (
         docs.join(F.broadcast(quota_df), stratum)
-        .select("doc_id", stratum, "quota", rk.cast("bigint").alias("rk"))
+        .select("doc_id", stratum, "quota", _md5_rank(stratum).cast("bigint").alias("rk"))
         .where(F.col("rk") <= F.col("quota"))
         .select("doc_id", stratum, "rk")
     )
@@ -282,15 +289,12 @@ def balanced_sample(docs: DataFrame, per_stratum: int = 20, stratum: str = "lang
 
     Scale shape: one shuffle keyed by the stratum; the rank <= k predicate
     compiles to WindowGroupLimit, so each executor ships only its local
-    top-k candidates per stratum instead of the full partition.
+    top-k candidates per stratum instead of the full partition.  (This is
+    the constant-quota special case of :func:`mixture_sample`; both share
+    the :func:`_md5_rank` ordering.)
     """
-    from pyspark.sql import Window
-
-    rk = F.row_number().over(
-        Window.partitionBy(stratum).orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
-    )
     return (
         docs.select("doc_id", stratum)
-        .withColumn("rk", rk.cast("bigint"))
+        .withColumn("rk", _md5_rank(stratum).cast("bigint"))
         .where(F.col("rk") <= per_stratum)
     )

@@ -675,10 +675,13 @@ def scd2_priority_history(orders, sample_mod: int = 10):
         | (F.col("prev_priority") != F.col("o_orderpriority"))
     )
     w2 = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-    # datediff-based epoch: unix_timestamp() depends on the session
-    # timezone, silently shifting by the TZ offset outside the UTC-pinned
-    # contract harness; days-since-epoch * 86400 is calendar arithmetic,
-    # timezone-free in every engine.
+    # datediff-based epoch: unix_timestamp() shifts by the session-TZ offset
+    # outside the UTC-pinned contract harness; days-since-epoch * 86400 is
+    # pure calendar arithmetic — fully timezone-free for DATE and
+    # TIMESTAMP_NTZ inputs (what the parquet fixtures read as).  For an
+    # instant TimestampType input the session TZ necessarily defines the
+    # calendar day (an instant has no unique date); that residual dependence
+    # is inherent to the type, not to this expression.
     eff_from = (F.datediff(F.col("o_orderdate"), F.lit("1970-01-01")).cast("bigint") * 86400)
     eff_to = F.lead(eff_from).over(w2)
     return changes.select(

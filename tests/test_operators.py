@@ -760,6 +760,9 @@ def test_linreg_exact_constant_x_yields_nulls(spark):
 def test_scd2_epoch_is_timezone_independent(spark):
     from duckdb_age_spark.operators.relational import scd2_priority_history
 
+    # TIMESTAMP_NTZ input — what the parquet fixtures read as; for an
+    # instant TimestampType the calendar day is inherently session-TZ-
+    # defined, so NTZ is the type the TZ-free claim is made for
     orders = spark.createDataFrame(
         [
             (10, 1, "1-URGENT", "1995-03-05 00:00:00"),
@@ -767,16 +770,23 @@ def test_scd2_epoch_is_timezone_independent(spark):
             (10, 3, "3-MEDIUM", "1995-06-10 00:00:00"),
         ],
         "o_custkey long, o_orderkey long, o_orderpriority string, d string",
-    ).select("o_custkey", "o_orderkey", "o_orderpriority", F.to_timestamp("d").alias("o_orderdate"))
+    ).select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderpriority",
+        F.to_timestamp("d").cast("timestamp_ntz").alias("o_orderdate"),
+    )
 
     prev = spark.conf.get("spark.sql.session.timeZone")
     try:
         results = {}
-        for tz in ("UTC", "Asia/Tokyo"):
+        # both offset signs: a positive-only zone would mask a day-flip
+        # (midnight UTC minus any negative offset lands on the previous day)
+        for tz in ("UTC", "Asia/Tokyo", "America/New_York"):
             spark.conf.set("spark.sql.session.timeZone", tz)
             rows = scd2_priority_history(orders, sample_mod=1).orderBy("version").collect()
             results[tz] = [(r.version, r.priority, r.eff_from, r.eff_to, r.is_current) for r in rows]
-        assert results["UTC"] == results["Asia/Tokyo"]
+        assert results["UTC"] == results["Asia/Tokyo"] == results["America/New_York"]
         assert len(results["UTC"]) == 2  # consecutive duplicate collapsed
         assert results["UTC"][0][2] == 794361600  # 1995-03-05 * 86400
         assert results["UTC"][1][4] is True  # open row
@@ -950,3 +960,12 @@ def test_mixture_sample_quota_larger_than_stratum(spark):
     out = mixture_sample(docs, {"a": 10, "b": 1})
     counts = {r.source: r.n for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()}
     assert counts == {"a": 2, "b": 1}  # capped at availability
+
+
+def test_bfs_hops_empty_graph_returns_empty(spark):
+    from duckdb_age_spark.operators.graph import bfs_hops
+
+    edges = spark.createDataFrame([], "src long, dst long")
+    out = bfs_hops(edges, max_hops=3)  # default source on an empty graph
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["node", "hops"]
