@@ -113,6 +113,7 @@ BENCH_QUERIES = [
     "stats_mad_outliers",
     "text_tfidf_keywords",
     "pipeline_mixture_sample",
+    "streaming_distinct_users",
 ]
 
 

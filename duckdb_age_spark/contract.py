@@ -3814,6 +3814,33 @@ def pipeline_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "streaming_distinct_users",
+    """
+    SELECT (floor(epoch(ts))::BIGINT - floor(epoch(ts))::BIGINT % 3600) AS window_sec,
+           count(DISTINCT user_id)::BIGINT AS n_distinct_users
+    FROM events GROUP BY 1 ORDER BY 1
+    """,
+)
+def streaming_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-hour distinct users via the streaming two-phase pattern
+    (watermarked dropDuplicates then windowed count — COUNT(DISTINCT) is
+    not allowed in streaming aggregations), drained with availableNow and
+    compared against the batch COUNT(DISTINCT) oracle."""
+    from .streaming import run_available_now, stream_events, windowed_distinct_users_stream
+
+    _prep(spark)
+    out = run_available_now(
+        windowed_distinct_users_stream(stream_events(spark, sf_dir), window="1 hour"),
+        output_mode="complete",
+        shuffle_partitions=8,
+    )
+    return out.select(
+        F.col("window_start").cast("long").alias("window_sec"),
+        F.col("n_distinct_users").cast("bigint"),
+    ).orderBy("window_sec")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: encrypted-document pipeline at sf0.001 — round-trip an
     age-encrypted documents table and join quality stats (SURVEY.md §7.3)."""

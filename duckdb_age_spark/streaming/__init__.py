@@ -214,6 +214,31 @@ def sessionize_stream(events: DataFrame, gap_minutes: int = 30, timeout_ms: int 
     )
 
 
+def windowed_distinct_users_stream(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Exact distinct users per tumbling window, streaming.
+
+    Streaming aggregation forbids COUNT(DISTINCT) (distinct state is
+    unbounded per group in general), so this runs the standard TWO-PHASE
+    form: (1) watermarked dropDuplicates on (user, window-bucketed ts) —
+    state is one entry per distinct (user, window) inside the horizon,
+    evicted as the watermark passes; (2) an ordinary windowed count of the
+    survivors.  Both phases are watermark-bounded, so state is
+    (active users × windows-in-horizon), not stream length — the shape
+    that survives an unbounded feed.
+    """
+    bucketed = events.withColumn("win_start", F.window("ts", window)["start"])
+    uniques = bucketed.withWatermark("ts", watermark).dropDuplicates(
+        ["user_id", "win_start"]
+    )
+    return (
+        uniques.groupBy(F.window("ts", window).alias("win"))
+        .agg(F.count("*").alias("n_distinct_users"))
+        .select(F.col("win.start").alias("window_start"), "n_distinct_users")
+    )
+
+
 def dedup_stream(events: DataFrame, watermark: str = "2 hours", keys: list[str] | None = None) -> DataFrame:
     """Streaming deduplication: emit each key's first arrival, drop repeats
     arriving within the watermark horizon (turns an at-least-once source

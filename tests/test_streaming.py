@@ -314,3 +314,22 @@ def test_cms_cells_stream_state_is_bounded_and_matches_batch(spark, sf_dir, batc
     for c in cells:
         per_row[c.row] = per_row.get(c.row, 0) + c.cell_n
     assert per_row == {j: n_events for j in range(4)}
+
+
+def test_windowed_distinct_users_match_batch(spark, sf_dir, batch_events):
+    from duckdb_age_spark.streaming import (
+        run_available_now,
+        stream_events,
+        windowed_distinct_users_stream,
+    )
+
+    stream = windowed_distinct_users_stream(stream_events(spark, sf_dir), window="1 hour")
+    got = run_available_now(stream, output_mode="complete")
+    expected = (
+        batch_events.groupBy(F.window("ts", "1 hour").alias("win"))
+        .agg(F.countDistinct("user_id").alias("n_distinct_users"))
+        .select(F.col("win.start").alias("window_start"), "n_distinct_users")
+    )
+    g = {(r.window_start, r.n_distinct_users) for r in got.collect()}
+    e = {(r.window_start, r.n_distinct_users) for r in expected.collect()}
+    assert g == e and len(g) > 0
