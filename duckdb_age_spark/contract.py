@@ -3542,7 +3542,9 @@ _INT8_Q_SQL = """
     e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
           FROM embeddings),
     es AS (SELECT vec_id, v,
-                  127.0 / list_max(list_transform(v, y -> abs(y))) AS s
+                  CASE WHEN list_max(list_transform(v, y -> abs(y))) > 0
+                       THEN 127.0 / list_max(list_transform(v, y -> abs(y)))
+                       ELSE 0.0 END AS s
            FROM e),
     q AS (SELECT vec_id,
                  list_transform(v, x -> CAST(floor(x * s + 0.5) AS BIGINT)) AS qv

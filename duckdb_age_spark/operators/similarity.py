@@ -402,15 +402,20 @@ def int8_quantize(embeddings: DataFrame) -> DataFrame:
     identical IEEE product is bit-deterministic everywhere.  The squared
     norm is an exact integer, computed once at quantization time so the
     scoring scan never re-aggregates it.  Returns (vec_id, qv array<long>,
-    qnorm2 long).  Assumes no all-zero vectors (s would be ±inf).
+    qnorm2 long).  An all-zero vector quantizes to all-zero codes (scale
+    forced to 0 instead of the IEEE 127/0 = +inf, whose 0·inf = NaN codes
+    would poison every downstream dot product).
     """
     # The scale is materialized as its own projection column BEFORE the
     # per-element transform: referencing the max-abs expression inside the
     # lambda would re-scan the whole array per element (O(d²) per row —
     # 64× redundant work at d=64, worse at real embedding widths).
     v = _as_double(F.col("embedding"))
+    vmax = F.array_max(F.transform(v, F.abs))
     staged = embeddings.select(
-        "vec_id", v.alias("v"), (F.lit(127.0) / F.array_max(F.transform(v, F.abs))).alias("s")
+        "vec_id",
+        v.alias("v"),
+        F.when(vmax > 0, F.lit(127.0) / vmax).otherwise(F.lit(0.0)).alias("s"),
     )
     qv = F.transform("v", lambda x: F.floor(x * F.col("s") + F.lit(0.5)).cast("long"))
     return staged.select(

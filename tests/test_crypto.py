@@ -213,3 +213,15 @@ def test_external_vector_golden_wrong_key_fails():
     ct = base64.b64decode(GOLDEN_CT_B64)
     with pytest.raises(age_format.DecryptError):
         age_format.decrypt(ct, keys.parse_identity(PRIV1))
+
+
+def test_ciphertext_length_at_chunk_boundaries_multi_recipient():
+    """ciphertext_length must match real encrypt output exactly at the chunk
+    boundary (the only place the tag count changes) and for multi-stanza
+    files — the formula backs every oracle SQL ct_len constant."""
+    recipients = [keys.parse_recipient(PUB1), keys.parse_recipient(GOLDEN_PUB)]
+    chunk = age_format.CHUNK_SIZE
+    for size in (0, 1, chunk - 1, chunk, chunk + 1, 2 * chunk):
+        for n in (1, 2):
+            ct = age_format.encrypt(b"z" * size, recipients[:n])
+            assert len(ct) == age_format.ciphertext_length(size, n), (size, n)

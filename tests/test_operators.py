@@ -969,3 +969,31 @@ def test_bfs_hops_empty_graph_returns_empty(spark):
     out = bfs_hops(edges, max_hops=3)  # default source on an empty graph
     assert out.count() == 0
     assert [f.name for f in out.schema.fields] == ["node", "hops"]
+
+
+def test_int8_quantize_zero_vector_yields_zero_codes(spark):
+    from duckdb_age_spark.operators.similarity import int8_quantize
+
+    emb = spark.createDataFrame(
+        [(0, [0.0] * 64), (1, [1.0] + [0.0] * 63)], "vec_id long, embedding array<float>"
+    )
+    out = {r.vec_id: r for r in int8_quantize(emb).collect()}
+    # all-zero vector: zero codes and zero norm, never NaN/null
+    assert out[0].qv == [0] * 64 and out[0].qnorm2 == 0
+    assert out[1].qv[0] == 127 and out[1].qnorm2 == 127 * 127
+
+
+def test_morton_code_is_bijective_in_range(spark):
+    from duckdb_age_spark.operators.graph import morton_code
+
+    # exhaustive over bits=5: 1024 (x, y) pairs must map to 1024 distinct
+    # codes inside [0, 2^10) — the property file-skipping relies on
+    df = (
+        spark.range(32).withColumnRenamed("id", "x")
+        .crossJoin(spark.range(32).withColumnRenamed("id", "y"))
+        .select(morton_code(F.col("x"), F.col("y"), bits=5).alias("z"))
+    )
+    stats = df.agg(
+        F.countDistinct("z").alias("d"), F.min("z").alias("lo"), F.max("z").alias("hi")
+    ).collect()[0]
+    assert stats.d == 1024 and stats.lo == 0 and stats.hi == 1023
