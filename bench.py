@@ -114,6 +114,8 @@ BENCH_QUERIES = [
     "text_tfidf_keywords",
     "pipeline_mixture_sample",
     "streaming_distinct_users",
+    "relational_cohort_retention",
+    "stats_entropy",
 ]
 
 

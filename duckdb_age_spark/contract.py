@@ -3843,6 +3843,54 @@ def streaming_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("window_sec")
 
 
+@_q(
+    "relational_cohort_retention",
+    """
+    WITH a AS (SELECT DISTINCT o_custkey,
+                      (year(o_orderdate) * 12 + month(o_orderdate) - 1)::BIGINT AS ym
+               FROM orders),
+    c AS (SELECT o_custkey, ym, min(ym) OVER (PARTITION BY o_custkey) AS cohort_ym
+          FROM a)
+    SELECT cohort_ym::BIGINT AS cohort_ym,
+           (ym - cohort_ym)::BIGINT AS offset_months,
+           count(*)::BIGINT AS n_customers
+    FROM c GROUP BY 1, 2
+    """,
+)
+def relational_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort-retention matrix (first-order month × months-since), all
+    calendar-integer arithmetic — the warehouse retention/churn query."""
+    from .operators.relational import cohort_retention
+
+    _prep(spark)
+    return cohort_retention(load(spark, sf_dir, "orders"))
+
+
+@_q(
+    "stats_entropy",
+    """
+    WITH counts AS (SELECT event_type AS c, count(*) AS n FROM events GROUP BY 1),
+    tot AS (SELECT sum(n) AS n_rows FROM counts),
+    terms AS (SELECT n_rows,
+                     CAST(floor(-(n::DOUBLE / n_rows::DOUBLE)
+                                * ln(n::DOUBLE / n_rows::DOUBLE) * 1e9 + 0.5) AS BIGINT)
+                       AS tn
+              FROM counts CROSS JOIN tot)
+    SELECT n_rows::BIGINT AS n_rows, count(*)::BIGINT AS n_categories,
+           sum(tn) / 1e9 AS entropy
+    FROM terms GROUP BY 1
+    """,
+)
+def stats_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of the event_type distribution: per-category terms
+    fixed to integer nano-units, total an exact long sum (order-free)."""
+    from .operators.stats import categorical_entropy
+    from .sources.tables import read_table
+
+    _prep(spark)
+    return categorical_entropy(read_table(spark, sf_dir, "events"), "event_type")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: encrypted-document pipeline at sf0.001 — round-trip an
     age-encrypted documents table and join quality stats (SURVEY.md §7.3)."""

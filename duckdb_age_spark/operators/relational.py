@@ -692,3 +692,37 @@ def scd2_priority_history(orders, sample_mod: int = 10):
         eff_to.cast("bigint").alias("eff_to"),
         eff_to.isNull().alias("is_current"),
     )
+
+
+def cohort_retention(orders: DataFrame) -> DataFrame:
+    """Customer cohort-retention matrix: customers grouped by first-order
+    month, counted in every later month they stay active — the warehouse
+    query behind every retention curve / churn dashboard.
+
+    Months are CALENDAR integers (year*12 + month-1): pure int arithmetic
+    from date parts, timezone-free for the DATE/NTZ fixture types, exact in
+    any engine.  Shape: one (customer, month) distinct aggregate, one
+    window min per customer for the cohort (same shuffle key — no extra
+    exchange), one map-side-combined final count keyed by
+    (cohort, offset).  All compared columns are exact longs.
+    Returns (cohort_ym, offset_months, n_customers).
+    """
+    from pyspark.sql import Window
+
+    ym = (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1).cast("long")
+    activity = orders.select("o_custkey", ym.alias("ym")).distinct()
+    w = Window.partitionBy("o_custkey")
+    return (
+        activity.withColumn("cohort_ym", F.min("ym").over(w))
+        .select(
+            "cohort_ym",
+            (F.col("ym") - F.col("cohort_ym")).alias("offset_months"),
+        )
+        .groupBy("cohort_ym", "offset_months")
+        .agg(F.count("*").cast("bigint").alias("n_customers"))
+        .select(
+            F.col("cohort_ym").cast("bigint"),
+            F.col("offset_months").cast("bigint"),
+            "n_customers",
+        )
+    )

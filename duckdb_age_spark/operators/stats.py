@@ -450,3 +450,31 @@ def winsorized_stats(
             ),
         )
     )
+
+
+def categorical_entropy(df: DataFrame, col: str) -> DataFrame:
+    """Shannon entropy of a categorical column — the data-profiling metric
+    that flags constant (H≈0) or near-uniform columns at a glance.
+
+    Per-category terms −p·ln p are fixed IEEE sequences on exact integer
+    counts (deterministic per category); the total is the usual float-Σ
+    hazard, so terms are fixed to integer nano-units first and summed as
+    exact longs (the chi-square / unigram_logprob pattern).  One bounded
+    aggregate (key space = category cardinality) + a broadcast total.
+    Returns one row: (n_rows, n_categories, entropy) with entropy in nats
+    rounded to the nano-unit grid.
+    """
+    counts = df.select(F.col(col).alias("c")).groupBy("c").agg(F.count("*").alias("n"))
+    tot = counts.agg(F.sum("n").alias("n_rows"))
+    p = F.col("n").cast("double") / F.col("n_rows").cast("double")
+    term_nano = F.floor(-p * F.log(p) * 1e9 + F.lit(0.5)).cast("long")
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select("n_rows", term_nano.alias("tn"))
+        .groupBy("n_rows")
+        .agg(
+            F.count("*").cast("bigint").alias("n_categories"),
+            (F.sum("tn") / F.lit(1e9)).alias("entropy"),
+        )
+        .select(F.col("n_rows").cast("bigint"), "n_categories", "entropy")
+    )

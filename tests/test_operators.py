@@ -997,3 +997,34 @@ def test_morton_code_is_bijective_in_range(spark):
         F.countDistinct("z").alias("d"), F.min("z").alias("lo"), F.max("z").alias("hi")
     ).collect()[0]
     assert stats.d == 1024 and stats.lo == 0 and stats.hi == 1023
+
+
+def test_cohort_retention_offsets_and_cohort_sizes(spark):
+    from duckdb_age_spark.operators.relational import cohort_retention
+
+    # cust 1 orders in Jan+Mar 2020 (offsets 0, 2); cust 2 only Jan (offset 0)
+    orders = spark.createDataFrame(
+        [
+            (1, "2020-01-15"), (1, "2020-01-20"), (1, "2020-03-02"),
+            (2, "2020-01-05"),
+        ],
+        "o_custkey long, d string",
+    ).select("o_custkey", F.to_timestamp("d").alias("o_orderdate"))
+    out = {(r.cohort_ym, r.offset_months): r.n_customers for r in cohort_retention(orders).collect()}
+    jan2020 = 2020 * 12 + 0
+    assert out == {(jan2020, 0): 2, (jan2020, 2): 1}
+
+
+def test_categorical_entropy_known_values(spark):
+    from duckdb_age_spark.operators.stats import categorical_entropy
+
+    import math
+
+    # uniform over 4 categories -> ln 4; constant column -> 0
+    uniform = spark.createDataFrame([(c,) for c in "abcd" for _ in range(5)], "x string")
+    row = categorical_entropy(uniform, "x").collect()[0]
+    assert row.n_rows == 20 and row.n_categories == 4
+    assert abs(row.entropy - math.log(4)) < 1e-6
+    const = spark.createDataFrame([("k",)] * 7, "x string")
+    row2 = categorical_entropy(const, "x").collect()[0]
+    assert row2.n_categories == 1 and row2.entropy == 0.0
