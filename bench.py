@@ -116,6 +116,7 @@ BENCH_QUERIES = [
     "streaming_distinct_users",
     "relational_cohort_retention",
     "stats_entropy",
+    "graph_weighted_pagerank",
 ]
 
 

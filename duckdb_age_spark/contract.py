@@ -3891,6 +3891,55 @@ def stats_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return categorical_entropy(read_table(spark, sf_dir, "events"), "event_type")
 
 
+def _weighted_pagerank_oracle(n_iter: int = 3) -> str:
+    """Unrolled-CTE DuckDB twin of operators.graph.weighted_pagerank over
+    the bidirectional co-purchase graph (w = shared_parts) — same
+    fixed-point integer kernel, so ranks hash-match bit-for-bit."""
+    ctes = [
+        _COPURCHASE_CP_SQL.strip(),
+        _COPURCHASE_E_SQL.strip(),
+        "wedges AS (SELECT src, dst, shared AS w FROM e "
+        "UNION ALL SELECT dst, src, shared FROM e)",
+        "nodes AS (SELECT src AS node FROM wedges UNION SELECT dst FROM wedges)",
+        "params AS (SELECT count(*) AS n FROM nodes)",
+        "sw AS (SELECT src, sum(w) AS sw FROM wedges GROUP BY 1)",
+        f"r0 AS (SELECT node, ({_PR_SCALE} // n)::BIGINT AS rank "
+        "FROM nodes CROSS JOIN params)",
+    ]
+    for i in range(1, n_iter + 1):
+        ctes.append(
+            f"c{i} AS (SELECT dst, sum((rank * w) // sw) AS s FROM wedges "
+            f"JOIN r{i-1} ON src = node JOIN sw USING (src) GROUP BY dst)"
+        )
+        ctes.append(
+            f"r{i} AS (SELECT node, ((15 * {_PR_SCALE}) // (100 * n) "
+            f"+ (85 * coalesce(s, 0)) // 100)::BIGINT AS rank "
+            f"FROM nodes CROSS JOIN params LEFT JOIN c{i} ON node = dst)"
+        )
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT node::BIGINT AS node, rank FROM r{n_iter}"
+
+
+@_q("graph_weighted_pagerank", _weighted_pagerank_oracle())
+def graph_weighted_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge-weighted fixed-point PageRank over the co-purchase graph: mass
+    flows proportional to shared-part counts; 3 unrolled iterations,
+    all-integer arithmetic, hash-matched against the oracle's CTE chain."""
+    from .operators.graph import copurchase_edges, weighted_pagerank
+
+    _prep(spark)
+    orders = load(spark, sf_dir, "orders").where(F.col("o_custkey") % 10 == 0)
+    e = copurchase_edges(orders, load(spark, sf_dir, "lineitem"), min_shared_parts=2)
+    directed = e.select("src", "dst", F.col("shared_parts").alias("w")).unionAll(
+        e.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"),
+            F.col("shared_parts").alias("w"),
+        )
+    ).localCheckpoint(eager=False)
+    return weighted_pagerank(directed, n_iter=3).select(
+        F.col("node").cast("bigint"), "rank"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: encrypted-document pipeline at sf0.001 — round-trip an
     age-encrypted documents table and join quality stats (SURVEY.md §7.3)."""

@@ -1028,3 +1028,32 @@ def test_categorical_entropy_known_values(spark):
     const = spark.createDataFrame([("k",)] * 7, "x string")
     row2 = categorical_entropy(const, "x").collect()[0]
     assert row2.n_categories == 1 and row2.entropy == 0.0
+
+
+def test_weighted_pagerank_favors_heavy_edges(spark):
+    from duckdb_age_spark.operators.graph import SCALE, weighted_pagerank
+
+    # star: hub 1 sends to 2 with weight 9 and to 3 with weight 1;
+    # 2 and 3 send everything back to 1.  After any iteration rank(2) must
+    # exceed rank(3) by ~9x of the damped hub mass; total mass conserved
+    # up to integer-division dust.
+    edges = spark.createDataFrame(
+        [(1, 2, 9), (1, 3, 1), (2, 1, 1), (3, 1, 1)], "src long, dst long, w long"
+    )
+    out = {r.node: r.rank for r in weighted_pagerank(edges, n_iter=2).collect()}
+    assert out[2] > out[3]
+    assert sum(out.values()) <= SCALE
+    assert sum(out.values()) > SCALE * 95 // 100  # only rounding dust lost
+
+
+def test_weighted_pagerank_uniform_weights_match_unweighted(spark):
+    from duckdb_age_spark.operators.graph import pagerank_exact, weighted_pagerank
+
+    # with all weights equal, (rank*w) DIV (deg*w) == rank DIV deg exactly
+    # when w divides evenly — use w=1 so the kernels are arithmetic-identical
+    pairs = [(1, 2), (2, 3), (3, 1), (1, 3)]
+    e = spark.createDataFrame(pairs, "src long, dst long")
+    ew = spark.createDataFrame([(a, b, 1) for a, b in pairs], "src long, dst long, w long")
+    a = {r.node: r.rank for r in pagerank_exact(e, n_iter=3).collect()}
+    b = {r.node: r.rank for r in weighted_pagerank(ew, n_iter=3).collect()}
+    assert a == b
