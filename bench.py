@@ -363,7 +363,9 @@ def main() -> None:
         # fitting line is guaranteed if the fixed fields fit at all; the
         # final fallback drops the queries dict entirely rather than ever
         # printing an oversized line (the BENCH_r03 failure mode).
-        for keep in [*range(len(rest) - 5, 0, -5), 0]:
+        # coarse 5-steps down, then fine 1-steps through the last few so a
+        # small queries dict that WOULD fit is never skipped over
+        for keep in [*range(len(rest) - 1, 4, -5), *range(min(4, len(rest) - 1), -1, -1)]:
             headline["queries"] = {k: timings[k] for k in crypto + sorted(rest[:keep])}
             line = json.dumps(headline)
             if len(line) <= BUDGET:

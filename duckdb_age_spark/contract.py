@@ -3934,7 +3934,7 @@ def graph_weighted_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("dst").alias("src"), F.col("src").alias("dst"),
             F.col("shared_parts").alias("w"),
         )
-    ).localCheckpoint(eager=False)
+    )  # the operator checkpoints internally
     return weighted_pagerank(directed, n_iter=3).select(
         F.col("node").cast("bigint"), "rank"
     )

@@ -88,12 +88,19 @@ def weighted_pagerank(
     combined sum, identical shape to the unweighted loop.
     Returns (node, rank) in SCALE units.
     """
+    # checkpoint once: edges feeds the node set, the weight sums, and every
+    # iteration's join — for a derived graph each consumer would otherwise
+    # re-run the whole upstream derivation (same guard as bfs_hops /
+    # edge_jaccard_similarity)
+    edges = edges.select("src", "dst", "w").localCheckpoint(eager=False)
     nodes = (
         edges.select(F.col("src").alias("node"))
         .unionAll(edges.select(F.col("dst").alias("node")))
         .distinct()
     )
     n = nodes.count()
+    if n == 0:  # empty graph: 0-row result, not a ZeroDivisionError
+        return edges.sparkSession.createDataFrame([], "node bigint, rank bigint")
     sw = edges.groupBy("src").agg(F.sum("w").alias("sw"))
     base = SCALE * (100 - damping_pct) // (100 * n)
     ranks = nodes.select("node", F.lit(SCALE // n).cast("long").alias("rank"))

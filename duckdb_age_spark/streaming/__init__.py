@@ -229,7 +229,14 @@ def windowed_distinct_users_stream(
     that survives an unbounded feed.
     """
     bucketed = events.withColumn("win_start", F.window("ts", window)["start"])
-    uniques = bucketed.withWatermark("ts", watermark).dropDuplicates(
+    # dropDuplicatesWithinWatermark, NOT dropDuplicates: the dedup keys are
+    # (user, win_start) and win_start is a derived column with no event-time
+    # metadata, so plain dropDuplicates would never evict state (Spark only
+    # cleans dedup state when a watermarked column is among the keys).
+    # WithinWatermark evicts by the ts watermark regardless of key; a
+    # (user, window) key can only recur while its window is inside the
+    # horizon, so exactness is preserved.
+    uniques = bucketed.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         ["user_id", "win_start"]
     )
     return (

@@ -1057,3 +1057,12 @@ def test_weighted_pagerank_uniform_weights_match_unweighted(spark):
     a = {r.node: r.rank for r in pagerank_exact(e, n_iter=3).collect()}
     b = {r.node: r.rank for r in weighted_pagerank(ew, n_iter=3).collect()}
     assert a == b
+
+
+def test_weighted_pagerank_empty_graph_returns_empty(spark):
+    from duckdb_age_spark.operators.graph import weighted_pagerank
+
+    edges = spark.createDataFrame([], "src long, dst long, w long")
+    out = weighted_pagerank(edges)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["node", "rank"]
