@@ -117,6 +117,7 @@ BENCH_QUERIES = [
     "relational_cohort_retention",
     "stats_entropy",
     "graph_weighted_pagerank",
+    "text_bigram_logprob",
 ]
 
 

@@ -3940,6 +3940,33 @@ def graph_weighted_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "text_bigram_logprob",
+    r"""
+    WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
+               FROM documents),
+    occ AS (SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+            FROM w, unnest(range(1, len(ws))) AS t(i)),
+    cb AS (SELECT w1, w2, count(*) AS cb FROM occ GROUP BY 1, 2),
+    cf AS (SELECT w1, sum(cb) AS cf FROM cb GROUP BY 1),
+    lp AS (SELECT doc_id, CAST(round(ln(cb::DOUBLE / cf::DOUBLE) * 1e9) AS BIGINT) AS lp
+           FROM occ JOIN cb USING (w1, w2) JOIN cf USING (w1))
+    SELECT doc_id,
+           -((2 * (-sum(lp)) * 1000 + count(*) * 1000000000)
+             // (2 * count(*) * 1000000000)) / 1000.0 AS mean_bigram_logprob
+    FROM lp GROUP BY doc_id
+    """,
+)
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc mean bigram conditional log-prob under the corpus's own
+    bigram model — word-ORDER-sensitive fluency (shuffled text keeps its
+    unigram score but craters here); same nano-unit determinism rules."""
+    from .operators.pipeline import bigram_logprob
+
+    _prep(spark)
+    return bigram_logprob(load(spark, sf_dir, "documents"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: encrypted-document pipeline at sf0.001 — round-trip an
     age-encrypted documents table and join quality stats (SURVEY.md §7.3)."""

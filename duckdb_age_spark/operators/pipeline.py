@@ -189,6 +189,54 @@ def unigram_logprob(docs: DataFrame) -> DataFrame:
     return scored.select("doc_id", "mean_logprob")
 
 
+def bigram_logprob(docs: DataFrame) -> DataFrame:
+    """Per-doc mean bigram conditional log-probability
+    ln p(wᵢ | wᵢ₋₁) = ln( c(wᵢ₋₁wᵢ) / c_first(wᵢ₋₁) ) under the corpus's
+    own bigram model — the next step up from :func:`unigram_logprob`:
+    sensitive to scrambled word ORDER that unigram fluency cannot see
+    (shuffled text keeps its unigram score but craters here).
+
+    Scoring the training corpus with its own model means every observed
+    bigram has nonzero count — no smoothing needed.  c_first(w) sums
+    bigram counts by first token (occurrences of w excluding doc-final
+    position), so probabilities per first-token sum to exactly 1.
+
+    Same shapes and determinism rules as unigram: adjacent pairs via
+    arrays_zip of two slices (no quadratic expansion), two map-side-
+    combined aggregates, broadcast-or-AQE joins back, per-token nano-unit
+    fixing before the integer per-doc mean.  Docs with <2 tokens have no
+    bigrams and are absent from the output (inner-join semantics).
+    """
+    words = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    n = F.size(words)
+    prs = docs.select(
+        "doc_id",
+        F.explode(
+            F.arrays_zip(
+                F.slice(words, 1, n - 1).alias("w1"),
+                F.slice(words, 2, n - 1).alias("w2"),
+            )
+        ).alias("p"),
+    ).select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    cb = prs.groupBy("w1", "w2").agg(F.count("*").alias("cb"))
+    cf = cb.groupBy("w1").agg(F.sum("cb").alias("cf"))
+    lp_nano = F.round(F.log(F.col("cb") / F.col("cf")) * 1e9, 0).cast("long")
+    return (
+        prs.join(cb, ["w1", "w2"])
+        .join(cf, "w1")
+        .select("doc_id", lp_nano.alias("lp"))
+        .groupBy("doc_id")
+        .agg((-F.sum("lp")).alias("s_pos"), F.count("*").alias("cnt"))
+        .select(
+            "doc_id",
+            (
+                -F.expr("(2 * s_pos * 1000 + cnt * 1000000000) DIV (2 * cnt * 1000000000)")
+                / F.lit(1000.0)
+            ).alias("mean_bigram_logprob"),
+        )
+    )
+
+
 def vocab_topk(docs: DataFrame, k: int = 100) -> DataFrame:
     """Vocabulary construction: top-k tokens by corpus frequency (ties by
     token) — the first step of tokenizer training.  One map-side-combined

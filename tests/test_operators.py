@@ -1066,3 +1066,37 @@ def test_weighted_pagerank_empty_graph_returns_empty(spark):
     out = weighted_pagerank(edges)
     assert out.count() == 0
     assert [f.name for f in out.schema.fields] == ["node", "rank"]
+
+
+def test_bigram_logprob_order_sensitivity(spark):
+    from duckdb_age_spark.operators.pipeline import bigram_logprob
+
+    # cb: ab=3, ba=3, ac=1 -> cf(a)=4, cf(b)=3; so p(b|a)=3/4, p(a|b)=1,
+    # p(c|a)=1/4.  Docs dominated by the rare a->c transition must score
+    # lowest; more common-transition content scores higher.
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b"),   # mean = 2*ln(3/4)/3
+            (2, "b a b a"),   # mean = ln(3/4)/3
+            (3, "a c"),       # mean = ln(1/4)
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.mean_bigram_logprob for r in bigram_logprob(docs).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[3] < out[1] < out[2]
+    import math
+    assert abs(out[3] - round(math.log(0.25), 3)) < 1e-9
+    # sanity: probabilities are <= 1 so mean log-probs are <= 0
+    assert all(v <= 0 for v in out.values())
+
+
+def test_bigram_logprob_excludes_single_token_docs(spark):
+    from duckdb_age_spark.operators.pipeline import bigram_logprob
+
+    docs = spark.createDataFrame(
+        [(1, "only"), (2, "two words")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r.mean_bigram_logprob for r in bigram_logprob(docs).collect()}
+    assert set(out) == {2}
+    assert out[2] == 0.0  # "two words" is the only bigram starting with "two": p=1
