@@ -397,3 +397,32 @@ def test_tfidf_keywords_group_limit_and_partial_agg(t):
     # pre-prune via WindowGroupLimit before the window shuffle
     assert has_partial_aggregate(df)
     assert "WindowGroupLimit" in plan, plan
+
+
+def test_cohort_retention_partial_aggregated(t):
+    from duckdb_age_spark.operators.relational import cohort_retention
+
+    df = cohort_retention(t["orders"])
+    # the (cohort, offset) count must map-side combine; the activity
+    # distinct and the window-min share the o_custkey shuffle key
+    assert has_partial_aggregate(df)
+    assert count_exchanges(df) <= 4, formatted_plan(df)
+
+
+def test_entropy_bounded_aggregate_and_broadcast(t):
+    from duckdb_age_spark.operators.stats import categorical_entropy
+
+    df = categorical_entropy(t["events"], "event_type")
+    # category count aggregate map-side combines into a bounded key space;
+    # the grand total joins back as a broadcast single row
+    assert has_partial_aggregate(df)
+    assert has_broadcast_join(df)
+
+
+def test_mixture_sample_broadcasts_quota_table(t):
+    from duckdb_age_spark.operators.pipeline import mixture_sample
+
+    df = mixture_sample(t["documents"], {"src0": 5, "src1": 3})
+    assert has_broadcast_join(df)
+    # one stratum-keyed shuffle for the rank; nothing else wide
+    assert count_exchanges(df) <= 2, formatted_plan(df)
