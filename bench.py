@@ -118,6 +118,7 @@ BENCH_QUERIES = [
     "stats_entropy",
     "graph_weighted_pagerank",
     "text_bigram_logprob",
+    "rollup_time_weighted_avg",
 ]
 
 

@@ -3967,6 +3967,33 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_logprob(load(spark, sf_dir, "documents"))
 
 
+@_q(
+    "rollup_time_weighted_avg",
+    """
+    WITH x AS (SELECT event_type, event_id, epoch_us(ts) AS tus,
+                      CAST(round(value * 1000) AS BIGINT) AS vm
+               FROM events),
+    d AS (SELECT event_type, tus, vm,
+                 lead(tus) OVER (PARTITION BY event_type ORDER BY tus, event_id) - tus
+                   AS dt
+          FROM x),
+    b AS (SELECT event_type, (tus - tus % 3600000000)::BIGINT AS bucket_us, vm, dt
+          FROM d WHERE dt IS NOT NULL)
+    SELECT event_type, bucket_us, count(*)::BIGINT AS n_intervals,
+           sum(vm::HUGEINT * dt)::DOUBLE / sum(dt)::DOUBLE / 1000.0 AS twap
+    FROM b GROUP BY 1, 2
+    """,
+)
+def rollup_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly time-weighted average per event type (TimescaleDB time_weight
+    analog): LOCF intervals in exact µs, milli-unit values, decimal sums."""
+    from .operators.rollup import time_weighted_avg
+    from .sources.tables import read_table
+
+    _prep(spark)
+    return time_weighted_avg(read_table(spark, sf_dir, "events"), bucket_sec=3600)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: encrypted-document pipeline at sf0.001 — round-trip an
     age-encrypted documents table and join quality stats (SURVEY.md §7.3)."""

@@ -148,3 +148,59 @@ def rolling_window_1h(events: DataFrame) -> DataFrame:
         F.count("*").over(w).cast("bigint").alias("n_1h"),
         F.sum(cents).over(w).cast("bigint").alias("cents_1h"),
     )
+
+
+def time_weighted_avg(events: DataFrame, bucket_sec: int = 3600) -> DataFrame:
+    """Time-weighted average of ``value`` per (event_type, bucket) over
+    irregularly-spaced events — the TimescaleDB ``time_weight`` analog that
+    completes this module's hypertable set (bucketing, gap-fill, rollup):
+    a plain avg() over-weights bursts; TWAP weights each observation by how
+    long it was the latest one.
+
+    Semantics: each observation holds until the next one of the same type
+    (last-observation-carried-forward); its weight is that µs interval,
+    assigned to the bucket of the interval START (intervals are not split
+    at bucket edges — documented approximation, same on both engines).
+    The final observation per type has no successor and is excluded.
+
+    Determinism: values fix to integer milli-units, intervals are exact µs
+    longs, and the weighted sums accumulate as decimal(38,0) — exact at any
+    partitioning (Σ v·dt can exceed 2⁵³, where a double sum would round by
+    accumulation ORDER; the one exact-integer→double conversion at the end
+    rounds identically in every engine).  Shape: one window shuffle keyed
+    by event_type (lead), one map-side-combined aggregate.
+    Returns (event_type, bucket_us, n_intervals, twap).
+    """
+    from pyspark.sql import Window
+
+    us = F.unix_micros(F.col("ts"))
+    vm = F.round(F.col("value") * 1000, 0).cast("long")
+    w = Window.partitionBy("event_type").orderBy("tus", "event_id")
+    d = (
+        events.select("event_type", "event_id", us.alias("tus"), vm.alias("vm"))
+        .withColumn("dt", F.lead("tus").over(w) - F.col("tus"))
+        .where(F.col("dt").isNotNull())
+    )
+    bucket_us = int(bucket_sec) * 1_000_000
+    return (
+        d.select(
+            "event_type",
+            (F.col("tus") - F.col("tus") % bucket_us).alias("bucket_us"),
+            F.col("vm").cast("decimal(38,0)").alias("vmd"),
+            F.col("dt").cast("decimal(38,0)").alias("dtd"),
+        )
+        .groupBy("event_type", "bucket_us")
+        .agg(
+            F.count("*").cast("bigint").alias("n_intervals"),
+            F.sum(F.col("vmd") * F.col("dtd")).alias("swv"),
+            F.sum("dtd").alias("sw"),
+        )
+        .select(
+            "event_type",
+            F.col("bucket_us").cast("bigint"),
+            "n_intervals",
+            (F.col("swv").cast("double") / F.col("sw").cast("double") / F.lit(1000.0)).alias(
+                "twap"
+            ),
+        )
+    )

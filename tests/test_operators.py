@@ -1100,3 +1100,42 @@ def test_bigram_logprob_excludes_single_token_docs(spark):
     out = {r.doc_id: r.mean_bigram_logprob for r in bigram_logprob(docs).collect()}
     assert set(out) == {2}
     assert out[2] == 0.0  # "two words" is the only bigram starting with "two": p=1
+
+
+def test_time_weighted_avg_known_intervals(spark):
+    from duckdb_age_spark.operators.rollup import time_weighted_avg
+
+    # type A at t=0s v=10 (holds 10s), t=10s v=20 (holds 30s), t=40s (no
+    # successor, excluded): TWAP = (10*10 + 20*30) / 40 = 17.5
+    rows = [
+        (1, "A", 0, 10.0),
+        (2, "A", 10, 20.0),
+        (3, "A", 40, 99.0),  # terminal observation: excluded
+    ]
+    events = spark.createDataFrame(
+        rows, "event_id long, event_type string, sec long, value double"
+    ).select(
+        "event_id", "event_type", F.timestamp_seconds("sec").alias("ts"), "value"
+    )
+    out = time_weighted_avg(events, bucket_sec=3600).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.event_type == "A" and r.n_intervals == 2
+    assert r.bucket_us == 0
+    assert abs(r.twap - 17.5) < 1e-9
+
+
+def test_time_weighted_avg_burst_insensitive(spark):
+    from duckdb_age_spark.operators.rollup import time_weighted_avg
+
+    # a burst of 100 rapid v=0 events within 1s followed by v=10 held 100s:
+    # plain avg is ~0.1, TWAP must be dominated by the long-held value
+    rows = [(i, "B", i * 0.01, 0.0) for i in range(100)]
+    rows += [(100, "B", 1.0, 10.0), (101, "B", 101.0, 0.0)]
+    events = spark.createDataFrame(
+        rows, "event_id long, event_type string, sec double, value double"
+    ).select(
+        "event_id", "event_type", F.timestamp_seconds("sec").alias("ts"), "value"
+    )
+    r = time_weighted_avg(events, bucket_sec=3600).collect()[0]
+    assert r.twap > 9.0  # 10 held for 100 of 101 seconds
