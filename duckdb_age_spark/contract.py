@@ -3589,7 +3589,7 @@ def sim_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
           WHERE vec_id < 5),
     scored AS (
       SELECT query_id, qq.vec_id,
-             round(list_sum(list_transform(range(1, 65), i -> pqv[i] * qv[i]))::DOUBLE
+             round(list_sum(list_transform(range(1, len(qv) + 1), i -> pqv[i] * qv[i]))::DOUBLE
                    / (sqrt(pnorm2::DOUBLE) * sqrt(qnorm2::DOUBLE)), 4) AS cosine_q8
       FROM qq CROSS JOIN p WHERE qq.vec_id != p.query_id)
     SELECT query_id::BIGINT AS query_id, vec_id::BIGINT AS vec_id, cosine_q8,
@@ -4027,6 +4027,18 @@ def entry(spark: SparkSession) -> DataFrame:
 # full crypto core plus at least one query from EVERY operator family
 # (VERDICT.md r1, next-round item 1b; rationale documented in PARITY.md).
 # Everything after slot 50 is still verified by scripts/check_oracle.py.
+#
+# Round-5 rotation (VERDICT.md r4, next-round item 1): 63 queries had never
+# appeared in a CORRECTNESS_r* file because this list was static since r2.
+# The 8-query crypto core stays; every other slot now prefers a
+# never-before-attested query, choosing family representatives from the
+# never-attested set wherever the family has one (upsert_cdc_merge covers
+# upsert, sink_schema_evolution covers sinks, ...).  Families whose every
+# member is already driver-attested (crypto, dq, grouped-map, extension
+# points, multimodal) keep one attested representative so each family still
+# has a CORRECTNESS_r05 row.  Veterans rotated out (tpch_q1/q3/q6/q13,
+# sink_csv_roundtrip, order_gaps, events_tumbling, ...) remain gated by the
+# local 130/130 oracle sweep and their CORRECTNESS_r01–r04 history.
 
 _PRIORITY_50 = [
     # crypto core (SURVEY §2a — the reference's own surface, all 8)
@@ -4038,65 +4050,64 @@ _PRIORITY_50 = [
     "age_secret_roundtrip",
     "age_secrets_listing",
     "age_version",
-    # host-engine surface (§2b): DQ, upsert, sinks, set ops
+    # host-engine surface (§2b): DQ report (sole member), CDC upsert,
+    # schema-evolving sink, FULL OUTER reconciliation
     "dq_report",
-    "upsert_merge",
-    "sink_csv_roundtrip",
-    "setops_customer_cohorts",
-    # structured streaming
-    "streaming_windowed",
-    "streaming_dedup",
-    "streaming_join",
-    # text analysis (bm25 promoted r3 — the most user-visible retrieval op;
-    # text_lang_id and dedup_simhash_pairs dropped to post-50, still in the
-    # local oracle sweep)
-    "text_doc_stats",
-    "text_bm25_topk",
+    "upsert_cdc_merge",
+    "sink_schema_evolution",
+    "setops_full_outer_reconcile",
+    # structured streaming (two-phase exact distinct + bounded-state CMS)
+    "streaming_distinct_users",
+    "streaming_cms_topusers",
+    # text analysis
+    "text_tfidf_keywords",
+    "text_pii_scrub",
     # training-pipeline ops
-    "pipeline_sample_split",
-    "pipeline_pack",
-    "pipeline_quality_topk",
-    "pipeline_decontaminate",
-    # dedup family (exact + near-dup algorithms + clustering)
-    "dedup_exact",
-    "dedup_minhash_pairs",
-    "dedup_clusters",
-    "dedup_embedding_pairs",
-    # similarity search
-    "sim_topk_bruteforce",
-    "sim_topk_lsh",
-    "sim_topk_kmeans",
-    # grouped-map pandas path
+    "pipeline_mixture_sample",
+    "pipeline_vocab_topk",
+    "pipeline_balanced_sample",
+    # dedup family (PassJoin fuzzy d=2 + canonical retention)
+    "dedup_fuzzy_names_d2",
+    "dedup_keep_canonical",
+    # similarity search (int8 ANN, kNN vote, LSH recall audit)
+    "sim_topk_int8",
+    "sim_knn_label_vote",
+    "sim_lsh_recall",
+    # grouped-map pandas path (sole member)
     "grouped_map_zscore",
     # event analytics / windows
-    "events_tumbling",
-    "events_sessions",
-    "events_props",
-    "order_gaps",
+    "events_gapfill",
+    "events_session_window",
+    "window_balance_analytics",
     # iterative graph + data layout
-    "graph_pagerank",
-    "layout_zorder_stats",
-    # relational core (representatives; full TPC-H still oracle-checked locally)
-    "tpch_q1",
-    "tpch_q3",
-    "tpch_q6",
-    "tpch_q13",
+    "graph_bfs_hops",
+    "graph_triangles",
+    "graph_weighted_pagerank",
+    "graph_edge_jaccard",
+    # relational core (rotated TPC-H slate + SCD2 + cohort retention)
+    "relational_cohort_retention",
+    "scd2_priority_history",
+    "tpch_q2",
+    "tpch_q4",
+    "tpch_q9",
+    "tpch_q17",
+    "tpch_q18",
+    "tpch_q21",
     # scale/skew handling
-    "skew_salted_join",
+    "skew_salted_agg",
     # stats / sketches
-    "quantiles_exact",
-    "pivot_priority_by_flag",
-    "sketch_approx_distinct",
-    # temporal joins + rollups
-    "asof_join",
-    "range_join",
-    "rollup_timebuckets",
-    # extension points
+    "stats_chi_square",
+    "stats_mad_outliers",
+    "stats_entropy",
+    "stats_benford",
+    "stats_linreg",
+    "sketch_approx_percentile",
+    # temporal rollups
+    "rollup_time_weighted_avg",
+    # extension points (representative; udtf_chunks attested r4)
     "udaf_geomean",
-    "udtf_chunks",
-    # multimodal plumbing
+    # multimodal plumbing (representative; frames attested r4)
     "multimodal_features",
-    "multimodal_frames",
 ]
 
 

