@@ -99,6 +99,7 @@ BENCH_QUERIES = [
     "rollup_timebuckets",
     "streaming_windowed",
     "multimodal_features",
+    "multimodal_decode",
     "graph_copurchase",
     "graph_triangles",
     "scd2_priority_history",

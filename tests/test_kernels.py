@@ -186,7 +186,7 @@ def test_priority_50_covers_every_operator_family():
             "rollup_time_weighted_avg",
         ],
         "extension_points": ["udaf_geomean", "udtf_chunks"],
-        "multimodal": ["multimodal_features", "multimodal_frames"],
+        "multimodal": ["multimodal_features", "multimodal_frames", "multimodal_decode"],
     }
     for family, members in families.items():
         assert first50 & set(members), f"family {family} has no query in the first 50"

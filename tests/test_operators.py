@@ -252,6 +252,90 @@ def test_multimodal_payload_properties_large_and_edge(spark):
             assert r.width is None and r.height is None
 
 
+def test_bmp_wav_codec_roundtrip():
+    """Pure-Python codec pair: decode(encode(...)) recovers the geometry for
+    a sweep of shapes including the 4-byte row-padding corners (width % 4
+    in every residue class)."""
+    from duckdb_age_spark.operators.multimodal import (
+        decode_bmp,
+        decode_wav,
+        encode_bmp,
+        encode_wav,
+    )
+
+    for w in (1, 2, 3, 4, 5, 63, 64):
+        for h in (1, 7, 64):
+            payload = encode_bmp(w, h, seed=w * h)
+            assert decode_bmp(payload) == (w, h)
+            # exact container size: 54-byte headers + padded rows
+            assert len(payload) == 54 + ((3 * w + 3) // 4 * 4) * h
+    for n in (1, 2, 999, 1000):
+        for rate in (8000, 44100):
+            payload = encode_wav(n, rate, seed=n)
+            assert decode_wav(payload) == (rate, n)
+            assert len(payload) == 44 + 2 * n
+
+
+def test_bmp_wav_decode_rejects_malformed():
+    from duckdb_age_spark.operators.multimodal import decode_bmp, decode_wav, encode_bmp, encode_wav
+
+    with pytest.raises(ValueError):
+        decode_bmp(b"")
+    with pytest.raises(ValueError):
+        decode_bmp(b"PN" + b"\x00" * 60)  # wrong magic
+    with pytest.raises(ValueError):
+        decode_bmp(encode_bmp(10, 10)[:53])  # truncated header
+    with pytest.raises(ValueError):
+        decode_bmp(encode_bmp(10, 10)[:-1])  # truncated pixel data
+    with pytest.raises(ValueError):
+        decode_wav(b"")
+    with pytest.raises(ValueError):
+        decode_wav(b"RIFF" + b"\x00" * 50)  # bad WAVE magic
+    with pytest.raises(ValueError):
+        decode_wav(encode_wav(100)[:-1])  # truncated samples
+
+
+def test_multimodal_real_decode_pipeline(spark, docs):
+    """End-to-end mapInPandas decode over synthesized real containers:
+    every row decodes 'real', poison payloads degrade to an error ROW
+    (never a failed stage)."""
+    from duckdb_age_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        decode_features,
+        synthesize_media,
+    )
+
+    out = decode_features(synthesize_media(docs.limit(40))).collect()
+    assert len(out) == 40
+    for r in out:
+        assert r.decode_ok == "real"
+        if r.kind == "image/bmp":
+            assert r.width == r.media_id % 64 + 1
+            assert r.height == (r.media_id * 7) % 64 + 1
+            assert r.sample_rate is None
+        else:
+            assert r.kind == "audio/wav"
+            assert r.sample_rate == 8000
+            assert r.duration_ms == (r.media_id % 1000 + 1) * 1000 // 8000
+            assert r.width is None
+    # poison payloads: wrong magic, truncated, empty, NULL
+    bad = spark.createDataFrame(
+        [
+            (1, "image/bmp", b"not a bmp at all, definitely not" + b"\x00" * 40, "{}"),
+            (2, "audio/wav", b"RIFFxxxx", "{}"),
+            (3, "image/bmp", b"", "{}"),
+            (4, "video/mp4", b"\x00" * 100, "{}"),
+            (5, "audio/wav", None, "{}"),
+        ],
+        MEDIA_SCHEMA,
+    )
+    got = {r.media_id: r for r in decode_features(bad).collect()}
+    assert len(got) == 5
+    assert all(r.decode_ok.startswith("error:") for r in got.values())
+    assert got[1].decode_ok == "error:bad BMP magic"
+    assert got[4].decode_ok == "error:unknown kind video/mp4"
+
+
 def test_encrypted_sink_roundtrip(spark, tmp_path, manager, docs):
     from duckdb_age_spark.sources import read_encrypted, write_encrypted
     from duckdb_age_spark.contract import KP1
