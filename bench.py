@@ -102,6 +102,7 @@ BENCH_QUERIES = [
     "multimodal_decode",
     "graph_copurchase",
     "graph_triangles",
+    "graph_triangles_degree",
     "scd2_priority_history",
     "stats_linreg",
     "stats_winsorized",

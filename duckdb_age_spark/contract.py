@@ -3479,6 +3479,47 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "graph_triangles_degree",
+    f"""
+    WITH {_COPURCHASE_CP_SQL}, {_COPURCHASE_E_SQL},
+    und AS (SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e),
+    deg AS (SELECT src AS node, count(*)::BIGINT AS deg FROM und GROUP BY 1),
+    rk AS (SELECT node, deg * 4294967296 + node AS rnk FROM deg),
+    d AS (SELECT CASE WHEN ra.rnk < rb.rnk THEN e.src ELSE e.dst END AS src,
+                 CASE WHEN ra.rnk < rb.rnk THEN e.dst ELSE e.src END AS dst,
+                 greatest(ra.rnk, rb.rnk) AS rank_head
+          FROM e JOIN rk ra ON e.src = ra.node JOIN rk rb ON e.dst = rb.node),
+    w AS (SELECT d1.src AS a, d1.dst AS b, d2.dst AS c
+          FROM d d1 JOIN d d2 ON d1.src = d2.src
+          WHERE d1.rank_head < d2.rank_head),
+    t AS (SELECT 1 FROM w JOIN d ON d.src = w.b AND d.dst = w.c)
+    SELECT n_nodes, n_edges, n_wedges, n_triangles,
+           CASE WHEN n_wedges > 0
+                THEN n_triangles::DOUBLE / n_wedges::DOUBLE ELSE 0.0 END
+             AS closed_wedge_ratio
+    FROM (SELECT count(*)::BIGINT AS n_wedges FROM w)
+    CROSS JOIN (SELECT count(*)::BIGINT AS n_triangles FROM t)
+    CROSS JOIN (SELECT count(*)::BIGINT AS n_edges FROM e)
+    CROSS JOIN (SELECT count(DISTINCT n)::BIGINT AS n_nodes FROM
+                (SELECT src AS n FROM e UNION ALL SELECT dst AS n FROM e))
+    """,
+)
+def graph_triangles_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-oriented triangle census (Schank-Wagner orientation): each
+    edge re-oriented toward its (degree, id)-greater endpoint before
+    wedging, capping the wedge count at O(E^1.5) regardless of hub skew.
+    Triangle count must equal the id-oriented census; the oracle replays
+    the identical rank encoding (deg*2^32+id) so the wedge count is pinned
+    too."""
+    from .operators.graph import copurchase_edges, triangle_stats
+
+    _prep(spark)
+    orders = load(spark, sf_dir, "orders").where(F.col("o_custkey") % 10 == 0)
+    edges = copurchase_edges(orders, load(spark, sf_dir, "lineitem"), min_shared_parts=2)
+    return triangle_stats(edges, orientation="degree")
+
+
+@_q(
     "scd2_priority_history",
     """
     WITH o AS (SELECT * FROM orders WHERE o_custkey % 10 = 0),

@@ -304,29 +304,66 @@ def copurchase_edges(
     )
 
 
-def triangle_stats(edges: DataFrame) -> DataFrame:
+def triangle_stats(edges: DataFrame, orientation: str = "id") -> DataFrame:
     """Triangle census of an undirected (src < dst) edge list: node/edge/
     wedge/triangle counts and the closed-wedge ratio.
 
-    The join is ID-ORIENTED: edges already satisfy src < dst, so a wedge is
-    e1(a,b) ⋈ e2(a,c) with b < c and a triangle additionally needs (b,c) in
-    the edge set — each triangle a<b<c is counted exactly once with no
-    symmetric duplication.  Intermediate size is Σ_a C(outdeg(a), 2); at
-    cluster scale swap ID order for DEGREE order (orient each edge toward
-    the higher-degree endpoint) which provably caps that sum at O(E^1.5)
-    regardless of skew — the id-oriented form is kept here because the
-    oracle must replay the exact same orientation cheaply.  Two shuffles
-    total (self-join on a, hash join of wedges against edges); the census
-    aggregate is map-side combinable to a single row.
+    ``orientation`` picks the wedge-join orientation:
+
+    * ``"id"`` (default) — edges already satisfy src < dst, so a wedge is
+      e1(a,b) ⋈ e2(a,c) with b < c and a triangle additionally needs (b,c)
+      in the edge set — each triangle a<b<c is counted exactly once with no
+      symmetric duplication.  Intermediate size is Σ_a C(outdeg(a), 2): fine
+      on unskewed graphs, QUADRATIC on a star whose hub has the lowest id.
+    * ``"degree"`` — each edge is re-oriented toward its
+      (degree, id)-GREATER endpoint before wedging (rank encoded as
+      deg·2³² + id, one sortable long both engines compare identically).
+      Every out-degree is then provably ≤ O(√E) (a node with out-rank
+      neighbors of even higher rank can have at most O(√E) of them), so the
+      wedge count is bounded by O(E^1.5) REGARDLESS of skew — the standard
+      degree-ordered triangle counting bound (Schank & Wagner 2005; the
+      same orientation GraphFrames/Spark GraphX use).  n_triangles,
+      n_nodes, n_edges are orientation-invariant; n_wedges is the (smaller)
+      degree-oriented wedge count.
+
+    Two shuffles either way (self-join on the wedge apex, hash join of
+    wedges against edges) plus, for ``degree``, one degree aggregation
+    re-keyed on the edge endpoints.  The census aggregate is map-side
+    combinable to a single row.
     Ratio is an IEEE division of two exact longs — engine-identical.
     """
     e = edges.select("src", "dst")
-    w1 = e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
-    w2 = e.select(F.col("src").alias("a"), F.col("dst").alias("c"))
-    wedges = w1.join(w2, "a").where(F.col("b") < F.col("c"))
-    tri = wedges.join(
-        e.select(F.col("src").alias("b"), F.col("dst").alias("c")), ["b", "c"]
-    )
+    if orientation == "degree":
+        # undirected degree per endpoint, one map-side-combined aggregate
+        und = e.unionAll(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        deg = und.groupBy("src").agg(F.count("*").alias("deg"))
+        rank = (F.col("deg").cast("long") * F.lit(1 << 32) + F.col("src")).alias("rank")
+        rk = deg.select(F.col("src").alias("node"), rank)
+        ra = rk.select(F.col("node").alias("src"), F.col("rank").alias("rank_src"))
+        rb = rk.select(F.col("node").alias("dst"), F.col("rank").alias("rank_dst"))
+        ranked = e.join(ra, "src").join(rb, "dst")
+        # re-orient toward the rank-greater endpoint; carry the head rank so
+        # the wedge filter below needs no extra join
+        d = ranked.select(
+            F.when(F.col("rank_src") < F.col("rank_dst"), F.col("src")).otherwise(F.col("dst")).alias("src"),
+            F.when(F.col("rank_src") < F.col("rank_dst"), F.col("dst")).otherwise(F.col("src")).alias("dst"),
+            F.greatest("rank_src", "rank_dst").alias("rank_head"),
+        ).localCheckpoint(eager=False)  # consumed by both wedge sides + the closing join
+        w1 = d.select(F.col("src").alias("a"), F.col("dst").alias("b"), F.col("rank_head").alias("rank_b"))
+        w2 = d.select(F.col("src").alias("a"), F.col("dst").alias("c"), F.col("rank_head").alias("rank_c"))
+        wedges = w1.join(w2, "a").where(F.col("rank_b") < F.col("rank_c"))
+        tri = wedges.join(
+            d.select(F.col("src").alias("b"), F.col("dst").alias("c")), ["b", "c"]
+        )
+    elif orientation == "id":
+        w1 = e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        w2 = e.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+        wedges = w1.join(w2, "a").where(F.col("b") < F.col("c"))
+        tri = wedges.join(
+            e.select(F.col("src").alias("b"), F.col("dst").alias("c")), ["b", "c"]
+        )
+    else:
+        raise ValueError(f"orientation must be 'id' or 'degree', got {orientation!r}")
     nodes = e.select(F.col("src").alias("n")).unionAll(e.select(F.col("dst").alias("n"))).distinct()
     census = (
         wedges.agg(F.count("*").alias("n_wedges"))

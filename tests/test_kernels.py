@@ -168,7 +168,8 @@ def test_priority_50_covers_every_operator_family():
         "window_cube": ["order_gaps", "window_balance_analytics"],
         "graph_layout": [
             "graph_pagerank", "layout_zorder_stats", "graph_bfs_hops",
-            "graph_triangles", "graph_weighted_pagerank", "graph_edge_jaccard",
+            "graph_triangles", "graph_triangles_degree",
+            "graph_weighted_pagerank", "graph_edge_jaccard",
         ],
         "relational": [
             "tpch_q1", "tpch_q3", "tpch_q6", "tpch_q13", "tpch_q2",

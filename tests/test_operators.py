@@ -888,6 +888,40 @@ def test_triangle_stats_counts_single_triangle(spark):
     assert row.closed_wedge_ratio == pytest.approx(1 / 3)
 
 
+def test_triangle_degree_orientation_bounds_skewed_star(spark):
+    """Planted worst case for id-orientation: a 200-leaf star whose hub has
+    the LOWEST id.  Id-oriented, the hub anchors C(200,2)=19900 wedges;
+    degree-oriented, every edge points leaf→hub (leaves have degree 1-3),
+    so the hub anchors none and the wedge count collapses to the few
+    leaf-local ones.  Triangle count must be identical under both
+    orientations (it is orientation-invariant)."""
+    from duckdb_age_spark.operators.graph import triangle_stats
+
+    hub = 0
+    star = [(hub, leaf) for leaf in range(1, 201)]
+    # 3-cycle among leaves 1,2,3: with the hub edges this plants exactly 4
+    # triangles — {0,1,2}, {0,2,3}, {0,1,3}, {1,2,3}.
+    extra = [(1, 2), (2, 3), (1, 3)]
+    edges = spark.createDataFrame(star + extra, "src long, dst long")
+    by_id = triangle_stats(edges, orientation="id").collect()[0]
+    by_deg = triangle_stats(edges, orientation="degree").collect()[0]
+    # invariants
+    assert by_id.n_triangles == by_deg.n_triangles == 4  # 3 hub tris + leaf K3
+    assert by_id.n_nodes == by_deg.n_nodes == 201
+    assert by_id.n_edges == by_deg.n_edges == 203
+    # the point: id-oriented wedge count exploded, degree-oriented is bounded
+    assert by_id.n_wedges >= 200 * 199 // 2
+    assert by_deg.n_wedges <= 20, f"degree orientation failed to bound wedges: {by_deg.n_wedges}"
+
+
+def test_triangle_degree_orientation_rejects_bad_flag(spark):
+    from duckdb_age_spark.operators.graph import triangle_stats
+
+    edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with pytest.raises(ValueError):
+        triangle_stats(edges, orientation="random")
+
+
 def test_linreg_exact_constant_x_yields_nulls(spark):
     from duckdb_age_spark.operators.stats import linreg_exact
 
