@@ -159,11 +159,17 @@ def bfs_hops(edges: DataFrame, source: int | None = None, max_hops: int = 3) -> 
     visited = edges.sparkSession.createDataFrame([(int(source), 0)], "node long, hops int")
     frontier = visited
     for hop in range(1, max_hops + 1):
+        # distinct on node ONLY (not (node, hops)): the dedup then hash-
+        # partitions by exactly the anti-join key, so the frontier side of
+        # the anti-join reuses the distinct's exchange instead of
+        # re-shuffling — one fewer exchange per round (the hops literal is
+        # attached after the join, where it costs nothing).
         nxt = (
             frontier.join(adj, frontier.node == adj.src)
-            .select(F.col("dst").alias("node"), F.lit(hop).alias("hops"))
+            .select(F.col("dst").alias("node"))
             .distinct()
             .join(visited.select("node"), "node", "left_anti")
+            .select("node", F.lit(hop).alias("hops"))
         )
         # checkpoint the NEW frontier (it is consumed twice: unioned into
         # visited and joined next round) so it computes once and the loop's
