@@ -17,14 +17,32 @@ TABLE_NAMES = (
 )
 
 
+_TS_SNIFF_CACHE: dict[str, bool] = {}
+
+
 def events_ts_is_nanos(path: str) -> bool:
     """True when events.ts is parquet TIMESTAMP(NANOS) — the layout Spark 4
     refuses to read natively (needs the nanosAsLong escape hatch).  Driver
     fixtures have shipped BOTH layouts across rounds (ns through r3, µs from
-    r4), so every reader sniffs the footer instead of assuming one."""
-    import pyarrow.parquet as pq
+    r4), so every reader sniffs the footer instead of assuming one.
 
-    return getattr(pq.read_schema(path).field("ts").type, "unit", None) == "ns"
+    The sniff is cached per path (fixtures never change layout mid-session,
+    and streaming sources call this once per stream construction), and
+    pyarrow stays an OPTIONAL dependency: without it the sniff assumes the
+    current µs layout, which Spark reads natively — only a ns-layout
+    fixture on a pyarrow-less install would misread, and that combination
+    does not exist in any supported environment (ADVICE r4)."""
+    hit = _TS_SNIFF_CACHE.get(path)
+    if hit is not None:
+        return hit
+    try:
+        import pyarrow.parquet as pq
+
+        nanos = getattr(pq.read_schema(path).field("ts").type, "unit", None) == "ns"
+    except ImportError:
+        nanos = False
+    _TS_SNIFF_CACHE[path] = nanos
+    return nanos
 
 
 def events_schema(nanos: bool) -> StructType:

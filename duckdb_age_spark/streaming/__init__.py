@@ -217,7 +217,8 @@ def sessionize_stream(events: DataFrame, gap_minutes: int = 30, timeout_ms: int 
 def windowed_distinct_users_stream(
     events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
 ) -> DataFrame:
-    """Exact distinct users per tumbling window, streaming.
+    """Distinct users per tumbling window, streaming — exact for every
+    duplicate arriving within the watermark horizon.
 
     Streaming aggregation forbids COUNT(DISTINCT) (distinct state is
     unbounded per group in general), so this runs the standard TWO-PHASE
@@ -227,7 +228,15 @@ def windowed_distinct_users_stream(
     survivors.  Both phases are watermark-bounded, so state is
     (active users × windows-in-horizon), not stream length — the shape
     that survives an unbounded feed.
-    """
+
+    Exactness caveat (ADVICE r4): phase-2 aggregation state lives forever
+    in complete output mode while phase-1 dedup state is watermark-evicted,
+    so a duplicate (user, window) arriving AFTER its dedup entry was
+    evicted — i.e. later than the watermark horizon — is counted twice.
+    Exact whenever all duplicates of a key arrive within the horizon
+    (guaranteed in the single-batch contract feed; on a real feed size the
+    watermark to the source's max duplicate lag, or recompute distincts
+    per window in update mode)."""
     bucketed = events.withColumn("win_start", F.window("ts", window)["start"])
     # dropDuplicatesWithinWatermark, NOT dropDuplicates: the dedup keys are
     # (user, win_start) and win_start is a derived column with no event-time
