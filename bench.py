@@ -121,6 +121,14 @@ BENCH_QUERIES = [
     "graph_weighted_pagerank",
     "text_bigram_logprob",
     "rollup_time_weighted_avg",
+    "asof_forward_tolerance",
+    "rollup_order_concurrency",
+    "scd2_asof_lookup",
+    "pipeline_weighted_sample",
+    "stats_quantile_binning",
+    "sim_embedding_zscore",
+    "graph_kcore",
+    "dedup_ngram_verify",
 ]
 
 

@@ -4074,6 +4074,289 @@ def rollup_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return time_weighted_avg(read_table(spark, sf_dir, "events"), bucket_sec=3600)
 
 
+# ===========================================================================
+# K. round-5 widening: temporal lookup/forward-asof, interval analytics,
+#    weighted sampling, binning, normalization, k-core, verified near-dup
+# ===========================================================================
+
+
+@_q(
+    "asof_forward_tolerance",
+    """
+    WITH o AS (SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+               FROM orders GROUP BY 1, 2),
+    j AS (SELECT e.event_id, e.user_id, o.o_orderkey,
+                 date_diff('day', e.ts::DATE, o.o_orderdate) AS days_ahead
+          FROM events e ASOF LEFT JOIN o
+            ON e.user_id = o.o_custkey AND e.ts <= o.o_orderdate)
+    SELECT event_id, user_id,
+           (CASE WHEN days_ahead <= 30 THEN o_orderkey END)::BIGINT AS next_orderkey,
+           (CASE WHEN days_ahead <= 30 THEN days_ahead END)::BIGINT AS days_ahead
+    FROM j
+    """,
+)
+def asof_forward_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of with tolerance: each event's NEXT order (same user,
+    order date >= event day) kept only when within 30 days — the
+    next-event-attribution lookup (did a signup convert within the window?).
+    Union+window forward as-of, one shuffle; oracle uses DuckDB's native
+    forward ASOF JOIN."""
+    from .operators.asof import asof_join_forward
+
+    _prep(spark)
+    events = load(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_orderkey").alias("o_orderkey"))
+    )
+    out = asof_join_forward(
+        events,
+        orders,
+        left_key="user_id",
+        right_key="o_custkey",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        value_cols=["o_orderkey"],
+    )
+    days_ahead = F.datediff(F.col("o_orderdate_next"), F.to_date("ts"))
+    within = days_ahead <= 30
+    return out.select(
+        "event_id",
+        "user_id",
+        F.when(within, F.col("o_orderkey_next")).cast("bigint").alias("next_orderkey"),
+        F.when(within, days_ahead).cast("bigint").alias("days_ahead"),
+    )
+
+
+@_q(
+    "rollup_order_concurrency",
+    """
+    WITH spans AS (
+      SELECT o.o_orderkey, o.o_orderdate, max(l.l_shipdate) AS closed
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      GROUP BY 1, 2),
+    days AS (SELECT unnest(generate_series(o_orderdate, greatest(closed, o_orderdate),
+                                           INTERVAL 1 DAY))::DATE AS day
+             FROM spans),
+    per_day AS (SELECT day, count(*) AS n_open FROM days GROUP BY 1)
+    SELECT strftime(day, '%Y-%m') AS month,
+           max(n_open)::BIGINT AS peak_open_orders,
+           round(sum(n_open)::DOUBLE / count(*), 4) AS avg_open_orders
+    FROM per_day GROUP BY 1
+    """,
+)
+def rollup_order_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap analytics: peak/avg concurrently-open orders per
+    month via bounded day-explode + map-side-combined count — the
+    scale-safe alternative to a single-partition sweep-line running sum."""
+    from .operators.rollup import order_concurrency
+
+    _prep(spark)
+    return order_concurrency(
+        load(spark, sf_dir, "orders"), load(spark, sf_dir, "lineitem")
+    )
+
+
+@_q(
+    "scd2_asof_lookup",
+    """
+    WITH o AS (SELECT * FROM orders WHERE o_custkey % 10 = 0),
+    seq AS (SELECT o_custkey, o_orderkey, o_orderdate, o_orderpriority,
+                   lag(o_orderpriority) OVER
+                     (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+                     AS prev_priority
+            FROM o),
+    ch AS (SELECT * FROM seq
+           WHERE prev_priority IS NULL OR prev_priority != o_orderpriority),
+    hist AS (
+      SELECT o_custkey::BIGINT AS custkey,
+             row_number() OVER w2::BIGINT AS version,
+             o_orderpriority AS priority,
+             epoch(o_orderdate)::BIGINT AS eff_from,
+             lead(epoch(o_orderdate)::BIGINT) OVER w2 AS eff_to
+      FROM ch
+      WINDOW w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey))
+    SELECT custkey, version, priority, eff_from
+    FROM hist
+    WHERE eff_from <= epoch(DATE '1997-06-01')
+      AND (eff_to IS NULL OR eff_to > epoch(DATE '1997-06-01'))
+    """,
+)
+def scd2_asof_lookup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time SCD2 lookup: each sampled customer's priority version
+    in effect on 1997-06-01 (eff_from <= D < eff_to, open rows match) —
+    the AS OF query a Type-2 dimension exists to answer."""
+    from .operators.relational import scd2_asof_lookup
+
+    _prep(spark)
+    return scd2_asof_lookup(load(spark, sf_dir, "orders"), asof_date="1997-06-01")
+
+
+@_q(
+    "pipeline_weighted_sample",
+    r"""
+    WITH keyed AS (
+      SELECT doc_id,
+             greatest(len(string_split_regex(trim(text), '\s+')), 1)::BIGINT AS weight,
+             (('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT)::DOUBLE
+               / greatest(len(string_split_regex(trim(text), '\s+')), 1)::DOUBLE AS key
+      FROM documents)
+    SELECT doc_id, weight, rk FROM (
+      SELECT doc_id, weight,
+             row_number() OVER (ORDER BY key, doc_id)::BIGINT AS rk
+      FROM keyed)
+    WHERE rk <= 50
+    """,
+)
+def pipeline_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weight-proportional sampling (seedless A-ES analog):
+    top-50 by the exact-integer-derived priority key u/w, u = 60 bits of
+    md5(doc_id), w = word count.  One IEEE division — bit-identical
+    ordering in both engines."""
+    from .operators.pipeline import weighted_sample
+
+    _prep(spark)
+    return weighted_sample(load(spark, sf_dir, "documents"), k=50)
+
+
+@_q(
+    "stats_quantile_binning",
+    """
+    WITH c AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents, o_orderkey
+               FROM orders),
+    b AS (SELECT cents, ntile(10) OVER (ORDER BY cents, o_orderkey) AS bin FROM c)
+    SELECT bin::BIGINT AS bin, count(*)::BIGINT AS n_orders,
+           min(cents) / 100.0 AS lo, max(cents) / 100.0 AS hi,
+           round(sum(cents)::DOUBLE / count(*) / 100.0, 4) AS mean_price
+    FROM b GROUP BY 1
+    """,
+)
+def stats_quantile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact equal-frequency discretization of order value: ntile(10) over
+    exact cents with orderkey tie-break, per-bin count/lo/hi/mean — the
+    feature-binning pass, exact flavor (sketch_approx_percentile is the
+    at-scale sibling)."""
+    from .operators.stats import quantile_binning
+
+    _prep(spark)
+    return quantile_binning(load(spark, sf_dir, "orders"), n_bins=10)
+
+
+@_q(
+    "sim_embedding_zscore",
+    """
+    WITH ex AS (
+      SELECT vec_id, u.pos AS pos, u.xm AS xm FROM (
+        SELECT vec_id,
+               list_transform(range(1, len(embedding) + 1),
+                 i -> struct_pack(pos := i - 1,
+                                  xm := CAST(floor(embedding[i]::DOUBLE * 1000000 + 0.5) AS BIGINT))) AS l
+        FROM embeddings), unnest(l) AS t(u)),
+    st AS (SELECT pos,
+                  sum(xm)::DOUBLE / count(*) AS mean,
+                  sum(xm * xm)::DOUBLE / count(*) AS msq
+           FROM ex GROUP BY 1),
+    st2 AS (SELECT pos, mean, sqrt(msq - mean * mean) AS std FROM st),
+    z AS (SELECT vec_id, ex.pos,
+                 CASE WHEN std > 0
+                      THEN CAST(floor((xm - mean) / std * 10000 + 0.5) AS BIGINT)
+                      ELSE 0 END AS zi
+          FROM ex JOIN st2 ON ex.pos = st2.pos)
+    SELECT vec_id::BIGINT AS vec_id, count(*)::BIGINT AS n_dims,
+           md5(array_to_string(list(zi ORDER BY pos), ',')) AS z_digest
+    FROM z GROUP BY 1
+    """,
+)
+def sim_embedding_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension z-score normalization of the embedding corpus, digested
+    per vector (z re-fixed to integer 1e-4 units so no float is ever
+    string-formatted) — the whitening pass before distance indexing."""
+    from .operators.similarity import embedding_zscore_digest
+
+    _prep(spark)
+    return embedding_zscore_digest(load(spark, sf_dir, "embeddings"))
+
+
+def _kcore_sql(k: int, rounds: int) -> str:
+    # Every CTE is MATERIALIZED: each round references its predecessor
+    # twice (both UNION branches / both IN-subqueries), so inlined CTEs
+    # re-evaluate the whole chain 2^rounds times (measured 191 s at
+    # sf0.01); materialization makes the oracle O(rounds·E) like the
+    # Spark loop (3 s).
+    parts = ["c0 AS MATERIALIZED (SELECT src, dst FROM e)"]
+    for r in range(1, rounds + 1):
+        prev = f"c{r - 1}"
+        parts.append(
+            f"d{r} AS MATERIALIZED (SELECT node, count(*) AS c FROM "
+            f"(SELECT src AS node FROM {prev} UNION ALL SELECT dst FROM {prev}) GROUP BY 1)"
+        )
+        parts.append(f"k{r} AS MATERIALIZED (SELECT node FROM d{r} WHERE c >= {k})")
+        parts.append(
+            f"c{r} AS MATERIALIZED (SELECT src, dst FROM {prev} "
+            f"WHERE src IN (SELECT node FROM k{r}) AND dst IN (SELECT node FROM k{r}))"
+        )
+    return ",\n    ".join(parts)
+
+
+@_q(
+    "graph_kcore",
+    f"""
+    WITH {_COPURCHASE_CP_SQL}, {_COPURCHASE_E_SQL},
+    {_kcore_sql(k=3, rounds=4)}
+    SELECT node::BIGINT AS node, c::BIGINT AS degree FROM
+      (SELECT node, count(*) AS c FROM
+        (SELECT src AS node FROM c4 UNION ALL SELECT dst FROM c4) GROUP BY 1) t
+    """,
+)
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core of the co-purchase graph by 4 fixed peeling rounds (fixed so
+    the oracle unrolls the identical rounds as CTEs — equality by
+    construction); surviving nodes with in-core degree."""
+    from .operators.graph import copurchase_edges, kcore_peel
+
+    _prep(spark)
+    orders = load(spark, sf_dir, "orders").where(F.col("o_custkey") % 10 == 0)
+    edges = copurchase_edges(orders, load(spark, sf_dir, "lineitem"), min_shared_parts=2)
+    return kcore_peel(edges, k=3, rounds=4)
+
+
+@_q(
+    "dedup_ngram_verify",
+    f"""
+    WITH {_MINHASH_SIG_SQL},
+    cand AS (
+      SELECT doc_a, doc_b FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               round(({_MINHASH_MATCHES_SQL}) / 8.0, 4) AS est_jaccard
+        FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+        WHERE {_MINHASH_BANDS_SQL})
+      WHERE est_jaccard >= 0.5),
+    gd AS (SELECT doc_id, list_distinct(grams) AS grams FROM g)
+    SELECT doc_a, doc_b,
+           round(len(list_intersect(ga.grams, gb.grams))::DOUBLE
+                 / len(list_distinct(list_concat(ga.grams, gb.grams)))::DOUBLE, 4) AS jaccard
+    FROM cand
+    JOIN gd ga ON cand.doc_a = ga.doc_id
+    JOIN gd gb ON cand.doc_b = gb.doc_id
+    """,
+)
+def dedup_ngram_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidates verified by EXACT n-gram Jaccard — the two-stage
+    near-dup pipeline (cheap banded candidates, exact set-overlap verify)
+    wired end-to-end on the planted corpus."""
+    from .operators.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+        planted_near_dup_corpus,
+    )
+
+    _prep(spark)
+    corpus = planted_near_dup_corpus(load(spark, sf_dir, "documents"))
+    pairs = minhash_lsh_pairs(corpus).select("doc_a", "doc_b")
+    return ngram_jaccard_pairs(corpus, pairs)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: encrypted-document pipeline at sf0.001 — round-trip an
     age-encrypted documents table and join quality stats (SURVEY.md §7.3)."""

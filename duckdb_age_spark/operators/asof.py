@@ -72,6 +72,62 @@ def asof_join(
     )
 
 
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+    suffix: str = "_next",
+) -> DataFrame:
+    """Forward as-of: for each left row, attach the EARLIEST right row with
+    the same key and right_ts >= left_ts (the "next event" lookup — next
+    shipment after an order, next price tick after a trade).  Right values
+    arrive as ``<col><suffix>`` plus ``<right_ts><suffix>`` so callers can
+    apply a tolerance; all NULL when no later right row exists.
+
+    Mirror of :func:`asof_join`: union both sides, one window per key
+    ordered by (ts, side) with right rows sorting AFTER left rows at equal
+    timestamps (inclusive), ``first(value, ignorenulls)`` over the
+    CURRENT-TO-FOLLOWING frame.  Same single-shuffle scale shape.
+    """
+    lcols = left.columns
+    rtypes = dict(right.dtypes)
+    carry = list(dict.fromkeys(value_cols + [right_ts]))  # right_ts always carried
+    tagged_left = left.select(
+        F.col(left_key).alias("_k"),
+        F.col(left_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        *[F.col(c) for c in lcols],
+        *[F.lit(None).cast(rtypes[c]).alias(f"{c}{suffix}") for c in carry],
+    )
+    tagged_right = right.select(
+        F.col(right_key).alias("_k"),
+        F.col(right_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        *[F.lit(None).cast(dict(left.dtypes).get(c, "string")).alias(c) for c in lcols],
+        *[F.col(c).alias(f"{c}{suffix}") for c in carry],
+    )
+    unioned = tagged_left.unionByName(tagged_right)
+    w = (
+        Window.partitionBy("_k")
+        .orderBy("_ts", "_side")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    filled = unioned.select(
+        "*",
+        *[
+            F.first(f"{c}{suffix}", ignorenulls=True).over(w).alias(f"_f_{c}")
+            for c in carry
+        ],
+    )
+    return filled.where(F.col("_side") == 0).select(
+        *lcols, *[F.col(f"_f_{c}").alias(f"{c}{suffix}") for c in carry]
+    )
+
+
 def range_join_bucketed(
     fact: DataFrame,
     ranges: DataFrame,

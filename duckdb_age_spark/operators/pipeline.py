@@ -346,3 +346,38 @@ def balanced_sample(docs: DataFrame, per_stratum: int = 20, stratum: str = "lang
         .withColumn("rk", _md5_rank(stratum).cast("bigint"))
         .where(F.col("rk") <= per_stratum)
     )
+
+
+def weighted_sample(docs: DataFrame, k: int = 50) -> DataFrame:
+    """Deterministic weighted sampling without replacement: the k documents
+    with the smallest priority key u/w, where u = the first 60 bits of
+    md5(doc_id) as an integer and w = the document's word count — longer
+    documents are proportionally more likely to be drawn, the seedless
+    analog of weight-proportional reservoir sampling (A-ES with a
+    hash-derived uniform instead of an RNG).
+
+    Cross-engine determinism is the design constraint: u and w are exact
+    integers < 2^60, and ONE IEEE division u/w is correctly rounded — both
+    engines produce bit-identical doubles, so the ranking (tie-broken by
+    doc_id) is reproducible anywhere, unlike ln(u)/w whose libm varies.
+
+    Scale shape: the key is a narrow map; top-k by a rank over a single
+    unpartitioned window compiles to WindowGroupLimit, so each executor
+    ships only its local k candidates to the one merge — no global sort of
+    the corpus.  Returns (doc_id, weight, rk).
+    """
+    from pyspark.sql import Window
+
+    w = F.greatest(F.size(F.split(F.trim("text"), r"\s+")), F.lit(1)).cast("long")
+    u = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10).cast("bigint")
+    keyed = docs.select(
+        "doc_id",
+        w.alias("weight"),
+        (u.cast("double") / w.cast("double")).alias("_key"),
+    )
+    rk = F.row_number().over(Window.orderBy("_key", "doc_id"))
+    return (
+        keyed.withColumn("rk", rk.cast("bigint"))
+        .where(F.col("rk") <= k)
+        .select("doc_id", "weight", "rk")
+    )

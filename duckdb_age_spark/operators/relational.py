@@ -726,3 +726,28 @@ def cohort_retention(orders: DataFrame) -> DataFrame:
             "n_customers",
         )
     )
+
+
+def scd2_asof_lookup(orders: DataFrame, asof_date: str = "1997-06-01", sample_mod: int = 10) -> DataFrame:
+    """Point-in-time dimension lookup over the SCD2 history: each customer's
+    priority version in effect AT ``asof_date`` — the "AS OF" query every
+    Type-2 dimension exists to answer (what did this attribute look like
+    when the fact happened?).
+
+    Filter semantics: eff_from <= D < eff_to, open row (eff_to NULL)
+    matches any D >= eff_from.  Shape: the SCD2 build's one window shuffle,
+    then a narrow filter — no extra exchange; at 100 TB the per-customer
+    filter prunes to exactly one row per entity, the shape a point-in-time
+    fact join wants on its dimension side.
+    Returns (custkey, version, priority, eff_from).
+    """
+    from pyspark.sql import functions as F
+
+    hist = scd2_priority_history(orders, sample_mod=sample_mod)
+    epoch = (
+        F.datediff(F.lit(asof_date).cast("date"), F.lit("1970-01-01")).cast("bigint") * 86400
+    )
+    return hist.where(
+        (F.col("eff_from") <= epoch)
+        & (F.col("eff_to").isNull() | (F.col("eff_to") > epoch))
+    ).select("custkey", "version", "priority", "eff_from")

@@ -204,3 +204,43 @@ def time_weighted_avg(events: DataFrame, bucket_sec: int = 3600) -> DataFrame:
             ),
         )
     )
+
+
+def order_concurrency(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """Interval-overlap analytics: how many orders are OPEN (placed but not
+    yet fully received) on each day, reported as the per-month peak and
+    average — the classic concurrent-sessions / active-intervals question
+    (WIP inventory, connection counts, hotel occupancy).
+
+    Each order's open interval is [o_orderdate, max(o_orderdate,
+    max(l_shipdate))] — clamped so an order is open at least on its own
+    order day (the synthetic fixtures contain ship dates BEFORE the order
+    date; an unclamped descending span is also where Spark's sequence()
+    and DuckDB's generate_series() disagree: descending fill vs empty).
+    The interval is EXPLODED into its covered days (bounded fan-out: order
+    lifetimes are weeks, never unbounded) and the per-day count is one
+    map-side-combined aggregate keyed by day — NOT a global sweep-line
+    running sum, which would need a single totally-ordered partition and
+    die at 100 TB.  Days shuffle once; months aggregate from days.
+    Returns (month, peak_open_orders, avg_open_orders) with avg rounded
+    4 dp from exact integer day counts.
+    """
+    spans = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.max("l_shipdate").alias("closed"))
+        .join(orders.select("o_orderkey", "o_orderdate"), F.col("l_orderkey") == F.col("o_orderkey"))
+    )
+    days = spans.select(
+        F.explode(
+            F.sequence(F.col("o_orderdate"), F.greatest("closed", "o_orderdate"))
+        ).alias("day")
+    )
+    per_day = days.groupBy("day").agg(F.count("*").alias("n_open"))
+    return (
+        per_day.groupBy(F.date_format("day", "yyyy-MM").alias("month"))
+        .agg(
+            F.max("n_open").cast("bigint").alias("peak_open_orders"),
+            F.round(F.sum("n_open") / F.count("*"), 4).alias("avg_open_orders"),
+        )
+        .orderBy("month")
+    )

@@ -485,3 +485,65 @@ def int8_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "vec_id", "cosine_q8", F.col("rank").cast("bigint").alias("rank"))
     )
+
+
+def embedding_zscore_digest(embeddings: DataFrame) -> DataFrame:
+    """Per-DIMENSION z-score normalization of the embedding corpus, emitted
+    as one digest row per vector — the feature-standardization pass before
+    distance-based indexing (whitening each dimension so no axis dominates
+    the metric).
+
+    Cross-engine determinism: raw doubles fix to exact micro-unit longs
+    via floor(x·1e6 + ½) — the same explicit half-rule int8_quantize uses
+    (engine round() half-rules differ; floor of the identical IEEE product
+    doesn't); per-dimension sums and sum-of-squares accumulate as
+    decimal(38,0) — exact at any partitioning/order; mean and variance then
+    derive through ONE fixed sequence of IEEE ops (mean = sum/n,
+    var = sumsq/n − mean², std = √var) that every engine rounds
+    identically, and the z-scores are re-fixed to integer 1e-4 units
+    (floor(z·1e4 + ½)) before digesting, so no float ever reaches a string
+    format.
+
+    Scale shape: posexplode is a narrow map; per-dim stats are a map-side-
+    combined aggregate over dims (tiny key space — broadcast back);
+    reassembly is one shuffle keyed by vec_id with an order-pinned
+    sort_array.  Returns (vec_id, n_dims, z_digest).
+    """
+    xm = F.floor(F.col("x") * 1_000_000 + F.lit(0.5)).cast("long")
+    exploded = embeddings.select(
+        "vec_id", F.posexplode(_as_double(F.col("embedding"))).alias("pos", "x")
+    ).select("vec_id", "pos", xm.alias("xm"))
+    stats = (
+        exploded.groupBy("pos")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("xm").cast("decimal(38,0)")).alias("s"),
+            F.sum((F.col("xm") * F.col("xm")).cast("decimal(38,0)")).alias("ss"),
+        )
+        .select(
+            "pos",
+            (F.col("s").cast("double") / F.col("n")).alias("mean"),
+            (F.col("ss").cast("double") / F.col("n")).alias("msq"),
+        )
+        .select(
+            "pos",
+            "mean",
+            F.sqrt(F.col("msq") - F.col("mean") * F.col("mean")).alias("std"),
+        )
+    )
+    zi = F.when(
+        F.col("std") > 0,
+        F.floor((F.col("xm") - F.col("mean")) / F.col("std") * 10_000 + F.lit(0.5)),
+    ).otherwise(F.lit(0)).cast("long")
+    z = exploded.join(F.broadcast(stats), "pos").select("vec_id", "pos", zi.alias("zi"))
+    return (
+        z.groupBy("vec_id")
+        .agg(F.sort_array(F.collect_list(F.struct("pos", "zi"))).alias("zs"))
+        .select(
+            F.col("vec_id").cast("bigint"),
+            F.size("zs").cast("bigint").alias("n_dims"),
+            F.md5(
+                F.concat_ws(",", F.transform("zs", lambda s: s["zi"].cast("string"))).cast("binary")
+            ).alias("z_digest"),
+        )
+    )

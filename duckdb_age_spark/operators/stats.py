@@ -478,3 +478,37 @@ def categorical_entropy(df: DataFrame, col: str) -> DataFrame:
         )
         .select(F.col("n_rows").cast("bigint"), "n_categories", "entropy")
     )
+
+
+def quantile_binning(orders: DataFrame, n_bins: int = 10) -> DataFrame:
+    """Exact equal-frequency discretization (quantile binning) of order
+    value: ntile(n) over exact integer cents with o_orderkey tie-break, one
+    summary row per bin — the feature-binning step before WOE encoding /
+    monotonic bucketing, exact flavor.
+
+    Determinism: binning runs on cents (exact longs) with a total
+    tie-broken order, so both engines assign identical bins; per-bin mean
+    divides an exact integer sum.  Scale note: exact ntile needs ONE
+    totally-ordered window (single-partition sort) — correct but
+    driver-bound at 100 TB; there the two-pass variant applies
+    (approx_percentile boundaries broadcast, then a narrow bucket map —
+    `sketch_approx_percentile` is the bound-checked sibling).
+    Returns (bin, n_orders, lo, hi, mean_price).
+    """
+    from pyspark.sql import Window
+
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    w = Window.orderBy("cents", "o_orderkey")
+    return (
+        orders.select(cents.alias("cents"), "o_orderkey")
+        .withColumn("bin", F.ntile(n_bins).over(w))
+        .groupBy("bin")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            (F.min("cents") / 100.0).alias("lo"),
+            (F.max("cents") / 100.0).alias("hi"),
+            F.round(F.sum("cents") / F.count("*") / 100.0, 4).alias("mean_price"),
+        )
+        .select(F.col("bin").cast("bigint"), "n_orders", "lo", "hi", "mean_price")
+        .orderBy("bin")
+    )

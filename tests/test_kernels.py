@@ -151,14 +151,17 @@ def test_priority_50_covers_every_operator_family():
             "pipeline_sample_split", "pipeline_pack", "pipeline_quality_topk",
             "pipeline_decontaminate", "pipeline_mixture_sample",
             "pipeline_vocab_topk", "pipeline_balanced_sample",
+            "pipeline_weighted_sample",
         ],
         "dedup": [
             "dedup_exact", "dedup_minhash_pairs", "dedup_embedding_pairs",
             "dedup_fuzzy_names_d2", "dedup_keep_canonical", "dedup_clusters",
+            "dedup_ngram_verify",
         ],
         "similarity": [
             "sim_topk_bruteforce", "sim_topk_lsh", "sim_topk_kmeans",
             "sim_topk_int8", "sim_knn_label_vote", "sim_lsh_recall",
+            "sim_embedding_zscore",
         ],
         "grouped_map": ["grouped_map_zscore"],
         "events": [
@@ -169,22 +172,25 @@ def test_priority_50_covers_every_operator_family():
         "graph_layout": [
             "graph_pagerank", "layout_zorder_stats", "graph_bfs_hops",
             "graph_triangles", "graph_triangles_degree",
-            "graph_weighted_pagerank", "graph_edge_jaccard",
+            "graph_weighted_pagerank", "graph_edge_jaccard", "graph_kcore",
         ],
         "relational": [
             "tpch_q1", "tpch_q3", "tpch_q6", "tpch_q13", "tpch_q2",
             "tpch_q4", "tpch_q9", "tpch_q17", "tpch_q18", "tpch_q21",
             "relational_cohort_retention", "scd2_priority_history",
+            "scd2_asof_lookup",
         ],
         "skew": ["skew_salted_join", "skew_salted_agg"],
         "stats": [
             "quantiles_exact", "pivot_priority_by_flag",
             "sketch_approx_distinct", "stats_chi_square", "stats_mad_outliers",
             "stats_entropy", "stats_linreg", "sketch_approx_percentile",
+            "stats_quantile_binning",
         ],
         "temporal": [
             "asof_join", "range_join", "rollup_timebuckets",
-            "rollup_time_weighted_avg",
+            "rollup_time_weighted_avg", "asof_forward_tolerance",
+            "rollup_order_concurrency",
         ],
         "extension_points": ["udaf_geomean", "udtf_chunks"],
         "multimodal": ["multimodal_features", "multimodal_frames", "multimodal_decode"],

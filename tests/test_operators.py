@@ -888,6 +888,104 @@ def test_triangle_stats_counts_single_triangle(spark):
     assert row.closed_wedge_ratio == pytest.approx(1 / 3)
 
 
+def test_asof_forward_picks_earliest_following(spark):
+    from duckdb_age_spark.operators.asof import asof_join_forward
+
+    left = spark.createDataFrame(
+        [(1, 1, 10), (2, 1, 25), (3, 2, 5)], "lid long, k long, lts long"
+    )
+    right = spark.createDataFrame(
+        [(1, 10, 100), (1, 20, 200), (1, 30, 300), (2, 7, 400)],
+        "k long, rts long, val long",
+    )
+    out = {
+        r.lid: (r.val_next, r.rts_next)
+        for r in asof_join_forward(
+            left, right, "k", "k", "lts", "rts", ["val"]
+        ).collect()
+    }
+    assert out[1] == (100, 10)   # equal ts is inclusive
+    assert out[2] == (300, 30)   # earliest FOLLOWING, not latest
+    assert out[3] == (400, 7)
+    # no later right row → NULLs
+    left2 = spark.createDataFrame([(9, 1, 99)], "lid long, k long, lts long")
+    r9 = asof_join_forward(left2, right, "k", "k", "lts", "rts", ["val"]).collect()[0]
+    assert r9.val_next is None and r9.rts_next is None
+
+
+def test_weighted_sample_is_deterministic_and_weight_biased(spark, docs):
+    from duckdb_age_spark.operators.pipeline import weighted_sample
+
+    a = [(r.doc_id, r.weight, r.rk) for r in weighted_sample(docs, k=30).orderBy("rk").collect()]
+    b = [(r.doc_id, r.weight, r.rk) for r in weighted_sample(docs, k=30).orderBy("rk").collect()]
+    assert a == b and len(a) == 30
+    assert [r[2] for r in a] == list(range(1, 31))
+    # weight bias: the sampled docs' mean weight should exceed the corpus mean
+    sampled_mean = sum(r[1] for r in a) / len(a)
+    corpus_mean = (
+        docs.selectExpr("avg(greatest(size(split(trim(text), '\\\\s+')), 1)) AS m").first().m
+    )
+    assert sampled_mean > corpus_mean
+
+
+def test_quantile_binning_partitions_all_rows_contiguously(spark, sf_dir):
+    from duckdb_age_spark.operators.stats import quantile_binning
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    bins = quantile_binning(orders, n_bins=10).orderBy("bin").collect()
+    assert [r.bin for r in bins] == list(range(1, 11))
+    assert sum(r.n_orders for r in bins) == orders.count()
+    # equal-frequency: bin sizes differ by at most 1; ranges are ordered
+    sizes = [r.n_orders for r in bins]
+    assert max(sizes) - min(sizes) <= 1
+    for prev, cur in zip(bins, bins[1:]):
+        assert prev.hi <= cur.lo
+
+
+def test_kcore_peels_pendant_chain(spark):
+    from duckdb_age_spark.operators.graph import kcore_peel
+
+    # triangle (1,2,3) with a pendant chain 3-4-5: 2-core = the triangle
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)], "src long, dst long"
+    )
+    out = {r.node: r.degree for r in kcore_peel(edges, k=2, rounds=3).collect()}
+    assert out == {1: 2, 2: 2, 3: 2}
+
+
+def test_order_concurrency_counts_overlaps(spark):
+    from duckdb_age_spark.operators.rollup import order_concurrency
+    import datetime as dt
+
+    d = dt.date
+    orders = spark.createDataFrame(
+        [(1, d(1995, 1, 1)), (2, d(1995, 1, 3)), (3, d(1995, 2, 10))],
+        "o_orderkey long, o_orderdate date",
+    )
+    lineitem = spark.createDataFrame(
+        [(1, d(1995, 1, 5)), (2, d(1995, 1, 4)), (3, d(1995, 2, 1))],  # order 3 ships BEFORE orderdate
+        "l_orderkey long, l_shipdate date",
+    )
+    out = {r.month: (r.peak_open_orders, r.avg_open_orders) for r in
+           order_concurrency(orders, lineitem).collect()}
+    # Jan: order1 open 1-5 (5 days), order2 open 3-4 (2 days) → peak 2 on days 3,4
+    assert out["1995-01"][0] == 2
+    # Feb: order3's negative span clamps to its order day → one open day
+    assert out["1995-02"] == (1, 1.0)
+
+
+def test_embedding_zscore_digest_stable_and_shaped(spark, emb):
+    from duckdb_age_spark.operators.similarity import embedding_zscore_digest
+
+    a = {r.vec_id: (r.n_dims, r.z_digest) for r in embedding_zscore_digest(emb).collect()}
+    b = {r.vec_id: (r.n_dims, r.z_digest) for r in embedding_zscore_digest(emb).collect()}
+    assert a == b and len(a) == emb.count()
+    dims = {v[0] for v in a.values()}
+    assert len(dims) == 1  # uniform dimensionality
+    # digests differ across vectors (no degenerate constant output)
+    assert len({v[1] for v in a.values()}) > len(a) // 2
+
+
 def test_triangle_degree_orientation_bounds_skewed_star(spark):
     """Planted worst case for id-orientation: a 200-leaf star whose hub has
     the LOWEST id.  Id-oriented, the hub anchors C(200,2)=19900 wedges;
