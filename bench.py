@@ -129,6 +129,11 @@ BENCH_QUERIES = [
     "sim_embedding_zscore",
     "graph_kcore",
     "dedup_ngram_verify",
+    "text_quality_screen",
+    "text_hashing_vec",
+    "stats_ks_test",
+    "stats_gini",
+    "graph_label_propagation",
 ]
 
 

@@ -4357,6 +4357,165 @@ def dedup_ngram_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(corpus, pairs)
 
 
+@_q(
+    "text_quality_screen",
+    r"""
+    WITH w AS (
+      SELECT len(string_split_regex(trim(text), '\s+')) AS nw,
+             list_sum(list_transform(string_split_regex(trim(text), '\s+'),
+                                     x -> length(x))) AS sumlen,
+             len(regexp_extract_all(text, '(#|\.\.\.)')) AS nsym,
+             len(regexp_extract_all(text, '\b(the|and|is|of|to|in|that|with)\b')) AS nstop
+      FROM documents),
+    f AS (SELECT
+             CASE WHEN nw < 50 OR nw > 100000 THEN 1 ELSE 0 END AS f_wc,
+             CASE WHEN 3 * nw > sumlen OR sumlen > 10 * nw THEN 1 ELSE 0 END AS f_mwl,
+             CASE WHEN 10 * nsym > nw THEN 1 ELSE 0 END AS f_sym,
+             CASE WHEN nstop < 2 THEN 1 ELSE 0 END AS f_stop
+          FROM w),
+    a AS (SELECT sum(f_wc) AS word_count, sum(f_mwl) AS mean_word_len,
+                 sum(f_sym) AS symbol_ratio, sum(f_stop) AS stopword_floor,
+                 count(*) AS n_docs,
+                 sum(CASE WHEN f_wc + f_mwl + f_sym + f_stop = 0 THEN 1 ELSE 0 END) AS n_pass_all
+          FROM f)
+    SELECT rule, n_fail::BIGINT AS n_fail, n_docs::BIGINT AS n_docs,
+           n_pass_all::BIGINT AS n_pass_all FROM (
+      SELECT 'word_count' AS rule, word_count AS n_fail, n_docs, n_pass_all FROM a
+      UNION ALL SELECT 'mean_word_len', mean_word_len, n_docs, n_pass_all FROM a
+      UNION ALL SELECT 'symbol_ratio', symbol_ratio, n_docs, n_pass_all FROM a
+      UNION ALL SELECT 'stopword_floor', stopword_floor, n_docs, n_pass_all FROM a)
+    """,
+)
+def text_quality_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule-based quality screen: per-rule violation counts +
+    pass-all census, all comparisons exact-integer (ratios by
+    cross-multiplication)."""
+    from .operators.text import gopher_quality_screen
+
+    _prep(spark)
+    return gopher_quality_screen(load(spark, sf_dir, "documents"))
+
+
+@_q(
+    "text_hashing_vec",
+    r"""
+    WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS t
+                 FROM documents),
+    b AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT % 64 AS b FROM tok),
+    counts AS (SELECT doc_id, b, count(*) AS c FROM b GROUP BY 1, 2),
+    agg AS (SELECT doc_id, sum(c) AS n_tokens, count(*) AS nnz FROM counts GROUP BY 1),
+    dense AS (
+      SELECT a.doc_id, i.i AS bb, coalesce(c.c, 0) AS c
+      FROM agg a
+      CROSS JOIN (SELECT unnest(range(0, 64)) AS i) i
+      LEFT JOIN counts c ON c.doc_id = a.doc_id AND c.b = i.i)
+    SELECT d.doc_id, a.n_tokens::BIGINT AS n_tokens, a.nnz::BIGINT AS nnz,
+           md5(array_to_string(list(d.c ORDER BY d.bb), ',')) AS vec_digest
+    FROM dense d JOIN agg a ON d.doc_id = a.doc_id
+    GROUP BY d.doc_id, a.n_tokens, a.nnz
+    """,
+)
+def text_hashing_vec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HashingTF analog: 64-bucket md5 bag-of-words per doc, digested over
+    the dense integer count vector — vocabulary-free featurization."""
+    from .operators.text import hashing_vectorizer_digest
+
+    _prep(spark)
+    return hashing_vectorizer_digest(load(spark, sf_dir, "documents"), n_buckets=64)
+
+
+@_q(
+    "stats_ks_test",
+    """
+    WITH d AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+                      CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS a,
+                      CASE WHEN o_orderpriority = '1-URGENT' THEN 0 ELSE 1 END AS b
+               FROM orders),
+    cum AS (SELECT v,
+                   sum(a) OVER (ORDER BY v RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
+                   sum(b) OVER (ORDER BY v RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb
+            FROM d),
+    t AS (SELECT sum(a) AS na, sum(b) AS nb FROM d)
+    SELECT na::BIGINT AS n_a, nb::BIGINT AS n_b,
+           round(max(abs(ca * nb - cb * na))::DOUBLE / (na * nb)::DOUBLE, 6) AS d_stat
+    FROM cum, t GROUP BY na, nb
+    """,
+)
+def stats_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov D between URGENT and non-URGENT order
+    values — exact integer supremum, one terminal IEEE division."""
+    from .operators.stats import ks_two_sample
+
+    _prep(spark)
+    return ks_two_sample(load(spark, sf_dir, "orders"))
+
+
+@_q(
+    "stats_gini",
+    """
+    WITH rev AS (SELECT o_custkey,
+                        sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+                 FROM orders GROUP BY 1),
+    r AS (SELECT cents, row_number() OVER (ORDER BY cents, o_custkey) AS i FROM rev)
+    SELECT count(*)::BIGINT AS n_customers,
+           round(sum(cents)::DOUBLE / 100.0, 2) AS total_revenue,
+           round((2.0 * sum(i::HUGEINT * cents)::DOUBLE
+                  - (count(*) + 1)::DOUBLE * sum(cents)::DOUBLE)
+                 / (count(*)::DOUBLE * sum(cents)::DOUBLE), 6) AS gini
+    FROM r
+    """,
+)
+def stats_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini concentration of revenue across customers from exact
+    integer/decimal sufficient statistics."""
+    from .operators.stats import gini_coefficient
+
+    _prep(spark)
+    return gini_coefficient(load(spark, sf_dir, "orders"))
+
+
+def _lpa_sql(rounds: int) -> str:
+    parts = [
+        "adj AS MATERIALIZED (SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e)",
+        "l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS label FROM adj)",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"n{r} AS MATERIALIZED (SELECT adj.src AS node, l{r - 1}.label AS label "
+            f"FROM adj JOIN l{r - 1} ON adj.dst = l{r - 1}.node)"
+        )
+        parts.append(
+            f"c{r} AS MATERIALIZED (SELECT node, label, count(*) AS cnt FROM n{r} GROUP BY 1, 2)"
+        )
+        parts.append(
+            f"l{r} AS MATERIALIZED (SELECT node, label FROM "
+            f"(SELECT node, label, row_number() OVER (PARTITION BY node ORDER BY cnt DESC, label ASC) AS rn "
+            f"FROM c{r}) WHERE rn = 1)"
+        )
+    return ",\n    ".join(parts)
+
+
+@_q(
+    "graph_label_propagation",
+    f"""
+    WITH {_COPURCHASE_CP_SQL}, {_COPURCHASE_E_SQL},
+    {_lpa_sql(rounds=3)}
+    SELECT node::BIGINT AS node, label::BIGINT AS label FROM l3
+    """,
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synchronous label propagation (3 fixed rounds,
+    most-frequent-then-min tie rule) over the co-purchase graph — the
+    verifiable form of LPA community detection; oracle unrolls identical
+    MATERIALIZED rounds."""
+    from .operators.graph import copurchase_edges, label_propagation
+
+    _prep(spark)
+    orders = load(spark, sf_dir, "orders").where(F.col("o_custkey") % 10 == 0)
+    edges = copurchase_edges(orders, load(spark, sf_dir, "lineitem"), min_shared_parts=2)
+    return label_propagation(edges, rounds=3)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: encrypted-document pipeline at sf0.001 — round-trip an
     age-encrypted documents table and join quality stats (SURVEY.md §7.3)."""

@@ -429,3 +429,43 @@ def kcore_peel(edges: DataFrame, k: int = 2, rounds: int = 4) -> DataFrame:
         .agg(F.count("*").alias("degree"))
         .select(F.col("src").cast("bigint").alias("node"), F.col("degree").cast("bigint"))
     )
+
+
+def label_propagation(edges: DataFrame, rounds: int = 3) -> DataFrame:
+    """Community detection by synchronous label propagation with a
+    DETERMINISTIC tie rule: each round every node adopts the most frequent
+    label among its neighbors, ties broken by the smallest label (a node
+    with no neighbors keeps its label).  Fixed ``rounds`` — like
+    :func:`kcore_peel`, the round count is part of the contract so the
+    oracle unrolls identical rounds and equality is by construction
+    (classic LPA's random tie-breaks and update order make it
+    unverifiable; the min-tie-break synchronous form is the standard
+    deterministic variant).
+
+    Per round: one join (labels onto the symmetric edge list), one
+    (node, label) count aggregate, one per-node argmax window — all keyed
+    by node id, map-side combinable, lineage truncated per round with an
+    eager localCheckpoint.  Returns (node, label).
+    """
+    from pyspark.sql import Window
+
+    e = edges.select("src", "dst").localCheckpoint(eager=False)
+    sym = e.unionAll(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+    labels = sym.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    w = Window.partitionBy("node").orderBy(F.desc("cnt"), F.asc("label"))
+    for _ in range(rounds):
+        neigh = sym.join(labels, sym.dst == labels.node).select(
+            F.col("src").alias("node"), "label"
+        )
+        counted = neigh.groupBy("node", "label").agg(F.count("*").alias("cnt"))
+        labels = (
+            counted.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("node", "label")
+            .localCheckpoint()
+        )
+    return labels.select(F.col("node").cast("bigint"), F.col("label").cast("bigint"))

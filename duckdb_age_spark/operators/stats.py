@@ -512,3 +512,82 @@ def quantile_binning(orders: DataFrame, n_bins: int = 10) -> DataFrame:
         .select(F.col("bin").cast("bigint"), "n_orders", "lo", "hi", "mean_price")
         .orderBy("bin")
     )
+
+
+def ks_two_sample(orders: DataFrame, split_priority: str = "1-URGENT") -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic between the order-value
+    distributions of ``split_priority`` orders vs all others — the drift /
+    distribution-shift test a data pipeline runs between snapshots.
+
+    Exactness: prices fix to integer cents; the supremum runs over the
+    POOLED value axis with RANGE frames (ties collapse correctly: the CDF
+    step at a value includes every row tied at it); the scaled statistic
+    max|c1·n2 − c2·n1| is exact integer arithmetic, and ONE terminal IEEE
+    division by n1·n2 produces the engine-identical D (rounded 6 dp).
+
+    Scale note: the cumulative counts need one totally-ordered window
+    (same caveat as exact ntile — at 100 TB bucket the axis first and
+    bound the error, or sample); correct-but-driver-bound by design, with
+    `sketch_approx_percentile` as the sketch sibling.
+    Returns (n_a, n_b, d_stat).
+    """
+    from pyspark.sql import Window
+
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    is_a = (F.col("o_orderpriority") == split_priority).cast("long")
+    d = orders.select(cents.alias("v"), is_a.alias("a"), (1 - is_a).alias("b"))
+    w = Window.orderBy("v").rangeBetween(Window.unboundedPreceding, 0)
+    cum = d.select(
+        "v",
+        F.sum("a").over(w).alias("ca"),
+        F.sum("b").over(w).alias("cb"),
+    )
+    totals = d.agg(F.sum("a").alias("na"), F.sum("b").alias("nb"))
+    return (
+        cum.crossJoin(F.broadcast(totals))
+        .agg(
+            F.max("na").cast("bigint").alias("n_a"),
+            F.max("nb").cast("bigint").alias("n_b"),
+            F.round(
+                F.max(F.abs(F.col("ca") * F.col("nb") - F.col("cb") * F.col("na"))).cast("double")
+                / (F.max("na") * F.max("nb")).cast("double"),
+                6,
+            ).alias("d_stat"),
+        )
+    )
+
+
+def gini_coefficient(orders: DataFrame) -> DataFrame:
+    """Gini concentration of revenue across customers — the inequality
+    metric behind "what share of revenue do the top customers hold".
+
+    G = (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx) over per-customer revenue xᵢ
+    sorted ascending (rank i from 1), computed entirely from exact
+    integer/decimal sums (cents, rank·cents as decimal(38,0)) with one
+    terminal IEEE division — engine-identical, rounded 6 dp.
+
+    Shape: one aggregate keyed by customer, one totally-ordered rank
+    window (same exact-order caveat as ks_two_sample), one scalar
+    aggregate.  Returns (n_customers, total_revenue, gini).
+    """
+    from pyspark.sql import Window
+
+    rev = orders.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias("cents")
+    )
+    ranked = rev.select(
+        "cents",
+        F.row_number().over(Window.orderBy("cents", "o_custkey")).alias("i"),
+    )
+    return ranked.agg(
+        F.count("*").cast("bigint").alias("n_customers"),
+        F.round(F.sum("cents") / 100.0, 2).alias("total_revenue"),
+        F.round(
+            (
+                F.lit(2.0) * F.sum((F.col("i").cast("decimal(38,0)") * F.col("cents"))).cast("double")
+                - (F.count("*") + 1).cast("double") * F.sum("cents").cast("double")
+            )
+            / (F.count("*").cast("double") * F.sum("cents").cast("double")),
+            6,
+        ).alias("gini"),
+    )

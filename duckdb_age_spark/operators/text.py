@@ -369,3 +369,115 @@ def repetition_stats(docs: DataFrame) -> DataFrame:
             F.coalesce("max_bigram_freq", F.lit(0)).alias("max_bigram_freq"),
         )
     )
+
+
+def gopher_quality_screen(docs: DataFrame) -> DataFrame:
+    """Gopher-style rule-based quality screen (Rae et al. 2021 §A1.1
+    heuristics, exact-arithmetic subset): per-rule violation counts plus
+    the pass-all census, one row per rule — the filter-audit report a
+    training-data pipeline emits before dropping documents.
+
+    Rules (every comparison is EXACT integer arithmetic — ratios compare
+    by cross-multiplication, so no float ever forms and both engines
+    agree bit-for-bit):
+
+    * ``word_count``      — 50 <= words <= 100_000
+    * ``mean_word_len``   — 3 <= (Σ word length)/words <= 10, i.e.
+      3·words <= Σlen <= 10·words
+    * ``symbol_ratio``    — (# + ellipsis occurrences) / words <= 0.1,
+      i.e. 10·symbols <= words
+    * ``stopword_floor``  — at least 2 hits from the English stopword set
+
+    One narrow map + one map-side-combined global aggregate; no shuffle of
+    document text.  Returns (rule, n_fail, n_docs, n_pass_all) ordered by
+    rule.
+    """
+    words = F.split(F.trim("text"), r"\s+")
+    nw = F.size(words)
+    sumlen = F.aggregate(
+        F.transform(words, lambda w: F.length(w)), F.lit(0), lambda a, x: a + x
+    )
+    nsym = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"(#|\.\.\.)"), F.lit(0)))
+    nstop = stopword_hits("text", ["the", "and", "is", "of", "to", "in", "that", "with"])
+    flags = docs.select(
+        ((nw < 50) | (nw > 100_000)).cast("long").alias("f_word_count"),
+        ((F.lit(3) * nw > sumlen) | (sumlen > F.lit(10) * nw)).cast("long").alias("f_mean_word_len"),
+        (F.lit(10) * nsym > nw).cast("long").alias("f_symbol_ratio"),
+        (nstop < 2).cast("long").alias("f_stopword_floor"),
+    )
+    agg = flags.agg(
+        F.sum("f_word_count").alias("word_count"),
+        F.sum("f_mean_word_len").alias("mean_word_len"),
+        F.sum("f_symbol_ratio").alias("symbol_ratio"),
+        F.sum("f_stopword_floor").alias("stopword_floor"),
+        F.count("*").alias("n_docs"),
+        F.sum(
+            F.when(
+                (F.col("f_word_count") + F.col("f_mean_word_len")
+                 + F.col("f_symbol_ratio") + F.col("f_stopword_floor")) == 0,
+                1,
+            ).otherwise(0)
+        ).alias("n_pass_all"),
+    )
+    rules = F.array(
+        *[
+            F.struct(F.lit(r).alias("rule"), F.col(r).alias("n_fail"))
+            for r in ["word_count", "mean_word_len", "symbol_ratio", "stopword_floor"]
+        ]
+    )
+    return (
+        agg.select(F.explode(rules).alias("r"), "n_docs", "n_pass_all")
+        .select(
+            F.col("r.rule").alias("rule"),
+            F.col("r.n_fail").cast("bigint").alias("n_fail"),
+            F.col("n_docs").cast("bigint"),
+            F.col("n_pass_all").cast("bigint"),
+        )
+        .orderBy("rule")
+    )
+
+
+def hashing_vectorizer_digest(docs: DataFrame, n_buckets: int = 64) -> DataFrame:
+    """HashingTF analog: every whitespace token hashes to one of
+    ``n_buckets`` via the first 60 bits of md5 mod n — the fixed-width
+    bag-of-words featurization (no vocabulary pass, collision-accepting)
+    used for cheap linear classifiers over text.  Emitted as (doc_id,
+    n_tokens, nnz, vec_digest) with the digest over the dense
+    bucket->count vector, all-integer — both engines agree exactly.
+
+    Shape: explode -> one shuffle keyed by (doc_id, bucket) with map-side
+    combine -> per-doc reassembly keyed by doc_id.  The dense vector stays
+    n_buckets long regardless of doc size.
+    """
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("t")
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("t").cast("binary")), 1, 15), 16, 10)
+        .cast("bigint") % n_buckets
+    )
+    counts = tok.select("doc_id", bucket.alias("b")).groupBy("doc_id", "b").agg(
+        F.count("*").alias("c")
+    )
+    dense = F.transform(
+        F.sequence(F.lit(0), F.lit(n_buckets - 1)),
+        lambda i: F.coalesce(
+            F.element_at(F.map_from_entries(F.col("kv")), i.cast("bigint")), F.lit(0).cast("bigint")
+        ),
+    )
+    return (
+        counts.groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.count("*").alias("nnz"),
+            F.collect_list(F.struct(F.col("b"), F.col("c"))).alias("kv"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("bigint"),
+            F.col("nnz").cast("bigint"),
+            F.md5(
+                F.concat_ws(",", F.transform(dense, lambda x: x.cast("string"))).cast("binary")
+            ).alias("vec_digest"),
+        )
+    )

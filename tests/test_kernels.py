@@ -145,7 +145,7 @@ def test_priority_50_covers_every_operator_family():
         "text": [
             "text_doc_stats", "text_bm25_topk", "text_tfidf_keywords",
             "text_pii_scrub", "text_repetition", "text_unigram_logprob",
-            "text_bigram_logprob",
+            "text_bigram_logprob", "text_quality_screen", "text_hashing_vec",
         ],
         "pipeline": [
             "pipeline_sample_split", "pipeline_pack", "pipeline_quality_topk",
@@ -173,6 +173,7 @@ def test_priority_50_covers_every_operator_family():
             "graph_pagerank", "layout_zorder_stats", "graph_bfs_hops",
             "graph_triangles", "graph_triangles_degree",
             "graph_weighted_pagerank", "graph_edge_jaccard", "graph_kcore",
+            "graph_label_propagation",
         ],
         "relational": [
             "tpch_q1", "tpch_q3", "tpch_q6", "tpch_q13", "tpch_q2",
@@ -185,7 +186,7 @@ def test_priority_50_covers_every_operator_family():
             "quantiles_exact", "pivot_priority_by_flag",
             "sketch_approx_distinct", "stats_chi_square", "stats_mad_outliers",
             "stats_entropy", "stats_linreg", "sketch_approx_percentile",
-            "stats_quantile_binning",
+            "stats_quantile_binning", "stats_ks_test", "stats_gini",
         ],
         "temporal": [
             "asof_join", "range_join", "rollup_timebuckets",

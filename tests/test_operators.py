@@ -986,6 +986,88 @@ def test_embedding_zscore_digest_stable_and_shaped(spark, emb):
     assert len({v[1] for v in a.values()}) > len(a) // 2
 
 
+def test_gopher_screen_rules_fire_on_planted_docs(spark):
+    from duckdb_age_spark.operators.text import gopher_quality_screen
+
+    good = (
+        "the quick brown fox and the lazy dog is one of those classic test "
+        "sentences that people like to repeat in examples with many plain "
+        "words so that it easily clears the fifty word floor used in the "
+        "gopher rules and also contains enough common stopwords to pass the "
+        "stopword floor while keeping word lengths in the typical range"
+    )
+    short = "tiny doc"                       # fails word_count (and stopwords)
+    symbols = "# " * 60                      # fails symbol_ratio + mean_word_len
+    df = spark.createDataFrame(
+        [(1, good), (2, short), (3, symbols)], "doc_id long, text string"
+    )
+    out = {r.rule: r for r in gopher_quality_screen(df).collect()}
+    assert set(out) == {"word_count", "mean_word_len", "symbol_ratio", "stopword_floor"}
+    assert out["word_count"].n_docs == 3
+    assert out["word_count"].n_fail == 1      # only the 2-word doc is short
+    assert out["symbol_ratio"].n_fail >= 1    # the '#'-only doc
+    assert out["mean_word_len"].n_fail >= 1   # 1-char '#' words
+    assert out["word_count"].n_pass_all == 1  # only the good doc passes all
+
+
+def test_ks_identical_distributions_is_zero(spark):
+    from duckdb_age_spark.operators.stats import ks_two_sample
+
+    # pairs (2k, 2k+1) share a value, one lands in each group → identical
+    # per-group value multisets
+    rows = [(i, "1-URGENT" if i % 2 == 0 else "3-MEDIUM", float((i // 2) % 10) + 1) for i in range(100)]
+    df = spark.createDataFrame(rows, "o_orderkey long, o_orderpriority string, o_totalprice double")
+    r = ks_two_sample(df).collect()[0]
+    assert r.n_a == 50 and r.n_b == 50
+    assert r.d_stat == 0.0  # identical per-group value multisets → D = 0
+
+
+def test_gini_extremes(spark):
+    from duckdb_age_spark.operators.stats import gini_coefficient
+
+    # perfectly equal revenue → G = 0
+    eq = spark.createDataFrame(
+        [(i, "x", 100.0) for i in range(10)],
+        "o_custkey long, o_orderpriority string, o_totalprice double",
+    )
+    assert gini_coefficient(eq).collect()[0].gini == 0.0
+    # one customer holds everything → G → (n-1)/n
+    skew = spark.createDataFrame(
+        [(0, "x", 1000.0)] + [(i, "x", 0.01) for i in range(1, 10)],
+        "o_custkey long, o_orderpriority string, o_totalprice double",
+    )
+    g = gini_coefficient(skew).collect()[0].gini
+    assert 0.85 < g < 0.9
+
+
+def test_label_propagation_separates_cliques(spark):
+    from duckdb_age_spark.operators.graph import label_propagation
+
+    # two 4-cliques joined by one bridge edge: LPA must label each clique
+    # by its own minimum node, bridge notwithstanding
+    def clique(nodes):
+        return [(a, b) for a in nodes for b in nodes if a < b]
+
+    edges = spark.createDataFrame(
+        clique([1, 2, 3, 4]) + clique([10, 11, 12, 13]) + [(4, 10)],
+        "src long, dst long",
+    )
+    out = {r.node: r.label for r in label_propagation(edges, rounds=3).collect()}
+    assert {out[n] for n in (1, 2, 3)} == {1}
+    assert {out[n] for n in (11, 12, 13)} == {10}
+
+
+def test_hashing_vectorizer_digest_deterministic(spark, docs):
+    from duckdb_age_spark.operators.text import hashing_vectorizer_digest
+
+    sub = docs.limit(50)
+    a = {r.doc_id: (r.n_tokens, r.nnz, r.vec_digest) for r in hashing_vectorizer_digest(sub).collect()}
+    b = {r.doc_id: (r.n_tokens, r.nnz, r.vec_digest) for r in hashing_vectorizer_digest(sub).collect()}
+    assert a == b and len(a) == 50
+    for n_tokens, nnz, _ in a.values():
+        assert 1 <= nnz <= min(64, n_tokens)
+
+
 def test_triangle_degree_orientation_bounds_skewed_star(spark):
     """Planted worst case for id-orientation: a 200-leaf star whose hub has
     the LOWEST id.  Id-oriented, the hub anchors C(200,2)=19900 wedges;
