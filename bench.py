@@ -100,6 +100,8 @@ BENCH_QUERIES = [
     "streaming_windowed",
     "multimodal_features",
     "multimodal_decode",
+    "multimodal_resize",
+    "multimodal_audio_stats",
     "graph_copurchase",
     "graph_triangles",
     "graph_triangles_degree",

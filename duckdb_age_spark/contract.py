@@ -4516,6 +4516,74 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_propagation(edges, rounds=3)
 
 
+@_q(
+    "multimodal_resize",
+    """
+    SELECT doc_id AS media_id,
+           greatest(1, (doc_id % 64 + 1) // 2)::INTEGER AS width,
+           greatest(1, ((doc_id * 7) % 64 + 1) // 2)::INTEGER AS height,
+           (54 + ((3 * greatest(1, (doc_id % 64 + 1) // 2) + 3) // 4 * 4)
+                 * greatest(1, ((doc_id * 7) % 64 + 1) // 2))::BIGINT AS byte_len,
+           'real' AS decode_ok
+    FROM documents WHERE doc_id % 2 = 0
+    """,
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL byte-level image resize: nearest-neighbor 2x downsample of every
+    synthesized BMP operating on raw container bytes, then RE-DECODED to
+    prove the re-encoded output is a valid BMP.  Oracle pins the resized
+    geometry and exact output container size arithmetically."""
+    from .operators.multimodal import resize_features, synthesize_media
+
+    _prep(spark)
+    media = synthesize_media(load(spark, sf_dir, "documents")).where(
+        F.col("kind") == "image/bmp"
+    )
+    return resize_features(media, factor=2).select(
+        "media_id", "width", "height", "byte_len", "decode_ok"
+    )
+
+
+@_q(
+    "multimodal_audio_stats",
+    """
+    WITH w AS (SELECT doc_id, doc_id % 1000 + 1 AS n FROM documents WHERE doc_id % 2 = 1),
+    s AS (SELECT doc_id, n,
+                 list_transform(range(0, n),
+                                i -> ((doc_id + i) * 257) % 4096 - 2048) AS samples
+          FROM w)
+    SELECT doc_id AS media_id, 8000::INTEGER AS sample_rate, n::BIGINT AS n_samples,
+           list_sum(list_transform(samples, x -> abs(x)))::BIGINT AS sum_abs,
+           list_max(list_transform(samples, x -> abs(x)))::INTEGER AS peak,
+           coalesce(list_sum(list_transform(range(0, n - 1),
+                    i -> CASE WHEN samples[i + 1] * samples[i + 2] < 0
+                         THEN 1 ELSE 0 END)), 0)::BIGINT AS zero_crossings,
+           'real' AS decode_ok
+    FROM s
+    """,
+)
+def multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio feature extraction: exact-integer amplitude sum, peak and
+    strict zero crossings parsed from the PCM bytes of every synthesized
+    WAV; the oracle replays the synthesis formula symbolically, so any
+    parsing bug (offset/endianness/width) is a hash mismatch."""
+    from .operators.multimodal import audio_features, synthesize_media
+
+    _prep(spark)
+    media = synthesize_media(load(spark, sf_dir, "documents")).where(
+        F.col("kind") == "audio/wav"
+    )
+    return audio_features(media).select(
+        "media_id",
+        "sample_rate",
+        "n_samples",
+        "sum_abs",
+        "peak",
+        "zero_crossings",
+        "decode_ok",
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: encrypted-document pipeline at sf0.001 — round-trip an
     age-encrypted documents table and join quality stats (SURVEY.md §7.3)."""

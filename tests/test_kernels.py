@@ -194,7 +194,10 @@ def test_priority_50_covers_every_operator_family():
             "rollup_order_concurrency",
         ],
         "extension_points": ["udaf_geomean", "udtf_chunks"],
-        "multimodal": ["multimodal_features", "multimodal_frames", "multimodal_decode"],
+        "multimodal": [
+            "multimodal_features", "multimodal_frames", "multimodal_decode",
+            "multimodal_resize", "multimodal_audio_stats",
+        ],
     }
     for family, members in families.items():
         assert first50 & set(members), f"family {family} has no query in the first 50"

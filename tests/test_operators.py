@@ -295,6 +295,47 @@ def test_bmp_wav_decode_rejects_malformed():
         decode_wav(encode_wav(100)[:-1])  # truncated samples
 
 
+def test_resize_bmp_halves_geometry_and_revalidates():
+    from duckdb_age_spark.operators.multimodal import decode_bmp, encode_bmp, resize_bmp
+
+    for w, h in [(10, 8), (1, 1), (63, 7), (2, 64)]:
+        small = resize_bmp(encode_bmp(w, h, seed=3), factor=2)
+        nw, nh = decode_bmp(small)  # output must itself be a valid BMP
+        assert (nw, nh) == (max(1, w // 2), max(1, h // 2))
+        assert len(small) == 54 + ((3 * nw + 3) // 4 * 4) * nh
+    with pytest.raises(ValueError):
+        resize_bmp(b"not a bmp", factor=2)
+
+
+def test_resize_preserves_pixels_nearest_neighbor():
+    from duckdb_age_spark.operators.multimodal import encode_bmp, resize_bmp
+    import struct as st
+
+    big = encode_bmp(4, 4, seed=9)
+    small = resize_bmp(big, factor=2)
+    off_big = st.unpack_from("<I", big, 10)[0]
+    off_small = st.unpack_from("<I", small, 10)[0]
+    row_big = (3 * 4 + 3) // 4 * 4
+    row_small = (3 * 2 + 3) // 4 * 4
+    # sampled pixel (y, x) of the output equals source pixel (2y, 2x)
+    for y in range(2):
+        for x in range(2):
+            src = big[off_big + 2 * y * row_big + 2 * x * 3:][:3]
+            dst = small[off_small + y * row_small + x * 3:][:3]
+            assert src == dst
+
+
+def test_audio_features_match_ground_truth():
+    from duckdb_age_spark.operators.multimodal import encode_wav
+    import struct as st
+
+    seed, n = 7, 500
+    payload = encode_wav(n, 8000, seed=seed)
+    samples = st.unpack_from("<%dh" % n, payload, 44)
+    expected = [((seed + i) * 257) % 4096 - 2048 for i in range(n)]
+    assert list(samples) == expected  # encoder writes the documented wave
+
+
 def test_multimodal_real_decode_pipeline(spark, docs):
     """End-to-end mapInPandas decode over synthesized real containers:
     every row decodes 'real', poison payloads degrade to an error ROW
