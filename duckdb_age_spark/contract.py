@@ -4133,13 +4133,21 @@ def asof_forward_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rollup_order_concurrency",
     """
     WITH spans AS (
-      SELECT o.o_orderkey, o.o_orderdate, max(l.l_shipdate) AS closed
+      SELECT o.o_orderdate, greatest(max(l.l_shipdate), o.o_orderdate) AS fin
       FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
-      GROUP BY 1, 2),
-    days AS (SELECT unnest(generate_series(o_orderdate, greatest(closed, o_orderdate),
-                                           INTERVAL 1 DAY))::DATE AS day
-             FROM spans),
-    per_day AS (SELECT day, count(*) AS n_open FROM days GROUP BY 1)
+      GROUP BY o.o_orderkey, o.o_orderdate),
+    deltas AS (SELECT day, sum(d) AS d FROM (
+        SELECT o_orderdate AS day, 1 AS d FROM spans
+        UNION ALL SELECT (fin + INTERVAL 1 DAY)::DATE, -1 FROM spans) GROUP BY 1),
+    b AS (SELECT min(day) AS lo, max(day) AS hi FROM deltas),
+    spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS day FROM b),
+    per_day AS (
+      SELECT day, n_open FROM (
+        SELECT spine.day,
+               sum(coalesce(deltas.d, 0)) OVER
+                 (ORDER BY spine.day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_open
+        FROM spine LEFT JOIN deltas ON spine.day = deltas.day)
+      WHERE n_open > 0)
     SELECT strftime(day, '%Y-%m') AS month,
            max(n_open)::BIGINT AS peak_open_orders,
            round(sum(n_open)::DOUBLE / count(*), 4) AS avg_open_orders

