@@ -426,3 +426,76 @@ def test_mixture_sample_broadcasts_quota_table(t):
     assert has_broadcast_join(df)
     # one stratum-keyed shuffle for the rank; nothing else wide
     assert count_exchanges(df) <= 2, formatted_plan(df)
+
+
+def test_weighted_sample_uses_group_limit(t):
+    from duckdb_age_spark.operators.pipeline import weighted_sample
+
+    df = weighted_sample(t["documents"], k=20)
+    # the global top-k must short-circuit pre-shuffle: an unpartitioned
+    # rank<=k window compiles to TakeOrderedAndProject (each executor
+    # ships only its local k candidates); WindowGroupLimit is the
+    # per-group analog — either is acceptable, a full global sort is not
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan or "WindowGroupLimit" in plan, plan
+
+
+def test_gopher_screen_is_one_bounded_aggregate(t):
+    from duckdb_age_spark.operators.text import gopher_quality_screen
+
+    df = gopher_quality_screen(t["documents"])
+    # rule flags are a narrow map; the census is one partial-aggregated
+    # scalar — document text never shuffles
+    assert has_partial_aggregate(df)
+    assert count_exchanges(df) <= 1, formatted_plan(df)
+
+
+def test_hashing_vectorizer_two_keyed_shuffles(t):
+    from duckdb_age_spark.operators.text import hashing_vectorizer_digest
+
+    df = hashing_vectorizer_digest(t["documents"])
+    # (doc, bucket) count then per-doc reassembly — exactly two exchanges,
+    # both map-side combined
+    assert has_partial_aggregate(df)
+    assert count_exchanges(df) <= 2, formatted_plan(df)
+
+
+def test_order_concurrency_delta_shape(t):
+    from duckdb_age_spark.operators.rollup import order_concurrency
+
+    df = order_concurrency(t["orders"], t["lineitem"])
+    # delta events aggregate map-side; the only Generate allowed is the
+    # bounded day-spine explode off the 1-row bounds aggregate (never a
+    # per-order interval explosion)
+    assert has_partial_aggregate(df)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Generate") <= 1, plan
+
+
+def test_hot_bucket_cap_broadcasts_hot_keys(t):
+    from duckdb_age_spark.operators.dedup import minhash_lsh_pairs, planted_near_dup_corpus
+
+    df = minhash_lsh_pairs(planted_near_dup_corpus(t["documents"]))
+    # the hot-key list joins as a broadcast anti-join — the cap must never
+    # introduce a wide shuffle of the banded rows
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+
+
+def test_embedding_zscore_broadcasts_dim_stats(t, spark, sf_dir):
+    from duckdb_age_spark.operators.similarity import embedding_zscore_digest
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    df = embedding_zscore_digest(emb)
+    # per-dim stats (tiny key space) broadcast back onto the exploded rows
+    assert has_broadcast_join(df)
+    assert has_partial_aggregate(df)
+
+
+def test_scd2_asof_lookup_single_window_shuffle(t):
+    from duckdb_age_spark.operators.relational import scd2_asof_lookup
+
+    df = scd2_asof_lookup(t["orders"])
+    # the point-in-time filter adds NO exchange beyond the SCD2 build's
+    # one custkey-keyed window shuffle
+    assert count_exchanges(df) <= 1, formatted_plan(df)
