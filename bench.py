@@ -136,6 +136,9 @@ BENCH_QUERIES = [
     "stats_ks_test",
     "stats_gini",
     "graph_label_propagation",
+    "events_ohlc",
+    "events_uptime",
+    "graph_topk_similar",
 ]
 
 

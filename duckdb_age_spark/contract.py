@@ -4592,6 +4592,90 @@ def multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "events_ohlc",
+    """
+    WITH d AS (SELECT event_type,
+                      epoch_us(ts)::BIGINT - epoch_us(ts)::BIGINT % 3600000000 AS bucket_us,
+                      CAST(round(value * 1000) AS BIGINT) AS vm,
+                      epoch_us(ts)::HUGEINT * 1000000 + event_id AS tk
+               FROM events)
+    SELECT event_type, bucket_us::BIGINT AS bucket_us,
+           arg_min(vm, tk)::DOUBLE / 1000.0 AS open,
+           max(vm)::DOUBLE / 1000.0 AS high,
+           min(vm)::DOUBLE / 1000.0 AS low,
+           arg_max(vm, tk)::DOUBLE / 1000.0 AS close,
+           count(*)::BIGINT AS n_events
+    FROM d GROUP BY 1, 2
+    """,
+)
+def events_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC candles per event type: open/close by deterministic
+    (epoch, event_id) arg-min/max, values fixed to milli-units — the
+    TimescaleDB candlestick downsampling primitive."""
+    from .operators.events import ohlc_candles
+
+    _prep(spark)
+    from .sources.tables import read_table
+
+    return ohlc_candles(read_table(spark, sf_dir, "events"), bucket_sec=3600)
+
+
+@_q(
+    "events_uptime",
+    """
+    WITH d AS (SELECT user_id, event_id, epoch_us(ts)::BIGINT AS tus,
+                      lead(epoch_us(ts)::BIGINT) OVER
+                        (PARTITION BY user_id ORDER BY epoch_us(ts)::BIGINT, event_id)
+                        - epoch_us(ts)::BIGINT AS gap
+               FROM events)
+    SELECT user_id, count(*)::BIGINT AS n_events,
+           (max(tus) - min(tus))::BIGINT AS span_us,
+           sum(CASE WHEN gap IS NOT NULL AND gap <= 7200000000 THEN gap ELSE 0 END)::BIGINT AS up_us,
+           CASE WHEN max(tus) - min(tus) > 0
+                THEN round(sum(CASE WHEN gap IS NOT NULL AND gap <= 7200000000
+                                    THEN gap ELSE 0 END)::DOUBLE
+                           / (max(tus) - min(tus))::DOUBLE, 6)
+                ELSE 1.0 END AS uptime
+    FROM d GROUP BY 1
+    """,
+)
+def events_uptime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heartbeat uptime per user: share of the observed span covered by
+    inter-event gaps <= 2h, exact µs integer arithmetic."""
+    from .operators.events import heartbeat_uptime
+    from .sources.tables import read_table
+
+    _prep(spark)
+    return heartbeat_uptime(read_table(spark, sf_dir, "events"), gap_sec=7200)
+
+
+@_q(
+    "graph_topk_similar",
+    f"""
+    WITH {_COPURCHASE_CP_SQL}, {_COPURCHASE_E_SQL},
+    sym AS (SELECT src AS cust, dst AS similar_cust, shared AS shared_parts FROM e
+            UNION ALL SELECT dst, src, shared FROM e)
+    SELECT cust::BIGINT AS cust, similar_cust::BIGINT AS similar_cust,
+           shared_parts::BIGINT AS shared_parts, rk::BIGINT AS rk
+    FROM (SELECT *, row_number() OVER
+            (PARTITION BY cust ORDER BY shared_parts DESC, similar_cust) AS rk
+          FROM sym)
+    WHERE rk <= 3
+    """,
+)
+def graph_topk_similar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 most similar counterparts per customer from the co-purchase
+    graph (shared-part support, id tie-break) — the "customers like you"
+    recommendation primitive, WindowGroupLimit-shaped."""
+    from .operators.graph import copurchase_edges, topk_similar_customers
+
+    _prep(spark)
+    orders = load(spark, sf_dir, "orders").where(F.col("o_custkey") % 10 == 0)
+    edges = copurchase_edges(orders, load(spark, sf_dir, "lineitem"), min_shared_parts=2)
+    return topk_similar_customers(edges, k=3)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: encrypted-document pipeline at sf0.001 — round-trip an
     age-encrypted documents table and join quality stats (SURVEY.md §7.3)."""

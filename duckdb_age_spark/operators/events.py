@@ -133,3 +133,78 @@ def sliding_counts(events: DataFrame, window: str = "2 hours", slide: str = "1 h
         .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")
         .orderBy("window_start", "event_type")
     )
+
+
+def ohlc_candles(events: DataFrame, bucket_sec: int = 3600) -> DataFrame:
+    """OHLC (open-high-low-close) candles per (event_type, time bucket) —
+    the financial/metrics downsampling primitive (TimescaleDB candlestick
+    / first-last aggregate analog).
+
+    Open/close use ``min_by``/``max_by`` on a composite (µs epoch,
+    event_id) tie key encoded as ONE exact decimal (u·10⁶ + event_id —
+    DuckDB's arg_min/arg_max take scalar keys only, and both engines
+    order wide integers identically) so simultaneous events resolve
+    deterministically; values fix to integer milli-units before
+    aggregation and convert back once, so every engine emits identical
+    doubles.  One map-side-combined shuffle keyed by (type, bucket).
+    Returns (event_type, bucket_us, open, high, low, close, n_events).
+    """
+    us = F.unix_micros(F.col("ts"))
+    bucket_us = int(bucket_sec) * 1_000_000
+    vm = F.round(F.col("value") * 1000, 0).cast("long")
+    d = events.select(
+        "event_type",
+        (us - us % bucket_us).alias("bucket_us"),
+        vm.alias("vm"),
+        (us.cast("decimal(38,0)") * 1_000_000 + F.col("event_id")).alias("tk"),
+    )
+    return (
+        d.groupBy("event_type", "bucket_us")
+        .agg(
+            (F.min_by("vm", "tk") / 1000.0).alias("open"),
+            (F.max("vm") / 1000.0).alias("high"),
+            (F.min("vm") / 1000.0).alias("low"),
+            (F.max_by("vm", "tk") / 1000.0).alias("close"),
+            F.count("*").cast("bigint").alias("n_events"),
+        )
+        .select("event_type", F.col("bucket_us").cast("bigint"), "open", "high", "low", "close", "n_events")
+    )
+
+
+def heartbeat_uptime(events: DataFrame, gap_sec: int = 7200) -> DataFrame:
+    """Heartbeat-style uptime: treating each user's events as liveness
+    pings, the share of their observed span covered by inter-event gaps
+    shorter than ``gap_sec`` — the availability metric for agent/device
+    fleets.
+
+    up_us = Σ min(gap, ∞)·1[gap <= threshold]; span_us = last − first.
+    All exact µs integers; one ratio division at the end (6 dp).  Users
+    with a single event (no span) report uptime 1.0 by convention.
+    Shape: one window shuffle keyed by user (lead), one aggregate on the
+    same key — Catalyst keeps both in a single exchange.
+    Returns (user_id, n_events, span_us, up_us, uptime).
+    """
+    from pyspark.sql import Window
+
+    us = F.unix_micros(F.col("ts"))
+    w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    d = (
+        events.select("user_id", "event_id", us.alias("tus"))
+        .withColumn("gap", F.lead("tus").over(w) - F.col("tus"))
+    )
+    agg = d.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        (F.max("tus") - F.min("tus")).cast("bigint").alias("span_us"),
+        F.sum(
+            F.when(F.col("gap").isNotNull() & (F.col("gap") <= gap_sec * 1_000_000), F.col("gap")).otherwise(0)
+        ).cast("bigint").alias("up_us"),
+    )
+    return agg.select(
+        "user_id",
+        "n_events",
+        "span_us",
+        "up_us",
+        F.when(F.col("span_us") > 0, F.round(F.col("up_us") / F.col("span_us"), 6))
+        .otherwise(F.lit(1.0))
+        .alias("uptime"),
+    )

@@ -469,3 +469,34 @@ def label_propagation(edges: DataFrame, rounds: int = 3) -> DataFrame:
             .localCheckpoint()
         )
     return labels.select(F.col("node").cast("bigint"), F.col("label").cast("bigint"))
+
+
+def topk_similar_customers(edges: DataFrame, k: int = 3) -> DataFrame:
+    """Top-k most similar counterparts per customer from the co-purchase
+    edge list (symmetrized), ranked by shared-part support with id
+    tie-break — the "customers like you" recommendation primitive.
+
+    One shuffle keyed by the anchor customer; rank<=k compiles to
+    WindowGroupLimit so each executor ships only its local k candidates
+    per anchor.  Returns (cust, similar_cust, shared_parts, rk).
+    """
+    from pyspark.sql import Window
+
+    sym = edges.select(
+        F.col("src").alias("cust"), F.col("dst").alias("similar_cust"), "shared_parts"
+    ).unionAll(
+        edges.select(
+            F.col("dst").alias("cust"), F.col("src").alias("similar_cust"), "shared_parts"
+        )
+    )
+    w = Window.partitionBy("cust").orderBy(F.desc("shared_parts"), F.asc("similar_cust"))
+    return (
+        sym.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select(
+            F.col("cust").cast("bigint"),
+            F.col("similar_cust").cast("bigint"),
+            F.col("shared_parts").cast("bigint"),
+            F.col("rk").cast("bigint"),
+        )
+    )

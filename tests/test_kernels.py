@@ -167,13 +167,14 @@ def test_priority_50_covers_every_operator_family():
         "events": [
             "events_tumbling", "events_sessions", "events_props",
             "events_gapfill", "events_session_window", "events_rolling_1h",
+            "events_ohlc", "events_uptime",
         ],
         "window_cube": ["order_gaps", "window_balance_analytics"],
         "graph_layout": [
             "graph_pagerank", "layout_zorder_stats", "graph_bfs_hops",
             "graph_triangles", "graph_triangles_degree",
             "graph_weighted_pagerank", "graph_edge_jaccard", "graph_kcore",
-            "graph_label_propagation",
+            "graph_label_propagation", "graph_topk_similar",
         ],
         "relational": [
             "tpch_q1", "tpch_q3", "tpch_q6", "tpch_q13", "tpch_q2",

@@ -1109,6 +1109,63 @@ def test_hashing_vectorizer_digest_deterministic(spark, docs):
         assert 1 <= nnz <= min(64, n_tokens)
 
 
+def test_ohlc_candles_deterministic_open_close(spark):
+    from duckdb_age_spark.operators.events import ohlc_candles
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 10, 0, 0)
+    rows = [
+        # two events at the SAME timestamp: lower event_id wins open
+        (1, base, 1, "m", 5.0, "{}"),
+        (2, base, 1, "m", 9.0, "{}"),
+        (3, base + dt.timedelta(minutes=30), 1, "m", 1.0, "{}"),
+        (4, base + dt.timedelta(minutes=59), 1, "m", 7.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    r = ohlc_candles(df, bucket_sec=3600).collect()[0]
+    assert (r.open, r.high, r.low, r.close, r.n_events) == (5.0, 9.0, 1.0, 7.0, 4)
+
+
+def test_heartbeat_uptime_gaps(spark):
+    from duckdb_age_spark.operators.events import heartbeat_uptime
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        # user 1: pings at 0h, 1h, 5h — first gap (1h) is up, second (4h) is down
+        (1, base, 1, "p", 0.0, "{}"),
+        (2, base + dt.timedelta(hours=1), 1, "p", 0.0, "{}"),
+        (3, base + dt.timedelta(hours=5), 1, "p", 0.0, "{}"),
+        # user 2: a single ping → uptime 1.0 by convention
+        (4, base, 2, "p", 0.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    out = {r.user_id: r for r in heartbeat_uptime(df, gap_sec=7200).collect()}
+    assert out[1].span_us == 5 * 3600 * 1_000_000
+    assert out[1].up_us == 3600 * 1_000_000
+    assert out[1].uptime == 0.2
+    assert out[2].uptime == 1.0 and out[2].span_us == 0
+
+
+def test_topk_similar_symmetry_and_rank(spark):
+    from duckdb_age_spark.operators.graph import topk_similar_customers
+
+    edges = spark.createDataFrame(
+        [(1, 2, 10), (1, 3, 5), (2, 3, 7), (1, 4, 5)],
+        "src long, dst long, shared_parts long",
+    )
+    out = {(r.cust, r.rk): (r.similar_cust, r.shared_parts) for r in
+           topk_similar_customers(edges, k=2).collect()}
+    assert out[(1, 1)] == (2, 10)
+    assert out[(1, 2)] == (3, 5)      # ties (3,5) vs (4,5) → min id first
+    assert out[(2, 1)] == (1, 10)     # symmetrized: 2 sees 1
+    assert out[(4, 1)] == (1, 5)
+
+
 def test_triangle_degree_orientation_bounds_skewed_star(spark):
     """Planted worst case for id-orientation: a 200-leaf star whose hub has
     the LOWEST id.  Id-oriented, the hub anchors C(200,2)=19900 wedges;
