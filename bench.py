@@ -139,6 +139,7 @@ BENCH_QUERIES = [
     "events_ohlc",
     "events_uptime",
     "graph_topk_similar",
+    "streaming_ohlc",
 ]
 
 

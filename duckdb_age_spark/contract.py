@@ -4676,6 +4676,48 @@ def graph_topk_similar(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk_similar_customers(edges, k=3)
 
 
+@_q(
+    "streaming_ohlc",
+    """
+    WITH d AS (SELECT (floor(epoch(ts))::BIGINT - floor(epoch(ts))::BIGINT % 3600) AS window_sec,
+                      event_type,
+                      CAST(round(value * 1000) AS BIGINT) AS vm,
+                      epoch_us(ts)::HUGEINT * 1000000 + event_id AS tk
+               FROM events)
+    SELECT window_sec, event_type,
+           arg_min(vm, tk)::DOUBLE / 1000.0 AS open,
+           max(vm)::DOUBLE / 1000.0 AS high,
+           min(vm)::DOUBLE / 1000.0 AS low,
+           arg_max(vm, tk)::DOUBLE / 1000.0 AS close,
+           count(*)::BIGINT AS n_events
+    FROM d GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def streaming_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING OHLC candles: the batch candle rule (deterministic
+    composite-decimal tie keys) as a watermark-bounded streaming
+    aggregation, drained with availableNow and compared to the batch
+    oracle — proves min_by/max_by state merges preserve the tie rule
+    incrementally."""
+    from .streaming import ohlc_stream, run_available_now, stream_events
+
+    _prep(spark)
+    out = run_available_now(
+        ohlc_stream(stream_events(spark, sf_dir), window="1 hour"),
+        output_mode="complete",
+        shuffle_partitions=8,
+    )
+    return out.select(
+        F.col("window_start").cast("long").alias("window_sec"),
+        "event_type",
+        "open",
+        "high",
+        "low",
+        "close",
+        "n_events",
+    ).orderBy("window_sec", "event_type")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: encrypted-document pipeline at sf0.001 — round-trip an
     age-encrypted documents table and join quality stats (SURVEY.md §7.3)."""

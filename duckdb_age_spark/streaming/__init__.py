@@ -412,3 +412,36 @@ def cms_cells_stream(events: DataFrame, depth: int = 4, width: int = 256) -> Dat
         .groupBy("row", "bucket")
         .agg(F.count("*").alias("cell_n"))
     )
+
+
+def ohlc_stream(events: DataFrame, window: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
+    """Streaming OHLC candles per (event_type, tumbling window): open/close
+    via min_by/max_by over the composite (µs epoch, event_id) decimal tie
+    key — the same deterministic rule as the batch operator
+    (operators/events.py:ohlc_candles), running as a watermark-bounded
+    streaming aggregation (state = one candle per open window per type,
+    evicted as the watermark passes)."""
+    us = F.unix_micros(F.col("ts"))
+    vm = F.round(F.col("value") * 1000, 0).cast("long")
+    tk = us.cast("decimal(38,0)") * 1_000_000 + F.col("event_id")
+    return (
+        events.withWatermark("ts", watermark)
+        .select("ts", "event_type", vm.alias("vm"), tk.alias("tk"))
+        .groupBy(F.window("ts", window).alias("win"), "event_type")
+        .agg(
+            (F.min_by("vm", "tk") / 1000.0).alias("open"),
+            (F.max("vm") / 1000.0).alias("high"),
+            (F.min("vm") / 1000.0).alias("low"),
+            (F.max_by("vm", "tk") / 1000.0).alias("close"),
+            F.count("*").cast("bigint").alias("n_events"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            "event_type",
+            "open",
+            "high",
+            "low",
+            "close",
+            "n_events",
+        )
+    )

@@ -141,6 +141,7 @@ def test_priority_50_covers_every_operator_family():
         "streaming": [
             "streaming_windowed", "streaming_dedup", "streaming_join",
             "streaming_distinct_users", "streaming_cms_topusers",
+            "streaming_ohlc",
         ],
         "text": [
             "text_doc_stats", "text_bm25_topk", "text_tfidf_keywords",
