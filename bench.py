@@ -140,6 +140,8 @@ BENCH_QUERIES = [
     "events_uptime",
     "graph_topk_similar",
     "streaming_ohlc",
+    "skew_bloom_prefilter",
+    "upsert_incremental_agg",
 ]
 
 

@@ -4718,6 +4718,60 @@ def streaming_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("window_sec", "event_type")
 
 
+@_q(
+    "skew_bloom_prefilter",
+    """
+    WITH qual AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+    bloom AS (SELECT DISTINCT
+                ('0x' || substr(md5(i::VARCHAR || '|' || c_custkey::VARCHAR), 1, 15))::BIGINT % 8192 AS pos
+              FROM qual, (SELECT unnest(range(0, 3)) AS i)),
+    probe AS (SELECT o_orderkey, o_custkey,
+                     unnest(list_transform(range(0, 3),
+                       i -> ('0x' || substr(md5(i::VARCHAR || '|' || o_custkey::VARCHAR), 1, 15))::BIGINT % 8192)) AS pos
+              FROM orders),
+    passed AS (SELECT o_orderkey, o_custkey FROM probe JOIN bloom USING (pos)
+               GROUP BY 1, 2 HAVING count(*) = 3),
+    t AS (SELECT count(*) AS n_true FROM passed
+          WHERE o_custkey IN (SELECT c_custkey FROM qual))
+    SELECT (SELECT count(*) FROM orders)::BIGINT AS n_orders,
+           (SELECT count(*) FROM passed)::BIGINT AS n_pass_bloom,
+           n_true::BIGINT AS n_true_match,
+           ((SELECT count(*) FROM passed) - n_true)::BIGINT AS n_false_pos,
+           round(((SELECT count(*) FROM passed) - n_true)::DOUBLE
+                 / (SELECT count(*) FROM orders)::DOUBLE, 6) AS fp_rate
+    FROM t
+    """,
+)
+def skew_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic broadcast Bloom-filter semi-join prefilter: portable
+    md5 hash family, so even the FALSE POSITIVES are engine-identical and
+    the census (pass/true/fp/rate) hash-matches the oracle."""
+    from .operators.skew import bloom_prefilter_stats
+
+    _prep(spark)
+    return bloom_prefilter_stats(
+        load(spark, sf_dir, "orders"), load(spark, sf_dir, "customer")
+    )
+
+
+@_q(
+    "upsert_incremental_agg",
+    """
+    SELECT o_custkey::BIGINT AS custkey, count(*)::BIGINT AS n_orders,
+           sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS total_cents
+    FROM orders GROUP BY 1
+    """,
+)
+def upsert_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance: pre-1997 state partials merged
+    with the newer delta's partials must equal the oracle's full recompute
+    — the materialized-view refresh identity (count/sum partials add)."""
+    from .sources.upsert import incremental_agg_merge
+
+    _prep(spark)
+    return incremental_agg_merge(load(spark, sf_dir, "orders"), split_date="1997-01-01")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: encrypted-document pipeline at sf0.001 — round-trip an
     age-encrypted documents table and join quality stats (SURVEY.md §7.3)."""

