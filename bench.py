@@ -142,6 +142,8 @@ BENCH_QUERIES = [
     "streaming_ohlc",
     "skew_bloom_prefilter",
     "upsert_incremental_agg",
+    "events_time_to_convert",
+    "rollup_autocorr",
 ]
 
 

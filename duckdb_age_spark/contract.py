@@ -4772,6 +4772,65 @@ def upsert_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_agg_merge(load(spark, sf_dir, "orders"), split_date="1997-01-01")
 
 
+@_q(
+    "events_time_to_convert",
+    """
+    WITH f AS (SELECT user_id,
+                      min(CASE WHEN event_type = 'view' THEN epoch_us(ts)::BIGINT END) AS v,
+                      min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts)::BIGINT END) AS p
+               FROM events GROUP BY 1),
+    conv AS (SELECT ((p - v) // 1000000)::BIGINT AS delta_sec, user_id FROM f
+             WHERE v IS NOT NULL AND p IS NOT NULL AND p >= v),
+    r AS (SELECT delta_sec, row_number() OVER (ORDER BY delta_sec, user_id) AS rn,
+                 count(*) OVER () AS n, sum(delta_sec) OVER () AS s FROM conv)
+    SELECT max(n)::BIGINT AS n_converted,
+           max(CASE WHEN rn = CAST(floor(0.5 * (n - 1)) AS BIGINT) + 1
+                    THEN delta_sec END)::BIGINT AS median_sec,
+           max(CASE WHEN rn = CAST(floor(0.9 * (n - 1)) AS BIGINT) + 1
+                    THEN delta_sec END)::BIGINT AS p90_sec,
+           round(max(s)::DOUBLE / max(n), 4) AS avg_sec
+    FROM r
+    """,
+)
+def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion latency: first-view→first-purchase seconds per user,
+    summarized with exact discrete-rank median/p90 + mean."""
+    from .operators.events import time_to_convert
+    from .sources.tables import read_table
+
+    _prep(spark)
+    return time_to_convert(read_table(spark, sf_dir, "events"))
+
+
+@_q(
+    "rollup_autocorr",
+    """
+    WITH daily AS (SELECT ts::DATE AS day, count(*) AS c FROM events GROUP BY 1),
+    p AS (SELECT day, c AS x, lead(c) OVER (ORDER BY day) AS y,
+                 lead(day) OVER (ORDER BY day) AS nday FROM daily),
+    q AS (SELECT x::HUGEINT AS x, y::HUGEINT AS y FROM p
+          WHERE nday = (day + INTERVAL 1 DAY)::DATE)
+    SELECT (SELECT count(*) FROM daily)::BIGINT AS n_days,
+           count(*)::BIGINT AS n_pairs,
+           CASE WHEN sqrt((count(*) * sum(x * x) - sum(x) * sum(x))::DOUBLE
+                          * (count(*) * sum(y * y) - sum(y) * sum(y))::DOUBLE) > 0
+                THEN round((count(*) * sum(x * y) - sum(x) * sum(y))::DOUBLE
+                           / sqrt((count(*) * sum(x * x) - sum(x) * sum(x))::DOUBLE
+                                  * (count(*) * sum(y * y) - sum(y) * sum(y))::DOUBLE), 6)
+                ELSE 0.0 END AS autocorr
+    FROM q
+    """,
+)
+def rollup_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of the daily event-count series from
+    decimal-exact integer sufficient statistics — the seasonality screen."""
+    from .operators.rollup import daily_autocorr
+    from .sources.tables import read_table
+
+    _prep(spark)
+    return daily_autocorr(read_table(spark, sf_dir, "events"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: encrypted-document pipeline at sf0.001 — round-trip an
     age-encrypted documents table and join quality stats (SURVEY.md §7.3)."""

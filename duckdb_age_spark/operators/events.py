@@ -208,3 +208,51 @@ def heartbeat_uptime(events: DataFrame, gap_sec: int = 7200) -> DataFrame:
         .otherwise(F.lit(1.0))
         .alias("uptime"),
     )
+
+
+def time_to_convert(events: DataFrame) -> DataFrame:
+    """Conversion-latency distribution: per user, seconds from first
+    ``view`` to first ``purchase`` (only when the purchase follows),
+    summarized as exact discrete-rank median/p90 plus the mean — the
+    funnel-latency readout behind "how long does conversion take".
+
+    Discrete ranks (floor(q·(n−1))+1 over the sorted deltas — no
+    interpolation) and integer seconds keep every value engine-exact; the
+    mean divides an exact integer sum once.  Shape: one user-keyed
+    aggregate, one total-order rank window over the (small) converted-user
+    set.  Returns one row (n_converted, median_sec, p90_sec, avg_sec).
+    """
+    from pyspark.sql import Window
+
+    firsts = events.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.unix_micros("ts"))).alias("v"),
+        F.min(F.when(F.col("event_type") == "purchase", F.unix_micros("ts"))).alias("p"),
+    )
+    conv = firsts.where(
+        F.col("v").isNotNull() & F.col("p").isNotNull() & (F.col("p") >= F.col("v"))
+    ).select(((F.col("p") - F.col("v")) / F.lit(1_000_000)).cast("long").alias("delta_sec"), "user_id")
+    w = Window.orderBy("delta_sec", "user_id")
+    ranked = conv.select("delta_sec", F.row_number().over(w).alias("rn"))
+    totals = ranked.agg(F.count("*").alias("n"), F.sum("delta_sec").alias("s"))
+    return (
+        ranked.crossJoin(F.broadcast(totals))
+        .select(
+            "delta_sec",
+            "rn",
+            "n",
+            "s",
+            (F.floor(F.lit(0.5) * (F.col("n") - 1)) + 1).alias("r50"),
+            (F.floor(F.lit(0.9) * (F.col("n") - 1)) + 1).alias("r90"),
+        )
+        .groupBy("n", "s")
+        .agg(
+            F.max(F.when(F.col("rn") == F.col("r50"), F.col("delta_sec"))).alias("median_sec"),
+            F.max(F.when(F.col("rn") == F.col("r90"), F.col("delta_sec"))).alias("p90_sec"),
+        )
+        .select(
+            F.col("n").cast("bigint").alias("n_converted"),
+            F.col("median_sec").cast("bigint"),
+            F.col("p90_sec").cast("bigint"),
+            F.round(F.col("s") / F.col("n"), 4).alias("avg_sec"),
+        )
+    )

@@ -260,3 +260,50 @@ def order_concurrency(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
         )
         .orderBy("month")
     )
+
+
+def daily_autocorr(events: DataFrame) -> DataFrame:
+    """Lag-1 autocorrelation of the daily event-count series — the
+    seasonality/trend screen for a metric pipeline ("does today predict
+    tomorrow?").
+
+    Day counts are exact integers; consecutive-day pairs come from ONE
+    lead window over the (time-bounded) day axis; Pearson r uses the
+    integer sufficient-statistics identity
+        r = (nΣxy − ΣxΣy) / √((nΣx²−(Σx)²)(nΣy²−(Σy)²))
+    with decimal-exact sums and a single terminal IEEE sqrt/division
+    (rounded 6 dp) — engine-identical.  Only CONSECUTIVE calendar days
+    pair up (gaps break pairs), replayed identically by the oracle.
+    Returns one row (n_days, n_pairs, autocorr).
+    """
+    from pyspark.sql import Window
+
+    daily = events.groupBy(F.to_date("ts").alias("day")).agg(F.count("*").alias("c"))
+    w = Window.orderBy("day")
+    pairs = (
+        daily.select("day", "c", F.lead("day").over(w).alias("nday"), F.lead("c").over(w).alias("nc"))
+        .where(F.col("nday") == F.date_add("day", 1))
+        .select(
+            F.col("c").cast("decimal(38,0)").alias("x"),
+            F.col("nc").cast("decimal(38,0)").alias("y"),
+        )
+    )
+    n_days = daily.agg(F.count("*").alias("n_days"))
+    agg = pairs.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    )
+    return agg.crossJoin(F.broadcast(n_days)).select(
+        F.col("n_days").cast("bigint"),
+        F.col("n").cast("bigint").alias("n_pairs"),
+        F.when(den > 0, F.round(num / den, 6)).otherwise(F.lit(0.0)).alias("autocorr"),
+    )

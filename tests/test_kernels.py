@@ -168,7 +168,7 @@ def test_priority_50_covers_every_operator_family():
         "events": [
             "events_tumbling", "events_sessions", "events_props",
             "events_gapfill", "events_session_window", "events_rolling_1h",
-            "events_ohlc", "events_uptime",
+            "events_ohlc", "events_uptime", "events_time_to_convert",
         ],
         "window_cube": ["order_gaps", "window_balance_analytics"],
         "graph_layout": [
@@ -193,7 +193,7 @@ def test_priority_50_covers_every_operator_family():
         "temporal": [
             "asof_join", "range_join", "rollup_timebuckets",
             "rollup_time_weighted_avg", "asof_forward_tolerance",
-            "rollup_order_concurrency",
+            "rollup_order_concurrency", "rollup_autocorr",
         ],
         "extension_points": ["udaf_geomean", "udtf_chunks"],
         "multimodal": [

@@ -1166,6 +1166,51 @@ def test_topk_similar_symmetry_and_rank(spark):
     assert out[(4, 1)] == (1, 5)
 
 
+def test_time_to_convert_known_latencies(spark):
+    from duckdb_age_spark.operators.events import time_to_convert
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+
+    def ev(eid, uid, kind, minutes):
+        return (eid, base + dt.timedelta(minutes=minutes), uid, kind, 0.0, "{}")
+
+    rows = [
+        ev(1, 1, "view", 0), ev(2, 1, "purchase", 10),    # 600s
+        ev(3, 2, "view", 0), ev(4, 2, "purchase", 30),    # 1800s
+        ev(5, 3, "view", 0), ev(6, 3, "purchase", 60),    # 3600s
+        ev(7, 4, "purchase", 0), ev(8, 4, "view", 10),    # purchase BEFORE view: excluded
+        ev(9, 5, "view", 0),                              # never converts: excluded
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    r = time_to_convert(df).collect()[0]
+    assert r.n_converted == 3
+    assert r.median_sec == 1800       # rank floor(0.5*2)+1 = 2
+    assert r.p90_sec == 1800          # rank floor(0.9*2)+1 = 2
+    assert r.avg_sec == 2000.0
+
+
+def test_daily_autocorr_perfect_trend(spark):
+    from duckdb_age_spark.operators.rollup import daily_autocorr
+    import datetime as dt
+
+    # strictly increasing daily counts over consecutive days → r = 1
+    rows = []
+    eid = 0
+    for d in range(6):
+        for _ in range(d + 1):
+            eid += 1
+            rows.append((eid, dt.datetime(2024, 1, 1 + d, 12), 1, "x", 0.0, "{}"))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    r = daily_autocorr(df).collect()[0]
+    assert r.n_days == 6 and r.n_pairs == 5
+    assert r.autocorr == 1.0
+
+
 def test_bloom_prefilter_no_false_negatives(spark):
     from duckdb_age_spark.operators.skew import bloom_prefilter_stats
 
