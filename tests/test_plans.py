@@ -499,3 +499,57 @@ def test_scd2_asof_lookup_single_window_shuffle(t):
     # the point-in-time filter adds NO exchange beyond the SCD2 build's
     # one custkey-keyed window shuffle
     assert count_exchanges(df) <= 1, formatted_plan(df)
+
+
+def test_ohlc_single_partial_aggregated_shuffle(t):
+    from duckdb_age_spark.operators.events import ohlc_candles
+
+    df = ohlc_candles(t["events"])
+    assert has_partial_aggregate(df)
+    assert count_exchanges(df) <= 1, formatted_plan(df)
+
+
+def test_heartbeat_uptime_reuses_user_partitioning(t):
+    from duckdb_age_spark.operators.events import heartbeat_uptime
+
+    df = heartbeat_uptime(t["events"])
+    # lead window and the aggregate share the user_id key: one exchange,
+    # not two
+    assert count_exchanges(df) <= 1, formatted_plan(df)
+
+
+def test_topk_similar_uses_group_limit(t):
+    from duckdb_age_spark.operators.graph import topk_similar_customers
+
+    edges = t["orders"].sparkSession.createDataFrame(
+        [(1, 2, 5), (1, 3, 4)], "src long, dst long, shared_parts long"
+    )
+    plan = topk_similar_customers(edges)._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_bloom_prefilter_broadcasts_filter(t):
+    from duckdb_age_spark.operators.skew import bloom_prefilter_stats
+
+    df = bloom_prefilter_stats(t["orders"], t["customer"])
+    # the position set and the qualifying-key semi-join side both broadcast
+    assert has_broadcast_join(df)
+    assert has_partial_aggregate(df)
+
+
+def test_incremental_agg_partials_combine(t):
+    from duckdb_age_spark.sources.upsert import incremental_agg_merge
+
+    df = incremental_agg_merge(t["orders"])
+    assert has_partial_aggregate(df)
+    # two partial aggregates + the merge: never more than 3 exchanges
+    assert count_exchanges(df) <= 3, formatted_plan(df)
+
+
+def test_autocorr_day_axis_stays_tiny(t):
+    from duckdb_age_spark.operators.rollup import daily_autocorr
+
+    df = daily_autocorr(t["events"])
+    # the only corpus-sized work is the per-day count (partial-aggregated);
+    # everything after runs on the bounded day axis
+    assert has_partial_aggregate(df)
