@@ -144,6 +144,8 @@ BENCH_QUERIES = [
     "upsert_incremental_agg",
     "events_time_to_convert",
     "rollup_autocorr",
+    "stats_psi_drift",
+    "events_stickiness",
 ]
 
 

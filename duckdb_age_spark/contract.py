@@ -4831,6 +4831,73 @@ def rollup_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return daily_autocorr(read_table(spark, sf_dir, "events"))
 
 
+@_q(
+    "stats_psi_drift",
+    """
+    WITH ref AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v, o_orderkey
+                 FROM orders WHERE o_orderdate < DATE '1995-06-01'),
+    cur AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v
+            FROM orders WHERE o_orderdate >= DATE '1995-06-01'),
+    r AS (SELECT v, row_number() OVER (ORDER BY v, o_orderkey) AS rn,
+                 count(*) OVER () AS n FROM ref),
+    cutlist AS (
+      SELECT list(v ORDER BY v) AS cuts FROM r
+      WHERE list_contains(list_transform(range(1, 10),
+              q -> CAST(floor((q / 10.0) * (n - 1)) AS BIGINT) + 1), rn)),
+    br AS (SELECT len(list_filter(cuts, c -> v >= c)) AS bin, count(*) AS np
+           FROM ref, cutlist GROUP BY 1),
+    bc AS (SELECT len(list_filter(cuts, c -> v >= c)) AS bin, count(*) AS nq
+           FROM cur, cutlist GROUP BY 1),
+    j AS (SELECT coalesce(br.bin, bc.bin) AS bin,
+                 coalesce(np, 0) AS np, coalesce(nq, 0) AS nq
+          FROM br FULL JOIN bc ON br.bin = bc.bin),
+    t AS (SELECT (SELECT count(*) FROM ref) AS tr, (SELECT count(*) FROM cur) AS tc)
+    SELECT tr::BIGINT AS n_ref, tc::BIGINT AS n_cur,
+           sum(CASE WHEN np > 0 AND nq > 0 THEN 1 ELSE 0 END)::BIGINT AS n_bins_used,
+           sum(CASE WHEN np > 0 AND nq > 0 THEN 0 ELSE 1 END)::BIGINT AS n_bins_skipped,
+           round(sum(CASE WHEN np > 0 AND nq > 0 THEN
+               CAST(floor((np::DOUBLE / tr - nq::DOUBLE / tc)
+                          * ln((np::DOUBLE / tr) / (nq::DOUBLE / tc)) * 1e9 + 0.5) AS BIGINT)
+               ELSE 0 END) / 1e9, 6) AS psi
+    FROM j, t GROUP BY tr, tc
+    """,
+)
+def stats_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between pre/post-1995-06 order values:
+    reference-decile bins (exact discrete ranks), per-bin terms fixed to
+    integer nano-units for an order-free exact sum."""
+    from .operators.stats import psi_drift
+
+    _prep(spark)
+    return psi_drift(load(spark, sf_dir, "orders"), split_date="1995-06-01")
+
+
+@_q(
+    "events_stickiness",
+    """
+    WITH daily AS (SELECT ts::DATE AS day, count(DISTINCT user_id) AS dau
+                   FROM events GROUP BY 1),
+    md AS (SELECT strftime(day, '%Y-%m') AS month, count(*) AS n_days,
+                  sum(dau) AS dau_sum FROM daily GROUP BY 1),
+    mu AS (SELECT strftime(ts::DATE, '%Y-%m') AS month,
+                  count(DISTINCT user_id) AS mau FROM events GROUP BY 1)
+    SELECT month, n_days::BIGINT AS n_days,
+           round(dau_sum::DOUBLE / n_days, 4) AS avg_dau,
+           mau::BIGINT AS mau,
+           round(dau_sum::DOUBLE / n_days::DOUBLE / mau::DOUBLE, 6) AS stickiness
+    FROM md JOIN mu USING (month)
+    """,
+)
+def events_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/MAU stickiness per month — exact distinct counts at both grains,
+    one terminal IEEE division."""
+    from .operators.events import user_stickiness
+    from .sources.tables import read_table
+
+    _prep(spark)
+    return user_stickiness(read_table(spark, sf_dir, "events"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: encrypted-document pipeline at sf0.001 — round-trip an
     age-encrypted documents table and join quality stats (SURVEY.md §7.3)."""

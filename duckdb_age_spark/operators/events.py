@@ -256,3 +256,42 @@ def time_to_convert(events: DataFrame) -> DataFrame:
             F.round(F.col("s") / F.col("n"), 4).alias("avg_sec"),
         )
     )
+
+
+def user_stickiness(events: DataFrame) -> DataFrame:
+    """DAU/MAU stickiness per month: average daily active users divided by
+    monthly active users — the engagement ratio every product dashboard
+    tracks.
+
+    Exact distinct counts at both grains; avg DAU divides an exact
+    integer sum by the month's active-day count, and the final ratio is
+    ONE IEEE division rounded 6 dp.  Two distinct aggregations (day,
+    month) over the same shuffle key family; no approximation.
+    Returns (month, n_days, avg_dau, mau, stickiness).
+    """
+    day = F.to_date("ts")
+    daily = events.groupBy(day.alias("day")).agg(
+        F.countDistinct("user_id").alias("dau")
+    )
+    monthly_d = daily.groupBy(F.date_format("day", "yyyy-MM").alias("month")).agg(
+        F.count("*").alias("n_days"), F.sum("dau").alias("dau_sum")
+    )
+    monthly_u = events.groupBy(F.date_format(day, "yyyy-MM").alias("month")).agg(
+        F.countDistinct("user_id").alias("mau")
+    )
+    return (
+        monthly_d.join(monthly_u, "month")
+        .select(
+            "month",
+            F.col("n_days").cast("bigint"),
+            F.round(F.col("dau_sum") / F.col("n_days"), 4).alias("avg_dau"),
+            F.col("mau").cast("bigint"),
+            F.round(
+                F.col("dau_sum").cast("double")
+                / F.col("n_days").cast("double")
+                / F.col("mau").cast("double"),
+                6,
+            ).alias("stickiness"),
+        )
+        .orderBy("month")
+    )

@@ -591,3 +591,73 @@ def gini_coefficient(orders: DataFrame) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+def psi_drift(orders: DataFrame, split_date: str = "1995-06-01", n_bins: int = 10) -> DataFrame:
+    """Population Stability Index between the order-value distribution
+    BEFORE ``split_date`` (reference) and AFTER (current) — the standard
+    drift gate for features/scores between training and serving
+    snapshots (PSI < 0.1 stable, > 0.25 shifted).
+
+    Bin edges are the reference's exact discrete-rank deciles (integer
+    cents, floor(q·(n−1))+1 — no interpolation); both halves bin against
+    the same edges via one broadcast 1-row edge array (no driver collect).
+    PSI = Σ (pᵢ−qᵢ)·ln(pᵢ/qᵢ) over bins occupied on BOTH sides (bins empty
+    on either side are excluded and counted — deterministic, no epsilon
+    fudge).  Each term fixes to integer nano-units before the sum
+    (round-half-up via floor(x·1e9+½)), so the total is order-free exact
+    and one final division emits the engine-identical 6-dp PSI.
+    Returns one row (n_ref, n_cur, n_bins_used, n_bins_skipped, psi).
+    """
+    from pyspark.sql import Window
+
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    ref = orders.where(F.col("o_orderdate") < split_date).select(cents.alias("v"), "o_orderkey")
+    cur = orders.where(F.col("o_orderdate") >= split_date).select(cents.alias("v"), "o_orderkey")
+    w = Window.orderBy("v", "o_orderkey")
+    ranked = ref.select("v", F.row_number().over(w).alias("rn"))
+    nref = ranked.agg(F.count("*").alias("n"))
+    cut_ranks = F.array(
+        *[
+            (F.floor(F.lit(q / n_bins) * (F.col("n") - 1)) + 1).cast("long")
+            for q in range(1, n_bins)
+        ]
+    )
+    cuts = (
+        ranked.crossJoin(F.broadcast(nref))
+        .where(F.array_contains(cut_ranks, F.col("rn")))
+        .agg(F.sort_array(F.collect_list("v")).alias("cuts"))
+    )
+
+    def binned(df, name):
+        b = F.size(F.filter(F.col("cuts"), lambda c: F.col("v") >= c))
+        return (
+            df.crossJoin(F.broadcast(cuts))
+            .select(b.alias("bin"))
+            .groupBy("bin")
+            .agg(F.count("*").alias(name))
+        )
+
+    p = binned(ref, "np")
+    q = binned(cur, "nq")
+    joined = (
+        p.join(q, "bin", "full_outer")
+        .select(
+            "bin",
+            F.coalesce("np", F.lit(0)).alias("np"),
+            F.coalesce("nq", F.lit(0)).alias("nq"),
+        )
+        .crossJoin(F.broadcast(ref.agg(F.count("*").alias("tr"))))
+        .crossJoin(F.broadcast(cur.agg(F.count("*").alias("tc"))))
+    )
+    pi = F.col("np").cast("double") / F.col("tr").cast("double")
+    qi = F.col("nq").cast("double") / F.col("tc").cast("double")
+    term_nano = F.floor((pi - qi) * F.log(pi / qi) * 1e9 + F.lit(0.5)).cast("long")
+    both = (F.col("np") > 0) & (F.col("nq") > 0)
+    return joined.agg(
+        F.max("tr").cast("bigint").alias("n_ref"),
+        F.max("tc").cast("bigint").alias("n_cur"),
+        F.sum(both.cast("long")).cast("bigint").alias("n_bins_used"),
+        F.sum((~both).cast("long")).cast("bigint").alias("n_bins_skipped"),
+        F.round(F.sum(F.when(both, term_nano).otherwise(0)) / 1e9, 6).alias("psi"),
+    )

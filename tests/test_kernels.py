@@ -169,6 +169,7 @@ def test_priority_50_covers_every_operator_family():
             "events_tumbling", "events_sessions", "events_props",
             "events_gapfill", "events_session_window", "events_rolling_1h",
             "events_ohlc", "events_uptime", "events_time_to_convert",
+            "events_stickiness",
         ],
         "window_cube": ["order_gaps", "window_balance_analytics"],
         "graph_layout": [
@@ -189,6 +190,7 @@ def test_priority_50_covers_every_operator_family():
             "sketch_approx_distinct", "stats_chi_square", "stats_mad_outliers",
             "stats_entropy", "stats_linreg", "sketch_approx_percentile",
             "stats_quantile_binning", "stats_ks_test", "stats_gini",
+            "stats_psi_drift",
         ],
         "temporal": [
             "asof_join", "range_join", "rollup_timebuckets",

@@ -1211,6 +1211,46 @@ def test_daily_autocorr_perfect_trend(spark):
     assert r.autocorr == 1.0
 
 
+def test_psi_identical_halves_is_zero(spark):
+    from duckdb_age_spark.operators.stats import psi_drift
+    import datetime as dt
+
+    # same value multiset in both halves → every bin's p == q → PSI = 0
+    rows = []
+    for i in range(200):
+        half = dt.date(1995, 1, 1) if i % 2 == 0 else dt.date(1996, 1, 1)
+        rows.append((i, half, float((i // 2) % 50) * 100 + 10))
+    df = spark.createDataFrame(rows, "o_orderkey long, o_orderdate date, o_totalprice double")
+    r = psi_drift(df, split_date="1995-06-01").collect()[0]
+    assert r.n_ref == 100 and r.n_cur == 100
+    assert r.psi == 0.0
+    assert r.n_bins_skipped == 0
+
+
+def test_psi_detects_shift(spark):
+    from duckdb_age_spark.operators.stats import psi_drift
+    import datetime as dt
+
+    rows = [(i, dt.date(1995, 1, 1), float(i % 50) + 1) for i in range(200)]
+    rows += [(1000 + i, dt.date(1996, 1, 1), float(i % 50) + 500) for i in range(200)]
+    df = spark.createDataFrame(rows, "o_orderkey long, o_orderdate date, o_totalprice double")
+    r = psi_drift(df, split_date="1995-06-01").collect()[0]
+    # completely disjoint distributions: every bin one-sided except the top
+    assert r.n_bins_skipped >= 8
+
+
+def test_stickiness_bounds(spark, sf_dir):
+    from duckdb_age_spark.operators.events import user_stickiness
+    from duckdb_age_spark.sources import read_table
+
+    out = user_stickiness(read_table(spark, sf_dir, "events")).collect()
+    assert out
+    for r in out:
+        # avg DAU can never exceed MAU; stickiness is a (0, 1] ratio
+        assert 0 < r.stickiness <= 1.0
+        assert r.avg_dau <= r.mau
+
+
 def test_bloom_prefilter_no_false_negatives(spark):
     from duckdb_age_spark.operators.skew import bloom_prefilter_stats
 
