@@ -252,6 +252,72 @@ def test_multimodal_payload_properties_large_and_edge(spark):
             assert r.width is None and r.height is None
 
 
+def test_bmp_wav_codec_roundtrip_property():
+    """Property sweep (hypothesis): decode(encode(w, h)) == (w, h) and the
+    container size formula holds for ARBITRARY geometry, not just the
+    fixture-derived shapes; same for WAV.  Also: every strict prefix of a
+    valid container must be rejected, never mis-decoded."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from duckdb_age_spark.operators.multimodal import (
+        decode_bmp,
+        decode_wav,
+        encode_bmp,
+        encode_wav,
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        w=st.integers(min_value=1, max_value=200),
+        h=st.integers(min_value=1, max_value=200),
+        seed=st.integers(min_value=0, max_value=2**31),
+    )
+    def bmp_prop(w, h, seed):
+        payload = encode_bmp(w, h, seed=seed)
+        assert decode_bmp(payload) == (w, h)
+        assert len(payload) == 54 + ((3 * w + 3) // 4 * 4) * h
+        with pytest.raises(ValueError):
+            decode_bmp(payload[:-1])
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        n=st.integers(min_value=1, max_value=5000),
+        rate=st.sampled_from([8000, 16000, 44100, 48000]),
+        seed=st.integers(min_value=0, max_value=2**31),
+    )
+    def wav_prop(n, rate, seed):
+        payload = encode_wav(n, rate, seed=seed)
+        assert decode_wav(payload) == (rate, n)
+        assert len(payload) == 44 + 2 * n
+        with pytest.raises(ValueError):
+            decode_wav(payload[:-1])
+
+    bmp_prop()
+    wav_prop()
+
+
+def test_bmp_resize_property():
+    """resize(encode(w, h)) stays a valid BMP with the documented geometry
+    for arbitrary inputs and factors."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from duckdb_age_spark.operators.multimodal import decode_bmp, encode_bmp, resize_bmp
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        w=st.integers(min_value=1, max_value=120),
+        h=st.integers(min_value=1, max_value=120),
+        factor=st.integers(min_value=1, max_value=5),
+    )
+    def prop(w, h, factor):
+        small = resize_bmp(encode_bmp(w, h, seed=w * h), factor=factor)
+        assert decode_bmp(small) == (max(1, w // factor), max(1, h // factor))
+
+    prop()
+
+
 def test_bmp_wav_codec_roundtrip():
     """Pure-Python codec pair: decode(encode(...)) recovers the geometry for
     a sweep of shapes including the 4-byte row-padding corners (width % 4
