@@ -146,6 +146,7 @@ BENCH_QUERIES = [
     "rollup_autocorr",
     "stats_psi_drift",
     "events_stickiness",
+    "pipeline_dedup_report",
 ]
 
 

@@ -4898,6 +4898,54 @@ def events_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return user_stickiness(read_table(spark, sf_dir, "events"))
 
 
+@_q(
+    "pipeline_dedup_report",
+    f"""
+    WITH RECURSIVE {_MINHASH_SIG_SQL},
+    pairs AS (
+      SELECT doc_a, doc_b FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               round(({_MINHASH_MATCHES_SQL}) / 8.0, 4) AS est_jaccard
+        FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+        WHERE {_MINHASH_BANDS_SQL})
+      WHERE est_jaccard >= 0.5),
+    edges AS (SELECT doc_a AS node, doc_b AS neigh FROM pairs
+              UNION ALL
+              SELECT doc_b AS node, doc_a AS neigh FROM pairs),
+    reach(node, lab) AS (
+        SELECT doc_id, doc_id FROM corpus
+      UNION
+        SELECT e.node, r.lab FROM reach r JOIN edges e ON e.neigh = r.node),
+    cl AS (SELECT node AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY node),
+    census AS (
+      SELECT (SELECT count(*) FROM corpus) AS n_docs,
+             (SELECT coalesce(sum(c - 1), 0) FROM
+                (SELECT count(*) AS c FROM corpus GROUP BY md5(text))
+              WHERE c > 1) AS n_exact_redundant,
+             (SELECT count(*) FROM pairs) AS n_near_pairs,
+             (SELECT count(*) FROM
+                (SELECT cluster_id FROM cl GROUP BY 1 HAVING count(*) > 1)) AS n_multi_clusters,
+             (SELECT count(*) FROM cl WHERE doc_id = cluster_id) AS n_kept)
+    SELECT n_docs::BIGINT AS n_docs,
+           n_exact_redundant::BIGINT AS n_exact_redundant,
+           n_near_pairs::BIGINT AS n_near_pairs,
+           n_multi_clusters::BIGINT AS n_multi_clusters,
+           n_kept::BIGINT AS n_kept,
+           round(n_kept::DOUBLE / n_docs::DOUBLE, 6) AS retention_rate
+    FROM census
+    """,
+)
+def pipeline_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end dedup pipeline census: exact digest redundancy, LSH
+    candidate pairs, connected-component clusters, canonical survivors and
+    the retention rate — the whole curation stack composed into one
+    report row, every number a 1-row aggregate (no collect)."""
+    from .operators.dedup import dedup_retention_report
+
+    _prep(spark)
+    return dedup_retention_report(load(spark, sf_dir, "documents"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: encrypted-document pipeline at sf0.001 — round-trip an
     age-encrypted documents table and join quality stats (SURVEY.md §7.3)."""

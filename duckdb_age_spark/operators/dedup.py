@@ -591,3 +591,51 @@ def planted_fuzzy_variants(probes: DataFrame) -> DataFrame:
             )
         )
     )
+
+
+def dedup_retention_report(docs: DataFrame, every: int = 10) -> DataFrame:
+    """End-to-end dedup pipeline census on the planted corpus — the single
+    report row a curation run emits: corpus size, exact-duplicate
+    redundancy, near-dup candidate pairs, multi-member cluster count,
+    canonical survivors, and the retention rate.
+
+    Composes the whole stack (exact digest census → MinHash+LSH pairs →
+    connected components → canonical retention) without ever collecting:
+    each census number is a 1-row aggregate cross-joined into the report.
+    Returns (n_docs, n_exact_redundant, n_near_pairs, n_multi_clusters,
+    n_kept, retention_rate).
+    """
+    corpus = planted_near_dup_corpus(docs, every=every)
+    n_docs = corpus.agg(F.count("*").alias("n_docs"))
+    exact = exact_dedup_stats(corpus).select(F.col("n_redundant").alias("n_exact_redundant"))
+    # ONE pair computation feeds both the census and the clustering (the
+    # naive compose ran the whole shingle→LSH pipeline twice — measured 2×)
+    pairs = minhash_lsh_pairs(corpus).persist()
+    n_pairs = pairs.agg(F.count("*").alias("n_near_pairs"))
+    clusters = connected_components(
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")),
+        corpus.select(F.col("doc_id").alias("id")),
+    ).select(F.col("id").alias("doc_id"), "cluster_id")
+    multi = (
+        clusters.groupBy("cluster_id")
+        .agg(F.count("*").alias("sz"))
+        .where(F.col("sz") > 1)
+        .agg(F.count("*").alias("n_multi_clusters"))
+    )
+    kept = keep_canonical(clusters).agg(F.count("*").alias("n_kept"))
+    return (
+        n_docs.crossJoin(exact)
+        .crossJoin(n_pairs)
+        .crossJoin(multi)
+        .crossJoin(kept)
+        .select(
+            F.col("n_docs").cast("bigint"),
+            F.col("n_exact_redundant").cast("bigint"),
+            F.col("n_near_pairs").cast("bigint"),
+            F.col("n_multi_clusters").cast("bigint"),
+            F.col("n_kept").cast("bigint"),
+            F.round(F.col("n_kept").cast("double") / F.col("n_docs").cast("double"), 6).alias(
+                "retention_rate"
+            ),
+        )
+    )

@@ -152,7 +152,7 @@ def test_priority_50_covers_every_operator_family():
             "pipeline_sample_split", "pipeline_pack", "pipeline_quality_topk",
             "pipeline_decontaminate", "pipeline_mixture_sample",
             "pipeline_vocab_topk", "pipeline_balanced_sample",
-            "pipeline_weighted_sample",
+            "pipeline_weighted_sample", "pipeline_dedup_report",
         ],
         "dedup": [
             "dedup_exact", "dedup_minhash_pairs", "dedup_embedding_pairs",
