@@ -147,6 +147,10 @@ BENCH_QUERIES = [
     "stats_psi_drift",
     "events_stickiness",
     "pipeline_dedup_report",
+    "pipeline_pack_efficiency",
+    "graph_degree_distribution",
+    "stats_welch_ttest",
+    "events_pareto_share",
 ]
 
 

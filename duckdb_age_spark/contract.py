@@ -4946,6 +4946,121 @@ def pipeline_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_retention_report(load(spark, sf_dir, "documents"))
 
 
+@_q(
+    "pipeline_pack_efficiency",
+    r"""
+    WITH base AS (SELECT doc_id, lang,
+                         len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\s]'))::BIGINT AS n_tokens
+                  FROM documents),
+    arr AS (SELECT lang, max(bin_id) + 1 AS bins_arrival FROM (
+              SELECT lang, CAST(floor((sum(n_tokens) OVER w - n_tokens) / 2048.0) AS BIGINT) AS bin_id
+              FROM base WINDOW w AS (PARTITION BY lang ORDER BY doc_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+            GROUP BY 1),
+    srt AS (SELECT lang, max(bin_id) + 1 AS bins_sorted FROM (
+              SELECT lang, CAST(floor((sum(n_tokens) OVER w - n_tokens) / 2048.0) AS BIGINT) AS bin_id
+              FROM base WINDOW w AS (PARTITION BY lang ORDER BY n_tokens DESC, doc_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+            GROUP BY 1),
+    tot AS (SELECT lang, count(*) AS n_docs, sum(n_tokens) AS total_tokens FROM base GROUP BY 1)
+    SELECT lang, n_docs::BIGINT AS n_docs, total_tokens::BIGINT AS total_tokens,
+           bins_arrival::BIGINT AS bins_arrival, bins_sorted::BIGINT AS bins_sorted,
+           round(total_tokens::DOUBLE / (bins_arrival::DOUBLE * 2048), 6) AS eff_arrival,
+           round(total_tokens::DOUBLE / (bins_sorted::DOUBLE * 2048), 6) AS eff_sorted
+    FROM tot JOIN arr USING (lang) JOIN srt USING (lang)
+    """,
+)
+def pipeline_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-efficiency comparison per language: arrival-order vs
+    length-descending streaming packing under the same 2048-token budget —
+    the measurement behind sort-before-chunk corpus layout."""
+    from .operators.pipeline import pack_efficiency_report
+
+    _prep(spark)
+    return pack_efficiency_report(load(spark, sf_dir, "documents"), budget_tokens=2048)
+
+
+@_q(
+    "graph_degree_distribution",
+    f"""
+    WITH {_COPURCHASE_CP_SQL}, {_COPURCHASE_E_SQL},
+    und AS (SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e),
+    deg AS (SELECT src, count(*) AS deg FROM und GROUP BY 1),
+    b AS (SELECT length(to_base(deg, 2)) - 1 AS degree_bin FROM deg)
+    SELECT degree_bin::BIGINT AS degree_bin,
+           (1 << degree_bin)::BIGINT AS lo_degree,
+           count(*)::BIGINT AS n_nodes
+    FROM b GROUP BY degree_bin
+    """,
+)
+def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log2-binned degree histogram of the co-purchase graph: bin =
+    bit-length of the exact degree (no libm log2), the skew diagnostic."""
+    from .operators.graph import copurchase_edges, degree_distribution
+
+    _prep(spark)
+    orders = load(spark, sf_dir, "orders").where(F.col("o_custkey") % 10 == 0)
+    edges = copurchase_edges(orders, load(spark, sf_dir, "lineitem"), min_shared_parts=2)
+    return degree_distribution(edges)
+
+
+@_q(
+    "stats_welch_ttest",
+    """
+    WITH d AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+                      CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS a
+               FROM orders),
+    sa AS (SELECT count(*) AS na, sum(v)::HUGEINT AS s, sum(v::HUGEINT * v)::HUGEINT AS ss
+           FROM d WHERE a = 1),
+    sb AS (SELECT count(*) AS nb, sum(v)::HUGEINT AS s, sum(v::HUGEINT * v)::HUGEINT AS ss
+           FROM d WHERE a = 0),
+    m AS (SELECT na, nb,
+                 sa.s::DOUBLE / na AS ma, sb.s::DOUBLE / nb AS mb,
+                 (sa.ss::DOUBLE / na - (sa.s::DOUBLE / na) * (sa.s::DOUBLE / na)) * na / (na - 1) AS va,
+                 (sb.ss::DOUBLE / nb - (sb.s::DOUBLE / nb) * (sb.s::DOUBLE / nb)) * nb / (nb - 1) AS vb
+          FROM sa, sb)
+    SELECT na::BIGINT AS n_a, nb::BIGINT AS n_b,
+           round(ma / 100.0, 4) AS mean_a, round(mb / 100.0, 4) AS mean_b,
+           round((ma - mb) / sqrt(va / na + vb / nb), 4) AS t_stat,
+           round((va / na + vb / nb) * (va / na + vb / nb)
+                 / ((va / na) * (va / na) / (na - 1) + (vb / nb) * (vb / nb) / (nb - 1)), 4) AS df
+    FROM m
+    """,
+)
+def stats_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t between URGENT and other order values —
+    decimal-exact sufficient statistics, one fixed IEEE derivation
+    sequence mirrored by the oracle."""
+    from .operators.stats import welch_ttest
+
+    _prep(spark)
+    return welch_ttest(load(spark, sf_dir, "orders"))
+
+
+@_q(
+    "events_pareto_share",
+    """
+    WITH per_user AS (SELECT user_id, count(*) AS c FROM events GROUP BY 1),
+    ranked AS (SELECT c, row_number() OVER (ORDER BY c DESC, user_id ASC) AS rn
+               FROM per_user),
+    t AS (SELECT count(*) AS n, sum(c) AS total FROM ranked),
+    k AS (SELECT n, total, (n * 10 + 99) // 100 AS k FROM t)
+    SELECT n::BIGINT AS n_users, k::BIGINT AS top_k,
+           sum(c)::BIGINT AS top_events, total::BIGINT AS total_events,
+           round(sum(c)::DOUBLE / total::DOUBLE, 6) AS share
+    FROM ranked, k WHERE rn <= k GROUP BY n, total, k
+    """,
+)
+def events_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto concentration: event share of the top-10% most active users,
+    exact integer ranks and cutoff."""
+    from .operators.events import pareto_share
+    from .sources.tables import read_table
+
+    _prep(spark)
+    return pareto_share(read_table(spark, sf_dir, "events"), pct=10)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: encrypted-document pipeline at sf0.001 — round-trip an
     age-encrypted documents table and join quality stats (SURVEY.md §7.3)."""

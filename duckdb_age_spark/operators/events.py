@@ -295,3 +295,39 @@ def user_stickiness(events: DataFrame) -> DataFrame:
         )
         .orderBy("month")
     )
+
+
+def pareto_share(events: DataFrame, pct: int = 10) -> DataFrame:
+    """Pareto concentration: the share of all events produced by the top
+    ``pct`` percent most active users — the "does 10% of the fleet
+    generate 80% of the load" readout.
+
+    Exact integer ranks (count desc, user_id tie-break), top-k cutoff
+    k = ceil(pct·n/100) in integer arithmetic ((pct·n + 99) DIV 100), one
+    terminal IEEE division for the share.  One user-keyed aggregate + one
+    rank window over the user table (users ≪ events).
+    Returns one row (n_users, top_k, top_events, total_events, share).
+    """
+    from pyspark.sql import Window
+
+    per_user = events.groupBy("user_id").agg(F.count("*").alias("c"))
+    w = Window.orderBy(F.desc("c"), F.asc("user_id"))
+    ranked = per_user.select("c", F.row_number().over(w).alias("rn"))
+    totals = ranked.agg(F.count("*").alias("n"), F.sum("c").alias("total"))
+    k = F.floor((F.col("n") * pct + 99) / 100).cast("long")
+    return (
+        ranked.crossJoin(F.broadcast(totals))
+        .select("c", "rn", "n", "total", k.alias("k"))
+        .where(F.col("rn") <= F.col("k"))
+        .groupBy("n", "total", "k")
+        .agg(F.sum("c").alias("top_events"))
+        .select(
+            F.col("n").cast("bigint").alias("n_users"),
+            F.col("k").cast("bigint").alias("top_k"),
+            F.col("top_events").cast("bigint"),
+            F.col("total").cast("bigint").alias("total_events"),
+            F.round(F.col("top_events").cast("double") / F.col("total").cast("double"), 6).alias(
+                "share"
+            ),
+        )
+    )

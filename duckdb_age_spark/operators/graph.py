@@ -500,3 +500,34 @@ def topk_similar_customers(edges: DataFrame, k: int = 3) -> DataFrame:
             F.col("rk").cast("bigint"),
         )
     )
+
+
+def degree_distribution(edges: DataFrame) -> DataFrame:
+    """Log2-binned degree histogram of an undirected edge list — the
+    shape diagnostic (power law? hub-dominated?) that decides whether the
+    skew guards (degree orientation, hot caps, salting) are needed.
+
+    bin = floor(log2(degree)) computed as the BIT LENGTH of an exact
+    integer (63 − number of leading zeros via comparison chain is
+    engine-messy; instead length(base-2 string) − 1, exact in both
+    engines).  Two map-side-combined aggregates.
+    Returns (degree_bin, lo_degree, n_nodes).
+    """
+    und = edges.select("src", "dst").unionAll(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = und.groupBy("src").agg(F.count("*").alias("deg"))
+    # floor(log2(d)) via the length of the binary representation: exact
+    # integer arithmetic, immune to libm log2 edge cases at powers of two
+    dbin = (F.length(F.conv(F.col("deg").cast("string"), 10, 2)) - 1).cast("int")
+    return (
+        deg.select(dbin.alias("degree_bin"))
+        .groupBy("degree_bin")
+        .agg(F.count("*").cast("bigint").alias("n_nodes"))
+        .select(
+            F.col("degree_bin").cast("bigint"),
+            F.expr("CAST(shiftleft(1L, CAST(degree_bin AS INT)) AS BIGINT)").alias("lo_degree"),
+            "n_nodes",
+        )
+        .orderBy("degree_bin")
+    )

@@ -381,3 +381,62 @@ def weighted_sample(docs: DataFrame, k: int = 50) -> DataFrame:
         .where(F.col("rk") <= k)
         .select("doc_id", "weight", "rk")
     )
+
+
+def pack_efficiency_report(docs: DataFrame, budget_tokens: int = 2048) -> DataFrame:
+    """Packing-efficiency comparison: arrival-order streaming packing vs
+    LENGTH-DESCENDING (first-fit-decreasing-flavored) layout, per language —
+    the measurement that justifies sorting a pretraining corpus before
+    chunking (long docs first leaves fewer ragged bin tails).
+
+    Both layouts use the same deterministic streaming rule as
+    :func:`pack_sequences` (bin = budget-multiple of the starting offset);
+    only the order differs (doc_id vs tokens-desc/doc_id).  Efficiency =
+    total tokens ÷ (bins · budget), exact integers with one terminal
+    division.  Per-language window sorts — same scale shape as
+    pack_sequences.  Returns (lang, n_docs, total_tokens, bins_arrival,
+    bins_sorted, eff_arrival, eff_sorted).
+    """
+    base = docs.select("doc_id", "lang", token_count().cast("bigint").alias("n_tokens"))
+
+    def bins(order_cols):
+        w = Window.partitionBy("lang").orderBy(*order_cols).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        return (
+            base.withColumn("cum", F.sum("n_tokens").over(w))
+            .withColumn(
+                "bin_id",
+                F.floor((F.col("cum") - F.col("n_tokens")) / F.lit(float(budget_tokens))),
+            )
+            .groupBy("lang")
+            .agg((F.max("bin_id") + 1).alias("n_bins"))
+        )
+
+    arrival = bins([F.col("doc_id")]).withColumnRenamed("n_bins", "bins_arrival")
+    srt = bins([F.desc("n_tokens"), F.col("doc_id")]).withColumnRenamed("n_bins", "bins_sorted")
+    totals = base.groupBy("lang").agg(
+        F.count("*").alias("n_docs"), F.sum("n_tokens").alias("total_tokens")
+    )
+    return (
+        totals.join(arrival, "lang")
+        .join(srt, "lang")
+        .select(
+            "lang",
+            F.col("n_docs").cast("bigint"),
+            F.col("total_tokens").cast("bigint"),
+            F.col("bins_arrival").cast("bigint"),
+            F.col("bins_sorted").cast("bigint"),
+            F.round(
+                F.col("total_tokens").cast("double")
+                / (F.col("bins_arrival").cast("double") * budget_tokens),
+                6,
+            ).alias("eff_arrival"),
+            F.round(
+                F.col("total_tokens").cast("double")
+                / (F.col("bins_sorted").cast("double") * budget_tokens),
+                6,
+            ).alias("eff_sorted"),
+        )
+        .orderBy("lang")
+    )

@@ -661,3 +661,58 @@ def psi_drift(orders: DataFrame, split_date: str = "1995-06-01", n_bins: int = 1
         F.sum((~both).cast("long")).cast("bigint").alias("n_bins_skipped"),
         F.round(F.sum(F.when(both, term_nano).otherwise(0)) / 1e9, 6).alias("psi"),
     )
+
+
+def welch_ttest(orders: DataFrame, split_priority: str = "1-URGENT") -> DataFrame:
+    """Welch's unequal-variance t statistic between ``split_priority``
+    order values and the rest — the A/B significance workhorse that does
+    not assume equal group variances.
+
+    Sufficient statistics (n, Σx, Σx²) accumulate as decimal(38,0) over
+    exact cents — order-free at any partitioning; mean/variance/t/df then
+    derive through ONE fixed IEEE sequence (mean = s/n, msq = ss/n,
+    var = (msq − mean²)·n/(n−1), t = Δmean/√(va/na + vb/nb), Welch-
+    Satterthwaite df) that both engines round identically.  Returns one
+    row (n_a, n_b, mean_a, mean_b, t_stat, df) with t/df rounded 4 dp.
+    """
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    is_a = (F.col("o_orderpriority") == split_priority).cast("long")
+    d = orders.select(cents.alias("v"), is_a.alias("a"))
+
+    def stats_for(flag):
+        side = d.where(F.col("a") == flag)
+        return side.agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("v").cast("decimal(38,0)")).alias("s"),
+            F.sum((F.col("v") * F.col("v")).cast("decimal(38,0)")).alias("ss"),
+        )
+
+    a = stats_for(1).select(
+        F.col("n").alias("na"), F.col("s").alias("sa"), F.col("ss").alias("ssa")
+    )
+    b = stats_for(0).select(
+        F.col("n").alias("nb"), F.col("s").alias("sb"), F.col("ss").alias("ssb")
+    )
+
+    def mean(s, n):
+        return F.col(s).cast("double") / F.col(n)
+
+    def var(ss, s, n):
+        m = mean(s, n)
+        msq = F.col(ss).cast("double") / F.col(n)
+        return (msq - m * m) * F.col(n) / (F.col(n) - 1)
+
+    va, vb = var("ssa", "sa", "na"), var("ssb", "sb", "nb")
+    sea, seb = va / F.col("na"), vb / F.col("nb")
+    t = (mean("sa", "na") - mean("sb", "nb")) / F.sqrt(sea + seb)
+    df = (sea + seb) * (sea + seb) / (
+        sea * sea / (F.col("na") - 1) + seb * seb / (F.col("nb") - 1)
+    )
+    return a.crossJoin(b).select(
+        F.col("na").cast("bigint").alias("n_a"),
+        F.col("nb").cast("bigint").alias("n_b"),
+        F.round(mean("sa", "na") / 100.0, 4).alias("mean_a"),
+        F.round(mean("sb", "nb") / 100.0, 4).alias("mean_b"),
+        F.round(t, 4).alias("t_stat"),
+        F.round(df, 4).alias("df"),
+    )

@@ -153,6 +153,7 @@ def test_priority_50_covers_every_operator_family():
             "pipeline_decontaminate", "pipeline_mixture_sample",
             "pipeline_vocab_topk", "pipeline_balanced_sample",
             "pipeline_weighted_sample", "pipeline_dedup_report",
+            "pipeline_pack_efficiency",
         ],
         "dedup": [
             "dedup_exact", "dedup_minhash_pairs", "dedup_embedding_pairs",
@@ -169,7 +170,7 @@ def test_priority_50_covers_every_operator_family():
             "events_tumbling", "events_sessions", "events_props",
             "events_gapfill", "events_session_window", "events_rolling_1h",
             "events_ohlc", "events_uptime", "events_time_to_convert",
-            "events_stickiness",
+            "events_stickiness", "events_pareto_share",
         ],
         "window_cube": ["order_gaps", "window_balance_analytics"],
         "graph_layout": [
@@ -177,6 +178,7 @@ def test_priority_50_covers_every_operator_family():
             "graph_triangles", "graph_triangles_degree",
             "graph_weighted_pagerank", "graph_edge_jaccard", "graph_kcore",
             "graph_label_propagation", "graph_topk_similar",
+            "graph_degree_distribution",
         ],
         "relational": [
             "tpch_q1", "tpch_q3", "tpch_q6", "tpch_q13", "tpch_q2",
@@ -190,7 +192,7 @@ def test_priority_50_covers_every_operator_family():
             "sketch_approx_distinct", "stats_chi_square", "stats_mad_outliers",
             "stats_entropy", "stats_linreg", "sketch_approx_percentile",
             "stats_quantile_binning", "stats_ks_test", "stats_gini",
-            "stats_psi_drift",
+            "stats_psi_drift", "stats_welch_ttest",
         ],
         "temporal": [
             "asof_join", "range_join", "rollup_timebuckets",

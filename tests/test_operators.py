@@ -1277,6 +1277,63 @@ def test_daily_autocorr_perfect_trend(spark):
     assert r.autocorr == 1.0
 
 
+def test_pack_efficiency_sorted_never_worse(spark, docs):
+    from duckdb_age_spark.operators.pipeline import pack_efficiency_report
+
+    out = pack_efficiency_report(docs, budget_tokens=2048).collect()
+    assert out
+    for r in out:
+        # length-descending layout can only tighten bins, never loosen them
+        assert r.bins_sorted <= r.bins_arrival
+        assert 0 < r.eff_arrival <= 1.0001 and 0 < r.eff_sorted <= 1.0001
+        assert r.eff_sorted >= r.eff_arrival
+
+
+def test_degree_distribution_bins(spark):
+    from duckdb_age_spark.operators.graph import degree_distribution
+
+    # star: hub degree 8 (bin 3), leaves degree 1 (bin 0)
+    edges = spark.createDataFrame([(0, i) for i in range(1, 9)], "src long, dst long")
+    out = {r.degree_bin: (r.lo_degree, r.n_nodes) for r in degree_distribution(edges).collect()}
+    assert out[0] == (1, 8)
+    assert out[3] == (8, 1)
+
+
+def test_welch_t_symmetric_groups(spark):
+    from duckdb_age_spark.operators.stats import welch_ttest
+
+    # identical distributions in both groups → t == 0
+    rows = [(i, "1-URGENT" if i % 2 == 0 else "2-HIGH", float((i // 2) % 10) + 1) for i in range(200)]
+    df = spark.createDataFrame(rows, "o_orderkey long, o_orderpriority string, o_totalprice double")
+    r = welch_ttest(df).collect()[0]
+    assert r.n_a == 100 and r.n_b == 100
+    assert r.t_stat == 0.0
+    assert r.mean_a == r.mean_b
+
+
+def test_pareto_share_uniform_and_skewed(spark):
+    from duckdb_age_spark.operators.events import pareto_share
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    # uniform: 20 users × 5 events → top 10% (2 users) hold exactly 10%
+    rows = [(u * 100 + i, base, u, "x", 0.0, "{}") for u in range(20) for i in range(5)]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    r = pareto_share(df, pct=10).collect()[0]
+    assert (r.n_users, r.top_k, r.total_events) == (20, 2, 100)
+    assert r.share == 0.1
+    # skewed: user 0 makes 91 of 110 events → top-2 share >= 91/110
+    rows2 = [(i, base, 0, "x", 0.0, "{}") for i in range(91)]
+    rows2 += [(1000 + u, base, u, "x", 0.0, "{}") for u in range(1, 20)]
+    df2 = spark.createDataFrame(
+        rows2, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    r2 = pareto_share(df2, pct=10).collect()[0]
+    assert r2.share > 0.8
+
+
 def test_psi_identical_halves_is_zero(spark):
     from duckdb_age_spark.operators.stats import psi_drift
     import datetime as dt
