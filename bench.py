@@ -151,6 +151,8 @@ BENCH_QUERIES = [
     "graph_degree_distribution",
     "stats_welch_ttest",
     "events_pareto_share",
+    "relational_revenue_share",
+    "text_sentence_stats",
 ]
 
 

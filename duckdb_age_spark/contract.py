@@ -5061,6 +5061,60 @@ def events_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pareto_share(read_table(spark, sf_dir, "events"), pct=10)
 
 
+@_q(
+    "relational_revenue_share",
+    """
+    WITH per_nation AS (
+      SELECT n_name, sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY 1)
+    SELECT n_name, cents / 100.0 AS revenue,
+           round(cents::DOUBLE / (sum(cents) OVER ())::DOUBLE, 6) AS share
+    FROM per_nation
+    """,
+)
+def relational_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-total (ratio_to_report): each nation's revenue share via
+    a window total over the grouped aggregate — never a second fact pass."""
+    from .operators.relational import revenue_share_by_nation
+
+    _prep(spark)
+    return revenue_share_by_nation(
+        load(spark, sf_dir, "orders"),
+        load(spark, sf_dir, "customer"),
+        load(spark, sf_dir, "nation"),
+    )
+
+
+@_q(
+    "text_sentence_stats",
+    r"""
+    WITH s AS (
+      SELECT doc_id,
+             list_filter(list_transform(string_split_regex(text, '[.!?]+'),
+                                        x -> trim(x)), x -> x != '') AS sents
+      FROM documents)
+    SELECT doc_id, len(sents)::BIGINT AS n_sentences,
+           CASE WHEN len(sents) > 0
+                THEN round(list_sum(list_transform(sents, x -> length(x)))::DOUBLE
+                           / len(sents)::DOUBLE, 4)
+                ELSE 0.0 END AS mean_sentence_chars,
+           coalesce(list_max(list_transform(sents, x -> length(x))), 0)::BIGINT
+             AS max_sentence_chars
+    FROM s
+    """,
+)
+def text_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc sentence segmentation stats ([.!?]+ delimiters, non-empty
+    trimmed segments) — readability/chunking inputs, zero-exchange map."""
+    from .operators.text import sentence_stats
+
+    _prep(spark)
+    return sentence_stats(load(spark, sf_dir, "documents"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: encrypted-document pipeline at sf0.001 — round-trip an
     age-encrypted documents table and join quality stats (SURVEY.md §7.3)."""

@@ -751,3 +751,28 @@ def scd2_asof_lookup(orders: DataFrame, asof_date: str = "1997-06-01", sample_mo
         (F.col("eff_from") <= epoch)
         & (F.col("eff_to").isNull() | (F.col("eff_to") > epoch))
     ).select("custkey", "version", "priority", "eff_from")
+
+
+def revenue_share_by_nation(orders: DataFrame, customer: DataFrame, nation: DataFrame) -> DataFrame:
+    """Percent-of-total analytics: each nation's share of global revenue via
+    a window aggregate over the grouped totals (the ratio_to_report
+    pattern) — exact integer cents, grand total computed as a window SUM
+    over the |nations|-row aggregate (never a second pass over facts), one
+    terminal IEEE division rounded 6 dp.
+    Returns (n_name, revenue, share).
+    """
+    from pyspark.sql import Window, functions as F
+
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    per_nation = (
+        orders.join(customer.select("c_custkey", "c_nationkey"), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation.select("n_nationkey", "n_name")), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.sum(cents).alias("cents"))
+    )
+    total = F.sum("cents").over(Window.partitionBy())
+    return per_nation.select(
+        "n_name",
+        (F.col("cents") / 100.0).alias("revenue"),
+        F.round(F.col("cents").cast("double") / total.cast("double"), 6).alias("share"),
+    ).orderBy("n_name")

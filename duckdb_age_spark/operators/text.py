@@ -481,3 +481,29 @@ def hashing_vectorizer_digest(docs: DataFrame, n_buckets: int = 64) -> DataFrame
             ).alias("vec_digest"),
         )
     )
+
+
+def sentence_stats(docs: DataFrame) -> DataFrame:
+    """Per-document sentence segmentation stats: sentence count (non-empty
+    [.!?]+-delimited segments), exact mean sentence length in integer
+    characters (cross-engine: one terminal division of exact ints, 4 dp),
+    and the longest sentence — the readability inputs (sentence-length
+    distributions feed Flesch-style scores and chunking heuristics).
+    Zero-exchange narrow map, pure JVM regex.
+    Returns (doc_id, n_sentences, mean_sentence_chars, max_sentence_chars).
+    """
+    sents = F.filter(
+        F.transform(F.split(F.col("text"), r"[.!?]+"), lambda s: F.trim(s)),
+        lambda s: s != "",
+    )
+    lens = F.transform(sents, lambda s: F.length(s))
+    total = F.aggregate(lens, F.lit(0).cast("long"), lambda a, x: a + x)
+    n = F.size(sents)
+    return docs.select(
+        "doc_id",
+        n.cast("bigint").alias("n_sentences"),
+        F.when(n > 0, F.round(total.cast("double") / n.cast("double"), 4))
+        .otherwise(F.lit(0.0))
+        .alias("mean_sentence_chars"),
+        F.coalesce(F.array_max(lens), F.lit(0)).cast("bigint").alias("max_sentence_chars"),
+    )

@@ -1334,6 +1334,37 @@ def test_pareto_share_uniform_and_skewed(spark):
     assert r2.share > 0.8
 
 
+def test_sentence_stats_segments(spark):
+    from duckdb_age_spark.operators.text import sentence_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "One two. Three four five! Six?"),
+            (2, "no terminal punctuation here"),
+            (3, "!!!"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in sentence_stats(df).collect()}
+    assert out[1].n_sentences == 3
+    assert out[1].max_sentence_chars == len("Three four five")
+    assert out[2].n_sentences == 1
+    assert out[3].n_sentences == 0 and out[3].mean_sentence_chars == 0.0
+
+
+def test_revenue_share_sums_to_one(spark, sf_dir):
+    from duckdb_age_spark.operators.relational import revenue_share_by_nation
+
+    out = revenue_share_by_nation(
+        spark.read.parquet(f"{sf_dir}/orders.parquet"),
+        spark.read.parquet(f"{sf_dir}/customer.parquet"),
+        spark.read.parquet(f"{sf_dir}/nation.parquet"),
+    ).collect()
+    assert out
+    assert abs(sum(r.share for r in out) - 1.0) < 1e-3
+    assert all(0 < r.share < 1 for r in out)
+
+
 def test_psi_identical_halves_is_zero(spark):
     from duckdb_age_spark.operators.stats import psi_drift
     import datetime as dt
