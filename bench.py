@@ -153,6 +153,9 @@ BENCH_QUERIES = [
     "events_pareto_share",
     "relational_revenue_share",
     "text_sentence_stats",
+    "text_langid_confusion",
+    "relational_transition_matrix",
+    "graph_assortativity",
 ]
 
 

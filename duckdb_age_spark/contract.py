@@ -5115,6 +5115,95 @@ def text_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sentence_stats(load(spark, sf_dir, "documents"))
 
 
+@_q(
+    "text_langid_confusion",
+    r"""
+    WITH h AS (
+      SELECT doc_id, lang,
+             len(regexp_extract_all(text, '\b(der|die|das|und|zu)\b')) AS hits_de,
+             len(regexp_extract_all(text, '\b(the|a|of|and|to)\b')) AS hits_en,
+             len(regexp_extract_all(text, '\b(el|la|y|de|un)\b')) AS hits_es,
+             len(regexp_extract_all(text, '\b(le|la|et|de|un)\b')) AS hits_fr
+      FROM documents),
+    p AS (
+      SELECT lang,
+             CASE WHEN hits_de = mx THEN 'de' WHEN hits_en = mx THEN 'en'
+                  WHEN hits_es = mx THEN 'es' ELSE 'fr' END AS predicted_lang
+      FROM (SELECT *, greatest(hits_de, hits_en, hits_es, hits_fr) AS mx FROM h)),
+    cells AS (SELECT lang, predicted_lang, count(*) AS n FROM p GROUP BY 1, 2)
+    SELECT lang, predicted_lang, n::BIGINT AS n_docs,
+           round(n::DOUBLE / (sum(n) OVER (PARTITION BY lang))::DOUBLE, 6) AS class_share
+    FROM cells
+    """,
+)
+def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the language-ID heuristic vs ground-truth labels,
+    with per-cell share of the true class — the classifier-evaluation
+    rollup next to the predictions."""
+    from .operators.text import langid_confusion
+
+    _prep(spark)
+    return langid_confusion(load(spark, sf_dir, "documents"))
+
+
+@_q(
+    "relational_transition_matrix",
+    """
+    WITH o AS (SELECT * FROM orders WHERE o_custkey % 10 = 0),
+    seq AS (SELECT lag(o_orderpriority) OVER
+                     (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+                     AS prev_priority,
+                   o_orderpriority AS next_priority
+            FROM o),
+    cells AS (SELECT prev_priority, next_priority, count(*) AS n FROM seq
+              WHERE prev_priority IS NOT NULL GROUP BY 1, 2)
+    SELECT prev_priority, next_priority, n::BIGINT AS n_transitions,
+           round(n::DOUBLE / (sum(n) OVER (PARTITION BY prev_priority))::DOUBLE, 6)
+             AS row_share
+    FROM cells
+    """,
+)
+def relational_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix between consecutive order
+    priorities per customer — sequence-behavior analytics with exact
+    counts and one terminal division per cell."""
+    from .operators.relational import priority_transition_matrix
+
+    _prep(spark)
+    return priority_transition_matrix(load(spark, sf_dir, "orders"))
+
+
+@_q(
+    "graph_assortativity",
+    f"""
+    WITH {_COPURCHASE_CP_SQL}, {_COPURCHASE_E_SQL},
+    und AS (SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e),
+    deg AS (SELECT src AS node, count(*) AS deg FROM und GROUP BY 1),
+    pr AS (SELECT da.deg::HUGEINT AS x, db.deg::HUGEINT AS y
+           FROM und JOIN deg da ON und.src = da.node
+                    JOIN deg db ON und.dst = db.node)
+    SELECT (count(*) / 2)::BIGINT AS n_edges,
+           CASE WHEN sqrt((count(*) * sum(x * x) - sum(x) * sum(x))::DOUBLE
+                          * (count(*) * sum(y * y) - sum(y) * sum(y))::DOUBLE) > 0
+                THEN round((count(*) * sum(x * y) - sum(x) * sum(y))::DOUBLE
+                           / sqrt((count(*) * sum(x * x) - sum(x) * sum(x))::DOUBLE
+                                  * (count(*) * sum(y * y) - sum(y) * sum(y))::DOUBLE), 6)
+                ELSE 0.0 END AS assortativity
+    FROM pr
+    """,
+)
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the co-purchase graph: Pearson correlation
+    of edge-endpoint degrees over both orientations, decimal-exact
+    sufficient statistics."""
+    from .operators.graph import copurchase_edges, degree_assortativity
+
+    _prep(spark)
+    orders = load(spark, sf_dir, "orders").where(F.col("o_custkey") % 10 == 0)
+    edges = copurchase_edges(orders, load(spark, sf_dir, "lineitem"), min_shared_parts=2)
+    return degree_assortativity(edges)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: encrypted-document pipeline at sf0.001 — round-trip an
     age-encrypted documents table and join quality stats (SURVEY.md §7.3)."""

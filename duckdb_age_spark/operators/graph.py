@@ -531,3 +531,48 @@ def degree_distribution(edges: DataFrame) -> DataFrame:
         )
         .orderBy("degree_bin")
     )
+
+
+def degree_assortativity(edges: DataFrame) -> DataFrame:
+    """Degree assortativity: the Pearson correlation between the degrees of
+    each edge's endpoints (over both orientations) — positive means hubs
+    link to hubs, negative means hub-and-spoke; decides whether
+    degree-based partitioning helps.
+
+    Exact integer degrees; sufficient statistics accumulate as
+    decimal(38,0) (same identity as daily_autocorr) with one terminal
+    sqrt/division rounded 6 dp.  Two map-side-combined aggregates plus one
+    degree join back onto the edge list.
+    Returns one row (n_edges, assortativity).
+    """
+    und = edges.select("src", "dst").unionAll(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = und.groupBy("src").agg(F.count("*").alias("deg"))
+    da = deg.select(F.col("src").alias("a"), F.col("deg").alias("dx"))
+    db = deg.select(F.col("src").alias("b"), F.col("deg").alias("dy"))
+    pairs = (
+        und.join(da, und.src == da.a)
+        .join(db, und.dst == db.b)
+        .select(
+            F.col("dx").cast("decimal(38,0)").alias("x"),
+            F.col("dy").cast("decimal(38,0)").alias("y"),
+        )
+    )
+    agg = pairs.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    )
+    return agg.select(
+        (F.col("n") / 2).cast("bigint").alias("n_edges"),
+        F.when(den > 0, F.round(num / den, 6)).otherwise(F.lit(0.0)).alias("assortativity"),
+    )

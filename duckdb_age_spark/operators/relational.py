@@ -776,3 +776,34 @@ def revenue_share_by_nation(orders: DataFrame, customer: DataFrame, nation: Data
         (F.col("cents") / 100.0).alias("revenue"),
         F.round(F.col("cents").cast("double") / total.cast("double"), 6).alias("share"),
     ).orderBy("n_name")
+
+
+def priority_transition_matrix(orders: DataFrame, sample_mod: int = 10) -> DataFrame:
+    """First-order Markov transition counts between CONSECUTIVE order
+    priorities per customer (ordered by date, orderkey) — the
+    sequence-behavior rollup behind next-state prediction and journey
+    analysis.  One window shuffle keyed by custkey (lag), one bounded
+    |priorities|² aggregate; transition probability is one terminal
+    division of exact counts.
+    Returns (prev_priority, next_priority, n_transitions, row_share).
+    """
+    from pyspark.sql import Window, functions as F
+
+    o = orders.where(F.col("o_custkey") % sample_mod == 0)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = o.select(
+        F.lag("o_orderpriority").over(w).alias("prev_priority"),
+        F.col("o_orderpriority").alias("next_priority"),
+    ).where(F.col("prev_priority").isNotNull())
+    cells = seq.groupBy("prev_priority", "next_priority").agg(
+        F.count("*").alias("n_transitions")
+    )
+    row_total = F.sum("n_transitions").over(Window.partitionBy("prev_priority"))
+    return cells.select(
+        "prev_priority",
+        "next_priority",
+        F.col("n_transitions").cast("bigint"),
+        F.round(F.col("n_transitions").cast("double") / row_total.cast("double"), 6).alias(
+            "row_share"
+        ),
+    ).orderBy("prev_priority", "next_priority")

@@ -507,3 +507,25 @@ def sentence_stats(docs: DataFrame) -> DataFrame:
         .alias("mean_sentence_chars"),
         F.coalesce(F.array_max(lens), F.lit(0)).cast("bigint").alias("max_sentence_chars"),
     )
+
+
+def langid_confusion(docs: DataFrame) -> DataFrame:
+    """Confusion matrix of the language-ID heuristic against the table's
+    ground-truth ``lang`` labels, with per-cell share of the true class —
+    the evaluation rollup every classifier in a curation pipeline needs
+    next to its predictions.  Exact counts; one terminal division.
+    Returns (lang, predicted_lang, n_docs, class_share).
+    """
+    from pyspark.sql import Window
+
+    pred = lang_id(docs)
+    cells = pred.groupBy("lang", "predicted_lang").agg(F.count("*").alias("n_docs"))
+    class_total = F.sum("n_docs").over(Window.partitionBy("lang"))
+    return cells.select(
+        "lang",
+        "predicted_lang",
+        F.col("n_docs").cast("bigint"),
+        F.round(F.col("n_docs").cast("double") / class_total.cast("double"), 6).alias(
+            "class_share"
+        ),
+    ).orderBy("lang", "predicted_lang")

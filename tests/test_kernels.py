@@ -147,7 +147,7 @@ def test_priority_50_covers_every_operator_family():
             "text_doc_stats", "text_bm25_topk", "text_tfidf_keywords",
             "text_pii_scrub", "text_repetition", "text_unigram_logprob",
             "text_bigram_logprob", "text_quality_screen", "text_hashing_vec",
-            "text_sentence_stats",
+            "text_sentence_stats", "text_langid_confusion",
         ],
         "pipeline": [
             "pipeline_sample_split", "pipeline_pack", "pipeline_quality_topk",
@@ -179,13 +179,14 @@ def test_priority_50_covers_every_operator_family():
             "graph_triangles", "graph_triangles_degree",
             "graph_weighted_pagerank", "graph_edge_jaccard", "graph_kcore",
             "graph_label_propagation", "graph_topk_similar",
-            "graph_degree_distribution",
+            "graph_degree_distribution", "graph_assortativity",
         ],
         "relational": [
             "tpch_q1", "tpch_q3", "tpch_q6", "tpch_q13", "tpch_q2",
             "tpch_q4", "tpch_q9", "tpch_q17", "tpch_q18", "tpch_q21",
             "relational_cohort_retention", "scd2_priority_history",
             "scd2_asof_lookup", "relational_revenue_share",
+            "relational_transition_matrix",
         ],
         "skew": ["skew_salted_join", "skew_salted_agg", "skew_bloom_prefilter"],
         "stats": [

@@ -1334,6 +1334,46 @@ def test_pareto_share_uniform_and_skewed(spark):
     assert r2.share > 0.8
 
 
+def test_transition_matrix_row_shares_sum_to_one(spark, sf_dir):
+    from duckdb_age_spark.operators.relational import priority_transition_matrix
+    from collections import defaultdict
+
+    out = priority_transition_matrix(spark.read.parquet(f"{sf_dir}/orders.parquet")).collect()
+    assert out
+    rows = defaultdict(float)
+    for r in out:
+        rows[r.prev_priority] += r.row_share
+    for prev, s in rows.items():
+        assert abs(s - 1.0) < 1e-3, (prev, s)
+
+
+def test_assortativity_extremes(spark):
+    from duckdb_age_spark.operators.graph import degree_assortativity
+
+    # perfect matching: every endpoint degree 1 → zero variance → 0.0 guard
+    matching = spark.createDataFrame([(1, 2), (3, 4), (5, 6)], "src long, dst long")
+    assert degree_assortativity(matching).collect()[0].assortativity == 0.0
+    # star: hub deg n, leaves deg 1 — perfectly disassortative → r = -1
+    star = spark.createDataFrame([(0, i) for i in range(1, 6)], "src long, dst long")
+    r = degree_assortativity(star).collect()[0]
+    assert r.n_edges == 5
+    assert r.assortativity == -1.0
+
+
+def test_langid_confusion_cells_cover_corpus(spark, docs):
+    from duckdb_age_spark.operators.text import langid_confusion
+
+    out = langid_confusion(docs).collect()
+    assert sum(r.n_docs for r in out) == docs.count()
+    # shares within each true class sum to 1
+    from collections import defaultdict
+    per_class = defaultdict(float)
+    for r in out:
+        per_class[r.lang] += r.class_share
+    for lang, s in per_class.items():
+        assert abs(s - 1.0) < 1e-3, (lang, s)
+
+
 def test_sentence_stats_segments(spark):
     from duckdb_age_spark.operators.text import sentence_stats
 
