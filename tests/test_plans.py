@@ -553,3 +553,48 @@ def test_autocorr_day_axis_stays_tiny(t):
     # the only corpus-sized work is the per-day count (partial-aggregated);
     # everything after runs on the bounded day axis
     assert has_partial_aggregate(df)
+
+
+def test_revenue_share_broadcasts_nation_no_second_fact_pass(t):
+    from duckdb_age_spark.operators.relational import revenue_share_by_nation
+
+    df = revenue_share_by_nation(t["orders"], t["customer"], t["nation"])
+    assert has_broadcast_join(df)
+    assert has_partial_aggregate(df)
+    # grouped aggregate + the window total over |nations| rows + sort:
+    # the grand total must never rescan facts
+    assert count_exchanges(df) <= 4, formatted_plan(df)
+
+
+def test_transition_matrix_window_then_bounded_agg(t):
+    from duckdb_age_spark.operators.relational import priority_transition_matrix
+
+    df = priority_transition_matrix(t["orders"])
+    assert has_partial_aggregate(df)
+    # custkey window + |prio|^2 cell agg + row-share window + sort
+    assert count_exchanges(df) <= 4, formatted_plan(df)
+
+
+def test_degree_distribution_two_bounded_aggregates(t):
+    from duckdb_age_spark.operators.graph import degree_distribution
+
+    edges = t["orders"].sparkSession.createDataFrame(
+        [(1, 2), (2, 3)], "src long, dst long"
+    )
+    df = degree_distribution(edges)
+    assert has_partial_aggregate(df)
+
+
+def test_sentence_stats_is_shuffle_free(t):
+    from duckdb_age_spark.operators.text import sentence_stats
+
+    assert count_exchanges(sentence_stats(t["documents"])) == 0
+
+
+def test_welch_ttest_two_scalar_aggregates(t):
+    from duckdb_age_spark.operators.stats import welch_ttest
+
+    df = welch_ttest(t["orders"])
+    assert has_partial_aggregate(df)
+    # two one-row sufficient-stat aggregates + their cross join
+    assert count_exchanges(df) <= 2, formatted_plan(df)
