@@ -28,6 +28,7 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .crypto import keys as age_keys
+from .operators.exact import exact_sum, units
 
 TABLES = [
     "region",
@@ -358,6 +359,103 @@ def age_secrets_listing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SECRET_FILE_CASES = [
+    "file_create_roundtrip",
+    "file_trimmed",
+    "exclusive_public",
+    "exclusive_private",
+    "missing_public_file",
+    "missing_private_file",
+    "too_large_file",
+    "bad_prefix_public_file",
+    "bad_prefix_private_file",
+]
+
+
+@_q(
+    "age_secret_files",
+    "SELECT * FROM (VALUES "
+    + ", ".join(f"('{name}', true)" for name in _SECRET_FILE_CASES)
+    + ") AS t(case_name, ok)",
+)
+def age_secret_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-file loader end-to-end (reference: src/age_extension.cpp:47-71
+    ReadKeyFromFile + :81-135 inline-xor-file validation, exercised by
+    test/sql/age_secret.test:63-106): file-based CREATE SECRET round-trips,
+    whitespace is trimmed, inline+file is rejected, and the missing /
+    too-large / bad-prefix taxonomy surfaces the exact reference error
+    strings.  File I/O happens driver-side in this builder (the oracle
+    cannot touch the filesystem), and every outcome is emitted as a boolean
+    the VALUES oracle asserts — the age_error_dispatch pattern."""
+    from . import errors
+    from .functions import decrypt_kernel, encrypt_kernel
+    from .secrets import default_manager
+
+    _prep(spark)
+    base = _scratch("secret_files", sf_dir)
+    pub_path = os.path.join(base, "key.pub")
+    priv_path = os.path.join(base, "key.txt")
+    with open(pub_path, "w") as f:
+        f.write(KP1.public_key)
+    with open(priv_path, "w") as f:
+        f.write(KP1.private_key)
+    trimmed_path = os.path.join(base, "trimmed.pub")
+    with open(trimmed_path, "w") as f:
+        f.write(f"  {KP1.public_key}\n\n")
+    big_path = os.path.join(base, "big.pub")
+    with open(big_path, "wb") as f:
+        f.write(b"x" * (1024 * 1024 + 1))
+    junk_path = os.path.join(base, "junk.txt")
+    with open(junk_path, "w") as f:
+        f.write("not a key")
+    missing = os.path.join(base, "nope.txt")
+
+    def expect_error(expected: str, **kwargs) -> bool:
+        try:
+            default_manager.create_secret("sf_err", replace=True, **kwargs)
+            return False
+        except errors.AgeError as e:
+            return str(e) == expected
+
+    results: dict[str, bool] = {}
+    s = default_manager.create_secret(
+        "sf_files", public_key_file=pub_path, private_key_file=priv_path, replace=True
+    )
+    ct = encrypt_kernel(b"file-loaded", s.public_key, {})
+    results["file_create_roundtrip"] = decrypt_kernel(ct, s.private_key, {}) == b"file-loaded"
+    s2 = default_manager.create_secret("sf_trim", public_key_file=trimmed_path, replace=True)
+    results["file_trimmed"] = s2.public_key == KP1.public_key
+    results["exclusive_public"] = expect_error(
+        errors.BOTH_PUBLIC_ERR, public_key=KP1.public_key, public_key_file=pub_path
+    )
+    results["exclusive_private"] = expect_error(
+        errors.BOTH_PRIVATE_ERR, private_key=KP1.private_key, private_key_file=priv_path
+    )
+    results["missing_public_file"] = expect_error(
+        errors.failed_to_read_key_file("public", errors.key_file_missing(missing)),
+        public_key_file=missing,
+    )
+    results["missing_private_file"] = expect_error(
+        errors.failed_to_read_key_file("private", errors.key_file_missing(missing)),
+        private_key_file=missing,
+    )
+    results["too_large_file"] = expect_error(
+        errors.failed_to_read_key_file("public", errors.key_file_too_large(big_path)),
+        public_key_file=big_path,
+    )
+    results["bad_prefix_public_file"] = expect_error(
+        errors.failed_to_read_key_file("public", errors.PUBLIC_KEY_FILE_PREFIX_ERR),
+        public_key_file=junk_path,
+    )
+    results["bad_prefix_private_file"] = expect_error(
+        errors.failed_to_read_key_file("private", errors.PRIVATE_KEY_FILE_PREFIX_ERR),
+        private_key_file=junk_path,
+    )
+    return spark.createDataFrame(
+        [(n, bool(results[n])) for n in _SECRET_FILE_CASES], "case_name string, ok boolean"
+    )
+
+
 def _age_version_oracle() -> str:
     # Single source of truth: the oracle literal is generated from the same
     # constant the UDF returns (functions.py ENGINE_VERSION).
@@ -419,7 +517,8 @@ def dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     merged AS (
       SELECT * FROM customer WHERE c_custkey NOT IN (SELECT c_custkey FROM updates)
       UNION ALL SELECT * FROM updates)
-    SELECT c_mktsegment, count(*)::BIGINT AS n_customers, round(sum(c_acctbal), 2) AS total_bal
+    SELECT c_mktsegment, count(*)::BIGINT AS n_customers,
+           CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_bal
     FROM merged GROUP BY 1 ORDER BY 1
     """,
 )
@@ -443,7 +542,7 @@ def upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(
             F.count("*").cast("bigint").alias("n_customers"),
-            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+            exact_sum(units("c_acctbal"), 100.0, "total_bal"),
         )
         .orderBy("c_mktsegment")
     )
@@ -476,7 +575,8 @@ def upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM customer WHERE c_custkey NOT IN (SELECT c_custkey FROM latest)
         UNION ALL
         SELECT * FROM latest WHERE op != 'D'))
-    SELECT c_mktsegment, count(*)::BIGINT AS n_customers, round(sum(c_acctbal), 2) AS total_bal
+    SELECT c_mktsegment, count(*)::BIGINT AS n_customers,
+           CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_bal
     FROM merged GROUP BY 1 ORDER BY 1
     """,
 )
@@ -515,7 +615,7 @@ def upsert_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(
             F.count("*").cast("bigint").alias("n_customers"),
-            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+            exact_sum(units("c_acctbal"), 100.0, "total_bal"),
         )
         .orderBy("c_mktsegment")
     )
@@ -637,7 +737,7 @@ def setops_customer_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "streaming_windowed",
     """
     SELECT (floor(epoch(ts))::BIGINT - floor(epoch(ts))::BIGINT % 3600) AS window_sec,
-           event_type, count(*)::BIGINT AS n_events, round(sum(value), 2) AS total_value
+           event_type, count(*)::BIGINT AS n_events, CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_value
     FROM events GROUP BY 1, 2 ORDER BY 1, 2
     """,
 )
@@ -664,7 +764,7 @@ def streaming_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     "streaming_dedup",
     """
     SELECT event_type, count(*)::BIGINT AS n_events,
-           count(DISTINCT user_id)::BIGINT AS n_users, round(sum(value), 2) AS total_value
+           count(DISTINCT user_id)::BIGINT AS n_users, CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_value
     FROM events GROUP BY 1 ORDER BY 1
     """,
 )
@@ -686,7 +786,7 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").cast("bigint").alias("n_events"),
             F.countDistinct("user_id").cast("bigint").alias("n_users"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            exact_sum(units("value"), 100.0, "total_value"),
         )
         .orderBy("event_type")
     )
@@ -1983,7 +2083,7 @@ def grouped_map_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
            count(*)::BIGINT AS n_events, count(DISTINCT user_id)::BIGINT AS n_users,
-           round(sum(value), 2) AS total_value
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_value
     FROM events GROUP BY 1, 2 ORDER BY 1, 2
     """,
 )
@@ -2008,7 +2108,7 @@ def events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT date_trunc('hour', ts) - o * INTERVAL 1 HOUR AS window_start, event_type, value
       FROM events, (VALUES (0), (1)) AS offs(o))
     SELECT strftime(window_start, '%Y-%m-%d %H') AS window_start, event_type,
-           count(*)::BIGINT AS n_events, round(sum(value), 2) AS total_value
+           count(*)::BIGINT AS n_events, CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_value
     FROM w GROUP BY 1, 2 ORDER BY 1, 2
     """,
 )
@@ -2029,7 +2129,7 @@ def events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cube_priority_status",
     """
     SELECT o_orderpriority, o_orderstatus, count(*)::BIGINT AS n_orders,
-           round(sum(o_totalprice), 2) AS total_price
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_price
     FROM orders
     GROUP BY CUBE (o_orderpriority, o_orderstatus)
     ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST
@@ -2168,13 +2268,13 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q1",
     """
     SELECT l_returnflag, l_linestatus,
-           round(sum(l_quantity), 2) AS sum_qty,
-           round(sum(l_extendedprice), 2) AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-           round(avg(l_quantity), 4) AS avg_qty,
-           round(avg(l_extendedprice), 4) AS avg_price,
-           round(avg(l_discount), 4) AS avg_disc,
+           CAST(sum(CAST(round(l_quantity * 1) AS BIGINT)) AS DOUBLE) / 1.0 AS sum_qty,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_base_price,
+           CAST(sum((CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT)))) AS DOUBLE) / 10000.0 AS sum_disc_price,
+           CAST(sum((CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) * (100 + CAST(round(l_tax * 100) AS BIGINT))) AS DOUBLE) / 1000000.0 AS sum_charge,
+           CAST(sum(CAST(round(l_quantity * 1) AS BIGINT)) AS DOUBLE) / 1.0 / count(*) AS avg_qty,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 / count(*) AS avg_price,
+           CAST(sum(CAST(round(l_discount * 100) AS BIGINT)) AS DOUBLE) / 100.0 / count(*) AS avg_disc,
            count(*)::BIGINT AS count_order
     FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
     GROUP BY 1, 2 ORDER BY 1, 2
@@ -2194,7 +2294,7 @@ def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
            revenue
     FROM (
       SELECT l_orderkey, o_orderdate, o_orderpriority,
-             round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+             CAST(sum((CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT)))) AS DOUBLE) / 10000.0 AS revenue
       FROM lineitem
       JOIN orders ON l_orderkey = o_orderkey
       JOIN customer ON o_custkey = c_custkey
@@ -2240,7 +2340,7 @@ def tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q(
     "tpch_q5",
     """
-    SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    SELECT n_name, CAST(sum((CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT)))) AS DOUBLE) / 10000.0 AS revenue
     FROM lineitem
     JOIN orders ON l_orderkey = o_orderkey
     JOIN supplier ON l_suppkey = s_suppkey
@@ -2272,7 +2372,7 @@ def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT n_name, c_name, revenue,
              dense_rank() OVER (PARTITION BY n_name ORDER BY revenue DESC, c_custkey ASC) AS rk
       FROM (
-        SELECT n_name, c_name, c_custkey, round(sum(o_totalprice), 2) AS revenue
+        SELECT n_name, c_name, c_custkey, CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS revenue
         FROM orders JOIN customer ON o_custkey = c_custkey
         JOIN nation ON c_nationkey = n_nationkey
         GROUP BY 1, 2, 3))
@@ -2308,7 +2408,7 @@ def order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q(
     "tpch_q6",
     """
-    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+    SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * CAST(round(l_discount * 100) AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1994-01-01' AND l_shipdate < TIMESTAMP '1995-01-01'
       AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
@@ -2326,7 +2426,7 @@ def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_discount").between(0.05, 0.07))
             & (F.col("l_quantity") < 24)
         )
-        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+        .agg(exact_sum(units("l_extendedprice") * units("l_discount"), 1e4, "revenue"))
     )
 
 
@@ -2388,10 +2488,10 @@ def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q(
     "tpch_q7",
     """
-    SELECT supp_nation, cust_nation, l_year, round(sum(volume), 2) AS revenue FROM (
+    SELECT supp_nation, cust_nation, l_year, CAST(sum(volume) AS DOUBLE) / 10000.0 AS revenue FROM (
       SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
              year(l_shipdate)::BIGINT AS l_year,
-             l_extendedprice * (1 - l_discount) AS volume
+             (CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS volume
       FROM lineitem
       JOIN orders ON l_orderkey = o_orderkey
       JOIN supplier ON l_suppkey = s_suppkey
@@ -2422,7 +2522,7 @@ def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q10",
     """
     SELECT c_custkey, c_name, c_acctbal, n_name,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           CAST(sum((CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT)))) AS DOUBLE) / 10000.0 AS revenue
     FROM lineitem
     JOIN orders ON l_orderkey = o_orderkey
     JOIN customer ON o_custkey = c_custkey
@@ -2450,7 +2550,7 @@ def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH revenue AS (
       SELECT l_suppkey AS supplier_no,
-             round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+             CAST(sum((CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT)))) AS DOUBLE) / 10000.0 AS total_revenue
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
       GROUP BY 1)
@@ -2470,7 +2570,7 @@ def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q(
     "tpch_q17",
     """
-    SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+    SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 / 7.0 AS avg_yearly
     FROM lineitem JOIN part ON p_partkey = l_partkey
     JOIN (SELECT l_partkey AS t_partkey, round(0.2 * avg(l_quantity), 4) AS qty_threshold
           FROM lineitem GROUP BY 1) t ON l_partkey = t_partkey
@@ -2508,7 +2608,7 @@ def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q(
     "tpch_q19",
     """
-    SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    SELECT CAST(sum((CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT)))) AS DOUBLE) / 10000.0 AS revenue
     FROM lineitem JOIN part ON p_partkey = l_partkey
     WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
        OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
@@ -2525,9 +2625,9 @@ def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q(
     "tpch_q22",
     """
-    WITH pos AS (SELECT round(avg(c_acctbal), 4) AS avg_bal FROM customer WHERE c_acctbal > 0)
+    WITH pos AS (SELECT CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE) / 100.0 / count(*) AS avg_bal FROM customer WHERE c_acctbal > 0)
     SELECT (c_custkey % 5)::BIGINT AS cntrycode, count(*)::BIGINT AS numcust,
-           round(sum(c_acctbal), 2) AS totacctbal
+           CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS totacctbal
     FROM customer, pos
     WHERE c_acctbal > avg_bal
       AND NOT EXISTS (SELECT 1 FROM orders
@@ -2580,9 +2680,9 @@ def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q8",
     """
     SELECT year(o_orderdate)::BIGINT AS o_year,
-           round(sum(CASE WHEN sn.n_name = 'NATION_1'
-                          THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
-                 / sum(l_extendedprice * (1 - l_discount)), 4) AS mkt_share
+           round(CAST(sum(CASE WHEN sn.n_name = 'NATION_1'
+                          THEN (CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) ELSE 0 END) AS DOUBLE)
+                 / CAST(sum((CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT)))) AS DOUBLE), 4) AS mkt_share
     FROM lineitem
     JOIN part ON l_partkey = p_partkey
     JOIN orders ON l_orderkey = o_orderkey
@@ -2615,7 +2715,7 @@ def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q9",
     """
     SELECT n_name AS nation, year(o_orderdate)::BIGINT AS o_year,
-           round(sum(l_extendedprice * (1 - l_discount) - 0.1 * p_retailprice * l_quantity), 2)
+           CAST(sum((CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) - CAST(round(p_retailprice * 100) AS BIGINT) * CAST(round(l_quantity * 1) AS BIGINT) * 10) AS DOUBLE) / 10000.0
              AS sum_profit
     FROM lineitem
     JOIN part ON l_partkey = p_partkey
@@ -2643,14 +2743,14 @@ def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q11",
     """
     WITH pp AS (
-      SELECT l_partkey, round(sum(l_extendedprice * l_quantity), 2) AS part_value
+      SELECT l_partkey, sum(CAST(round(l_extendedprice * 100) AS BIGINT) * CAST(round(l_quantity * 1) AS BIGINT)) AS value_cents
       FROM lineitem
       JOIN supplier ON l_suppkey = s_suppkey
       JOIN nation ON s_nationkey = n_nationkey
       WHERE n_name = 'NATION_1' GROUP BY 1)
-    SELECT l_partkey, part_value
-    FROM pp, (SELECT sum(part_value) AS total_value FROM pp) t
-    WHERE part_value * 5000 > total_value
+    SELECT l_partkey, CAST(value_cents AS DOUBLE) / 100.0 AS part_value
+    FROM pp, (SELECT sum(value_cents) AS total_cents FROM pp) t
+    WHERE value_cents * 5000 > total_cents
     ORDER BY part_value DESC, l_partkey
     """,
 )
@@ -2761,7 +2861,7 @@ def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q(
     "skew_salted_agg",
     """
-    SELECT l_returnflag, count(*)::BIGINT AS n, round(sum(l_extendedprice), 2) AS total,
+    SELECT l_returnflag, count(*)::BIGINT AS n, CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total,
            round(min(l_discount), 2) AS min_disc, round(max(l_discount), 2) AS max_disc
     FROM lineitem GROUP BY 1 ORDER BY 1
     """,
@@ -2772,14 +2872,14 @@ def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.skew import salted_aggregate
 
     _prep(spark)
-    li = load(spark, sf_dir, "lineitem")
+    li = load(spark, sf_dir, "lineitem").withColumn("ep_cents", units("l_extendedprice"))
     out = salted_aggregate(
         li,
         key="l_returnflag",
         salt_from="l_orderkey",
         aggs={
             "n": "count:*",
-            "total": "sum:l_extendedprice",
+            "total": "sum:ep_cents",
             "min_disc": "min:l_discount",
             "max_disc": "max:l_discount",
         },
@@ -2788,7 +2888,7 @@ def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "l_returnflag",
         F.col("n").cast("bigint"),
-        F.round("total", 2).alias("total"),
+        (F.col("total").cast("double") / 100.0).alias("total"),
         F.round("min_disc", 2).alias("min_disc"),
         F.round("max_disc", 2).alias("max_disc"),
     ).orderBy("l_returnflag")
@@ -2855,9 +2955,9 @@ def quantiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pivot_priority_by_flag",
     """
     SELECT l_returnflag,
-           round(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN l_extendedprice ELSE 0 END), 2) AS rev_urgent,
-           round(sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN l_extendedprice ELSE 0 END), 2) AS rev_medium,
-           round(sum(CASE WHEN o_orderpriority = '5-LOW'    THEN l_extendedprice ELSE 0 END), 2) AS rev_low
+           CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN CAST(round(l_extendedprice * 100) AS BIGINT) ELSE 0 END) AS DOUBLE) / 100.0 AS rev_urgent,
+           CAST(sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN CAST(round(l_extendedprice * 100) AS BIGINT) ELSE 0 END) AS DOUBLE) / 100.0 AS rev_medium,
+           CAST(sum(CASE WHEN o_orderpriority = '5-LOW'    THEN CAST(round(l_extendedprice * 100) AS BIGINT) ELSE 0 END) AS DOUBLE) / 100.0 AS rev_low
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     GROUP BY 1 ORDER BY 1
     """,
@@ -2872,13 +2972,13 @@ def pivot_priority_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("l_returnflag")
         .pivot("o_orderpriority", ["1-URGENT", "3-MEDIUM", "5-LOW"])
-        .agg(F.sum("l_extendedprice"))
+        .agg(F.sum(units("l_extendedprice").cast("decimal(38,0)")))
     )
     return out.select(
         "l_returnflag",
-        F.round(F.coalesce(F.col("`1-URGENT`"), F.lit(0.0)), 2).alias("rev_urgent"),
-        F.round(F.coalesce(F.col("`3-MEDIUM`"), F.lit(0.0)), 2).alias("rev_medium"),
-        F.round(F.coalesce(F.col("`5-LOW`"), F.lit(0.0)), 2).alias("rev_low"),
+        (F.coalesce(F.col("`1-URGENT`"), F.lit(0)).cast("double") / 100.0).alias("rev_urgent"),
+        (F.coalesce(F.col("`3-MEDIUM`"), F.lit(0)).cast("double") / 100.0).alias("rev_medium"),
+        (F.coalesce(F.col("`5-LOW`"), F.lit(0)).cast("double") / 100.0).alias("rev_low"),
     ).orderBy("l_returnflag")
 
 
@@ -2950,7 +3050,7 @@ def asof_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q(
     "range_join",
     """
-    SELECT tier, count(*)::BIGINT AS n_orders, round(sum(o_totalprice), 2) AS revenue
+    SELECT tier, count(*)::BIGINT AS n_orders, CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS revenue
     FROM orders
     JOIN (VALUES ('small', 0.0, 100000.0), ('medium', 100000.0, 250000.0),
                  ('large', 250000.0, 1000000000.0)) AS t(tier, lo, hi)
@@ -2971,7 +3071,7 @@ def range_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = range_join_bucketed(orders, tiers, "o_totalprice", "lo", "hi", bucket_width=50000.0)
     return (
         joined.groupBy("tier")
-        .agg(F.count("*").cast("bigint").alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+        .agg(F.count("*").cast("bigint").alias("n_orders"), exact_sum(units("o_totalprice"), 100.0, "revenue"))
         .orderBy("tier")
     )
 
@@ -2981,19 +3081,22 @@ def range_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH f AS (
       SELECT (floor(epoch(ts))::BIGINT - floor(epoch(ts))::BIGINT % 300) AS bucket_sec,
-             event_type, count(*)::BIGINT AS n_events, round(sum(value), 2) AS total_value
+             event_type, count(*)::BIGINT AS n_events, sum(CAST(round(value * 100) AS BIGINT)) AS vc
       FROM events GROUP BY 1, 2),
     h AS (
       SELECT (bucket_sec - bucket_sec % 3600) AS bucket_sec, event_type,
-             sum(n_events)::BIGINT AS n_events, round(sum(total_value), 2) AS total_value
+             sum(n_events)::BIGINT AS n_events, sum(vc) AS vc
       FROM f GROUP BY 1, 2),
     d AS (
       SELECT (bucket_sec - bucket_sec % 86400) AS bucket_sec, event_type,
-             sum(n_events)::BIGINT AS n_events, round(sum(total_value), 2) AS total_value
-      FROM h GROUP BY 1, 2)
-    SELECT '5min' AS grain, * FROM f
-    UNION ALL SELECT '1hour', * FROM h
-    UNION ALL SELECT '1day', * FROM d
+             sum(n_events)::BIGINT AS n_events, sum(vc) AS vc
+      FROM h GROUP BY 1, 2),
+    u AS (
+      SELECT '5min' AS grain, * FROM f
+      UNION ALL SELECT '1hour', * FROM h
+      UNION ALL SELECT '1day', * FROM d)
+    SELECT grain, bucket_sec, event_type, n_events,
+           CAST(vc AS DOUBLE) / 100.0 AS total_value FROM u
     """,
 )
 def rollup_timebuckets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3014,7 +3117,7 @@ def rollup_timebuckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q(
     "rollup_grouping_sets",
     """
-    SELECT n_name, o_orderpriority, round(sum(o_totalprice), 2) AS revenue,
+    SELECT n_name, o_orderpriority, CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS revenue,
            count(*)::BIGINT AS n_orders
     FROM orders
     JOIN customer ON o_custkey = c_custkey
@@ -5251,7 +5354,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # local 130/130 oracle sweep and their CORRECTNESS_r01–r04 history.
 
 _PRIORITY_50 = [
-    # crypto core (SURVEY §2a — the reference's own surface, all 8)
+    # crypto core (SURVEY §2a — the reference's own surface, all 8 + the
+    # round-6 key-file loader attestation, VERDICT r5 item 5)
     "age_roundtrip",
     "age_multi_roundtrip",
     "age_keygen_check",
@@ -5260,64 +5364,63 @@ _PRIORITY_50 = [
     "age_secret_roundtrip",
     "age_secrets_listing",
     "age_version",
-    # host-engine surface (§2b): DQ report (sole member), CDC upsert,
-    # schema-evolving sink, FULL OUTER reconciliation
+    "age_secret_files",
+    # tpch_q9 re-attests the r5 flake now that the whole revenue family
+    # sums exact integer cents (VERDICT r5 item 1)
+    "tpch_q9",
+    # every remaining slot: never-driver-attested queries (VERDICT r5
+    # item 2) — all 11 unattested TPC-H shapes first
+    "tpch_q7",
+    "tpch_q8",
+    "tpch_q10",
+    "tpch_q11",
+    "tpch_q12",
+    "tpch_q14",
+    "tpch_q15",
+    "tpch_q16",
+    "tpch_q19",
+    "tpch_q20",
+    "tpch_q22",
+    # family-representative slots (every family must keep a driver gate —
+    # tests/test_kernels.py::test_priority_50_covers_every_operator_family)
     "dq_report",
-    "upsert_cdc_merge",
     "sink_schema_evolution",
     "setops_full_outer_reconcile",
-    # structured streaming (two-phase exact distinct + bounded-state CMS)
-    "streaming_distinct_users",
-    "streaming_cms_topusers",
-    # text analysis
-    "text_tfidf_keywords",
-    "text_pii_scrub",
-    # training-pipeline ops
-    "pipeline_mixture_sample",
-    "pipeline_vocab_topk",
-    "pipeline_balanced_sample",
-    # dedup family (PassJoin fuzzy d=2 + canonical retention)
-    "dedup_fuzzy_names_d2",
-    "dedup_keep_canonical",
-    # similarity search (int8 ANN, kNN vote, LSH recall audit)
-    "sim_topk_int8",
-    "sim_knn_label_vote",
-    "sim_lsh_recall",
-    # grouped-map pandas path (sole member)
     "grouped_map_zscore",
-    # event analytics / windows
-    "events_gapfill",
-    "events_session_window",
     "window_balance_analytics",
-    # iterative graph + data layout
-    "graph_bfs_hops",
-    "graph_triangles",
-    "graph_weighted_pagerank",
-    "graph_edge_jaccard",
-    # relational core (rotated TPC-H slate + SCD2 + cohort retention)
-    "relational_cohort_retention",
-    "scd2_priority_history",
-    "tpch_q2",
-    "tpch_q4",
-    "tpch_q9",
-    "tpch_q17",
-    "tpch_q18",
-    "tpch_q21",
-    # scale/skew handling
-    "skew_salted_agg",
-    # stats / sketches
-    "stats_chi_square",
-    "stats_mad_outliers",
-    "stats_entropy",
-    "stats_benford",
-    "stats_linreg",
-    "sketch_approx_percentile",
-    # temporal rollups
-    "rollup_time_weighted_avg",
-    # extension points (representative; udtf_chunks attested r4)
     "udaf_geomean",
-    # multimodal: the REAL byte-level decoder (features/frames attested r4)
-    "multimodal_decode",
+    # relational/rollup/windows
+    "relational_revenue_share",
+    "relational_transition_matrix",
+    "rollup_grouping_sets",
+    "asof_forward_tolerance",
+    "upsert_incremental_agg",
+    # events
+    "events_ohlc",
+    "streaming_ohlc",
+    # graph
+    "graph_assortativity",
+    "graph_kcore",
+    "graph_label_propagation",
+    # dedup / similarity
+    "dedup_ngram_verify",
+    "sim_int8_quantize",
+    # multimodal (real codecs)
+    "multimodal_audio_stats",
+    "multimodal_resize",
+    # text analysis
+    "text_hashing_vec",
+    "text_langid_confusion",
+    "text_quality_screen",
+    # pipeline ops
+    "pipeline_dedup_report",
+    "pipeline_weighted_sample",
+    # stats
+    "stats_ks_test",
+    "stats_psi_drift",
+    "stats_welch_ttest",
+    # scale/skew
+    "skew_bloom_prefilter",
 ]
 
 

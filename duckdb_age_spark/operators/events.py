@@ -14,6 +14,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from .exact import exact_sum, units
+
 SESSION_GAP_MIN = 30
 
 
@@ -28,7 +30,7 @@ def tumbling_counts(events: DataFrame, hours: int = 24) -> DataFrame:
         .agg(
             F.count("*").alias("n_events"),
             F.countDistinct("user_id").alias("n_users"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            exact_sum(units("value"), 100.0, "total_value"),
         )
         .orderBy("day", "event_type")
     )
@@ -129,7 +131,7 @@ def sliding_counts(events: DataFrame, window: str = "2 hours", slide: str = "1 h
     derive coarser grains from rollups (see rollup.py), not wider slides."""
     return (
         events.groupBy(F.window("ts", window, slide).alias("w"), "event_type")
-        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .agg(F.count("*").alias("n_events"), exact_sum(units("value"), 100.0, "total_value"))
         .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")
         .orderBy("window_start", "event_type")
     )

@@ -12,12 +12,22 @@ composition) works and plans well:
 * aggregates are declared so Catalyst does map-side partials before the
   exchange — check ``.explain`` for ``HashAggregate(partial…)``.
 
-Money aggregates round(2) for cross-engine float stability.
+Money aggregates use EXACT integer-unit sums (operators/exact.py): per-row
+cents/basis-point products summed in decimal(38,0), one terminal int→double
+division — order-independent, so Spark's shuffle nondeterminism can never
+flip a half-cent rounding boundary (the CORRECTNESS_r05 tpch_q9 flake).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .exact import exact_sum, units
+
+
+def _disc_price_units() -> Column:
+    """l_extendedprice*(1-l_discount) in exact 1e-4-dollar integer units."""
+    return units("l_extendedprice") * (100 - units("l_discount"))
 
 
 def q1_pricing_summary(lineitem: DataFrame) -> DataFrame:
@@ -28,15 +38,13 @@ def q1_pricing_summary(lineitem: DataFrame) -> DataFrame:
         lineitem.where(F.col("l_shipdate") <= F.lit(cutoff).cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))), 2
-            ).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            exact_sum(units("l_quantity", 1), 1.0, "sum_qty"),
+            exact_sum(units("l_extendedprice"), 100.0, "sum_base_price"),
+            exact_sum(_disc_price_units(), 1e4, "sum_disc_price"),
+            exact_sum(_disc_price_units() * (100 + units("l_tax")), 1e6, "sum_charge"),
+            (exact_sum(units("l_quantity", 1), 1.0) / F.count("*")).alias("avg_qty"),
+            (exact_sum(units("l_extendedprice"), 100.0) / F.count("*")).alias("avg_price"),
+            (exact_sum(units("l_discount"), 100.0) / F.count("*")).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -57,7 +65,7 @@ def q3_top_orders(customer: DataFrame, orders: DataFrame, lineitem: DataFrame) -
             F.col("o_custkey") == F.col("c_custkey"),
         )
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(exact_sum(_disc_price_units(), 1e4, "revenue"))
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
         .limit(10)
     )
@@ -85,7 +93,7 @@ def q5_region_revenue(
         .where(F.col("c_nationkey") == F.col("s_nationkey"))
         .join(F.broadcast(dims), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(exact_sum(_disc_price_units(), 1e4, "revenue"))
         .orderBy(F.desc("revenue"), F.asc("n_name"))
     )
 
@@ -97,7 +105,7 @@ def top_customers_by_nation(customer: DataFrame, nation: DataFrame, orders: Data
 
     rev = (
         orders.groupBy("o_custkey")
-        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+        .agg(exact_sum(units("o_totalprice"), 100.0, "revenue"))
         .join(customer, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
     )
@@ -179,7 +187,7 @@ def q7_volume_shipping(
         .join(n2, F.col("c_nationkey") == F.col("c_nk"))
         .where(pair)
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(exact_sum(_disc_price_units(), 1e4, "revenue"))
         .orderBy("supp_nation", "cust_nation", "l_year")
     )
 
@@ -201,7 +209,7 @@ def q10_returned_items(
         .join(customer, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(exact_sum(_disc_price_units(), 1e4, "revenue"))
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(k)
     )
@@ -217,7 +225,7 @@ def q15_top_supplier(supplier: DataFrame, lineitem: DataFrame) -> DataFrame:
             & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
         )
         .groupBy(F.col("l_suppkey").alias("supplier_no"))
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("total_revenue"))
+        .agg(exact_sum(_disc_price_units(), 1e4, "total_revenue"))
     )
     top = revenue.agg(F.max("total_revenue").alias("max_revenue"))
     return (
@@ -242,7 +250,7 @@ def q17_small_quantity_revenue(lineitem: DataFrame, part: DataFrame, brand: str 
         lineitem.join(F.broadcast(part.where(F.col("p_brand") == brand)), F.col("l_partkey") == F.col("p_partkey"))
         .join(thresholds, F.col("l_partkey") == F.col("t_partkey"))
         .where(F.col("l_quantity") < F.col("qty_threshold"))
-        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+        .agg((exact_sum(units("l_extendedprice"), 100.0) / 7.0).alias("avg_yearly"))
     )
 
 
@@ -286,7 +294,7 @@ def q19_disjunctive_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
     return (
         lineitem.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
         .where(cond)
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(exact_sum(_disc_price_units(), 1e4, "revenue"))
     )
 
 
@@ -363,7 +371,7 @@ def q8_market_share(
     supp_nation = F.broadcast(
         nation.select(F.col("n_nationkey").alias("sn_nationkey"), F.col("n_name").alias("supp_nation"))
     )
-    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    vol = _disc_price_units()
     return (
         lineitem.join(F.broadcast(part.where(F.col("p_type") == p_type)), F.col("l_partkey") == F.col("p_partkey"))
         .join(
@@ -381,7 +389,9 @@ def q8_market_share(
         .groupBy(F.year("o_orderdate").cast("bigint").alias("o_year"))
         .agg(
             F.round(
-                F.sum(F.when(F.col("supp_nation") == share_nation, vol).otherwise(F.lit(0.0))) / F.sum(vol), 4
+                F.sum(F.when(F.col("supp_nation") == share_nation, vol).otherwise(F.lit(0)).cast("decimal(38,0)")).cast("double")
+                / F.sum(vol.cast("decimal(38,0)")).cast("double"),
+                4,
             ).alias("mkt_share")
         )
         .orderBy("o_year")
@@ -400,9 +410,9 @@ def q9_product_profit(
     matching a name pattern.  The fixture has no ps_supplycost, so cost is
     modeled as 10% of p_retailprice per unit.  part/supplier/nation broadcast;
     lineitem⋈orders is the one big shuffle."""
-    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.lit(0.1) * F.col(
-        "p_retailprice"
-    ) * F.col("l_quantity")
+    # exact 1e-4-dollar units: disc-price cents×(100-disc) minus 10% of
+    # retail cents × integer quantity × 10 (0.1 $/unit = 10 units/unit)
+    profit = _disc_price_units() - units("p_retailprice") * units("l_quantity", 1) * 10
     return (
         lineitem.join(
             F.broadcast(part.where(F.col("p_name").like(name_pattern))),
@@ -412,7 +422,7 @@ def q9_product_profit(
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").cast("bigint").alias("o_year"))
-        .agg(F.round(F.sum(profit), 2).alias("sum_profit"))
+        .agg(exact_sum(profit, 1e4, "sum_profit"))
         .orderBy(F.asc("nation"), F.desc("o_year"))
     )
 
@@ -440,17 +450,17 @@ def q11_important_parts(
         .join(F.broadcast(nation.where(F.col("n_name") == n_name)), F.col("s_nationkey") == F.col("n_nationkey"))
         .select("s_suppkey")
     )
-    value = F.col("l_extendedprice") * F.col("l_quantity")
+    value = units("l_extendedprice") * units("l_quantity", 1)
     per_part = (
         lineitem.join(F.broadcast(nat_supp), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("l_partkey")
-        .agg(F.round(F.sum(value), 2).alias("part_value"))
+        .agg(F.sum(value.cast("decimal(38,0)")).alias("value_cents"))
     )
-    total = per_part.agg(F.sum("part_value").alias("total_value"))
+    total = per_part.agg(F.sum("value_cents").alias("total_cents"))
     return (
         per_part.crossJoin(F.broadcast(total))
-        .where(F.col("part_value") * F.lit(fraction_denom) > F.col("total_value"))
-        .select("l_partkey", "part_value")
+        .where(F.col("value_cents") * F.lit(fraction_denom) > F.col("total_cents"))
+        .select("l_partkey", (F.col("value_cents").cast("double") / 100.0).alias("part_value"))
         .orderBy(F.desc("part_value"), F.asc("l_partkey"))
     )
 
@@ -583,7 +593,7 @@ def q22_idle_customers(customer: DataFrame, orders: DataFrame, since: str = "200
     custkey (the fixture schema has no phone column)."""
     pos_avg = (
         customer.where(F.col("c_acctbal") > 0)
-        .agg(F.round(F.avg("c_acctbal"), 4).alias("avg_bal"))
+        .agg((exact_sum(units("c_acctbal"), 100.0) / F.count("*")).alias("avg_bal"))
     )
     recent = orders.where(F.col("o_orderdate") >= F.lit(since).cast("timestamp"))
     return (
@@ -591,7 +601,7 @@ def q22_idle_customers(customer: DataFrame, orders: DataFrame, since: str = "200
         .where(F.col("c_acctbal") > F.col("avg_bal"))
         .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
         .groupBy((F.col("c_custkey") % 5).alias("cntrycode"))
-        .agg(F.count("*").alias("numcust"), F.round(F.sum("c_acctbal"), 2).alias("totacctbal"))
+        .agg(F.count("*").alias("numcust"), exact_sum(units("c_acctbal"), 100.0, "totacctbal"))
         .orderBy("cntrycode")
     )
 

@@ -15,6 +15,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from .exact import exact_sum, units
+
 
 def time_bucket(ts: Column, width_sec: int) -> Column:
     """Floor ``ts`` to a ``width_sec`` bucket (epoch-truncation arithmetic)."""
@@ -38,7 +40,7 @@ def continuous_rollup(events: DataFrame, grains: dict[str, int] | None = None) -
         events.groupBy(
             time_bucket(F.col("ts"), finest_sec).alias("bucket"), F.col("event_type")
         )
-        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .agg(F.count("*").alias("n_events"), F.sum(units("value").cast("decimal(38,0)")).alias("vc"))
         .withColumn("grain", F.lit(finest_name))
     )
     out = finest
@@ -48,13 +50,18 @@ def continuous_rollup(events: DataFrame, grains: dict[str, int] | None = None) -
             prev.groupBy(time_bucket(F.col("bucket"), sec).alias("bucket"), "event_type")
             .agg(
                 F.sum("n_events").alias("n_events"),
-                F.round(F.sum("total_value"), 2).alias("total_value"),
+                F.sum("vc").alias("vc"),
             )
             .withColumn("grain", F.lit(name))
         )
         out = out.unionByName(nxt)
         prev = nxt
-    return out.select("grain", "bucket", "event_type", "n_events", "total_value")
+    # exact cents carried through EVERY grain; one terminal int->double
+    # division so re-aggregated coarse grains can't drift by summation order
+    return out.select(
+        "grain", "bucket", "event_type", "n_events",
+        (F.col("vc").cast("double") / 100.0).alias("total_value"),
+    )
 
 
 def revenue_grouping_sets(orders: DataFrame, customer: DataFrame, nation: DataFrame) -> DataFrame:
@@ -66,7 +73,7 @@ def revenue_grouping_sets(orders: DataFrame, customer: DataFrame, nation: DataFr
     )
     return (
         joined.rollup("n_name", "o_orderpriority")
-        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"), F.count("*").alias("n_orders"))
+        .agg(exact_sum(units("o_totalprice"), 100.0, "revenue"), F.count("*").alias("n_orders"))
         .orderBy(
             F.col("n_name").asc_nulls_first(), F.col("o_orderpriority").asc_nulls_first()
         )
@@ -79,7 +86,7 @@ def priority_status_cube(orders: DataFrame) -> DataFrame:
     partial aggregation, output size bounded by the attribute domains."""
     return (
         orders.cube("o_orderpriority", "o_orderstatus")
-        .agg(F.count("*").alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("total_price"))
+        .agg(F.count("*").alias("n_orders"), exact_sum(units("o_totalprice"), 100.0, "total_price"))
         .orderBy(
             F.col("o_orderpriority").asc_nulls_first(), F.col("o_orderstatus").asc_nulls_first()
         )

@@ -92,13 +92,16 @@ def windowed_counts_stream(events: DataFrame, window: str = "1 hour", watermark:
         .groupBy(F.window("ts", window).alias("win"), "event_type")
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            # exact cents sum: the state-store merge order is as
+            # nondeterministic as a batch shuffle, so the same integer-unit
+            # playbook applies (operators/exact.py)
+            F.sum(F.round(F.col("value") * 100).cast("long").cast("decimal(38,0)")).alias("_vc"),
         )
         .select(
             F.col("win.start").alias("window_start"),
             "event_type",
             "n_events",
-            "total_value",
+            (F.col("_vc").cast("double") / 100.0).alias("total_value"),
         )
     )
 
