@@ -1813,7 +1813,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 _EMB_BUCKET_SQL = " + ".join(
     f"(CASE WHEN embedding[{i + 1}] >= 0 THEN {1 << i} ELSE 0 END)" for i in range(8)
 )
-_EMB_DOT_SQL = "list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i]))"
+_EMB_DOT_SQL = "list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]))"
 _EMB_NORM_SQL = "sqrt(list_sum(list_transform({x}.v, e -> e * e)))"
 
 
@@ -1825,7 +1825,7 @@ _EMB_NORM_SQL = "sqrt(list_sum(list_transform({x}.v, e -> e * e)))"
       UNION ALL
       SELECT vec_id + 1000000 AS vec_id,
              list_concat([embedding[1]::DOUBLE * 1.25],
-                         list_transform(embedding[2:64], x -> x::DOUBLE)) AS embedding
+                         list_transform(embedding[2:], x -> x::DOUBLE)) AS embedding
       FROM embeddings WHERE vec_id % 10 = 0),
     e AS (
       SELECT vec_id, embedding AS v, ({_EMB_BUCKET_SQL}) AS bucket
@@ -1854,7 +1854,7 @@ _SIM_SCORED_SQL = f"""
     q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
     scored AS (
       SELECT query_id, e.vec_id,
-             round(list_sum(list_transform(range(1, 65), i -> qv[i] * e.v[i]))
+             round(list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * e.v[i]))
                    / (sqrt(list_sum(list_transform(qv, x -> x * x)))
                       * sqrt(list_sum(list_transform(e.v, x -> x * x)))), 4) AS cosine
       FROM e CROSS JOIN q WHERE e.vec_id != q.query_id)
@@ -1901,7 +1901,7 @@ _LSH_BUCKET_SQL = lambda vcol: " + ".join(  # noqa: E731
                                             xor(qbucket, 4), xor(qbucket, 8)]) AS bucket FROM q),
     scored AS (
       SELECT query_id, c.vec_id,
-             round(list_sum(list_transform(range(1, 65), i -> qv[i] * c.v[i]))
+             round(list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * c.v[i]))
                    / (sqrt(list_sum(list_transform(qv, x -> x * x)))
                       * sqrt(list_sum(list_transform(c.v, x -> x * x)))), 4) AS cosine
       FROM c JOIN probes USING (bucket) WHERE c.vec_id != probes.query_id)
@@ -1921,7 +1921,7 @@ def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _IVF_COS6 = (
-    "round(list_sum(list_transform(range(1, 65), i -> {a}[i] * {b}[i]))"
+    "round(list_sum(list_transform(range(1, len({a}) + 1), i -> {a}[i] * {b}[i]))"
     " / (sqrt(list_sum(list_transform({a}, x -> x * x)))"
     " * sqrt(list_sum(list_transform({b}, x -> x * x)))), 6)"
 )
@@ -3375,7 +3375,7 @@ def sim_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
                                             xor(qbucket, 4), xor(qbucket, 8)]) AS bucket FROM lq),
     lscored AS (
       SELECT DISTINCT query_id, c.vec_id,
-             round(list_sum(list_transform(range(1, 65), i -> qv[i] * c.v[i]))
+             round(list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * c.v[i]))
                    / (sqrt(list_sum(list_transform(qv, x -> x * x)))
                       * sqrt(list_sum(list_transform(c.v, x -> x * x)))), 4) AS cosine
       FROM c JOIN probes USING (bucket) WHERE c.vec_id != probes.query_id),

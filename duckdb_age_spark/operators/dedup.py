@@ -26,6 +26,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from .iterate import truncate_lineage
+
 # Per-bucket membership bound for the three LSH self-joins below.  A
 # degenerate band key (thousands of near-identical short/empty docs landing
 # on one MinHash band signature, one SimHash quarter, one sign-pattern
@@ -363,7 +365,7 @@ def embedding_near_dup_pairs(
 
 
 def connected_components(
-    edges: DataFrame, nodes: DataFrame, max_iter: int = 25
+    edges: DataFrame, nodes: DataFrame, max_iter: int = 25, checkpoint_dir: str | None = None
 ) -> DataFrame:
     """Label every node with the MINIMUM node id reachable through ``edges``
     (undirected) — the clustering step that turns near-dup PAIRS into dedup
@@ -377,6 +379,9 @@ def connected_components(
     takes min(own label, neighbors' labels); converges in O(graph diameter)
     rounds — near-dup clusters are shallow (diameter ≤ a few hops), so this
     terminates in 2-4 rounds in practice, bounded by ``max_iter``.
+    ``checkpoint_dir``: pass a reliable (HDFS/S3) path on a real cluster so
+    per-round lineage truncation survives executor loss; None keeps the
+    local[]-friendly localCheckpoint (operators/iterate.py).
 
     Scale shape: each round is ONE join of the label table against the
     symmetric edge list plus ONE min-aggregate keyed by node id; no step
@@ -411,8 +416,8 @@ def connected_components(
         sym.groupBy("node")
         .agg(F.min("neigh").alias("mn"))
         .select(F.col("node").alias("id"), F.least(F.col("node"), F.col("mn")).alias("label"))
-        .localCheckpoint(eager=False)
     )
+    labels = truncate_lineage(labels, checkpoint_dir)
     label_sum = F.sum(F.col("label").cast("decimal(38,0)"))
     prev = labels.agg(label_sum).first()[0]
     if prev is not None:  # empty graph: skip the loop, labels is 0-row
@@ -423,8 +428,8 @@ def connected_components(
                 .groupBy("node")
                 .agg(F.min("label").alias("label"))
                 .select(F.col("node").alias("id"), "label")
-                .localCheckpoint(eager=False)
             )
+            labels = truncate_lineage(labels, checkpoint_dir)
             cur = labels.agg(label_sum).first()[0]
             if cur == prev:  # equal sum of non-increasing labels ⇒ fixpoint
                 break

@@ -14,6 +14,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from .iterate import truncate_lineage
+
 SCALE = 10**12
 
 
@@ -121,7 +123,12 @@ def weighted_pagerank(
     return ranks
 
 
-def bfs_hops(edges: DataFrame, source: int | None = None, max_hops: int = 3) -> DataFrame:
+def bfs_hops(
+    edges: DataFrame,
+    source: int | None = None,
+    max_hops: int = 3,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
     """Breadth-first hop distances from ``source`` over an undirected
     (src < dst) edge list — the frontier-expansion companion to
     :func:`pagerank_exact` (fixed-point) and connected components
@@ -136,7 +143,9 @@ def bfs_hops(edges: DataFrame, source: int | None = None, max_hops: int = 3) -> 
     result is engine-bit-identical and a DuckDB recursive CTE (UNION
     dedup mode) replays it.  ``max_hops`` bounds the rounds (lineage depth
     is max_hops joins; for deep traversals add the localCheckpoint pattern
-    from the CC loop).
+    from the CC loop).  ``checkpoint_dir``: reliable checkpoint path for
+    real clusters (survives executor loss); None = localCheckpoint
+    (operators/iterate.py).
     Returns (node, hops) for every node within max_hops.
     """
     # checkpoint the edge list, then the adjacency, ONCE: adj is joined
@@ -144,10 +153,10 @@ def bfs_hops(edges: DataFrame, source: int | None = None, max_hops: int = 3) -> 
     # upstream lineage (for a derived graph like copurchase_edges, the whole
     # self-join — measured 3× redundant work at max_hops=3); checkpointing
     # edges first also keeps the union's two branches from deriving it twice
-    edges = edges.select("src", "dst").localCheckpoint(eager=False)
-    adj = (
-        edges.unionAll(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .localCheckpoint(eager=False)
+    edges = truncate_lineage(edges.select("src", "dst"), checkpoint_dir)
+    adj = truncate_lineage(
+        edges.unionAll(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))),
+        checkpoint_dir,
     )
     if source is None:
         # default source = smallest node id; computed from the CHECKPOINTED
@@ -174,7 +183,7 @@ def bfs_hops(edges: DataFrame, source: int | None = None, max_hops: int = 3) -> 
         # checkpoint the NEW frontier (it is consumed twice: unioned into
         # visited and joined next round) so it computes once and the loop's
         # lineage stays a flat union of checkpointed rounds
-        nxt = nxt.localCheckpoint(eager=False)
+        nxt = truncate_lineage(nxt, checkpoint_dir)
         visited = visited.unionAll(nxt)
         frontier = nxt
     return visited.select("node", F.col("hops").cast("bigint").alias("hops"))

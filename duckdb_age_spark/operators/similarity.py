@@ -94,15 +94,25 @@ def _sign_bucket(vec_col, n_planes: int):
 
 def _assign(corpus: DataFrame, cents: DataFrame) -> DataFrame:
     """Nearest-centroid assignment: broadcast the (tiny) centroid set, score
-    every corpus vector against all centroids partition-locally, keep the
-    best.  The only shuffle is the per-vector window — and since ``vec_id``
-    is unique, AQE typically collapses it; corpus rows never co-shuffle by
-    centroid."""
+    every corpus vector against all centroids partition-locally, and reduce
+    to the argmax with ``max_by`` under a lexicographic (cs, -cent_id)
+    ordering — ties break to the smallest cent_id, the same contract as the
+    previous row_number form.
+
+    Plan shape (pinned in tests/test_plans.py): a hash aggregate with a
+    MAP-SIDE PARTIAL, so the exchange carries one row per corpus vector
+    instead of the corpus x n_lists scored copies a
+    Window.partitionBy(vec_id) shuffled — at 100 TB of embeddings that
+    n_lists factor was the dominant shuffle of every Lloyd iteration."""
     scored = corpus.join(F.broadcast(cents)).select(
         "vec_id", "v", "cent_id", F.round(cosine_col(F.col("v"), F.col("cv")), 6).alias("cs")
     )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("cs"), F.asc("cent_id"))
-    return scored.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1).select("vec_id", "v", "cent_id")
+    order = F.struct(F.col("cs").alias("cs"), (-F.col("cent_id")).alias("neg_cent"))
+    return (
+        scored.groupBy("vec_id")
+        .agg(F.max_by(F.struct("cent_id", "v"), order).alias("best"))
+        .select("vec_id", F.col("best.v").alias("v"), F.col("best.cent_id").alias("cent_id"))
+    )
 
 
 def _recenter(assigned: DataFrame) -> DataFrame:
@@ -194,14 +204,9 @@ def ivf_topk(
     )
     corpus = embeddings.select("vec_id", _as_double(F.col("embedding")).alias("v"))
 
-    # assign every corpus vector to its nearest centroid (broadcast cents)
-    scored_c = corpus.join(F.broadcast(cents)).select(
-        "vec_id", "v", "cent_id", F.round(cosine_col(F.col("v"), F.col("cv")), 6).alias("cs")
-    )
-    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("cs"), F.asc("cent_id"))
-    assigned = (
-        scored_c.withColumn("rn", F.row_number().over(w_assign)).where(F.col("rn") == 1).select("vec_id", "v", "cent_id")
-    )
+    # assign every corpus vector to its nearest centroid (broadcast cents;
+    # max_by partial aggregate — see _assign for the scale rationale)
+    assigned = _assign(corpus, cents)
 
     # queries probe their n_probe nearest lists
     scored_q = queries.join(F.broadcast(cents)).select(

@@ -1910,3 +1910,33 @@ def test_time_weighted_avg_burst_insensitive(spark):
     )
     r = time_weighted_avg(events, bucket_sec=3600).collect()[0]
     assert r.twap > 9.0  # 10 held for 100 of 101 seconds
+
+
+def test_iterative_ops_reliable_checkpoint_mode(spark, tmp_path):
+    """VERDICT r5 item 7: connected_components and bfs_hops accept a
+    reliable checkpoint_dir (cluster mode, survives executor loss) and
+    produce identical results to the localCheckpoint default."""
+    from duckdb_age_spark.operators.dedup import connected_components
+    from duckdb_age_spark.operators.graph import bfs_hops
+
+    edges = spark.createDataFrame([(1, 2), (2, 3), (5, 6)], "src long, dst long")
+    nodes = spark.createDataFrame([(i,) for i in (1, 2, 3, 5, 6, 9)], "id long")
+    ckpt = str(tmp_path / "ckpt")
+
+    local_cc = {r.id: r.cluster_id for r in connected_components(edges, nodes).collect()}
+    rel_cc = {
+        r.id: r.cluster_id
+        for r in connected_components(edges, nodes, checkpoint_dir=ckpt).collect()
+    }
+    assert local_cc == rel_cc == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5, 9: 9}
+
+    local_bfs = {r.node: r.hops for r in bfs_hops(edges, source=1, max_hops=3).collect()}
+    rel_bfs = {
+        r.node: r.hops
+        for r in bfs_hops(edges, source=1, max_hops=3, checkpoint_dir=ckpt).collect()
+    }
+    assert local_bfs == rel_bfs == {1: 0, 2: 1, 3: 2}
+    # the reliable mode actually wrote checkpoint data
+    import os
+
+    assert any(os.scandir(ckpt))

@@ -598,3 +598,35 @@ def test_welch_ttest_two_scalar_aggregates(t):
     assert has_partial_aggregate(df)
     # two one-row sufficient-stat aggregates + their cross join
     assert count_exchanges(df) <= 2, formatted_plan(df)
+
+
+def test_ivf_assign_is_partial_aggregate_not_window(spark, sf_dir):
+    """VERDICT r5 item 3: nearest-centroid assignment must be a map-side
+    combinable argmax aggregate, never a Window.partitionBy(vec_id) over the
+    corpus x n_lists scored cross product (that window shuffled n_lists
+    copies of every corpus vector per Lloyd iteration)."""
+    from duckdb_age_spark.operators.similarity import _as_double, _assign
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    corpus = emb.select("vec_id", _as_double(F.col("embedding")).alias("v"))
+    cents = corpus.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")
+    )
+    df = _assign(corpus, cents)
+    plan = formatted_plan(df)
+    assert "partial_max_by" in plan, plan
+    assert "Window" not in plan, plan
+    # one exchange (the final aggregate), carrying one row per vector
+    assert count_exchanges(df) == 1, plan
+    assert has_broadcast_join(df)
+
+
+def test_ivf_topk_no_corpus_window(spark, sf_dir):
+    """The full IVF query path keeps windows off the corpus side: the only
+    Window nodes operate on the (broadcast-sized) query frame."""
+    from duckdb_age_spark.operators.similarity import ivf_topk, queries_from_ids
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    df = ivf_topk(emb, queries_from_ids(emb, [0, 1, 2]), k=5, n_lists=8, n_probe=2)
+    plan = formatted_plan(df)
+    assert "partial_max_by" in plan, plan
