@@ -118,7 +118,12 @@ def _x25519_stanza(file_key: bytes, recipient_raw: bytes) -> bytes:
     # crate) — only the recipient-key object construction is hoisted.
     eph_secret = X25519PrivateKey.generate()
     eph_share = eph_secret.public_key().public_bytes_raw()
-    shared = eph_secret.exchange(_recipient_pub(recipient_raw))
+    try:
+        shared = eph_secret.exchange(_recipient_pub(recipient_raw))
+    except ValueError:
+        # the cryptography lib raises its own ValueError for an all-zero
+        # (low-order) result before our explicit check can run
+        raise ValueError("invalid recipient: low-order point") from None
     if shared == bytes(32):
         raise ValueError("invalid recipient: low-order point")
     wrap_key = _hkdf(shared, salt=eph_share + recipient_raw, info=X25519_LABEL)
@@ -214,7 +219,14 @@ def decrypt(ciphertext: bytes, identity_raw: bytes) -> bytes:
         eph_share = _b64_decode(args[1])
         if len(eph_share) != 32:
             raise DecryptError("malformed X25519 ephemeral share")
-        shared = sk.exchange(X25519PublicKey.from_public_bytes(eph_share))
+        try:
+            shared = sk.exchange(X25519PublicKey.from_public_bytes(eph_share))
+        except ValueError:
+            # cryptography raises a bare ValueError for low-order shares;
+            # fold it into the DecryptError taxonomy so a crafted header
+            # can never escape the "Decryption failed:" dispatch (found by
+            # the adversarial header sweep in tests/test_crypto.py)
+            raise DecryptError("low-order X25519 share") from None
         if shared == bytes(32):
             raise DecryptError("low-order X25519 share")
         wrap_key = _hkdf(shared, salt=eph_share + our_pub, info=X25519_LABEL)

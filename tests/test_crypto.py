@@ -225,3 +225,105 @@ def test_ciphertext_length_at_chunk_boundaries_multi_recipient():
         for n in (1, 2):
             ct = age_format.encrypt(b"z" * size, recipients[:n])
             assert len(ct) == age_format.ciphertext_length(size, n), (size, n)
+
+
+# --- adversarial header fuzz (VERDICT r5 item 9) -----------------------------
+#
+# The reference gets header-parser robustness free from the audited age
+# crate; this from-scratch parser earns it here: EVERY outcome of a
+# malformed/mutated/truncated input must be DecryptError (or, for a pure
+# payload-byte mutation that leaves the header intact, the correct
+# plaintext is impossible — AEAD rejects) — never a crash with a different
+# exception type, never wrong plaintext.
+
+_FUZZ_KP = keys.keygen_from_seed(b"fuzz-header-sweep")
+_FUZZ_PRIV = keys.parse_identity(_FUZZ_KP.private_key)
+_FUZZ_PUB = keys.parse_recipient(_FUZZ_KP.public_key)
+_FUZZ_PT = b"fuzz payload \x00\xff" * 9
+_FUZZ_CT = age_format.encrypt(_FUZZ_PT, [_FUZZ_PUB])
+
+
+def _decrypt_outcome(ct: bytes) -> str:
+    try:
+        out = age_format.decrypt(ct, _FUZZ_PRIV)
+    except age_format.DecryptError:
+        return "DecryptError"
+    except Exception as e:  # noqa: BLE001 — the whole point of the sweep
+        return f"ESCAPED {type(e).__name__}: {e}"
+    return "ok" if out == _FUZZ_PT else f"WRONG PLAINTEXT {out!r}"
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    pos=st.integers(min_value=0, max_value=len(_FUZZ_CT) - 1),
+    delta=st.integers(min_value=1, max_value=255),
+)
+def test_fuzz_single_byte_mutation_never_escapes(pos, delta):
+    mutated = bytearray(_FUZZ_CT)
+    mutated[pos] = (mutated[pos] + delta) % 256
+    outcome = _decrypt_outcome(bytes(mutated))
+    assert outcome in ("DecryptError", "ok"), (pos, delta, outcome)
+
+
+@settings(max_examples=300, deadline=None)
+@given(cut=st.integers(min_value=0, max_value=len(_FUZZ_CT) - 1))
+def test_fuzz_truncation_at_every_offset(cut):
+    outcome = _decrypt_outcome(_FUZZ_CT[:cut])
+    assert outcome == "DecryptError", (cut, outcome)
+
+
+@settings(max_examples=200, deadline=None)
+@given(garbage=st.binary(min_size=0, max_size=400))
+def test_fuzz_garbage_input(garbage):
+    outcome = _decrypt_outcome(garbage)
+    assert outcome == "DecryptError", outcome
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    stanza_type=st.text(
+        alphabet=st.characters(min_codepoint=33, max_codepoint=126), min_size=1, max_size=12
+    ),
+    args=st.lists(
+        st.text(
+            alphabet=st.characters(min_codepoint=33, max_codepoint=126), min_size=1, max_size=16
+        ),
+        max_size=3,
+    ),
+    body=st.binary(min_size=0, max_size=80),
+)
+def test_fuzz_injected_grease_stanza(stanza_type, args, body):
+    """Insert an arbitrary unknown stanza between version line and the real
+    stanza: the parser must skip it and then fail the header MAC (the MAC
+    covers the original header only) — always DecryptError, never a crash
+    or an accepted file."""
+    head, rest = _FUZZ_CT.split(b"\n", 1)
+    arg_bytes = " ".join([stanza_type, *args]).encode()
+    stanza = b"-> " + arg_bytes + b"\n" + age_format._wrap_body(age_format._b64(body))
+    crafted = head + b"\n" + stanza + b"\n" + rest
+    outcome = _decrypt_outcome(crafted)
+    assert outcome == "DecryptError", outcome
+
+
+@pytest.mark.parametrize(
+    "share",
+    [bytes(32), b"\x01" + bytes(31), bytes(31), bytes(33), b""],
+    ids=["low-order-zero", "low-order-one", "short", "long", "empty"],
+)
+def test_fuzz_crafted_ephemeral_share(share):
+    """Crafted ephemeral shares — low-order points (the cryptography lib
+    raises its own ValueError there, which must fold into DecryptError) and
+    wrong lengths — all land in the golden error taxonomy."""
+    lines = _FUZZ_CT.split(b"\n")
+    lines[1] = b"-> X25519 " + age_format._b64(share)
+    outcome = _decrypt_outcome(b"\n".join(lines))
+    assert outcome == "DecryptError", outcome
+
+
+def test_fuzz_overlong_body_line():
+    """A stanza body line of >=64 cols that never ends keeps the reader in
+    the body loop until the MAC line is consumed as body — must surface as
+    DecryptError (truncated/malformed), not hang or crash."""
+    head, rest = _FUZZ_CT.split(b"\n", 1)
+    crafted = head + b"\n" + b"-> X25519 " + b"A" * 200 + b"\n" + b"B" * 64 + b"\n" + rest
+    assert _decrypt_outcome(crafted) == "DecryptError"

@@ -333,3 +333,68 @@ def test_windowed_distinct_users_match_batch(spark, sf_dir, batch_events):
     g = {(r.window_start, r.n_distinct_users) for r in got.collect()}
     e = {(r.window_start, r.n_distinct_users) for r in expected.collect()}
     assert g == e and len(g) > 0
+
+
+def test_update_mode_distinct_exact_after_horizon_duplicate(spark, tmp_path):
+    """VERDICT r5 item 8: a duplicate (user, window) arriving AFTER the
+    watermark horizon must not inflate the distinct count.  The update-mode
+    operator keys dedup set and count in ONE state row, so the late
+    duplicate is watermark-dropped and the count stays exact (the two-phase
+    complete-mode form could double-count it because its dedup state was
+    evicted while its count state lived on)."""
+    from datetime import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from duckdb_age_spark.streaming import windowed_distinct_users_stream_update
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    src = tmp_path / "src"
+    src.mkdir()
+
+    def write(name, rows):
+        pq.write_table(
+            pa.table(
+                {
+                    "ts": pa.array(
+                        [datetime(2024, 1, 1, h, m) for (h, m), _ in rows], pa.timestamp("us")
+                    ),
+                    "user_id": pa.array([u for _, u in rows], pa.int64()),
+                }
+            ),
+            str(src / name),
+        )
+
+    # batch 1: users 1,2 in window [00:00, 01:00)
+    write("f1.parquet", [((0, 10), 1), ((0, 20), 2)])
+    # batch 2: lone event far ahead — advances the watermark to 04:00,
+    # past the window's event-time timeout (01:00 + 2h)
+    write("f2.parquet", [((6, 0), 9)])
+    # batch 3: DUPLICATE user 1 back in the first window — now late
+    write("f3.parquet", [((0, 30), 1)])
+
+    stream = (
+        spark.readStream.schema("ts timestamp, user_id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = windowed_distinct_users_stream_update(stream, window_sec=3600, watermark_sec=7200)
+
+    import uuid
+
+    name = f"upd_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.table(name).collect()
+    w0 = datetime(2024, 1, 1, 0, 0)
+    counts_w0 = [r.n_distinct_users for r in rows if r.window_start == w0]
+    # the first window's count must have been emitted and NEVER exceed 2:
+    # the post-horizon duplicate was dropped, not double-counted
+    assert counts_w0 and max(counts_w0) == 2, rows
