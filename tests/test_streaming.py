@@ -3,6 +3,8 @@ operators on the same bounded input (availableNow drain)."""
 
 from __future__ import annotations
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -353,7 +355,8 @@ def test_update_mode_distinct_exact_after_horizon_duplicate(spark, tmp_path):
     src = tmp_path / "src"
     src.mkdir()
 
-    def write(name, rows):
+    def write(name, rows, order):
+        path = src / name
         pq.write_table(
             pa.table(
                 {
@@ -363,16 +366,21 @@ def test_update_mode_distinct_exact_after_horizon_duplicate(spark, tmp_path):
                     "user_id": pa.array([u for _, u in rows], pa.int64()),
                 }
             ),
-            str(src / name),
+            str(path),
         )
+        # The file source schedules micro-batches by modification time;
+        # back-to-back writes can tie on mtime granularity, letting f2 (the
+        # watermark-advancer) run FIRST and late-drop f1 entirely.  Pin
+        # strictly increasing mtimes so batch order is deterministic.
+        os.utime(path, (1_700_000_000 + order, 1_700_000_000 + order))
 
     # batch 1: users 1,2 in window [00:00, 01:00)
-    write("f1.parquet", [((0, 10), 1), ((0, 20), 2)])
+    write("f1.parquet", [((0, 10), 1), ((0, 20), 2)], 0)
     # batch 2: lone event far ahead — advances the watermark to 04:00,
     # past the window's event-time timeout (01:00 + 2h)
-    write("f2.parquet", [((6, 0), 9)])
+    write("f2.parquet", [((6, 0), 9)], 60)
     # batch 3: DUPLICATE user 1 back in the first window — now late
-    write("f3.parquet", [((0, 30), 1)])
+    write("f3.parquet", [((0, 30), 1)], 120)
 
     stream = (
         spark.readStream.schema("ts timestamp, user_id long")
