@@ -5307,6 +5307,139 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return degree_assortativity(edges)
 
 
+# ===========================================================================
+# S. portable cardinality sketches (operators/sketch.py)
+# ===========================================================================
+
+_HLL_B = 8
+_HLL_M = 1 << _HLL_B
+_HLL_SUFFIX = 1 << (60 - _HLL_B)  # 2^52
+_HLL_RMAX = 60 - _HLL_B + 1  # 53
+# alpha_m * m^2 * 2^rmax — ONE double literal shared by both engines
+# (shortest-repr round-trips to the identical IEEE double in each parser)
+from .operators.sketch import hll_alpha as _hll_alpha  # noqa: E402
+
+_HLL_NUMER = _hll_alpha(_HLL_M) * _HLL_M * _HLL_M * float(1 << _HLL_RMAX)
+_KMV_K = 64
+_KMV_KCONST = float(_KMV_K - 1) * float(1 << 60)
+
+
+@_q(
+    "sketch_hll_distinct",
+    f"""
+    WITH keyed AS (
+      SELECT (('0x' || substr(md5(event_id::VARCHAR), 1, 15))::BIGINT) AS key
+      FROM events),
+    regs AS (
+      SELECT key >> {60 - _HLL_B} AS bucket,
+             max(CASE WHEN key % {_HLL_SUFFIX} = 0 THEN {_HLL_RMAX}
+                      ELSE {_HLL_RMAX} - length(bin(key % {_HLL_SUFFIX})) END)::BIGINT
+               AS register
+      FROM keyed GROUP BY 1),
+    agg AS (
+      SELECT count(*)::BIGINT AS n_buckets,
+             sum((1::BIGINT << ({_HLL_RMAX} - register::INT)))::BIGINT AS s_present
+      FROM regs),
+    ex AS (SELECT count(DISTINCT event_id)::BIGINT AS exact_n FROM events)
+    SELECT {_HLL_M}::BIGINT AS m, n_buckets,
+           (s_present + ({_HLL_M} - n_buckets) * (1::BIGINT << {_HLL_RMAX}))::BIGINT
+             AS s_scaled,
+           {_HLL_NUMER!r} / (s_present + ({_HLL_M} - n_buckets)
+                             * (1::BIGINT << {_HLL_RMAX}))::DOUBLE AS hll_est,
+           exact_n,
+           floor(abs({_HLL_NUMER!r} / (s_present + ({_HLL_M} - n_buckets)
+                                       * (1::BIGINT << {_HLL_RMAX}))::DOUBLE
+                     - exact_n) / exact_n * 10000)::BIGINT AS err_bp
+    FROM agg, ex
+    """,
+)
+def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-portable HyperLogLog (m=256) over event_id: the oracle replays
+    the identical register table from the same 60-bit md5 keys, so the
+    sketch — not just the answer — is pinned cell-by-cell.  All register
+    arithmetic integer-exact; one terminal IEEE division."""
+    from .operators.sketch import hll_estimate
+
+    _prep(spark)
+    return hll_estimate(load(spark, sf_dir, "events"), "event_id", b=_HLL_B)
+
+
+@_q(
+    "sketch_kmv_distinct",
+    f"""
+    WITH keyed AS (
+      SELECT DISTINCT event_type,
+             (('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT) AS key
+      FROM events),
+    ranked AS (
+      SELECT event_type, key,
+             row_number() OVER (PARTITION BY event_type ORDER BY key) AS rk
+      FROM keyed),
+    kth AS (
+      SELECT event_type, max(rk)::BIGINT AS n_keys, max(key)::BIGINT AS kth_key
+      FROM ranked WHERE rk <= {_KMV_K} GROUP BY 1),
+    ex AS (SELECT event_type, count(DISTINCT user_id)::BIGINT AS exact_n
+           FROM events GROUP BY 1)
+    SELECT event_type, n_keys, kth_key,
+           CASE WHEN n_keys < {_KMV_K} THEN n_keys::DOUBLE
+                ELSE {_KMV_KCONST!r} / kth_key::DOUBLE END AS kmv_est,
+           exact_n,
+           floor(abs(CASE WHEN n_keys < {_KMV_K} THEN n_keys::DOUBLE
+                          ELSE {_KMV_KCONST!r} / kth_key::DOUBLE END
+                     - exact_n) / exact_n * 10000)::BIGINT AS err_bp
+    FROM kth JOIN ex USING (event_type) ORDER BY event_type
+    """,
+)
+def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type KMV (k-minimum-values) distinct-user estimate, k=64;
+    exact when a group holds < k distinct keys.  WindowGroupLimit pushes
+    the per-group top-k into partial per-partition limits."""
+    from .operators.sketch import kmv_estimate
+
+    _prep(spark)
+    return kmv_estimate(load(spark, sf_dir, "events"), "event_type", "user_id", k=_KMV_K)
+
+
+@_q(
+    "sketch_kmv_union",
+    f"""
+    WITH keyed AS (
+      SELECT DISTINCT event_type,
+             (('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT) AS key
+      FROM events WHERE event_type IN ('purchase', 'view')),
+    ranked AS (
+      SELECT event_type, key,
+             row_number() OVER (PARTITION BY event_type ORDER BY key) AS rk
+      FROM keyed),
+    merged AS (SELECT DISTINCT key FROM ranked WHERE rk <= {_KMV_K}),
+    mrk AS (SELECT key, row_number() OVER (ORDER BY key) AS rk FROM merged),
+    kth AS (SELECT max(rk)::BIGINT AS n_keys, max(key)::BIGINT AS kth_key
+            FROM mrk WHERE rk <= {_KMV_K}),
+    ex AS (SELECT count(DISTINCT user_id)::BIGINT AS exact_n FROM events
+           WHERE event_type IN ('purchase', 'view'))
+    SELECT 'purchase+view'::VARCHAR AS union_of, n_keys, kth_key,
+           CASE WHEN n_keys < {_KMV_K} THEN n_keys::DOUBLE
+                ELSE {_KMV_KCONST!r} / kth_key::DOUBLE END AS kmv_est,
+           exact_n,
+           floor(abs(CASE WHEN n_keys < {_KMV_K} THEN n_keys::DOUBLE
+                          ELSE {_KMV_KCONST!r} / kth_key::DOUBLE END
+                     - exact_n) / exact_n * 10000)::BIGINT AS err_bp
+    FROM kth, ex
+    """,
+)
+def sketch_kmv_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV sketch UNION: distinct users across view∪purchase estimated from
+    the two per-type k-minima lists alone (merge = k smallest of the union
+    of sketches) — the mergeability that makes KMV usable across 1000
+    executors without re-touching raw data."""
+    from .operators.sketch import kmv_union_estimate
+
+    _prep(spark)
+    return kmv_union_estimate(
+        load(spark, sf_dir, "events"), "event_type", "user_id", ["view", "purchase"], k=_KMV_K
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: encrypted-document pipeline at sf0.001 — round-trip an
     age-encrypted documents table and join quality stats (SURVEY.md §7.3)."""

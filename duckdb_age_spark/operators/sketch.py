@@ -1,0 +1,192 @@
+"""Portable cardinality sketches: HyperLogLog + KMV (theta-style).
+
+The reference engine ships no sketch operators, but a 100 TB training-data
+pipeline lives on them (distinct-URL counts, per-source reach, dedup-rate
+monitoring without a global distinct).  These implementations are
+ENGINE-PORTABLE by construction: every hashed quantity derives from the
+repo's canonical 60-bit md5 key (same value in Spark and DuckDB, see
+pipeline._md5_rank / contract.py determinism rules), all register/sketch
+arithmetic is exact integer (BIGINT throughout — no float accumulation
+anywhere), and the single estimate expression at the end is one IEEE
+division of exact integers, bit-identical across engines.  That is what
+lets a DuckDB oracle replay the *identical* sketch cell-by-cell — the same
+property the CMS heavy-hitter and Bloom-prefilter operators pin.
+
+Scale shape:
+* HLL registers: one groupBy over m=2^b buckets with a max() partial
+  aggregate — map-side combinable, the shuffle carries at most m rows per
+  partition regardless of input size.  The m-row register table then
+  reduces to ONE row.  This is the textbook distributed-HLL plan (merge =
+  max per register), so the operator would run unchanged on 100 TB.
+* KMV: per-group top-k smallest keys via row_number — Spark's
+  WindowGroupLimit pushes the limit into per-partition partial top-k
+  before the shuffle, so the exchange carries ≤ k rows per partition per
+  group.  Sketch UNION merges the per-group k-minima lists (k rows per
+  group, driver-free) — demonstrating the mergeability that makes KMV
+  usable across 1000 executors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+# 60-bit md5 key — identical in DuckDB as ('0x'||substr(md5(x),1,15))::BIGINT
+KEY_BITS = 60
+
+
+def key60(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c.cast("string")), 1, 15), 16, 10).cast("long")
+
+
+def hll_alpha(m: int) -> float:
+    """Standard HLL bias constant for m >= 128 (Flajolet et al. 2007).
+    Computed once in Python from literals; both engines receive the SAME
+    double literal, so no cross-engine libm involvement."""
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def hll_registers(df: DataFrame, col: str, b: int = 8) -> DataFrame:
+    """HLL register table for ``col``: (bucket, register) with
+    register = max over the bucket's keys of rho(w), rho = leading-zero
+    rank of the (60-b)-bit suffix.
+
+    rho uses length(bin(w)) — both engines' bin() renders without leading
+    zeros, so 53 - length(bin(w)) IS the leading-zero count of a 52-bit
+    (b=8) suffix, with the w=0 row pinned to the max rank 53 explicitly
+    (bin(0)='0' has length 1, which would undercount by one).
+    """
+    m = 1 << b
+    suffix_bits = KEY_BITS - b
+    suffix_mod = 1 << suffix_bits
+    key = key60(col)
+    # integer ops only: a double division of 2^60-scale keys would lose
+    # bits past the 2^53 exact range
+    bucket = F.shiftright(key, suffix_bits)
+    w = key % F.lit(suffix_mod)
+    rho = F.when(w == 0, F.lit(suffix_bits + 1)).otherwise(
+        F.lit(suffix_bits + 1) - F.length(F.bin(w))
+    )
+    return (
+        df.select(bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy("bucket")
+        .agg(F.max("rho").cast("long").alias("register"))
+    )
+
+
+def hll_estimate(df: DataFrame, col: str, b: int = 8) -> DataFrame:
+    """One-row HLL cardinality estimate next to the exact count.
+
+    The harmonic sum is kept EXACT: S = sum over all m buckets of
+    2^(rmax - register), register = 0 for empty buckets, rmax = 61-b.
+    Max possible S = m * 2^rmax = 2^61 < 2^63, so a BIGINT sum is exact in
+    any order.  The estimate alpha*m^2*2^rmax / S is then ONE double
+    division of exact integers (identical IEEE result on both engines).
+    err_bp uses floor(), not round(), so no half-way rounding hazard.
+    """
+    m = 1 << b
+    rmax = KEY_BITS - b + 1
+    regs = hll_registers(df, col, b)
+    agg = regs.agg(
+        F.count("*").cast("long").alias("n_buckets"),
+        # 1 << (rmax - register), never libm pow (not guaranteed exact)
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {rmax} - CAST(register AS INT))")).alias(
+            "s_present"
+        ),
+    )
+    exact = df.agg(F.countDistinct(col).cast("long").alias("exact_n"))
+    numer = hll_alpha(m) * m * m * float(1 << rmax)
+    out = agg.crossJoin(exact).select(
+        F.lit(m).cast("long").alias("m"),
+        "n_buckets",
+        (F.col("s_present") + (F.lit(m) - F.col("n_buckets")) * F.lit(1 << rmax))
+        .cast("long")
+        .alias("s_scaled"),
+        "exact_n",
+    )
+    return out.select(
+        "m",
+        "n_buckets",
+        "s_scaled",
+        (F.lit(numer) / F.col("s_scaled").cast("double")).alias("hll_est"),
+        "exact_n",
+        F.floor(
+            F.abs(F.lit(numer) / F.col("s_scaled").cast("double") - F.col("exact_n"))
+            / F.col("exact_n")
+            * 10000
+        )
+        .cast("long")
+        .alias("err_bp"),
+    )
+
+
+def kmv_minima(df: DataFrame, group: str, col: str, k: int = 64) -> DataFrame:
+    """Per-group k smallest distinct 60-bit keys of ``col``:
+    (group, rk, key).  The distinct is keyed by (group, key) — at pipeline
+    scale one replaces it with per-partition pre-dedup; the top-k itself is
+    WindowGroupLimit-optimized (partial per-partition limits)."""
+    keyed = df.select(F.col(group), key60(col).alias("key")).distinct()
+    rk = F.row_number().over(Window.partitionBy(group).orderBy("key"))
+    return keyed.select(group, "key", rk.alias("rk")).where(F.col("rk") <= k)
+
+
+def kmv_estimate(df: DataFrame, group: str, col: str, k: int = 64) -> DataFrame:
+    """Per-group KMV distinct estimate: (k-1) * 2^60 / kth_min_key, falling
+    back to the exact count when the group has fewer than k distinct keys
+    (the sketch IS exact there).  One IEEE division of exact integers."""
+    minima = kmv_minima(df, group, col, k)
+    kth = minima.groupBy(group).agg(
+        F.max("rk").cast("long").alias("n_keys"), F.max("key").alias("kth_key")
+    )
+    exact = df.groupBy(group).agg(F.countDistinct(col).cast("long").alias("exact_n"))
+    est = F.when(
+        F.col("n_keys") < k, F.col("n_keys").cast("double")
+    ).otherwise(F.lit(float(k - 1) * float(1 << KEY_BITS)) / F.col("kth_key").cast("double"))
+    return (
+        kth.join(exact, group)
+        .select(
+            group,
+            "n_keys",
+            "kth_key",
+            est.alias("kmv_est"),
+            "exact_n",
+            F.floor(F.abs(est - F.col("exact_n")) / F.col("exact_n") * 10000)
+            .cast("long")
+            .alias("err_bp"),
+        )
+        .orderBy(group)
+    )
+
+
+def kmv_union_estimate(
+    df: DataFrame, group: str, col: str, groups: list[str], k: int = 64
+) -> DataFrame:
+    """Distinct-of-union estimated from the per-group SKETCHES ONLY — the
+    mergeability demo: union the selected groups' k-minima lists, keep the
+    k smallest distinct keys of the merged list, re-apply the KMV rule.
+    Exact union distinct is computed alongside for the error column."""
+    minima = kmv_minima(df, group, col, k).where(F.col(group).isin(groups))
+    merged = minima.select("key").distinct()
+    rk = F.row_number().over(Window.orderBy("key"))
+    kth = (
+        merged.select("key", rk.alias("rk"))
+        .where(F.col("rk") <= k)
+        .agg(F.max("rk").cast("long").alias("n_keys"), F.max("key").alias("kth_key"))
+    )
+    exact = (
+        df.where(F.col(group).isin(groups))
+        .agg(F.countDistinct(col).cast("long").alias("exact_n"))
+    )
+    est = F.when(
+        F.col("n_keys") < k, F.col("n_keys").cast("double")
+    ).otherwise(F.lit(float(k - 1) * float(1 << KEY_BITS)) / F.col("kth_key").cast("double"))
+    return kth.crossJoin(exact).select(
+        F.lit("+".join(sorted(groups))).alias("union_of"),
+        "n_keys",
+        "kth_key",
+        est.alias("kmv_est"),
+        "exact_n",
+        F.floor(F.abs(est - F.col("exact_n")) / F.col("exact_n") * 10000)
+        .cast("long")
+        .alias("err_bp"),
+    )

@@ -1940,3 +1940,41 @@ def test_iterative_ops_reliable_checkpoint_mode(spark, tmp_path):
     import os
 
     assert any(os.scandir(ckpt))
+
+
+def test_hll_estimate_accuracy_and_exact_ints(spark):
+    """HLL on 5000 known-distinct ids: estimate within ~3 standard errors
+    (1.04/sqrt(256) ≈ 6.5%), register sum integral and within bounds."""
+    from duckdb_age_spark.operators.sketch import hll_estimate
+
+    df = spark.range(5000).select(F.col("id").alias("event_id"))
+    r = hll_estimate(df, "event_id", b=8).collect()[0]
+    assert r.exact_n == 5000
+    assert abs(r.hll_est - 5000) / 5000 < 0.20
+    assert 0 < r.s_scaled <= 256 * (1 << 53)
+    assert r.err_bp == int(abs(r.hll_est - 5000) / 5000 * 10000)
+
+
+def test_kmv_exact_below_k_and_estimates_above(spark):
+    """A group with < k distinct values reports the exact count; a group
+    with ≫ k reports a (k-1)*2^60/kth estimate in a sane band."""
+    from duckdb_age_spark.operators.sketch import kmv_estimate
+
+    small = [("s", i) for i in range(10)]
+    big = [("b", i) for i in range(5000)]
+    df = spark.createDataFrame(small + big, "g string, v long")
+    rows = {r.g: r for r in kmv_estimate(df, "g", "v", k=64).collect()}
+    assert rows["s"].kmv_est == 10.0 and rows["s"].exact_n == 10
+    assert abs(rows["b"].kmv_est - 5000) / 5000 < 0.5
+    assert rows["b"].n_keys == 64
+
+
+def test_kmv_union_merges_sketches_only(spark):
+    """Union estimate of two overlapping groups derives from the k-minima
+    lists; with ≤ k distinct keys overall it is EXACT."""
+    from duckdb_age_spark.operators.sketch import kmv_union_estimate
+
+    rows = [("a", i) for i in range(30)] + [("b", i) for i in range(20, 50)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    r = kmv_union_estimate(df, "g", "v", ["a", "b"], k=64).collect()[0]
+    assert r.exact_n == 50 and r.kmv_est == 50.0 and r.union_of == "a+b"

@@ -630,3 +630,24 @@ def test_ivf_topk_no_corpus_window(spark, sf_dir):
     df = ivf_topk(emb, queries_from_ids(emb, [0, 1, 2]), k=5, n_lists=8, n_probe=2)
     plan = formatted_plan(df)
     assert "partial_max_by" in plan, plan
+
+
+def test_hll_registers_partial_aggregate(t):
+    """HLL register build must map-side combine: the shuffle carries at
+    most m=2^b rows per partition no matter how large the input."""
+    from duckdb_age_spark.operators.sketch import hll_registers
+
+    df = hll_registers(t["events"], "event_id", b=8)
+    assert has_partial_aggregate(df)
+    # register build reads only the hashed column
+    assert all("event_id" in s or s == "struct<>" for s in read_schemas(df))
+
+
+def test_kmv_topk_uses_window_group_limit(t):
+    """Per-group k-minima must run as WindowGroupLimit (per-partition
+    partial top-k before the shuffle), not a full per-group sort."""
+    from duckdb_age_spark.operators.sketch import kmv_minima
+
+    df = kmv_minima(t["events"], "event_type", "user_id", k=64)
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in executed, executed
