@@ -5307,6 +5307,55 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return degree_assortativity(edges)
 
 
+@_q(
+    "pipeline_doc_chunking",
+    r"""
+    WITH base AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks,
+             len(string_split_regex(trim(text), '\s+'))::BIGINT AS n_tokens
+      FROM documents),
+    grid AS (
+      SELECT doc_id, toks, n_tokens,
+             unnest(range(0, 1 + (greatest(0, n_tokens - 64) + 47) // 48)) AS chunk_id
+      FROM base)
+    SELECT doc_id, chunk_id::BIGINT AS chunk_id,
+           (chunk_id * 48)::BIGINT AS start_tok,
+           least(64, n_tokens - chunk_id * 48)::BIGINT AS chunk_tokens,
+           md5(array_to_string(list_slice(toks, chunk_id * 48 + 1, chunk_id * 48 + 64),
+                               ' ')) AS chunk_md5
+    FROM grid ORDER BY doc_id, chunk_id
+    """,
+)
+def pipeline_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking (size 64, overlap 16): integer chunk grid +
+    per-chunk text digest — shuffle-free map-side posexplode."""
+    from .operators.pipeline import chunk_documents
+
+    _prep(spark)
+    return chunk_documents(load(spark, sf_dir, "documents"), size=64, overlap=16)
+
+
+@_q(
+    "pipeline_kfold_split",
+    r"""
+    WITH keyed AS (
+      SELECT (('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT) % 5 AS fold, lang,
+             len(string_split_regex(trim(text), '\s+'))::BIGINT AS n_words
+      FROM documents)
+    SELECT fold::BIGINT AS fold, count(*)::BIGINT AS n_docs,
+           count(DISTINCT lang)::BIGINT AS n_langs, sum(n_words)::BIGINT AS total_words
+    FROM keyed GROUP BY 1 ORDER BY 1
+    """,
+)
+def pipeline_kfold_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 5-fold split census: fold = md5-60-bit(doc_id) mod 5 —
+    stateless per-row assignment, reproducible across engines/runs."""
+    from .operators.pipeline import kfold_split
+
+    _prep(spark)
+    return kfold_split(load(spark, sf_dir, "documents"), k=5)
+
+
 # ===========================================================================
 # S. portable cardinality sketches (operators/sketch.py)
 # ===========================================================================

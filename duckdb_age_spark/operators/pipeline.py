@@ -440,3 +440,74 @@ def pack_efficiency_report(docs: DataFrame, budget_tokens: int = 2048) -> DataFr
         )
         .orderBy("lang")
     )
+
+
+def chunk_documents(docs: DataFrame, size: int = 64, overlap: int = 16) -> DataFrame:
+    """Split documents into fixed-size whitespace-token chunks with overlap
+    — the context-window chunking step of a RAG/pretraining pipeline.
+
+    Chunk starts step by ``stride = size - overlap``; the chunk count
+    ``1 + ceil(max(0, n - size) / stride)`` is computed in pure integer
+    arithmetic so both engines enumerate the identical chunk grid, and the
+    per-chunk text digest pins the actual token slices, not just counts.
+
+    Scale shape: one narrow projection + a map-side posexplode — NO shuffle
+    at all (chunking is embarrassingly parallel); the token array lives
+    only inside the stage.  Returns (doc_id, chunk_id, start_tok,
+    chunk_tokens, chunk_md5).
+    """
+    stride = size - overlap
+    assert stride > 0, "overlap must be smaller than size"
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    base = docs.select(
+        "doc_id", toks.alias("toks"), F.size(toks).cast("long").alias("n_tokens")
+    )
+    n_chunks = 1 + F.expr(f"(greatest(0, n_tokens - {size}) + {stride} - 1) div {stride}")
+    chunked = base.select(
+        "doc_id",
+        "toks",
+        "n_tokens",
+        F.posexplode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id", "_i"),
+    ).select(
+        "doc_id",
+        F.col("chunk_id").cast("long"),
+        (F.col("chunk_id") * stride).cast("long").alias("start_tok"),
+        F.least(F.lit(size), F.col("n_tokens") - F.col("chunk_id") * stride)
+        .cast("long")
+        .alias("chunk_tokens"),
+        F.md5(
+            F.array_join(
+                F.slice(F.col("toks"), F.col("chunk_id") * stride + 1, size), " "
+            )
+        ).alias("chunk_md5"),
+    )
+    return chunked.orderBy("doc_id", "chunk_id")
+
+
+def kfold_split(docs: DataFrame, k: int = 5) -> DataFrame:
+    """Deterministic k-fold assignment (cross-validation splits that are
+    reproducible across engines and runs): fold = 60-bit md5(doc_id) mod k.
+    Returns the per-fold census (fold, n_docs, n_langs, total_words) — the
+    balance report one checks before trusting the folds.
+
+    Scale shape: one partial-aggregated shuffle on the fold id; the md5
+    assignment itself is stateless per-row (no coordination), so adding
+    documents never reshuffles existing fold membership.
+    """
+    key = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10).cast(
+        "long"
+    )
+    return (
+        docs.select(
+            (key % k).alias("fold"),
+            "lang",
+            F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("n_words"),
+        )
+        .groupBy("fold")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.countDistinct("lang").cast("long").alias("n_langs"),
+            F.sum("n_words").cast("long").alias("total_words"),
+        )
+        .orderBy("fold")
+    )

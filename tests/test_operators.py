@@ -1978,3 +1978,38 @@ def test_kmv_union_merges_sketches_only(spark):
     df = spark.createDataFrame(rows, "g string, v long")
     r = kmv_union_estimate(df, "g", "v", ["a", "b"], k=64).collect()[0]
     assert r.exact_n == 50 and r.kmv_est == 50.0 and r.union_of == "a+b"
+
+
+def test_chunk_documents_grid_and_overlap(spark):
+    """Chunk grid: stride = size-overlap, tail clamped, overlap tokens
+    shared verbatim between consecutive chunks."""
+    from duckdb_age_spark.operators.pipeline import chunk_documents
+
+    text = " ".join(f"w{i}" for i in range(100))  # 100 tokens
+    docs = spark.createDataFrame([(1, text), (2, "a b")], "doc_id long, text string")
+    rows = chunk_documents(docs, size=64, overlap=16).collect()
+    d1 = [r for r in rows if r.doc_id == 1]
+    # 100 tokens, size 64, stride 48 -> chunks at 0 and 48
+    assert [(r.chunk_id, r.start_tok, r.chunk_tokens) for r in d1] == [(0, 0, 64), (1, 48, 52)]
+    d2 = [r for r in rows if r.doc_id == 2]
+    assert [(r.chunk_id, r.chunk_tokens) for r in d2] == [(0, 2)]
+
+
+def test_chunking_is_shuffle_free(spark):
+    """Chunking must stay embarrassingly parallel: the only exchange in the
+    plan is the presentation orderBy's range partitioning — the explode and
+    slicing run map-side with no data shuffle."""
+    from duckdb_age_spark.operators.pipeline import chunk_documents
+    from duckdb_age_spark.plans import count_exchanges
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    assert count_exchanges(chunk_documents(docs)) <= 1
+
+
+def test_kfold_partitions_every_doc_exactly_once(spark):
+    from duckdb_age_spark.operators.pipeline import kfold_split
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rows = kfold_split(docs, k=5).collect()
+    assert sum(r.n_docs for r in rows) == docs.count()
+    assert sorted(r.fold for r in rows) == [0, 1, 2, 3, 4]
