@@ -5308,6 +5308,102 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "graph_clustering_coeff",
+    f"""
+    WITH {_COPURCHASE_CP_SQL}, {_COPURCHASE_E_SQL},
+    w AS (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+          FROM e e1 JOIN e e2 ON e1.src = e2.src WHERE e1.dst < e2.dst),
+    t AS (SELECT w.a, w.b, w.c FROM w JOIN e ON e.src = w.b AND e.dst = w.c),
+    tv AS (SELECT node, count(*)::BIGINT AS n_tri FROM
+           (SELECT unnest([a, b, c]) AS node FROM t) GROUP BY 1),
+    und AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+    deg AS (SELECT src AS node, count(*)::BIGINT AS deg FROM und GROUP BY 1),
+    scored AS (
+      SELECT d.node, d.deg, coalesce(tv.n_tri, 0)::BIGINT AS n_tri,
+             (2 * coalesce(tv.n_tri, 0) * 1000000) // (d.deg * (d.deg - 1))
+               AS coeff_ppm
+      FROM deg d LEFT JOIN tv USING (node) WHERE d.deg >= 2)
+    SELECT rk, node, deg, n_tri, coeff_ppm::BIGINT AS coeff_ppm FROM (
+      SELECT *, row_number() OVER (ORDER BY coeff_ppm DESC, node)::BIGINT AS rk
+      FROM scored)
+    WHERE rk <= 20 ORDER BY rk
+    """,
+)
+def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 local clustering coefficients of the co-purchase graph in
+    exact parts-per-million integer arithmetic."""
+    from .operators.graph import clustering_coefficient, copurchase_edges
+
+    _prep(spark)
+    orders = load(spark, sf_dir, "orders").where(F.col("o_custkey") % 10 == 0)
+    edges = copurchase_edges(orders, load(spark, sf_dir, "lineitem"), min_shared_parts=2)
+    return clustering_coefficient(edges, k=20)
+
+
+@_q(
+    "stats_quantile_interp",
+    r"""
+    WITH ranked AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY CAST(round(value * 100) AS BIGINT)) AS rn
+      FROM events),
+    counts AS (SELECT event_type, count(*)::BIGINT AS n FROM events GROUP BY 1),
+    grid AS (
+      SELECT c.event_type, c.n, q.q::BIGINT AS q,
+             1 + ((c.n - 1) * q.q) // 4 AS lo_rk,
+             ((c.n - 1) * q.q) % 4 AS rem,
+             least(1 + ((c.n - 1) * q.q) // 4 + 1, c.n) AS hi_rk
+      FROM counts c CROSS JOIN (SELECT unnest([1, 2, 3]) AS q) q)
+    SELECT g.event_type, g.q, g.n,
+           CAST(lo.cents * 4 + g.rem * (hi.cents - lo.cents) AS DOUBLE) / 400.0
+             AS quantile_val
+    FROM grid g
+    JOIN ranked lo ON lo.event_type = g.event_type AND lo.rn = g.lo_rk
+    JOIN ranked hi ON hi.event_type = g.event_type AND hi.rn = g.hi_rk
+    ORDER BY g.event_type, g.q
+    """,
+)
+def stats_quantile_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentile_cont-style quartiles per event type in integer
+    quarter-cent arithmetic; the exact reference the GK-sketch gate
+    (approx_percentile_check) validates against."""
+    from .operators.stats import quantile_interp
+
+    _prep(spark)
+    return quantile_interp(load(spark, sf_dir, "events"))
+
+
+@_q(
+    "events_decayed_revenue",
+    r"""
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts)::DATE AS day,
+             sum(CAST(round(value * 100) AS BIGINT)) AS cents
+      FROM events GROUP BY 1, 2),
+    maxd AS (SELECT event_type, max(day) AS max_day FROM daily GROUP BY 1),
+    expl AS (
+      SELECT d.event_type, d.day + j.j::INT AS tday,
+             d.cents::HUGEINT * (1::BIGINT << (19 - j.j))::HUGEINT AS wcents
+      FROM daily d CROSS JOIN (SELECT unnest(range(0, 20)) AS j) j)
+    SELECT e.event_type, strftime(e.tday, '%Y-%m-%d') AS day,
+           CAST(sum(e.wcents) AS DOUBLE) / 52428800.0 AS decayed_rev
+    FROM expl e JOIN maxd m USING (event_type)
+    WHERE e.tday <= m.max_day
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def events_decayed_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-decayed daily revenue (half-life 1 day, 20-day
+    horizon): exact power-of-two integer weights, one terminal division —
+    explode + partial-agg shuffle, no range join."""
+    from .operators.events import decayed_revenue
+
+    _prep(spark)
+    return decayed_revenue(load(spark, sf_dir, "events"), half_lives=20)
+
+
+@_q(
     "pipeline_doc_chunking",
     r"""
     WITH base AS (

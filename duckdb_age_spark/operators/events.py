@@ -333,3 +333,60 @@ def pareto_share(events: DataFrame, pct: int = 10) -> DataFrame:
             ),
         )
     )
+
+
+def decayed_revenue(events: DataFrame, half_lives: int = 20) -> DataFrame:
+    """Exponentially-decayed daily revenue per event type (EWMA-style
+    freshness metric, half-life = 1 day, horizon = ``half_lives`` days).
+
+    decayed(d) = sum over days e in (d-H, d] of cents(e) * 2^(H-1-(d-e)),
+    emitted once as double / (100 * 2^(H-1)) so the current day carries
+    weight 1 and a day H-1 back carries 2^-(H-1).  All arithmetic is exact
+    integer until that single terminal division — no float accumulation,
+    so the result is partition-order-free (operators/exact.py playbook).
+
+    Scale shape: daily pre-aggregation first (map-side combinable, grain =
+    types x days), then each daily row EXPLODES into its H forward target
+    days and re-aggregates — one partial-aggregated shuffle, NO range join
+    (a band self-join would sort-merge on the 5-value type key: skew).
+    Days after a type's last active day are clamped off with a broadcast
+    per-type max-day join.  Weighted sums ride in decimal(38,0): daily
+    cents x 2^19 x a 100 TB day count stays far inside 38 digits.
+    """
+    h = half_lives
+    daily = (
+        events.groupBy(
+            "event_type", F.to_date(F.date_trunc("day", F.col("ts"))).alias("day")
+        )
+        .agg(F.sum(units("value")).alias("cents"))
+    )
+    maxd = daily.groupBy("event_type").agg(F.max("day").alias("max_day"))
+    exploded = daily.select(
+        "event_type",
+        "cents",
+        F.posexplode(F.sequence(F.lit(0), F.lit(h - 1))).alias("_p", "j"),
+        F.col("day"),
+    ).select(
+        "event_type",
+        F.date_add(F.col("day"), F.col("j")).alias("tday"),
+        (
+            F.col("cents").cast("decimal(38,0)")
+            * F.expr(f"CAST(shiftleft(CAST(1 AS BIGINT), {h} - 1 - j) AS DECIMAL(38,0))")
+        ).alias("wcents"),
+    )
+    return (
+        exploded.join(F.broadcast(maxd), "event_type")
+        .where(F.col("tday") <= F.col("max_day"))
+        .groupBy("event_type", "tday")
+        .agg(
+            (F.sum("wcents").cast("double") / F.lit(100.0 * float(1 << (h - 1)))).alias(
+                "decayed_rev"
+            )
+        )
+        .select(
+            "event_type",
+            F.date_format("tday", "yyyy-MM-dd").alias("day"),
+            "decayed_rev",
+        )
+        .orderBy("event_type", "day")
+    )

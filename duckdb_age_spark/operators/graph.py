@@ -585,3 +585,54 @@ def degree_assortativity(edges: DataFrame) -> DataFrame:
         (F.col("n") / 2).cast("bigint").alias("n_edges"),
         F.when(den > 0, F.round(num / den, 6)).otherwise(F.lit(0.0)).alias("assortativity"),
     )
+
+
+def clustering_coefficient(edges: DataFrame, k: int = 20) -> DataFrame:
+    """Per-node local clustering coefficient over an undirected (src < dst)
+    edge list: coeff = 2·T_v / (deg_v·(deg_v−1)), reported for the top-k
+    nodes as an EXACT parts-per-million integer — (2·T_v·10⁶) div
+    (deg·(deg−1)) — so no float ratio can diverge between engines.
+
+    T_v comes from the id-oriented triangle enumeration (each triangle
+    a<b<c once) exploded to its three corners and counted per corner: one
+    wedge self-join + one closing hash join + a partial-aggregated corner
+    count.  Degrees are a map-side-combined aggregate of the symmetrized
+    edge list.  Top-k rides WindowGroupLimit.  For hub-skewed graphs swap
+    the enumeration for the degree orientation (triangle_stats
+    ``orientation='degree'``) — per-corner counts are identical.
+    """
+    e = edges.select("src", "dst")
+    w1 = e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    w2 = e.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+    wedges = w1.join(w2, "a").where(F.col("b") < F.col("c"))
+    tri = wedges.join(e.select(F.col("src").alias("b"), F.col("dst").alias("c")), ["b", "c"])
+    tv = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("n_tri"))
+    )
+    und = e.unionAll(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    deg = (
+        und.groupBy("src")
+        .agg(F.count("*").cast("long").alias("deg"))
+        .withColumnRenamed("src", "node")
+    )
+    scored = (
+        deg.join(tv, "node", "left")
+        .select(
+            "node",
+            "deg",
+            F.coalesce("n_tri", F.lit(0)).cast("long").alias("n_tri"),
+        )
+        .where(F.col("deg") >= 2)
+        .withColumn("coeff_ppm", F.expr("(2 * n_tri * 1000000) div (deg * (deg - 1))"))
+    )
+    from pyspark.sql import Window
+
+    rk = F.row_number().over(Window.orderBy(F.desc("coeff_ppm"), F.asc("node")))
+    return (
+        scored.withColumn("rk", rk.cast("long"))
+        .where(F.col("rk") <= k)
+        .select("rk", "node", "deg", "n_tri", "coeff_ppm")
+        .orderBy("rk")
+    )

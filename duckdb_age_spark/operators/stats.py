@@ -11,7 +11,7 @@ and reduce map-side like any long.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 
 def price_histogram(orders: DataFrame, bucket_cents: int = 2_500_000) -> DataFrame:
@@ -715,4 +715,56 @@ def welch_ttest(orders: DataFrame, split_priority: str = "1-URGENT") -> DataFram
         F.round(mean("sb", "nb") / 100.0, 4).alias("mean_b"),
         F.round(t, 4).alias("t_stat"),
         F.round(df, 4).alias("df"),
+    )
+
+
+def quantile_interp(events: DataFrame, col: str = "value") -> DataFrame:
+    """Exact linearly-interpolated quartiles (percentile_cont semantics)
+    per event type, engine-portable: positions and interpolation both run
+    in integer quarter-cent units — lo*4 + rem*(hi-lo) — with ONE terminal
+    IEEE division by 400, so there is no float arithmetic either engine
+    could order differently.
+
+    idx = (n-1)*q/4 splits into lo = 1 + (n-1)*q div 4 (1-based) and
+    rem = (n-1)*q mod 4; hi is the next rank (clamped to n).
+
+    Scale note: exact mid-distribution quantiles require the full per-group
+    sort — the honest cost (row_number over the type partition).  At 100 TB
+    one switches to approx_percentile (GK sketch, bounded error — see
+    approx_percentile_check) or pre-bins to a histogram; this operator is
+    the exact reference those sketches are validated against.
+    """
+    cents = F.round(F.col(col) * 100).cast("long")
+    ranked = events.select("event_type", cents.alias("cents")).withColumn(
+        "rn", F.row_number().over(Window.partitionBy("event_type").orderBy("cents"))
+    )
+    counts = events.groupBy("event_type").agg(F.count("*").cast("long").alias("n"))
+    grid = counts.select(
+        "event_type",
+        "n",
+        F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("q"),
+    ).select(
+        "event_type",
+        "n",
+        F.col("q").cast("long"),
+        (F.lit(1) + F.expr("((n - 1) * q) div 4")).alias("lo_rk"),
+        F.expr("((n - 1) * q) % 4").alias("rem"),
+    ).withColumn("hi_rk", F.least(F.col("lo_rk") + 1, F.col("n")))
+    lo = ranked.select("event_type", F.col("rn").alias("lo_rk"), F.col("cents").alias("lo_c"))
+    hi = ranked.select("event_type", F.col("rn").alias("hi_rk"), F.col("cents").alias("hi_c"))
+    return (
+        grid.join(lo, ["event_type", "lo_rk"])
+        .join(hi, ["event_type", "hi_rk"])
+        .select(
+            "event_type",
+            "q",
+            "n",
+            (
+                (
+                    F.col("lo_c") * 4 + F.col("rem") * (F.col("hi_c") - F.col("lo_c"))
+                ).cast("double")
+                / F.lit(400.0)
+            ).alias("quantile_val"),
+        )
+        .orderBy("event_type", "q")
     )

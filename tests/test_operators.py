@@ -2013,3 +2013,43 @@ def test_kfold_partitions_every_doc_exactly_once(spark):
     rows = kfold_split(docs, k=5).collect()
     assert sum(r.n_docs for r in rows) == docs.count()
     assert sorted(r.fold for r in rows) == [0, 1, 2, 3, 4]
+
+
+def test_decayed_revenue_exact_weights(spark):
+    """Two events 1 day apart: on day 2 the decayed sum is cents2 + cents1/2."""
+    from duckdb_age_spark.operators.events import decayed_revenue
+
+    rows = [
+        (1, "2024-01-01 00:00:00", "purchase", 10.0),
+        (2, "2024-01-02 00:00:00", "purchase", 4.0),
+    ]
+    events = spark.createDataFrame(
+        rows, "event_id long, ts string, event_type string, value double"
+    ).select("event_id", F.col("ts").cast("timestamp").alias("ts"), "event_type", "value")
+    got = {r.day: r.decayed_rev for r in decayed_revenue(events, half_lives=20).collect()}
+    assert got["2024-01-01"] == 10.0
+    assert got["2024-01-02"] == 4.0 + 5.0  # 4 + 10/2
+
+
+def test_quantile_interp_known_values(spark):
+    """5 values 1..5: q1=2.0, q2=3.0, q3=4.0; 4 values 1..4: q2=2.5."""
+    from duckdb_age_spark.operators.stats import quantile_interp
+
+    rows = [("a", float(v)) for v in (1, 2, 3, 4, 5)] + [("b", float(v)) for v in (1, 2, 3, 4)]
+    events = spark.createDataFrame(rows, "event_type string, value double")
+    got = {(r.event_type, r.q): r.quantile_val for r in quantile_interp(events).collect()}
+    assert got[("a", 1)] == 2.0 and got[("a", 2)] == 3.0 and got[("a", 3)] == 4.0
+    assert got[("b", 2)] == 2.5
+    assert got[("b", 1)] == 1.75  # (n-1)*q/4 = 0.75 -> 1 + 0.75*(2-1)
+
+
+def test_clustering_coefficient_known_graph(spark):
+    """Triangle 1-2-3 plus pendant 3-4: nodes 1,2 coeff=1, node 3 has
+    deg 3 and 1 triangle -> 2*1/(3*2) = 1/3; node 4 deg 1 excluded."""
+    from duckdb_age_spark.operators.graph import clustering_coefficient
+
+    edges = spark.createDataFrame([(1, 2), (1, 3), (2, 3), (3, 4)], "src long, dst long")
+    rows = {r.node: r for r in clustering_coefficient(edges, k=10).collect()}
+    assert rows[1].coeff_ppm == 1000000 and rows[2].coeff_ppm == 1000000
+    assert rows[3].coeff_ppm == 333333 and rows[3].deg == 3 and rows[3].n_tri == 1
+    assert 4 not in rows
