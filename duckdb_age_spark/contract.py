@@ -750,7 +750,6 @@ def streaming_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = run_available_now(
         windowed_counts_stream(stream_events(spark, sf_dir), window="1 hour"),
         output_mode="complete",
-        shuffle_partitions=8,  # state-store commit cost, see run_available_now
     )
     return out.select(
         F.col("window_start").cast("long").alias("window_sec"),
@@ -779,7 +778,6 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = run_available_now(
         dedup_stream(stream_duplicated_events(spark, sf_dir)),
         output_mode="append",
-        shuffle_partitions=8,
     )
     return (
         out.groupBy("event_type")
@@ -812,7 +810,6 @@ def streaming_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = run_available_now(
         view_purchase_join_stream(stream_events(spark, sf_dir), within="1 hour"),
         output_mode="append",
-        shuffle_partitions=8,
     )
     return out.select(
         "user_id", "view_id", "purchase_id", "purchase_value"
@@ -3433,7 +3430,6 @@ def streaming_cms_topusers(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = run_available_now(
         cms_cells_stream(stream_events(spark, sf_dir), depth=4, width=256),
         output_mode="complete",
-        shuffle_partitions=8,
     )
     ev = load(spark, sf_dir, "events")
     top = (
@@ -4018,7 +4014,6 @@ def streaming_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = run_available_now(
         windowed_distinct_users_stream(stream_events(spark, sf_dir), window="1 hour"),
         output_mode="complete",
-        shuffle_partitions=8,
     )
     return out.select(
         F.col("window_start").cast("long").alias("window_sec"),
@@ -4808,7 +4803,6 @@ def streaming_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = run_available_now(
         ohlc_stream(stream_events(spark, sf_dir), window="1 hour"),
         output_mode="complete",
-        shuffle_partitions=8,
     )
     return out.select(
         F.col("window_start").cast("long").alias("window_sec"),
@@ -5305,6 +5299,59 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders").where(F.col("o_custkey") % 10 == 0)
     edges = copurchase_edges(orders, load(spark, sf_dir, "lineitem"), min_shared_parts=2)
     return degree_assortativity(edges)
+
+
+@_q(
+    "text_readability",
+    r"""
+    WITH c AS (
+      SELECT doc_id, lang,
+             len(string_split_regex(trim(text), '\s+'))::BIGINT AS n_words,
+             greatest(1, len(regexp_extract_all(text, '[.!?]+')))::BIGINT AS n_sentences,
+             len(regexp_extract_all(text, '[aeiouyAEIOUY]+'))::BIGINT AS n_syllables
+      FROM documents)
+    SELECT doc_id, lang, n_words, n_sentences, n_syllables,
+           CAST(206835 * n_sentences * n_words - 1015 * n_words * n_words
+                - 84600 * n_syllables * n_sentences AS DOUBLE)
+             / CAST(1000 * n_sentences * n_words AS DOUBLE) AS flesch
+    FROM c WHERE n_words > 0 ORDER BY doc_id
+    """,
+)
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per document: three integer counts cross-
+    multiplied into one exact rational, one terminal IEEE division."""
+    from .operators.text import readability_scores
+
+    _prep(spark)
+    return readability_scores(load(spark, sf_dir, "documents"))
+
+
+@_q(
+    "multimodal_image_histogram",
+    r"""
+    WITH img AS (
+      SELECT doc_id AS media_id, doc_id % 64 + 1 AS w, (doc_id * 7) % 64 + 1 AS h
+      FROM documents WHERE doc_id % 2 = 0),
+    geo AS (SELECT media_id, ((3 * w + 3) // 4 * 4) * h AS pb FROM img),
+    grid AS (SELECT media_id, pb, r.r
+             FROM geo CROSS JOIN (SELECT unnest(range(0, 12)) AS r) r),
+    vals AS (SELECT media_id, (((media_id + r) * 31) % 256) // 16 AS bin,
+                    (pb - r + 11) // 12 AS cnt
+             FROM grid)
+    SELECT media_id, bin::BIGINT AS bin, sum(cnt)::BIGINT AS n_bytes
+    FROM vals WHERE cnt > 0 GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def multimodal_image_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bin byte-value histogram over every BMP's decoded pixel buffer
+    (numpy bincount per Arrow batch, shuffle-free).  The oracle replays the
+    synthesis pattern symbolically — pixel byte p is ((id + p%12)*31)%256 —
+    so the histogram is pinned against the REAL decoded bytes."""
+    from .operators.multimodal import image_byte_histogram, synthesize_media
+
+    _prep(spark)
+    media = synthesize_media(load(spark, sf_dir, "documents"))
+    return image_byte_histogram(media, bins=16)
 
 
 @_q(

@@ -432,3 +432,53 @@ def audio_features(media: DataFrame) -> DataFrame:
             yield out
 
     return media.mapInPandas(batches, schema=AUDIO_SCHEMA)
+
+
+HIST_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("bin", LongType()),
+        StructField("n_bytes", LongType()),
+    ]
+)
+
+
+def image_byte_histogram(media: DataFrame, bins: int = 16) -> DataFrame:
+    """Per-image byte-value histogram over the decoded BMP pixel buffer —
+    the feature-extraction step after decode (exposure/palette screening at
+    corpus scale).  Vectorized numpy over Arrow batches: each payload's
+    pixel array is bucketed by its high nibble (``bins=16``) with one
+    ``bincount`` — no per-pixel Python.  Rows with an empty bin are not
+    emitted.  Non-BMP payloads and malformed containers are skipped (the
+    decode taxonomy lives in decode_features; this op consumes only
+    successfully-decoded images).
+
+    Scale shape: pure mapInPandas — shuffle-free; the histogram rows
+    (≤ bins per image) are the only thing that leaves the stage.
+    """
+    import numpy as np
+
+    div = 256 // bins
+
+    def hist(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, out_bins, counts = [], [], []
+            for mid, kind, payload in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"]
+            ):
+                if kind != "image/bmp":
+                    continue
+                try:
+                    decode_bmp(bytes(payload))
+                except ValueError:
+                    continue
+                off = struct.unpack_from("<I", payload, 10)[0]
+                px = np.frombuffer(payload, dtype=np.uint8, offset=off)
+                counts_arr = np.bincount(px // div, minlength=bins)
+                for b in np.nonzero(counts_arr)[0]:
+                    ids.append(int(mid))
+                    out_bins.append(int(b))
+                    counts.append(int(counts_arr[b]))
+            yield pd.DataFrame({"media_id": ids, "bin": out_bins, "n_bytes": counts})
+
+    return media.mapInPandas(hist, schema=HIST_SCHEMA).orderBy("media_id", "bin")

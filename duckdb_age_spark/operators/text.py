@@ -529,3 +529,45 @@ def langid_confusion(docs: DataFrame) -> DataFrame:
             "class_share"
         ),
     ).orderBy("lang", "predicted_lang")
+
+
+def readability_scores(docs: DataFrame) -> DataFrame:
+    """Flesch-style reading-ease per document from three integer counts —
+    words (whitespace runs), sentences ([.!?]+ runs, floor 1), syllables
+    (vowel-group runs, the standard heuristic) — combined as ONE rational
+    expression: score = N / D with
+
+        N = 206835·s·w − 1015·w² − 84600·sy·s,   D = 1000·s·w
+
+    i.e. the classic 206.835 − 1.015·(w/s) − 84.6·(sy/w) cross-multiplied
+    into exact integers so the only float op either engine performs is the
+    final division (bit-identical on identical operands — the Gopher-screen
+    pattern).  All counts are JVM regexp built-ins; no Python in the path.
+    """
+    w = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
+    s = F.greatest(
+        F.lit(1).cast("long"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[.!?]+"), F.lit(0))).cast("long"),
+    )
+    sy = F.size(
+        F.regexp_extract_all(F.col("text"), F.lit(r"[aeiouyAEIOUY]+"), F.lit(0))
+    ).cast("long")
+    base = docs.select("doc_id", "lang", w.alias("n_words"), s.alias("n_sentences"), sy.alias("n_syllables"))
+    numer = (
+        F.lit(206835) * F.col("n_sentences") * F.col("n_words")
+        - F.lit(1015) * F.col("n_words") * F.col("n_words")
+        - F.lit(84600) * F.col("n_syllables") * F.col("n_sentences")
+    )
+    denom = F.lit(1000) * F.col("n_sentences") * F.col("n_words")
+    return (
+        base.where(F.col("n_words") > 0)
+        .select(
+            "doc_id",
+            "lang",
+            "n_words",
+            "n_sentences",
+            "n_syllables",
+            (numer.cast("double") / denom.cast("double")).alias("flesch"),
+        )
+        .orderBy("doc_id")
+    )

@@ -39,6 +39,14 @@ def events_ts_is_nanos(path: str) -> bool:
         import pyarrow.parquet as pq
 
         nanos = getattr(pq.read_schema(path).field("ts").type, "unit", None) == "ns"
+        if nanos:
+            # INT96 timestamps (stock Spark's default output) surface as ns
+            # in the arrow schema too, but Spark reads INT96 natively — only
+            # a true INT64 TIMESTAMP(NANOS) column needs the escape hatch.
+            phys = pq.ParquetFile(path).schema.column(
+                [c.name for c in pq.ParquetFile(path).schema].index("ts")
+            ).physical_type
+            nanos = phys != "INT96"
     except ImportError:
         nanos = False
     _TS_SNIFF_CACHE[path] = nanos

@@ -444,7 +444,7 @@ def run_available_now(
     stream_df: DataFrame,
     output_mode: str = "complete",
     query_name: str | None = None,
-    shuffle_partitions: int | None = None,
+    shuffle_partitions: int | str | None = "auto",
 ):
     """Drain a streaming DataFrame into a memory sink (availableNow trigger)
     and return the bounded result as a batch DataFrame.  ``complete`` suits
@@ -458,7 +458,17 @@ def run_available_now(
     Size it to state volume: small bounded drains want few stores; a
     production 100 TB/day stream wants hundreds.  The session conf is
     restored after the drain so batch queries keep their own setting.
+
+    The default ``"auto"`` resolves from ``SPARK_GRAFT_STREAM_PARTITIONS``
+    (falling back to 8, the measured local optimum above) — the config
+    seam that sizes state-store parallelism per deployment without code
+    changes.  Pass an int to pin it, or ``None`` to leave the session's
+    own shuffle-partitions setting untouched.
     """
+    import os
+
+    if shuffle_partitions == "auto":
+        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS", "8"))
     spark = stream_df.sparkSession
     name = query_name or f"mem_{uuid.uuid4().hex[:8]}"
     prev = spark.conf.get("spark.sql.shuffle.partitions")

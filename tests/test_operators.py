@@ -2053,3 +2053,72 @@ def test_clustering_coefficient_known_graph(spark):
     assert rows[1].coeff_ppm == 1000000 and rows[2].coeff_ppm == 1000000
     assert rows[3].coeff_ppm == 333333 and rows[3].deg == 3 and rows[3].n_tri == 1
     assert 4 not in rows
+
+
+def test_readability_exact_rational(spark):
+    """'Hello world.' -> w=2, s=1, sy=3 (e-o / o / unknown? 'Hello'->e,o; 'world.'->o):
+    flesch = 206.835 - 1.015*2 - 84.6*(3/2)."""
+    from duckdb_age_spark.operators.text import readability_scores
+
+    docs = spark.createDataFrame([(1, "Hello world.", "en")], "doc_id long, text string, lang string")
+    r = readability_scores(docs).collect()[0]
+    assert (r.n_words, r.n_sentences, r.n_syllables) == (2, 1, 3)
+    expect = (206835 * 1 * 2 - 1015 * 2 * 2 - 84600 * 3 * 1) / (1000 * 1 * 2)
+    assert r.flesch == expect
+
+
+def test_image_histogram_matches_bincount(spark):
+    """Histogram over a real encoded BMP equals numpy's reference bincount
+    of the pixel buffer; WAV payloads and malformed bytes are skipped."""
+    import numpy as np
+
+    from duckdb_age_spark.operators.multimodal import (
+        encode_bmp,
+        encode_wav,
+        image_byte_histogram,
+    )
+
+    bmp = encode_bmp(5, 3, seed=42)
+    expected = np.bincount(np.frombuffer(bmp, np.uint8, offset=54) // 16, minlength=16)
+    media = spark.createDataFrame(
+        [
+            (42, "image/bmp", bytearray(bmp), "{}"),
+            (7, "audio/wav", bytearray(encode_wav(100, seed=7)), "{}"),
+            (9, "image/bmp", bytearray(b"not a bmp at all, truncated"), "{}"),
+        ],
+        "media_id long, kind string, payload binary, meta_json string",
+    )
+    rows = image_byte_histogram(media).collect()
+    assert {r.media_id for r in rows} == {42}
+    got = {r.bin: r.n_bytes for r in rows}
+    assert got == {int(b): int(c) for b, c in enumerate(expected) if c > 0}
+
+
+def test_ts_sniff_distinguishes_int96_from_true_nanos(spark, tmp_path):
+    """All three events-ts layouts a user can feed us: int64-µs (driver
+    fixtures since r4), INT96 (stock Spark default output — pyarrow calls
+    it ns but Spark reads it natively), and true INT64 TIMESTAMP(NANOS)
+    (driver fixtures through r3 — needs the nanosAsLong escape hatch).
+    Only the last may sniff as nanos."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from duckdb_age_spark.sources.tables import events_ts_is_nanos
+
+    ts = pd.to_datetime(["2024-01-01 00:00:00"])
+    us_path = str(tmp_path / "us.parquet")
+    pq.write_table(pa.table({"ts": pa.array(ts, pa.timestamp("us"))}), us_path)
+    assert events_ts_is_nanos(us_path) is False
+
+    int96_path = str(tmp_path / "int96.parquet")
+    pq.write_table(
+        pa.table({"ts": pa.array(ts, pa.timestamp("ns"))}),
+        int96_path,
+        use_deprecated_int96_timestamps=True,
+    )
+    assert events_ts_is_nanos(int96_path) is False
+
+    ns_path = str(tmp_path / "ns.parquet")
+    pq.write_table(pa.table({"ts": pa.array(ts, pa.timestamp("ns"))}), ns_path)
+    assert events_ts_is_nanos(ns_path) is True
