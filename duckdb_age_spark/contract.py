@@ -5730,9 +5730,10 @@ _PRIORITY_50 = [
     # dedup / similarity
     "dedup_ngram_verify",
     "sim_int8_quantize",
-    # multimodal (real codecs)
+    # multimodal (real codecs; resize rotates to round 7)
     "multimodal_audio_stats",
-    "multimodal_resize",
+    # round-6 portable-sketch family gets its driver gate immediately
+    "sketch_hll_distinct",
     # text analysis
     "text_hashing_vec",
     "text_langid_confusion",

@@ -148,13 +148,15 @@ def test_priority_50_covers_every_operator_family():
             "text_pii_scrub", "text_repetition", "text_unigram_logprob",
             "text_bigram_logprob", "text_quality_screen", "text_hashing_vec",
             "text_sentence_stats", "text_langid_confusion",
+            "text_readability",
         ],
         "pipeline": [
             "pipeline_sample_split", "pipeline_pack", "pipeline_quality_topk",
             "pipeline_decontaminate", "pipeline_mixture_sample",
             "pipeline_vocab_topk", "pipeline_balanced_sample",
             "pipeline_weighted_sample", "pipeline_dedup_report",
-            "pipeline_pack_efficiency",
+            "pipeline_pack_efficiency", "pipeline_doc_chunking",
+            "pipeline_kfold_split",
         ],
         "dedup": [
             "dedup_exact", "dedup_minhash_pairs", "dedup_embedding_pairs",
@@ -172,6 +174,7 @@ def test_priority_50_covers_every_operator_family():
             "events_gapfill", "events_session_window", "events_rolling_1h",
             "events_ohlc", "events_uptime", "events_time_to_convert",
             "events_stickiness", "events_pareto_share",
+            "events_decayed_revenue",
         ],
         "window_cube": ["order_gaps", "window_balance_analytics"],
         "graph_layout": [
@@ -180,6 +183,7 @@ def test_priority_50_covers_every_operator_family():
             "graph_weighted_pagerank", "graph_edge_jaccard", "graph_kcore",
             "graph_label_propagation", "graph_topk_similar",
             "graph_degree_distribution", "graph_assortativity",
+            "graph_clustering_coeff",
         ],
         "relational": [
             "tpch_q1", "tpch_q3", "tpch_q6", "tpch_q13", "tpch_q2",
@@ -195,6 +199,7 @@ def test_priority_50_covers_every_operator_family():
             "stats_entropy", "stats_linreg", "sketch_approx_percentile",
             "stats_quantile_binning", "stats_ks_test", "stats_gini",
             "stats_psi_drift", "stats_welch_ttest",
+            "stats_quantile_interp",
         ],
         "temporal": [
             "asof_join", "range_join", "rollup_timebuckets",
@@ -205,6 +210,10 @@ def test_priority_50_covers_every_operator_family():
         "multimodal": [
             "multimodal_features", "multimodal_frames", "multimodal_decode",
             "multimodal_resize", "multimodal_audio_stats",
+            "multimodal_image_histogram",
+        ],
+        "sketches": [
+            "sketch_hll_distinct", "sketch_kmv_distinct", "sketch_kmv_union",
         ],
     }
     for family, members in families.items():
