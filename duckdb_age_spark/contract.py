@@ -5302,6 +5302,70 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "graph_weighted_sssp",
+    f"""
+    WITH {_COPURCHASE_CP_SQL}, {_COPURCHASE_E_SQL},
+    u AS MATERIALIZED (
+      SELECT src, dst, 1000000 // shared AS w FROM e
+      UNION ALL SELECT dst, src, 1000000 // shared FROM e),
+    d0 AS MATERIALIZED (SELECT min(src) AS node, 0::BIGINT AS dist FROM e),
+    d1 AS MATERIALIZED (
+      SELECT node, min(dist)::BIGINT AS dist FROM (
+        SELECT node, dist FROM d0
+        UNION ALL SELECT u.dst, d0.dist + u.w FROM d0 JOIN u ON d0.node = u.src)
+      GROUP BY 1),
+    d2 AS MATERIALIZED (
+      SELECT node, min(dist)::BIGINT AS dist FROM (
+        SELECT node, dist FROM d1
+        UNION ALL SELECT u.dst, d1.dist + u.w FROM d1 JOIN u ON d1.node = u.src)
+      GROUP BY 1),
+    d3 AS MATERIALIZED (
+      SELECT node, min(dist)::BIGINT AS dist FROM (
+        SELECT node, dist FROM d2
+        UNION ALL SELECT u.dst, d2.dist + u.w FROM d2 JOIN u ON d2.node = u.src)
+      GROUP BY 1),
+    d4 AS MATERIALIZED (
+      SELECT node, min(dist)::BIGINT AS dist FROM (
+        SELECT node, dist FROM d3
+        UNION ALL SELECT u.dst, d3.dist + u.w FROM d3 JOIN u ON d3.node = u.src)
+      GROUP BY 1)
+    SELECT node::BIGINT AS node, dist FROM d4 ORDER BY node
+    """,
+)
+def graph_weighted_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bellman-Ford shortest paths (4 rounds) over the co-purchase graph,
+    edge cost 1000000 div shared_parts (stronger overlap = cheaper hop) —
+    integer-exact path sums; oracle unrolls the relaxation as MATERIALIZED
+    CTEs (inlining re-evaluates the chain exponentially, see kcore)."""
+    from .operators.graph import copurchase_edges, weighted_sssp
+
+    _prep(spark)
+    orders = load(spark, sf_dir, "orders").where(F.col("o_custkey") % 10 == 0)
+    edges = copurchase_edges(orders, load(spark, sf_dir, "lineitem"), min_shared_parts=2)
+    edges = edges.withColumn("w", F.expr("1000000 div shared_parts"))
+    return weighted_sssp(edges, rounds=4)
+
+
+@_q(
+    "sim_range_search",
+    f"""
+    WITH {_SIM_SCORED_SQL}
+    SELECT query_id, vec_id, cosine FROM scored
+    WHERE cosine >= 0.25 ORDER BY query_id, vec_id
+    """,
+)
+def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius similarity join: all (query, corpus) pairs with 4-dp cosine ≥
+    0.25 — the threshold predicate runs inside the broadcast join stage, so
+    only qualifying pairs materialize."""
+    from .operators.similarity import queries_from_ids, range_search
+
+    _prep(spark)
+    emb = load(spark, sf_dir, "embeddings")
+    return range_search(emb, queries_from_ids(emb, [0, 1, 2, 3, 4]), tau=0.25)
+
+
+@_q(
     "text_readability",
     r"""
     WITH c AS (

@@ -636,3 +636,50 @@ def clustering_coefficient(edges: DataFrame, k: int = 20) -> DataFrame:
         .select("rk", "node", "deg", "n_tri", "coeff_ppm")
         .orderBy("rk")
     )
+
+
+def weighted_sssp(
+    edges: DataFrame,
+    rounds: int = 4,
+    weight_col: str = "w",
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Bellman-Ford single-source shortest paths over an undirected weighted
+    edge list, ``rounds`` relaxation rounds from the smallest node id (a
+    deterministic source needing no driver round-trip: the 1-row min
+    aggregate seeds the frontier via a broadcast).
+
+    Weights must be INTEGERS — path costs are then exact sums, so the
+    per-round ``min`` is engine-identical (no float path-cost ties).  Each
+    round is ONE join + ONE map-side-combinable min aggregate (the CC-loop
+    shape, dedup.py), with lineage truncated per round
+    (operators/iterate.py; pass ``checkpoint_dir`` on a real cluster).
+    After round t every ≤t-hop shortest path is final, so ``rounds`` bounds
+    path length exactly like the kcore/BFS fixed-round contracts.
+    Returns (node, dist) for every node reached within ``rounds`` hops.
+    """
+    from .iterate import truncate_lineage
+
+    e = edges.select("src", "dst", F.col(weight_col).cast("long").alias("w"))
+    und = e.unionAll(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+    )
+    dist = (
+        e.agg(F.min("src").alias("node"))
+        .select("node", F.lit(0).cast("long").alias("dist"))
+    )
+    for _ in range(rounds):
+        # name-based USING join: dist and und share lineage (both derive
+        # from e), so attribute-based conditions are ambiguous
+        relaxed = (
+            dist.select(F.col("node").alias("src"), "dist")
+            .join(und, "src")
+            .select(F.col("dst").alias("node"), (F.col("dist") + F.col("w")).alias("dist"))
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+        )
+        dist = truncate_lineage(dist, checkpoint_dir)
+    return dist.select(F.col("node").cast("long"), F.col("dist").cast("long")).orderBy("node")

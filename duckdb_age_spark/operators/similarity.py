@@ -552,3 +552,31 @@ def embedding_zscore_digest(embeddings: DataFrame) -> DataFrame:
             ).alias("z_digest"),
         )
     )
+
+
+def range_search(embeddings: DataFrame, queries: DataFrame, tau: float = 0.25) -> DataFrame:
+    """Similarity-JOIN primitive: every (query, corpus) pair with cosine ≥
+    ``tau`` — radius search, the building block of near-dup candidate
+    generation and retrieval filtering (contrast top-k, which bounds count
+    not quality).
+
+    Plan: broadcast the query set, score map-side, and let the threshold
+    predicate run INSIDE the broadcast join stage so only qualifying pairs
+    ever materialize — the corpus never shuffles; the output (typically ≪
+    corpus) is the only thing that moves.  The 4-dp rounding happens
+    BEFORE the threshold compare so both engines cut the set identically.
+    At 100 TB the same contract runs bucketed (LSH keys as join keys, this
+    exact predicate as the verify step — see dedup.py's banded verify).
+    """
+    corpus = embeddings.select("vec_id", _as_double(F.col("embedding")).alias("v"))
+    return (
+        corpus.join(F.broadcast(queries))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine_col(F.col("qv"), F.col("v")), 4).alias("cosine"),
+        )
+        .where(F.col("cosine") >= tau)
+        .orderBy("query_id", "vec_id")
+    )

@@ -2122,3 +2122,32 @@ def test_ts_sniff_distinguishes_int96_from_true_nanos(spark, tmp_path):
     ns_path = str(tmp_path / "ns.parquet")
     pq.write_table(pa.table({"ts": pa.array(ts, pa.timestamp("ns"))}), ns_path)
     assert events_ts_is_nanos(ns_path) is True
+
+
+def test_weighted_sssp_known_graph(spark):
+    """Diamond: 1-2 (w1), 2-4 (w1), 1-3 (w5), 3-4 (w1): dist(4)=2 via 2,
+    dist(3)=3 via 4 (not 5 direct); undirected relaxation, source=min id."""
+    from duckdb_age_spark.operators.graph import weighted_sssp
+
+    edges = spark.createDataFrame(
+        [(1, 2, 1), (2, 4, 1), (1, 3, 5), (3, 4, 1)], "src long, dst long, w long"
+    )
+    got = {r.node: r.dist for r in weighted_sssp(edges, rounds=4).collect()}
+    assert got == {1: 0, 2: 1, 3: 3, 4: 2}
+
+
+def test_range_search_threshold_cuts_identically(spark):
+    """Self-similar pair above tau is returned; orthogonal pair is not."""
+    from duckdb_age_spark.operators.similarity import queries_from_ids, range_search
+
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0, 0.0]),
+            (1, [0.9, 0.1, 0.0, 0.0]),
+            (2, [0.0, 1.0, 0.0, 0.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    rows = range_search(emb, queries_from_ids(emb, [0]), tau=0.5).collect()
+    assert [(r.query_id, r.vec_id) for r in rows] == [(0, 1)]
+    assert rows[0].cosine > 0.99
