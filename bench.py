@@ -156,6 +156,20 @@ BENCH_QUERIES = [
     "text_langid_confusion",
     "relational_transition_matrix",
     "graph_assortativity",
+    # round 6
+    "sketch_hll_distinct",
+    "sketch_kmv_distinct",
+    "sketch_kmv_union",
+    "pipeline_doc_chunking",
+    "pipeline_kfold_split",
+    "events_decayed_revenue",
+    "stats_quantile_interp",
+    "graph_clustering_coeff",
+    "multimodal_image_histogram",
+    "text_readability",
+    "sim_range_search",
+    "graph_weighted_sssp",
+    "stats_bootstrap_ci",
 ]
 
 

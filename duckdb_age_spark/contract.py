@@ -5302,6 +5302,57 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "stats_bootstrap_ci",
+    r"""
+    WITH grid AS (
+      SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents, b.b
+      FROM orders CROSS JOIN (SELECT unnest(range(0, 40)) AS b) b),
+    keyed AS (
+      SELECT b, cents,
+             (('0x' || substr(md5(b::VARCHAR || ':' || o_orderkey::VARCHAR), 1, 15))::BIGINT) AS u
+      FROM grid),
+    wtd AS (
+      SELECT b, cents,
+             CASE WHEN u <= 424136118829305344 THEN 0
+                  WHEN u <= 848272237658610688 THEN 1
+                  WHEN u <= 1060340297073263360 THEN 2
+                  WHEN u <= 1131029650211480960 THEN 3
+                  WHEN u <= 1148701988496035328 THEN 4
+                  WHEN u <= 1152236456152946176 THEN 5
+                  WHEN u <= 1152825534095764608 THEN 6
+                  WHEN u <= 1152909688087595776 THEN 7
+                  ELSE 8 END AS w
+      FROM keyed),
+    means AS (
+      SELECT b, CAST(sum(cents * w) AS DOUBLE) / CAST(sum(w) AS DOUBLE) / 100.0 AS mean_b
+      FROM wtd GROUP BY 1),
+    ranked AS (SELECT b, mean_b, row_number() OVER (ORDER BY mean_b, b) AS rk FROM means),
+    pick AS (
+      SELECT CASE WHEN rk = 2 THEN 'ci_lo' WHEN rk = 20 THEN 'ci_mid'
+                  ELSE 'ci_hi' END AS stat,
+             mean_b AS value
+      FROM ranked WHERE rk IN (2, 20, 38)),
+    fullm AS (
+      SELECT 'mean_full' AS stat,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE) / 100.0 AS value
+      FROM orders)
+    SELECT stat::VARCHAR AS stat, value
+    FROM (SELECT * FROM pick UNION ALL SELECT * FROM fullm) ORDER BY stat
+    """,
+)
+def stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Poisson-bootstrap CI (p05/p50/p95 of 40 resample
+    means): replication weights drawn by cutting 60-bit md5 keys against
+    integer Poisson(1)-CDF thresholds — both engines draw identical
+    resamples; map-side only, no sampling shuffle (the BLB pattern)."""
+    from .operators.stats import poisson_bootstrap_ci
+
+    _prep(spark)
+    return poisson_bootstrap_ci(load(spark, sf_dir, "orders"), n_resamples=40)
+
+
+@_q(
     "graph_weighted_sssp",
     f"""
     WITH {_COPURCHASE_CP_SQL}, {_COPURCHASE_E_SQL},

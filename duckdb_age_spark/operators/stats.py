@@ -768,3 +768,83 @@ def quantile_interp(events: DataFrame, col: str = "value") -> DataFrame:
         )
         .orderBy("event_type", "q")
     )
+
+
+# Poisson(1) CDF as integer thresholds against a 60-bit uniform key:
+# T_k = floor(P(X<=k) * 2^60), k = 0..7 (tail beyond 8 is < 1e-5 and maps
+# to weight 8).  Computed once from literals; identical in both engines.
+POISSON1_T60 = [
+    424136118829305344,
+    848272237658610688,
+    1060340297073263360,
+    1131029650211480960,
+    1148701988496035328,
+    1152236456152946176,
+    1152825534095764608,
+    1152909688087595776,
+]
+
+
+def poisson_bootstrap_ci(
+    orders: DataFrame, n_resamples: int = 40, value_col: str = "o_totalprice"
+) -> DataFrame:
+    """Deterministic Poisson-bootstrap confidence interval for the mean —
+    the scalable bootstrap (each row draws a Poisson(1) replication weight
+    per resample; no global rank, no sampling shuffle — the map-side
+    pattern behind Bag-of-Little-Bootstraps at 100 TB), made
+    ENGINE-PORTABLE: the "random" weight is the 60-bit md5 of
+    (resample, row) cut against integer Poisson-CDF thresholds, so both
+    engines draw the IDENTICAL resamples.
+
+    Per resample: mean_b = decimal(cents·w) / sum(w) — exact integers, one
+    IEEE division.  The CI is read off the SORTED resample means at exact
+    ranks (2/20/38 of 40 = p05/p50/p95 with deterministic b tie-break).
+    Everything shuffled is B partial-aggregated rows.
+    """
+    b_grid = F.explode(F.sequence(F.lit(0), F.lit(n_resamples - 1))).alias("b")
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    u = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("b").cast("string"), F.lit(":"), F.col("o_orderkey").cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    w = F.lit(8)
+    for k in range(len(POISSON1_T60) - 1, -1, -1):
+        w = F.when(F.col("u") <= POISSON1_T60[k], F.lit(k)).otherwise(w)
+    grid = orders.select(cents.alias("cents"), "o_orderkey", b_grid).withColumn("u", u)
+    means = (
+        grid.withColumn("w", w)
+        .groupBy("b")
+        .agg(
+            F.sum((F.col("cents") * F.col("w")).cast("decimal(38,0)")).alias("wsum"),
+            F.sum(F.col("w").cast("long")).alias("n_eff"),
+        )
+        .select(
+            "b",
+            (F.col("wsum").cast("double") / F.col("n_eff").cast("double") / F.lit(100.0)).alias(
+                "mean_b"
+            ),
+        )
+    )
+    rk = F.row_number().over(Window.orderBy("mean_b", "b"))
+    ranked = means.withColumn("rk", rk)
+    lo, mid, hi = 2, n_resamples // 2, n_resamples - 2
+    pick = ranked.where(F.col("rk").isin([lo, mid, hi])).select(
+        F.when(F.col("rk") == lo, F.lit("ci_lo"))
+        .when(F.col("rk") == mid, F.lit("ci_mid"))
+        .otherwise(F.lit("ci_hi"))
+        .alias("stat"),
+        F.col("mean_b").alias("value"),
+    )
+    full = orders.agg(
+        (
+            F.sum(cents.cast("decimal(38,0)")).cast("double")
+            / F.count("*").cast("double")
+            / F.lit(100.0)
+        ).alias("value")
+    ).select(F.lit("mean_full").alias("stat"), "value")
+    return pick.unionByName(full).orderBy("stat")

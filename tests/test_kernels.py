@@ -166,7 +166,7 @@ def test_priority_50_covers_every_operator_family():
         "similarity": [
             "sim_topk_bruteforce", "sim_topk_lsh", "sim_topk_kmeans",
             "sim_topk_int8", "sim_knn_label_vote", "sim_lsh_recall",
-            "sim_embedding_zscore", "sim_int8_quantize",
+            "sim_embedding_zscore", "sim_int8_quantize", "sim_range_search",
         ],
         "grouped_map": ["grouped_map_zscore"],
         "events": [
@@ -183,7 +183,7 @@ def test_priority_50_covers_every_operator_family():
             "graph_weighted_pagerank", "graph_edge_jaccard", "graph_kcore",
             "graph_label_propagation", "graph_topk_similar",
             "graph_degree_distribution", "graph_assortativity",
-            "graph_clustering_coeff",
+            "graph_clustering_coeff", "graph_weighted_sssp",
         ],
         "relational": [
             "tpch_q1", "tpch_q3", "tpch_q6", "tpch_q13", "tpch_q2",
@@ -199,7 +199,7 @@ def test_priority_50_covers_every_operator_family():
             "stats_entropy", "stats_linreg", "sketch_approx_percentile",
             "stats_quantile_binning", "stats_ks_test", "stats_gini",
             "stats_psi_drift", "stats_welch_ttest",
-            "stats_quantile_interp",
+            "stats_quantile_interp", "stats_bootstrap_ci",
         ],
         "temporal": [
             "asof_join", "range_join", "rollup_timebuckets",

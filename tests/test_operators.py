@@ -2151,3 +2151,22 @@ def test_range_search_threshold_cuts_identically(spark):
     rows = range_search(emb, queries_from_ids(emb, [0]), tau=0.5).collect()
     assert [(r.query_id, r.vec_id) for r in rows] == [(0, 1)]
     assert rows[0].cosine > 0.99
+
+
+def test_poisson_bootstrap_ci_properties(spark):
+    """CI brackets the sample mean on well-behaved data; weights are a
+    genuine Poisson draw (expected total replication ~ n per resample)."""
+    from duckdb_age_spark.operators.stats import poisson_bootstrap_ci
+
+    orders = spark.range(2000).select(
+        F.col("id").alias("o_orderkey"),
+        (F.col("id") % 100).cast("double").alias("o_totalprice"),
+    )
+    got = {r.stat: r.value for r in poisson_bootstrap_ci(orders, n_resamples=40).collect()}
+    assert set(got) == {"ci_lo", "ci_mid", "ci_hi", "mean_full"}
+    assert got["ci_lo"] <= got["ci_mid"] <= got["ci_hi"]
+    # mean of 0..99 repeating = 49.5; CI must bracket it tightly (sd of the
+    # bootstrap mean ~ sd/sqrt(n) ~ 29/45 ~ 0.65)
+    assert got["ci_lo"] <= got["mean_full"] <= got["ci_hi"]
+    assert abs(got["mean_full"] - 49.5) < 0.01
+    assert got["ci_hi"] - got["ci_lo"] < 5.0
