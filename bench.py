@@ -170,6 +170,8 @@ BENCH_QUERIES = [
     "sim_range_search",
     "graph_weighted_sssp",
     "stats_bootstrap_ci",
+    "dedup_containment",
+    "streaming_topk_users",
 ]
 
 

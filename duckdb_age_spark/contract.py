@@ -5302,6 +5302,90 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "streaming_topk_users",
+    r"""
+    WITH c AS (
+      SELECT (floor(epoch(ts))::BIGINT - floor(epoch(ts))::BIGINT % 86400) AS window_sec,
+             user_id, count(*)::BIGINT AS n_events
+      FROM events GROUP BY 1, 2)
+    SELECT window_sec, user_id, n_events, rk FROM (
+      SELECT *, row_number() OVER (PARTITION BY window_sec
+                                   ORDER BY n_events DESC, user_id)::BIGINT AS rk
+      FROM c)
+    WHERE rk <= 3 ORDER BY window_sec, rk
+    """,
+)
+def streaming_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming leaderboard: per-(day, user) counts aggregate IN the
+    stream (watermark-bounded state); the top-3 rank runs on each
+    emission downstream — ranking is illegal inside a streaming agg, so
+    aggregate-in-stream + rank-per-drain is the standard pattern."""
+    from pyspark.sql import Window
+
+    from .streaming import run_available_now, stream_events, windowed_user_counts_stream
+
+    _prep(spark)
+    out = run_available_now(
+        windowed_user_counts_stream(stream_events(spark, sf_dir), window="1 day"),
+        output_mode="complete",
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("window_start").orderBy(F.desc("n_events"), F.asc("user_id"))
+    )
+    return (
+        out.withColumn("rk", rk.cast("bigint"))
+        .where(F.col("rk") <= 3)
+        .select(
+            F.col("window_start").cast("long").alias("window_sec"),
+            "user_id",
+            "n_events",
+            "rk",
+        )
+        .orderBy("window_sec", "rk")
+    )
+
+
+@_q(
+    "dedup_containment",
+    f"""
+    WITH {_MINHASH_SIG_SQL},
+    cand AS (
+      SELECT doc_a, doc_b FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               round(({_MINHASH_MATCHES_SQL}) / 8.0, 4) AS est_jaccard
+        FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+        WHERE {_MINHASH_BANDS_SQL})
+      WHERE est_jaccard >= 0.5),
+    gd AS (SELECT doc_id, list_distinct(grams) AS grams FROM g)
+    SELECT doc_a, doc_b,
+           len(list_intersect(ga.grams, gb.grams))::BIGINT AS n_common,
+           (len(list_intersect(ga.grams, gb.grams))::BIGINT * 1000000)
+             // greatest(len(ga.grams), 1) AS contain_ab_ppm,
+           (len(list_intersect(ga.grams, gb.grams))::BIGINT * 1000000)
+             // greatest(len(gb.grams), 1) AS contain_ba_ppm
+    FROM cand
+    JOIN gd ga ON cand.doc_a = ga.doc_id
+    JOIN gd gb ON cand.doc_b = gb.doc_id
+    ORDER BY doc_a, doc_b
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric n-gram containment over LSH candidates: the planted
+    prefix-mutations show containment(A→B) = 10⁶ ppm (exact subset) where
+    Jaccard alone reads ~0.3 — quote/excerpt detection, exact-integer."""
+    from .operators.dedup import (
+        minhash_lsh_pairs,
+        ngram_containment_pairs,
+        planted_near_dup_corpus,
+    )
+
+    _prep(spark)
+    corpus = planted_near_dup_corpus(load(spark, sf_dir, "documents"))
+    pairs = minhash_lsh_pairs(corpus).select("doc_a", "doc_b")
+    return ngram_containment_pairs(corpus, pairs)
+
+
+@_q(
     "stats_bootstrap_ci",
     r"""
     WITH grid AS (

@@ -644,3 +644,41 @@ def dedup_retention_report(docs: DataFrame, every: int = 10) -> DataFrame:
             ),
         )
     )
+
+
+def ngram_containment_pairs(corpus: DataFrame, pairs: DataFrame, ngram: int = 3) -> DataFrame:
+    """EXACT n-gram containment for candidate pairs — the asymmetric
+    measure Jaccard misses: containment(A→B) = |A∩B| / |A| detects that a
+    short document is a quote/excerpt/prefix of a long one even when their
+    Jaccard is low (the long side dilutes the union).  The standard second
+    verify stage for training-corpus decontamination and quote collapse.
+
+    Both directions are emitted as EXACT parts-per-million integers
+    ((|A∩B|·10⁶) div |A|) — no float ratio to round differently anywhere.
+    Same join shape as ngram_jaccard_pairs: candidates (from LSH banding)
+    join the deduped shingle arrays twice; set ops are JVM array functions.
+    """
+    grams = corpus.select(
+        "doc_id", F.array_distinct(_word_ngrams(F.col("text"), ngram)).alias("grams")
+    )
+    ga = grams.select(F.col("doc_id").alias("doc_a"), F.col("grams").alias("grams_a"))
+    gb = grams.select(F.col("doc_id").alias("doc_b"), F.col("grams").alias("grams_b"))
+    inter = F.size(F.array_intersect("grams_a", "grams_b"))
+    return (
+        pairs.join(ga, "doc_a")
+        .join(gb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            inter.cast("long").alias("n_common"),
+            F.expr(
+                "CAST(size(array_intersect(grams_a, grams_b)) AS BIGINT) * 1000000"
+                " div greatest(size(grams_a), 1)"
+            ).alias("contain_ab_ppm"),
+            F.expr(
+                "CAST(size(array_intersect(grams_a, grams_b)) AS BIGINT) * 1000000"
+                " div greatest(size(grams_b), 1)"
+            ).alias("contain_ba_ppm"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )

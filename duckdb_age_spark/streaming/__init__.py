@@ -547,3 +547,22 @@ def ohlc_stream(events: DataFrame, window: str = "1 hour", watermark: str = "2 h
             "n_events",
         )
     )
+
+
+def windowed_user_counts_stream(events: DataFrame, window: str = "1 day") -> DataFrame:
+    """Per-(window, user) event counts as a streaming aggregation — the
+    state half of a streaming leaderboard.  Ranking is NOT legal inside a
+    streaming aggregation (no window functions over streams); the standard
+    pattern is aggregate-in-stream, rank-per-emission downstream (memory
+    sink / foreachBatch), which the contract query exercises.  State is
+    one row per (window, active user), watermark-bounded."""
+    return (
+        events.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", window).alias("win"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            "user_id",
+            F.col("n_events").cast("long"),
+        )
+    )

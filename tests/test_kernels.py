@@ -141,7 +141,7 @@ def test_priority_50_covers_every_operator_family():
         "streaming": [
             "streaming_windowed", "streaming_dedup", "streaming_join",
             "streaming_distinct_users", "streaming_cms_topusers",
-            "streaming_ohlc",
+            "streaming_ohlc", "streaming_topk_users",
         ],
         "text": [
             "text_doc_stats", "text_bm25_topk", "text_tfidf_keywords",
@@ -161,7 +161,7 @@ def test_priority_50_covers_every_operator_family():
         "dedup": [
             "dedup_exact", "dedup_minhash_pairs", "dedup_embedding_pairs",
             "dedup_fuzzy_names_d2", "dedup_keep_canonical", "dedup_clusters",
-            "dedup_ngram_verify",
+            "dedup_ngram_verify", "dedup_containment",
         ],
         "similarity": [
             "sim_topk_bruteforce", "sim_topk_lsh", "sim_topk_kmeans",

@@ -2170,3 +2170,20 @@ def test_poisson_bootstrap_ci_properties(spark):
     assert got["ci_lo"] <= got["mean_full"] <= got["ci_hi"]
     assert abs(got["mean_full"] - 49.5) < 0.01
     assert got["ci_hi"] - got["ci_lo"] < 5.0
+
+
+def test_containment_detects_subset_where_jaccard_blind(spark):
+    """A 3-gram-subset doc shows containment 10^6 ppm while its Jaccard
+    against the superset is far below the near-dup threshold."""
+    from duckdb_age_spark.operators.dedup import ngram_containment_pairs
+
+    long_text = " ".join(f"w{i}" for i in range(100))
+    short_text = " ".join(f"w{i}" for i in range(20))  # strict prefix
+    corpus = spark.createDataFrame(
+        [(1, short_text), (2, long_text)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
+    r = ngram_containment_pairs(corpus, pairs).collect()[0]
+    assert r.contain_ab_ppm == 1000000          # short fully inside long
+    assert r.contain_ba_ppm < 250000            # long mostly NOT in short
+    assert r.n_common == 18                     # 20 words -> 18 3-grams

@@ -651,3 +651,38 @@ def test_kmv_topk_uses_window_group_limit(t):
     df = kmv_minima(t["events"], "event_type", "user_id", k=64)
     executed = df._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in executed, executed
+
+
+def test_decayed_revenue_partial_agg_and_broadcast_clamp(t):
+    """Decayed revenue: explode + ONE partial-aggregated shuffle; the
+    per-type max-day clamp joins broadcast, never shuffled."""
+    from duckdb_age_spark.operators.events import decayed_revenue
+
+    df = decayed_revenue(t["events"])
+    assert has_partial_aggregate(df)
+    assert has_broadcast_join(df)
+
+
+def test_range_search_broadcasts_queries(spark, sf_dir):
+    """Radius search: query side broadcast; corpus never shuffles (the
+    only exchange is the presentation sort)."""
+    from duckdb_age_spark.operators.similarity import queries_from_ids, range_search
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    df = range_search(emb, queries_from_ids(emb, [0, 1, 2]), tau=0.25)
+    assert has_broadcast_join(df)
+    assert count_exchanges(df) <= 1
+
+
+def test_bootstrap_grid_is_mapside_only(spark, sf_dir):
+    """Poisson bootstrap: the B x n grid explodes map-side; the only wide
+    operation is the B-row partial-aggregated mean shuffle."""
+    from duckdb_age_spark.operators.stats import poisson_bootstrap_ci
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    df = poisson_bootstrap_ci(orders, n_resamples=40)
+    assert has_partial_aggregate(df)
+    plan = formatted_plan(df)
+    # no join anywhere in the resampling path (the final union with the
+    # full mean is a union, not a join)
+    assert "SortMergeJoin" not in plan
