@@ -172,6 +172,9 @@ BENCH_QUERIES = [
     "stats_bootstrap_ci",
     "dedup_containment",
     "streaming_topk_users",
+    "text_boilerplate_screen",
+    "rollup_anomaly_z",
+    "sink_bucketed_join",
 ]
 
 

@@ -28,7 +28,7 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .crypto import keys as age_keys
-from .operators.exact import exact_sum, units
+from .operators.exact import exact_sum, sql_exact_sum, sql_units, units
 
 TABLES = [
     "region",
@@ -5299,6 +5299,123 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders").where(F.col("o_custkey") % 10 == 0)
     edges = copurchase_edges(orders, load(spark, sf_dir, "lineitem"), min_shared_parts=2)
     return degree_assortativity(edges)
+
+
+@_q(
+    "sink_bucketed_join",
+    f"""
+    SELECT o_orderstatus,
+           count(*)::BIGINT AS n_items,
+           {sql_exact_sum(sql_units("l_extendedprice * (1 - l_discount)", 10000), 10000.0)}
+             AS revenue
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def sink_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed-table round-trip: both fact tables land bucketed+sorted on
+    the join key (8 buckets) and the revenue join runs SHUFFLE-FREE off
+    that layout — the 100 TB fact⋈fact strategy, oracle-verified against
+    the plain parquet join (identical exact-cent results prove layout
+    changed the plan, not the answer; tests/test_bucketing.py pins the
+    zero-exchange plan itself)."""
+    _prep(spark)
+    path = _scratch("bucketed_join", sf_dir)
+    spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+    load(spark, sf_dir, "orders").write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy(
+        "o_orderkey"
+    ).option("path", f"{path}/orders_b").saveAsTable("age_ctr_orders_b")
+    load(spark, sf_dir, "lineitem").write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy(
+        "l_orderkey"
+    ).option("path", f"{path}/lineitem_b").saveAsTable("age_ctr_lineitem_b")
+    o = spark.table("age_ctr_orders_b")
+    l = spark.table("age_ctr_lineitem_b")
+    return (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").cast("bigint").alias("n_items"),
+            exact_sum(
+                units(F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000),
+                10000.0,
+                "revenue",
+            ),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@_q(
+    "rollup_anomaly_z",
+    r"""
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts)::DATE AS day,
+             sum(CAST(round(value * 100) AS BIGINT)) AS cents
+      FROM events GROUP BY 1, 2),
+    stats AS (
+      SELECT event_type, day, cents,
+             count(*) OVER w AS n,
+             sum(cents) OVER w AS sx,
+             sum(cents::HUGEINT * cents) OVER w AS sxx
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)),
+    scored AS (
+      SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+             cents::DOUBLE / 100.0 AS revenue,
+             CASE WHEN (sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE / n::DOUBLE) / n::DOUBLE > 0
+                  THEN (cents::DOUBLE - sx::DOUBLE / n::DOUBLE)
+                       / sqrt((sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE / n::DOUBLE) / n::DOUBLE)
+                  ELSE 0.0 END AS z
+      FROM stats WHERE n >= 7)
+    SELECT event_type, day, revenue, z, rk FROM (
+      SELECT *, row_number() OVER (PARTITION BY event_type
+                                   ORDER BY abs(z) DESC, day)::BIGINT AS rk
+      FROM scored)
+    WHERE rk <= 3 ORDER BY event_type, rk
+    """,
+)
+def rollup_anomaly_z(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day z-score anomaly screen on daily revenue per type:
+    exact-integer sufficient stats in the window frame, one fixed IEEE
+    chain for z, top-3 |z| days per type."""
+    from .operators.rollup import rolling_anomaly_z
+
+    _prep(spark)
+    return rolling_anomaly_z(load(spark, sf_dir, "events"))
+
+
+@_q(
+    "text_boilerplate_screen",
+    r"""
+    WITH ws AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+    g AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_distinct(list_transform(
+               range(0, greatest(len(w) - 5, 0) + 1),
+               i -> array_to_string(w[i + 1 : i + 5], ' ')))) AS gram
+      FROM ws),
+    dfc AS (SELECT gram, count(DISTINCT doc_id) AS nd FROM g GROUP BY 1),
+    boiler AS (SELECT gram FROM dfc WHERE nd >= 3),
+    scored AS (
+      SELECT g.doc_id, count(*)::BIGINT AS n_grams,
+             count(b.gram)::BIGINT AS n_boiler,
+             (count(b.gram) * 1000000) // greatest(count(*), 1) AS boiler_ppm
+      FROM g LEFT JOIN boiler b USING (gram) GROUP BY 1)
+    SELECT rk, doc_id, n_grams, n_boiler, boiler_ppm::BIGINT AS boiler_ppm FROM (
+      SELECT *, row_number() OVER (ORDER BY boiler_ppm DESC, doc_id)::BIGINT AS rk
+      FROM scored)
+    WHERE rk <= 20 ORDER BY rk
+    """,
+)
+def text_boilerplate_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style boilerplate screen at phrase level: 5-grams shared by ≥3
+    docs flag each document's contamination fraction as exact ppm."""
+    from .operators.text import boilerplate_phrase_screen
+
+    _prep(spark)
+    return boilerplate_phrase_screen(load(spark, sf_dir, "documents"))
 
 
 @_q(

@@ -13,7 +13,7 @@ facts, so the raw table is scanned exactly once.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from .exact import exact_sum, units
 
@@ -313,4 +313,57 @@ def daily_autocorr(events: DataFrame) -> DataFrame:
         F.col("n_days").cast("bigint"),
         F.col("n").cast("bigint").alias("n_pairs"),
         F.when(den > 0, F.round(num / den, 6)).otherwise(F.lit(0.0)).alias("autocorr"),
+    )
+
+
+def rolling_anomaly_z(events: DataFrame, window_days: int = 7, k: int = 3) -> DataFrame:
+    """Rolling z-score anomaly screen on daily revenue per event type —
+    the monitoring query behind a data-quality alert: each day is scored
+    against the trailing ``window_days`` observed days (inclusive) and the
+    top-k |z| days per type are reported.
+
+    Sufficient statistics (n, Σx, Σx²) accumulate as EXACT integer cents
+    over a rows-frame window; z is then one fixed IEEE chain on identical
+    exact inputs — engine-identical, so even the ranking by |z| is pinned.
+    Scale shape: daily pre-aggregation (map-side combinable), one window
+    shuffle keyed by event_type, top-k via WindowGroupLimit.
+    """
+    daily = (
+        events.groupBy(
+            "event_type", F.to_date(F.date_trunc("day", F.col("ts"))).alias("day")
+        )
+        .agg(F.sum(units("value")).alias("cents"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-(window_days - 1), 0)
+    )
+    stats = daily.select(
+        "event_type",
+        "day",
+        "cents",
+        F.count("*").over(w).cast("long").alias("n"),
+        F.sum(F.col("cents").cast("decimal(38,0)")).over(w).alias("sx"),
+        F.sum((F.col("cents").cast("decimal(38,0)") * F.col("cents")).cast("decimal(38,0)"))
+        .over(w)
+        .alias("sxx"),
+    )
+    n, x = F.col("n").cast("double"), F.col("cents").cast("double")
+    sx, sxx = F.col("sx").cast("double"), F.col("sxx").cast("double")
+    var = (sxx - sx * sx / n) / n
+    z = F.when(var > 0, (x - sx / n) / F.sqrt(var)).otherwise(F.lit(0.0))
+    scored = stats.where(F.col("n") >= window_days).select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        (F.col("cents").cast("double") / 100.0).alias("revenue"),
+        z.alias("z"),
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("event_type").orderBy(F.desc(F.abs(F.col("z"))), F.asc("day"))
+    )
+    return (
+        scored.withColumn("rk", rk.cast("long"))
+        .where(F.col("rk") <= k)
+        .orderBy("event_type", "rk")
     )

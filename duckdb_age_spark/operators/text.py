@@ -571,3 +571,46 @@ def readability_scores(docs: DataFrame) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def boilerplate_phrase_screen(
+    docs: DataFrame, ngram: int = 5, min_docs: int = 3, k: int = 20
+) -> DataFrame:
+    """Boilerplate contamination screen (the C4 repeated-line rule
+    generalized to phrases): a word ``ngram`` is boilerplate when it
+    appears in ≥ ``min_docs`` DISTINCT documents; each document is scored
+    by the fraction of its distinct n-grams that are boilerplate, as an
+    exact parts-per-million integer.  Returns the top-k most contaminated
+    documents (ppm desc, doc_id tie-break).
+
+    Scale shape: one distinct on (doc, gram), one map-side-combined
+    doc-frequency count, a gram-keyed flag join (no broadcast — the
+    boilerplate set grows with the corpus), then a per-doc partial
+    aggregate.  No floats anywhere until — nowhere: the ppm is integer.
+    """
+    from .dedup import _word_ngrams
+
+    grams = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(_word_ngrams(F.col("text"), ngram))).alias("gram"),
+    )
+    df_count = grams.groupBy("gram").agg(F.countDistinct("doc_id").alias("nd"))
+    boiler = df_count.where(F.col("nd") >= min_docs).select("gram", F.lit(1).alias("is_b"))
+    scored = (
+        grams.join(boiler, "gram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.sum(F.coalesce("is_b", F.lit(0))).cast("long").alias("n_boiler"),
+        )
+        .withColumn("boiler_ppm", F.expr("n_boiler * 1000000 div greatest(n_grams, 1)"))
+    )
+    from pyspark.sql import Window
+
+    rk = F.row_number().over(Window.orderBy(F.desc("boiler_ppm"), F.asc("doc_id")))
+    return (
+        scored.withColumn("rk", rk.cast("long"))
+        .where(F.col("rk") <= k)
+        .select("rk", "doc_id", "n_grams", "n_boiler", "boiler_ppm")
+        .orderBy("rk")
+    )

@@ -136,7 +136,7 @@ def test_priority_50_covers_every_operator_family():
         "crypto": ["age_roundtrip", "age_version", "age_error_dispatch"],
         "dq": ["dq_report", "stats_benford"],
         "upsert": ["upsert_merge", "upsert_cdc_merge", "upsert_incremental_agg"],
-        "sinks": ["sink_csv_roundtrip", "sink_schema_evolution"],
+        "sinks": ["sink_csv_roundtrip", "sink_schema_evolution", "sink_bucketed_join"],
         "setops": ["setops_customer_cohorts", "setops_full_outer_reconcile"],
         "streaming": [
             "streaming_windowed", "streaming_dedup", "streaming_join",
@@ -148,7 +148,7 @@ def test_priority_50_covers_every_operator_family():
             "text_pii_scrub", "text_repetition", "text_unigram_logprob",
             "text_bigram_logprob", "text_quality_screen", "text_hashing_vec",
             "text_sentence_stats", "text_langid_confusion",
-            "text_readability",
+            "text_readability", "text_boilerplate_screen",
         ],
         "pipeline": [
             "pipeline_sample_split", "pipeline_pack", "pipeline_quality_topk",
@@ -204,7 +204,7 @@ def test_priority_50_covers_every_operator_family():
         "temporal": [
             "asof_join", "range_join", "rollup_timebuckets",
             "rollup_time_weighted_avg", "asof_forward_tolerance",
-            "rollup_order_concurrency", "rollup_autocorr",
+            "rollup_order_concurrency", "rollup_autocorr", "rollup_anomaly_z",
         ],
         "extension_points": ["udaf_geomean", "udtf_chunks"],
         "multimodal": [
