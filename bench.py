@@ -175,6 +175,7 @@ BENCH_QUERIES = [
     "text_boilerplate_screen",
     "rollup_anomaly_z",
     "sink_bucketed_join",
+    "multimodal_wav_resample",
 ]
 
 

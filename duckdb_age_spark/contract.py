@@ -5302,6 +5302,31 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "multimodal_wav_resample",
+    r"""
+    WITH wav AS (
+      SELECT doc_id AS media_id, doc_id % 1000 + 1 AS n
+      FROM documents WHERE doc_id % 2 = 1),
+    geo AS (SELECT media_id, n, (n + 3) // 4 AS out_n FROM wav)
+    SELECT media_id, 8000::INT AS in_rate, n::INT AS in_samples,
+           2000::INT AS out_rate, out_n::INT AS out_samples,
+           (44 + 2 * out_n)::BIGINT AS out_len,
+           list_sum(list_transform(range(0, out_n),
+                    j -> ((media_id + 4 * j) * 257) % 4096 - 2048))::BIGINT AS sample_sum
+    FROM geo ORDER BY media_id
+    """,
+)
+def multimodal_wav_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4x audio decimation on real WAV bytes (numpy stride slice), output
+    re-encoded AND re-decoded; the exact int64 sum of the produced samples
+    pins content — the oracle recomputes it from the synthesis formula."""
+    from .operators.multimodal import resample_wav, synthesize_media
+
+    _prep(spark)
+    return resample_wav(synthesize_media(load(spark, sf_dir, "documents")), factor=4)
+
+
+@_q(
     "sink_bucketed_join",
     f"""
     SELECT o_orderstatus,

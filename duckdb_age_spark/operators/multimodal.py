@@ -482,3 +482,76 @@ def image_byte_histogram(media: DataFrame, bins: int = 16) -> DataFrame:
             yield pd.DataFrame({"media_id": ids, "bin": out_bins, "n_bytes": counts})
 
     return media.mapInPandas(hist, schema=HIST_SCHEMA).orderBy("media_id", "bin")
+
+
+RESAMPLE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("in_rate", IntegerType()),
+        StructField("in_samples", IntegerType()),
+        StructField("out_rate", IntegerType()),
+        StructField("out_samples", IntegerType()),
+        StructField("out_len", LongType()),
+        StructField("sample_sum", LongType()),
+    ]
+)
+
+
+def resample_wav(media: DataFrame, factor: int = 4) -> DataFrame:
+    """REAL audio downsampling: keep every ``factor``-th 16-bit PCM sample
+    (numpy stride slice — no per-sample Python), re-encode a valid WAV at
+    rate/factor, and RE-DECODE the output so the emitted geometry proves
+    the produced container parses.  ``sample_sum`` is the exact int64 sum
+    of the decimated samples, read from the OUTPUT bytes — it pins the
+    actual audio content without needing a blob digest the oracle can't
+    replay (the oracle recomputes it symbolically from the synthesis
+    formula).  Non-WAV payloads are skipped; malformed ones degrade to no
+    row, never a failed stage.  Shuffle-free mapInPandas.
+    """
+    import numpy as np
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, kind, payload in zip(pdf["media_id"], pdf["kind"], pdf["payload"]):
+                if kind != "audio/wav":
+                    continue
+                b = bytes(payload)
+                try:
+                    in_rate, in_n = decode_wav(b)
+                except ValueError:
+                    continue
+                samples = np.frombuffer(b, dtype="<i2", offset=44, count=in_n)
+                dec = samples[::factor]
+                out_rate = in_rate // factor
+                out = struct.pack(
+                    "<4sI4s4sIHHIIHH4sI",
+                    b"RIFF", 36 + 2 * len(dec), b"WAVE",
+                    b"fmt ", 16, 1, 1, out_rate, out_rate * 2, 2, 16,
+                    b"data", 2 * len(dec),
+                ) + dec.tobytes()
+                got_rate, got_n = decode_wav(out)  # output must parse
+                out_samples = np.frombuffer(out, dtype="<i2", offset=44, count=got_n)
+                rows.append(
+                    {
+                        "media_id": int(mid),
+                        "in_rate": in_rate,
+                        "in_samples": in_n,
+                        "out_rate": got_rate,
+                        "out_samples": got_n,
+                        "out_len": len(out),
+                        "sample_sum": int(out_samples.astype(np.int64).sum()),
+                    }
+                )
+            out_df = pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "in_rate", "in_samples", "out_rate",
+                    "out_samples", "out_len", "sample_sum",
+                ],
+            )
+            for c in ("in_rate", "in_samples", "out_rate", "out_samples"):
+                out_df[c] = out_df[c].astype("Int32")
+            yield out_df
+
+    return media.mapInPandas(gen, schema=RESAMPLE_SCHEMA).orderBy("media_id")

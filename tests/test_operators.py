@@ -2187,3 +2187,43 @@ def test_containment_detects_subset_where_jaccard_blind(spark):
     assert r.contain_ab_ppm == 1000000          # short fully inside long
     assert r.contain_ba_ppm < 250000            # long mostly NOT in short
     assert r.n_common == 18                     # 20 words -> 18 3-grams
+
+
+def test_chunk_grid_covers_every_token_no_gaps(spark):
+    """Property over varied lengths: chunk starts stride uniformly, the
+    union of [start, start+chunk_tokens) covers [0, n) with overlap
+    exactly at the seams, and the final chunk always reaches token n."""
+    from duckdb_age_spark.operators.pipeline import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(n, " ".join(f"t{i}" for i in range(n))) for n in (1, 15, 16, 17, 47, 48, 49, 64, 65, 200)],
+        "doc_id long, text string",
+    )
+    rows = chunk_documents(docs, size=16, overlap=4).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for n, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r.chunk_id)
+        assert chunks[0].start_tok == 0
+        for a, b in zip(chunks, chunks[1:]):
+            assert b.start_tok == a.start_tok + 12  # stride = size - overlap
+            assert a.start_tok + a.chunk_tokens >= b.start_tok  # no gap
+        last = chunks[-1]
+        assert last.start_tok + last.chunk_tokens == n  # tail reaches the end
+
+
+def test_hll_and_kmv_invariant_under_partitioning(spark):
+    """Sketch cells must not depend on physical layout: the same data at
+    1 and 17 partitions produces identical registers/minima/estimates."""
+    from duckdb_age_spark.operators.sketch import hll_estimate, kmv_estimate
+
+    base = spark.range(3000).select(
+        F.col("id").alias("event_id"), (F.col("id") % 7).cast("string").alias("g")
+    )
+    r1 = hll_estimate(base.coalesce(1), "event_id", b=8).collect()[0]
+    r17 = hll_estimate(base.repartition(17), "event_id", b=8).collect()[0]
+    assert tuple(r1) == tuple(r17)
+    k1 = {r.g: tuple(r) for r in kmv_estimate(base.coalesce(1), "g", "event_id", k=32).collect()}
+    k17 = {r.g: tuple(r) for r in kmv_estimate(base.repartition(17), "g", "event_id", k=32).collect()}
+    assert k1 == k17
