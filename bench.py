@@ -176,6 +176,7 @@ BENCH_QUERIES = [
     "rollup_anomaly_z",
     "sink_bucketed_join",
     "multimodal_wav_resample",
+    "sketch_hll_merge",
 ]
 
 

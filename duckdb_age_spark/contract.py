@@ -5301,6 +5301,64 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return degree_assortativity(edges)
 
 
+# Shared sketch constants (also used by the S. section below).
+_HLL_B = 8
+_HLL_M = 1 << _HLL_B
+_HLL_SUFFIX = 1 << (60 - _HLL_B)  # 2^52
+_HLL_RMAX = 60 - _HLL_B + 1  # 53
+# alpha_m * m^2 * 2^rmax — ONE double literal shared by both engines
+# (shortest-repr round-trips to the identical IEEE double in each parser)
+from .operators.sketch import hll_alpha as _hll_alpha  # noqa: E402
+
+_HLL_NUMER = _hll_alpha(_HLL_M) * _HLL_M * _HLL_M * float(1 << _HLL_RMAX)
+_KMV_K = 64
+_KMV_KCONST = float(_KMV_K - 1) * float(1 << 60)
+
+
+@_q(
+    "sketch_hll_merge",
+    f"""
+    WITH keyed AS (
+      SELECT event_type,
+             (('0x' || substr(md5(event_id::VARCHAR), 1, 15))::BIGINT) AS key
+      FROM events WHERE event_type IN ('purchase', 'view')),
+    regs AS (
+      SELECT event_type, key >> {60 - _HLL_B} AS bucket,
+             max(CASE WHEN key % {_HLL_SUFFIX} = 0 THEN {_HLL_RMAX}
+                      ELSE {_HLL_RMAX} - length(bin(key % {_HLL_SUFFIX})) END)::BIGINT
+               AS register
+      FROM keyed GROUP BY 1, 2),
+    merged AS (SELECT bucket, max(register) AS register FROM regs GROUP BY 1),
+    agg AS (
+      SELECT count(*)::BIGINT AS n_buckets,
+             sum((1::BIGINT << ({_HLL_RMAX} - register::INT)))::BIGINT AS s_present
+      FROM merged),
+    ex AS (SELECT count(DISTINCT event_id)::BIGINT AS exact_n FROM events
+           WHERE event_type IN ('purchase', 'view'))
+    SELECT 'purchase+view'::VARCHAR AS union_of, {_HLL_M}::BIGINT AS m, n_buckets,
+           (s_present + ({_HLL_M} - n_buckets) * (1::BIGINT << {_HLL_RMAX}))::BIGINT
+             AS s_scaled,
+           {_HLL_NUMER!r} / (s_present + ({_HLL_M} - n_buckets)
+                             * (1::BIGINT << {_HLL_RMAX}))::DOUBLE AS hll_est,
+           exact_n,
+           floor(abs({_HLL_NUMER!r} / (s_present + ({_HLL_M} - n_buckets)
+                                       * (1::BIGINT << {_HLL_RMAX}))::DOUBLE
+                     - exact_n) / exact_n * 10000)::BIGINT AS err_bp
+    FROM agg, ex
+    """,
+)
+def sketch_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL mergeability: per-type register tables combined by per-bucket
+    max alone estimate the distinct event_ids across view∪purchase — how
+    1000 executors each keep a 256-cell sketch and combine them free."""
+    from .operators.sketch import hll_merge_estimate
+
+    _prep(spark)
+    return hll_merge_estimate(
+        load(spark, sf_dir, "events"), "event_type", "event_id", ["view", "purchase"], b=_HLL_B
+    )
+
+
 @_q(
     "multimodal_wav_resample",
     r"""
@@ -5843,18 +5901,6 @@ def pipeline_kfold_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ===========================================================================
 # S. portable cardinality sketches (operators/sketch.py)
 # ===========================================================================
-
-_HLL_B = 8
-_HLL_M = 1 << _HLL_B
-_HLL_SUFFIX = 1 << (60 - _HLL_B)  # 2^52
-_HLL_RMAX = 60 - _HLL_B + 1  # 53
-# alpha_m * m^2 * 2^rmax — ONE double literal shared by both engines
-# (shortest-repr round-trips to the identical IEEE double in each parser)
-from .operators.sketch import hll_alpha as _hll_alpha  # noqa: E402
-
-_HLL_NUMER = _hll_alpha(_HLL_M) * _HLL_M * _HLL_M * float(1 << _HLL_RMAX)
-_KMV_K = 64
-_KMV_KCONST = float(_KMV_K - 1) * float(1 << 60)
 
 
 @_q(

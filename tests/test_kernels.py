@@ -214,6 +214,7 @@ def test_priority_50_covers_every_operator_family():
         ],
         "sketches": [
             "sketch_hll_distinct", "sketch_kmv_distinct", "sketch_kmv_union",
+            "sketch_hll_merge",
         ],
     }
     for family, members in families.items():

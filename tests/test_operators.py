@@ -2227,3 +2227,18 @@ def test_hll_and_kmv_invariant_under_partitioning(spark):
     k1 = {r.g: tuple(r) for r in kmv_estimate(base.coalesce(1), "g", "event_id", k=32).collect()}
     k17 = {r.g: tuple(r) for r in kmv_estimate(base.repartition(17), "g", "event_id", k=32).collect()}
     assert k1 == k17
+
+
+def test_hll_merge_equals_direct_union_sketch(spark):
+    """Merging per-group registers by bucket-max must give the IDENTICAL
+    estimate a direct HLL over the union would give — the mergeability
+    law, asserted cell-for-cell via s_scaled."""
+    from duckdb_age_spark.operators.sketch import hll_estimate, hll_merge_estimate
+
+    rows = [("a", i) for i in range(2000)] + [("b", i) for i in range(1500, 3500)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    merged = hll_merge_estimate(df, "g", "v", ["a", "b"]).collect()[0]
+    direct = hll_estimate(df.select("v"), "v").collect()[0]
+    assert merged.s_scaled == direct.s_scaled
+    assert merged.hll_est == direct.hll_est
+    assert merged.exact_n == 3500
