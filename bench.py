@@ -177,6 +177,7 @@ BENCH_QUERIES = [
     "sink_bucketed_join",
     "multimodal_wav_resample",
     "sketch_hll_merge",
+    "graph_modularity",
 ]
 
 

@@ -5301,6 +5301,60 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return degree_assortativity(edges)
 
 
+@_q(
+    "graph_modularity",
+    f"""
+    WITH {_COPURCHASE_CP_SQL}, {_COPURCHASE_E_SQL},
+    {_lpa_sql(rounds=3)},
+    lab AS (SELECT node, label FROM l3),
+    m_row AS (SELECT count(*)::BIGINT AS m FROM e),
+    ein AS (
+      SELECT la.label, count(*)::BIGINT AS e_in
+      FROM e JOIN lab la ON e.src = la.node JOIN lab lb ON e.dst = lb.node
+      WHERE la.label = lb.label GROUP BY 1),
+    deg AS (
+      SELECT lab.label, count(*)::BIGINT AS deg_sum
+      FROM (SELECT src AS node FROM e UNION ALL SELECT dst FROM e) u
+      JOIN lab ON u.node = lab.node GROUP BY 1),
+    sizes AS (SELECT label, count(*)::BIGINT AS n_nodes FROM lab GROUP BY 1),
+    per AS (
+      SELECT s.label, s.n_nodes, coalesce(ein.e_in, 0)::BIGINT AS e_in,
+             coalesce(deg.deg_sum, 0)::BIGINT AS deg_sum,
+             (coalesce(ein.e_in, 0) * 4 * m_row.m
+              - coalesce(deg.deg_sum, 0) * coalesce(deg.deg_sum, 0))::BIGINT
+               AS q_contrib_num
+      FROM sizes s
+      LEFT JOIN ein USING (label) LEFT JOIN deg USING (label)
+      CROSS JOIN m_row),
+    total AS (
+      SELECT CAST(sum(q_contrib_num) AS DOUBLE)
+               / (4.0 * (SELECT m FROM m_row)::DOUBLE * (SELECT m FROM m_row)::DOUBLE)
+               AS q_total
+      FROM per)
+    SELECT rk, label::BIGINT AS label, n_nodes, e_in, deg_sum, q_contrib_num, q_total
+    FROM (SELECT *, row_number() OVER (ORDER BY n_nodes DESC, label)::BIGINT AS rk
+          FROM per)
+    CROSS JOIN total
+    WHERE rk <= 10 ORDER BY rk
+    """,
+)
+def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the LPA communities, exactly: per-community
+    contribution e_c·4m − deg_c² in BIGINT, global Q = Σ / 4m² as the one
+    terminal IEEE division; top-10 communities by size."""
+    from .operators.graph import (
+        community_modularity,
+        copurchase_edges,
+        label_propagation,
+    )
+
+    _prep(spark)
+    orders = load(spark, sf_dir, "orders").where(F.col("o_custkey") % 10 == 0)
+    edges = copurchase_edges(orders, load(spark, sf_dir, "lineitem"), min_shared_parts=2)
+    edges = edges.localCheckpoint(eager=False)  # feeds LPA + both modularity sides
+    return community_modularity(edges, label_propagation(edges, rounds=3), k=10)
+
+
 # Shared sketch constants (also used by the S. section below).
 _HLL_B = 8
 _HLL_M = 1 << _HLL_B

@@ -683,3 +683,72 @@ def weighted_sssp(
         )
         dist = truncate_lineage(dist, checkpoint_dir)
     return dist.select(F.col("node").cast("long"), F.col("dist").cast("long")).orderBy("node")
+
+
+def community_modularity(edges: DataFrame, labels: DataFrame, k: int = 10) -> DataFrame:
+    """Newman modularity of a community assignment over an undirected
+    (src < dst) edge list, EXACTLY: per community c,
+
+        contrib_c = e_c·4m − deg_c²   (all BIGINT),   Q = Σ contrib_c / 4m²
+
+    so the only float op is the single terminal division both engines
+    perform on identical integers.  Reports the top-k communities by size
+    (node count desc, label tie-break) with their exact contribution
+    numerators, plus the global Q on every row (a 1-row broadcast).
+
+    Scale shape: two label-keyed joins (edge endpoints → labels), then
+    map-side-combinable per-label aggregates; m and the Q numerator reduce
+    to one broadcast row.
+    """
+    from pyspark.sql import Window
+
+    la = labels.select(F.col("node").alias("src"), F.col("label").alias("la"))
+    lb = labels.select(F.col("node").alias("dst"), F.col("label").alias("lb"))
+    e = edges.select("src", "dst").join(la, "src").join(lb, "dst")
+    e_in = (
+        e.where(F.col("la") == F.col("lb"))
+        .groupBy(F.col("la").alias("label"))
+        .agg(F.count("*").cast("long").alias("e_in"))
+    )
+    und = edges.select("src", "dst")
+    deg = (
+        und.select(F.col("src").alias("node"))
+        .unionAll(und.select(F.col("dst").alias("node")))
+        .join(labels, "node")
+        .groupBy("label")
+        .agg(F.count("*").cast("long").alias("deg_sum"))
+    )
+    sizes = labels.groupBy("label").agg(F.count("*").cast("long").alias("n_nodes"))
+    m_row = edges.agg(F.count("*").cast("long").alias("m"))
+    per = (
+        sizes.join(deg, "label", "left")
+        .join(e_in, "label", "left")
+        .select(
+            "label",
+            "n_nodes",
+            F.coalesce("e_in", F.lit(0)).cast("long").alias("e_in"),
+            F.coalesce("deg_sum", F.lit(0)).cast("long").alias("deg_sum"),
+        )
+        .crossJoin(F.broadcast(m_row))
+        .withColumn(
+            "q_contrib_num",
+            (F.col("e_in") * 4 * F.col("m") - F.col("deg_sum") * F.col("deg_sum")).cast(
+                "long"
+            ),
+        )
+    )
+    total = per.agg(
+        F.sum("q_contrib_num").cast("long").alias("q_num"), F.max("m").alias("m")
+    ).select(
+        (F.col("q_num").cast("double") / (4.0 * F.col("m").cast("double") * F.col("m").cast("double"))).alias(
+            "q_total"
+        )
+    )
+    rk = F.row_number().over(Window.orderBy(F.desc("n_nodes"), F.asc("label")))
+    return (
+        per.withColumn("rk", rk.cast("long"))
+        .where(F.col("rk") <= k)
+        .crossJoin(F.broadcast(total))
+        .select("rk", "label", "n_nodes", "e_in", "deg_sum", "q_contrib_num", "q_total")
+        .orderBy("rk")
+    )

@@ -183,7 +183,7 @@ def test_priority_50_covers_every_operator_family():
             "graph_weighted_pagerank", "graph_edge_jaccard", "graph_kcore",
             "graph_label_propagation", "graph_topk_similar",
             "graph_degree_distribution", "graph_assortativity",
-            "graph_clustering_coeff", "graph_weighted_sssp",
+            "graph_clustering_coeff", "graph_weighted_sssp", "graph_modularity",
         ],
         "relational": [
             "tpch_q1", "tpch_q3", "tpch_q6", "tpch_q13", "tpch_q2",

@@ -2242,3 +2242,24 @@ def test_hll_merge_equals_direct_union_sketch(spark):
     assert merged.s_scaled == direct.s_scaled
     assert merged.hll_est == direct.hll_est
     assert merged.exact_n == 3500
+
+
+def test_modularity_known_partition(spark):
+    """Two triangles joined by one bridge, labeled as their natural
+    communities: Q = sum(e_c*4m - deg_c^2)/(4m^2) with m=7,
+    e_c=3, deg_c=7 each -> 2*(84-49)/196 = 70/196."""
+    from duckdb_age_spark.operators.graph import community_modularity
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (4, 5), (4, 6), (5, 6), (3, 4)],
+        "src long, dst long",
+    )
+    labels = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 10), (4, 20), (5, 20), (6, 20)], "node long, label long"
+    )
+    rows = community_modularity(edges, labels, k=10).collect()
+    assert {r.label for r in rows} == {10, 20}
+    for r in rows:
+        assert r.e_in == 3 and r.deg_sum == 7
+        assert r.q_contrib_num == 3 * 4 * 7 - 49
+        assert r.q_total == (2 * (84 - 49)) / (4.0 * 49)
