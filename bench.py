@@ -178,6 +178,7 @@ BENCH_QUERIES = [
     "multimodal_wav_resample",
     "sketch_hll_merge",
     "graph_modularity",
+    "sim_pq_codebook",
 ]
 
 

@@ -5302,6 +5302,44 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "sim_pq_codebook",
+    r"""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+               FROM embeddings),
+    jj AS (SELECT unnest(range(0, 4)) AS j),
+    sub AS (
+      SELECT vec_id, jj.j AS subspace, v[jj.j * 16 + 1 : jj.j * 16 + 16] AS sv
+      FROM e CROSS JOIN jj),
+    cents AS (
+      SELECT vec_id AS code, jj.j AS subspace, v[jj.j * 16 + 1 : jj.j * 16 + 16] AS cs
+      FROM e CROSS JOIN jj WHERE vec_id < 16),
+    scored AS (
+      SELECT s.vec_id, s.subspace, c.code,
+             round(list_sum(list_transform(range(1, 17),
+                   i -> (s.sv[i] - c.cs[i]) * (s.sv[i] - c.cs[i]))), 6) AS d6
+      FROM sub s JOIN cents c USING (subspace)),
+    assigned AS (
+      SELECT vec_id, subspace, code, d6 FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id, subspace
+                                     ORDER BY d6, code) AS rn
+        FROM scored) WHERE rn = 1)
+    SELECT subspace::BIGINT AS subspace, code::BIGINT AS code,
+           count(*)::BIGINT AS n_vecs,
+           sum(CAST(round(d6 * 1000000) AS BIGINT))::BIGINT AS total_err_micro
+    FROM assigned GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def sim_pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization assignment census (FAISS-PQ structure): 4
+    subspaces x 16 codes, nearest-centroid per sub-vector via min_by
+    partial aggregate, reconstruction error in exact integer micro-units."""
+    from .operators.similarity import pq_codebook_stats
+
+    _prep(spark)
+    return pq_codebook_stats(load(spark, sf_dir, "embeddings"), n_subspaces=4, n_codes=16)
+
+
+@_q(
     "graph_modularity",
     f"""
     WITH {_COPURCHASE_CP_SQL}, {_COPURCHASE_E_SQL},

@@ -580,3 +580,82 @@ def range_search(embeddings: DataFrame, queries: DataFrame, tau: float = 0.25) -
         .where(F.col("cosine") >= tau)
         .orderBy("query_id", "vec_id")
     )
+
+
+def pq_codebook_stats(
+    embeddings: DataFrame, n_subspaces: int = 4, n_codes: int = 16
+) -> DataFrame:
+    """Product-quantization assignment census — the codebook structure
+    behind every large-scale ANN index (FAISS IVFPQ): each vector splits
+    into ``n_subspaces`` sub-vectors, each assigned to the nearest of
+    ``n_codes`` per-subspace centroids, compressing d floats to
+    n_subspaces bytes.
+
+    Centroids are the first ``n_codes`` corpus vectors' sub-slices
+    (deterministic, no training — the *assignment path* is what must
+    scale, same argument as ivf_topk).  Distances are squared-L2 rounded
+    to 6 dp BEFORE the argmin, ties broken by code id, so both engines
+    pick identical codes; per-cell reconstruction error accumulates in
+    exact integer micro-units (round(d·10⁶) summed as BIGINT), never as
+    a float sum.
+
+    Scale shape: centroids broadcast (n_subspaces×n_codes rows); the
+    per-(vector, subspace) argmin is a min_by partial aggregate (no
+    Window — the IVF lesson); the final census is a bounded
+    n_subspaces×n_codes-cell aggregate.  Returns (subspace, code, n_vecs,
+    total_err_micro) ordered.
+    """
+    corpus = embeddings.select("vec_id", _as_double(F.col("embedding")).alias("v"))
+    dim_per = F.floor(F.size("v") / n_subspaces).cast("int")
+    sub = corpus.select(
+        "vec_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_subspaces - 1)),
+                lambda j: F.slice(F.col("v"), j * F.floor(F.size("v") / n_subspaces).cast("int") + 1,
+                                  F.floor(F.size("v") / n_subspaces).cast("int")),
+            )
+        ).alias("subspace", "sv"),
+    )
+    cents = (
+        embeddings.where(F.col("vec_id") < n_codes)
+        .select(F.col("vec_id").alias("code"), _as_double(F.col("embedding")).alias("cv"))
+        .select(
+            "code",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(n_subspaces - 1)),
+                    lambda j: F.slice(F.col("cv"), j * F.floor(F.size("cv") / n_subspaces).cast("int") + 1,
+                                      F.floor(F.size("cv") / n_subspaces).cast("int")),
+                )
+            ).alias("subspace", "cs"),
+        )
+    )
+    d2 = F.round(
+        F.aggregate(
+            F.zip_with(F.col("sv"), F.col("cs"), lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+    scored = sub.join(F.broadcast(cents), "subspace").select(
+        "vec_id", "subspace", "code", d2.alias("d6")
+    )
+    assigned = scored.groupBy("vec_id", "subspace").agg(
+        F.min_by(F.struct("code", "d6"), F.struct("d6", "code")).alias("best")
+    )
+    return (
+        assigned.select(
+            "subspace",
+            F.col("best.code").alias("code"),
+            F.round(F.col("best.d6") * 1e6).cast("long").alias("err_micro"),
+        )
+        .groupBy("subspace", "code")
+        .agg(
+            F.count("*").cast("long").alias("n_vecs"),
+            F.sum(F.col("err_micro").cast("decimal(38,0)")).cast("long").alias("total_err_micro"),
+        )
+        .select(F.col("subspace").cast("long"), F.col("code").cast("long"), "n_vecs", "total_err_micro")
+        .orderBy("subspace", "code")
+    )

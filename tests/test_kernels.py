@@ -167,6 +167,7 @@ def test_priority_50_covers_every_operator_family():
             "sim_topk_bruteforce", "sim_topk_lsh", "sim_topk_kmeans",
             "sim_topk_int8", "sim_knn_label_vote", "sim_lsh_recall",
             "sim_embedding_zscore", "sim_int8_quantize", "sim_range_search",
+            "sim_pq_codebook",
         ],
         "grouped_map": ["grouped_map_zscore"],
         "events": [

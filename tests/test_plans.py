@@ -686,3 +686,16 @@ def test_bootstrap_grid_is_mapside_only(spark, sf_dir):
     # no join anywhere in the resampling path (the final union with the
     # full mean is a union, not a join)
     assert "SortMergeJoin" not in plan
+
+
+def test_pq_assignment_is_partial_aggregate_not_window(spark, sf_dir):
+    """PQ nearest-code selection must be a min_by partial aggregate (the
+    IVF lesson) — no Window over the corpus-side rows."""
+    from duckdb_age_spark.operators.similarity import pq_codebook_stats
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    df = pq_codebook_stats(emb)
+    plan = formatted_plan(df)
+    assert "partial_min_by" in plan, plan
+    assert "Window" not in plan, plan
+    assert has_broadcast_join(df)
