@@ -179,6 +179,7 @@ BENCH_QUERIES = [
     "sketch_hll_merge",
     "graph_modularity",
     "sim_pq_codebook",
+    "events_dow_seasonality",
 ]
 
 

@@ -5302,6 +5302,29 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "events_dow_seasonality",
+    r"""
+    WITH daily AS (
+      SELECT isodow(ts)::BIGINT AS iso_dow, count(*)::BIGINT AS n_events,
+             sum(CAST(round(value * 100) AS BIGINT))::HUGEINT AS cents
+      FROM events GROUP BY 1),
+    tot AS (SELECT sum(cents) AS total FROM daily)
+    SELECT iso_dow, n_events, CAST(cents AS DOUBLE) / 100.0 AS revenue,
+           ((cents * 1000000) // total)::BIGINT AS share_ppm
+    FROM daily CROSS JOIN tot ORDER BY iso_dow
+    """,
+)
+def events_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week revenue seasonality: exact-cent sums, revenue share as
+    integer ppm (floor division — no float ratio, no cast-rounding
+    divergence), ISO day numbering on both engines."""
+    from .operators.events import dow_seasonality
+
+    _prep(spark)
+    return dow_seasonality(load(spark, sf_dir, "events"))
+
+
+@_q(
     "sim_pq_codebook",
     r"""
     WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v

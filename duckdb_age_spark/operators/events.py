@@ -390,3 +390,41 @@ def decayed_revenue(events: DataFrame, half_lives: int = 20) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+def dow_seasonality(events: DataFrame) -> DataFrame:
+    """Day-of-week seasonality profile of event revenue — the weekly
+    cyclicality check behind traffic forecasting and anomaly baselining.
+
+    Exact throughout: per-DOW event counts and integer-cent revenue sums,
+    each day's revenue share as (cents·10⁶) div total_cents (integer ppm —
+    no float ratio), and the final revenue emitted with the single
+    terminal division of operators/exact.py.  ISO day numbering (1 =
+    Monday) is computed identically on both engines from the date.
+
+    Scale shape: one map-side-combined 7-key aggregate; the total joins
+    back as a 1-row broadcast.
+    """
+    # dayofweek() is 1=Sunday in Spark but isodow is 1=Monday in DuckDB;
+    # weekday()+1 gives ISO 1=Monday in Spark, matching DuckDB's isodow
+    dow = (F.weekday(F.col("ts")) + 1).cast("long")
+    daily = (
+        events.groupBy(dow.alias("iso_dow"))
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum(units("value").cast("decimal(38,0)")).alias("_cents"),
+        )
+    )
+    total = daily.agg(F.sum("_cents").alias("_total"))
+    return (
+        daily.crossJoin(F.broadcast(total))
+        .select(
+            "iso_dow",
+            "n_events",
+            (F.col("_cents").cast("double") / 100.0).alias("revenue"),
+            # integer div, never decimal-divide + cast: double/decimal→int
+            # casts TRUNCATE in Spark but ROUND in DuckDB
+            F.expr("CAST((_cents * 1000000) DIV _total AS BIGINT)").alias("share_ppm"),
+        )
+        .orderBy("iso_dow")
+    )
