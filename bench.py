@@ -180,6 +180,8 @@ BENCH_QUERIES = [
     "graph_modularity",
     "sim_pq_codebook",
     "events_dow_seasonality",
+    "graph_link_prediction",
+    "scd2_apply_changes",
 ]
 
 

@@ -5302,6 +5302,121 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "scd2_apply_changes",
+    r"""
+    WITH hist AS (
+      SELECT o_custkey AS key, o_orderpriority AS attr, o_orderdate::DATE AS valid_from,
+             NULL::DATE AS valid_to
+      FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+                                         ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+            FROM orders WHERE o_orderdate < '1997-01-01') WHERE rn = 1),
+    chg AS (
+      SELECT o_custkey AS key, o_orderpriority AS new_attr, o_orderdate::DATE AS change_date
+      FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+                                         ORDER BY o_orderdate, o_orderkey) AS rn
+            FROM orders WHERE o_orderdate >= '1997-01-01') WHERE rn = 1),
+    updated AS (
+      SELECT h.key, h.attr, h.valid_from,
+             CASE WHEN c.new_attr IS NOT NULL AND h.valid_to IS NULL
+                       AND c.new_attr != h.attr
+                  THEN c.change_date ELSE h.valid_to END AS valid_to
+      FROM hist h LEFT JOIN chg c USING (key)),
+    opened AS (
+      SELECT c.key, c.new_attr AS attr, c.change_date AS valid_from, NULL::DATE AS valid_to
+      FROM chg c LEFT JOIN hist ON c.key = hist.key
+      WHERE hist.attr IS NULL OR hist.attr != c.new_attr)
+    SELECT key::BIGINT AS key, attr,
+           strftime(valid_from, '%Y-%m-%d') AS valid_from,
+           strftime(valid_to, '%Y-%m-%d') AS valid_to,
+           (valid_to IS NULL) AS is_current
+    FROM (SELECT * FROM updated UNION ALL SELECT * FROM opened)
+    ORDER BY key, valid_from, attr
+    """,
+)
+def scd2_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC apply to a Type-2 dimension: the pre-1997 per-customer current
+    priority is the dimension, each customer's first 1997+ order is the
+    compacted change batch — differing changes close + open rows, equal
+    ones no-op, unseen keys insert.  One broadcast join + a union."""
+    from pyspark.sql import Window
+
+    from .operators.relational import scd2_apply_changes as _apply
+
+    _prep(spark)
+    orders = load(spark, sf_dir, "orders")
+    cutoff = F.lit("1997-01-01").cast("timestamp")
+    w_h = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    hist = (
+        orders.where(F.col("o_orderdate") < cutoff)
+        .withColumn("rn", F.row_number().over(w_h))
+        .where(F.col("rn") == 1)
+        .select(
+            F.col("o_custkey").alias("key"),
+            F.col("o_orderpriority").alias("attr"),
+            F.to_date("o_orderdate").alias("valid_from"),
+            F.lit(None).cast("date").alias("valid_to"),
+        )
+    )
+    w_c = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    chg = (
+        orders.where(F.col("o_orderdate") >= cutoff)
+        .withColumn("rn", F.row_number().over(w_c))
+        .where(F.col("rn") == 1)
+        .select(
+            F.col("o_custkey").alias("key"),
+            F.col("o_orderpriority").alias("new_attr"),
+            F.to_date("o_orderdate").alias("change_date"),
+        )
+    )
+    out = _apply(hist, chg)
+    return out.select(
+        "key",
+        "attr",
+        F.date_format("valid_from", "yyyy-MM-dd").alias("valid_from"),
+        F.date_format("valid_to", "yyyy-MM-dd").alias("valid_to"),
+        F.col("valid_to").isNull().alias("is_current"),
+    ).orderBy("key", "valid_from", "attr")
+
+
+@_q(
+    "graph_link_prediction",
+    f"""
+    WITH {_COPURCHASE_CP_SQL}, {_COPURCHASE_E_SQL},
+    und AS MATERIALIZED (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+    pairs AS (
+      SELECT w1.dst AS node_a, w2.dst AS node_b, count(*)::BIGINT AS common
+      FROM und w1 JOIN und w2 ON w1.src = w2.src
+      WHERE w1.dst < w2.dst GROUP BY 1, 2),
+    cand AS (
+      SELECT p.* FROM pairs p
+      ANTI JOIN e ON p.node_a = e.src AND p.node_b = e.dst),
+    deg AS (SELECT src AS node, count(*)::BIGINT AS deg FROM und GROUP BY 1),
+    scored AS (
+      SELECT node_a, node_b, common,
+             ((common * 1000000) // (da.deg + db.deg - common))::BIGINT AS jaccard_ppm
+      FROM cand JOIN deg da ON cand.node_a = da.node
+      JOIN deg db ON cand.node_b = db.node)
+    SELECT rk, node_a, node_b, common, jaccard_ppm FROM (
+      SELECT *, row_number() OVER (ORDER BY common DESC, jaccard_ppm DESC,
+                                   node_a, node_b)::BIGINT AS rk
+      FROM scored)
+    WHERE rk <= 20 ORDER BY rk
+    """,
+)
+def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbor link prediction over the co-purchase graph: top-20
+    non-adjacent pairs by shared neighbors, Jaccard as exact ppm."""
+    from .operators.graph import copurchase_edges, link_prediction
+
+    _prep(spark)
+    orders = load(spark, sf_dir, "orders").where(F.col("o_custkey") % 10 == 0)
+    edges = copurchase_edges(orders, load(spark, sf_dir, "lineitem"), min_shared_parts=2)
+    return link_prediction(edges, k=20)
+
+
+@_q(
     "events_dow_seasonality",
     r"""
     WITH daily AS (

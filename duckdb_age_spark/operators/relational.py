@@ -817,3 +817,47 @@ def priority_transition_matrix(orders: DataFrame, sample_mod: int = 10) -> DataF
             "row_share"
         ),
     ).orderBy("prev_priority", "next_priority")
+
+
+def scd2_apply_changes(history: DataFrame, changes: DataFrame) -> DataFrame:
+    """Apply a CDC batch to a Type-2 dimension — the maintenance half of
+    SCD2 (scd2_priority_history builds one; this keeps it current):
+
+    * change with a DIFFERENT attribute for an existing key → close the
+      current row (valid_to = change_date) and open a new current row;
+    * change equal to the current attribute → no-op (idempotent re-apply);
+    * change for an unseen key → fresh current row.
+
+    Inputs: ``history`` (key, attr, valid_from DATE, valid_to DATE-or-null
+    for current), ``changes`` (key, new_attr, change_date DATE), at most
+    one change per key per batch (the caller pre-aggregates — standard CDC
+    compaction).  Returns the full new history.
+
+    Scale shape: one key-keyed left join of history against the (typically
+    much smaller, broadcastable) change batch + a union for the opened
+    rows — no windows, no shuffle beyond the join keyed on the dimension
+    key.  All comparisons are on exact dates/strings.
+    """
+    ch = F.broadcast(changes.select("key", "new_attr", "change_date"))
+    joined = history.join(ch, "key", "left")
+    closes = F.col("new_attr").isNotNull() & F.col("valid_to").isNull() & (
+        F.col("new_attr") != F.col("attr")
+    )
+    updated = joined.select(
+        "key",
+        "attr",
+        "valid_from",
+        F.when(closes, F.col("change_date")).otherwise(F.col("valid_to")).alias("valid_to"),
+    )
+    cur = history.where(F.col("valid_to").isNull()).select("key", F.col("attr").alias("cur_attr"))
+    opened = (
+        changes.join(cur, "key", "left")
+        .where(F.col("cur_attr").isNull() | (F.col("cur_attr") != F.col("new_attr")))
+        .select(
+            "key",
+            F.col("new_attr").alias("attr"),
+            F.col("change_date").alias("valid_from"),
+            F.lit(None).cast("date").alias("valid_to"),
+        )
+    )
+    return updated.unionByName(opened).orderBy("key", "valid_from", "attr")

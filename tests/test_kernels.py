@@ -185,12 +185,13 @@ def test_priority_50_covers_every_operator_family():
             "graph_label_propagation", "graph_topk_similar",
             "graph_degree_distribution", "graph_assortativity",
             "graph_clustering_coeff", "graph_weighted_sssp", "graph_modularity",
+            "graph_link_prediction",
         ],
         "relational": [
             "tpch_q1", "tpch_q3", "tpch_q6", "tpch_q13", "tpch_q2",
             "tpch_q4", "tpch_q9", "tpch_q17", "tpch_q18", "tpch_q21",
             "relational_cohort_retention", "scd2_priority_history",
-            "scd2_asof_lookup", "relational_revenue_share",
+            "scd2_asof_lookup", "scd2_apply_changes", "relational_revenue_share",
             "relational_transition_matrix",
         ],
         "skew": ["skew_salted_join", "skew_salted_agg", "skew_bloom_prefilter"],

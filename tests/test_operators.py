@@ -2278,3 +2278,39 @@ def test_pq_codebook_partitions_all_vectors(spark):
         per_sub[r.subspace] = per_sub.get(r.subspace, 0) + r.n_vecs
     assert per_sub == {0: n, 1: n, 2: n, 3: n}
     assert all(r.total_err_micro >= 0 for r in rows)
+
+
+def test_scd2_apply_close_open_noop_insert(spark):
+    """All three CDC cases: changed attr closes+opens, equal attr no-ops
+    (idempotent), unseen key inserts fresh current row."""
+    import datetime
+
+    from duckdb_age_spark.operators.relational import scd2_apply_changes
+
+    d = datetime.date
+    hist = spark.createDataFrame(
+        [(1, "A", d(2020, 1, 1), None), (2, "B", d(2020, 1, 1), None)],
+        "key long, attr string, valid_from date, valid_to date",
+    )
+    chg = spark.createDataFrame(
+        [(1, "X", d(2021, 6, 1)), (2, "B", d(2021, 6, 1)), (3, "C", d(2021, 6, 1))],
+        "key long, new_attr string, change_date date",
+    )
+    rows = [(r.key, r.attr, str(r.valid_from), str(r.valid_to) if r.valid_to else None)
+            for r in scd2_apply_changes(hist, chg).collect()]
+    assert (1, "A", "2020-01-01", "2021-06-01") in rows  # closed
+    assert (1, "X", "2021-06-01", None) in rows          # opened
+    assert (2, "B", "2020-01-01", None) in rows          # no-op, still current
+    assert (3, "C", "2021-06-01", None) in rows          # insert
+    assert len(rows) == 4
+
+
+def test_link_prediction_square_graph(spark):
+    """4-cycle 1-2-3-4: the two diagonals are the only non-adjacent pairs,
+    each with 2 common neighbors and Jaccard 2/(2+2-2) = 1e6 ppm."""
+    from duckdb_age_spark.operators.graph import link_prediction
+
+    edges = spark.createDataFrame([(1, 2), (2, 3), (3, 4), (1, 4)], "src long, dst long")
+    rows = link_prediction(edges, k=10).collect()
+    assert {(r.node_a, r.node_b) for r in rows} == {(1, 3), (2, 4)}
+    assert all(r.common == 2 and r.jaccard_ppm == 1000000 for r in rows)
