@@ -182,6 +182,8 @@ BENCH_QUERIES = [
     "events_dow_seasonality",
     "graph_link_prediction",
     "scd2_apply_changes",
+    "rollup_acf_multi_lag",
+    "events_burstiness",
 ]
 
 

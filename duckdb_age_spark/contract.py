@@ -5302,6 +5302,67 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "rollup_acf_multi_lag",
+    r"""
+    WITH daily AS (
+      SELECT date_trunc('day', ts)::DATE AS day,
+             sum(CAST(round(value * 100) AS BIGINT)) AS cents
+      FROM events GROUP BY 1),
+    pairs AS (
+      SELECT lg.lag, l.cents::HUGEINT AS x, r.cents::HUGEINT AS y
+      FROM daily l
+      CROSS JOIN (SELECT unnest(range(1, 8)) AS lag) lg
+      JOIN daily r ON r.day = l.day + lg.lag::INT),
+    s AS (
+      SELECT lag, count(*)::HUGEINT AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+      FROM pairs GROUP BY 1)
+    SELECT lag::BIGINT AS lag, n::BIGINT AS n_pairs,
+           (n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+             / (sqrt(n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+                * sqrt(n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)) AS acf
+    FROM s ORDER BY lag
+    """,
+)
+def rollup_acf_multi_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACF of global daily revenue at lags 1..7 (weekly-cycle fingerprint):
+    lag self-join on the day spine, exact decimal sufficient stats, the
+    corr_exact IEEE chain per lag."""
+    from .operators.rollup import acf_multi_lag
+
+    _prep(spark)
+    return acf_multi_lag(load(spark, sf_dir, "events"), max_lag=7)
+
+
+@_q(
+    "events_burstiness",
+    r"""
+    WITH g AS (
+      SELECT event_type,
+             (epoch_us(ts) - lag(epoch_us(ts))
+                OVER (PARTITION BY event_type ORDER BY ts, event_id))::HUGEINT AS g
+      FROM events),
+    s AS (
+      SELECT event_type, count(*)::HUGEINT AS n, sum(g) AS sg, sum(g * g) AS sgg
+      FROM g WHERE g IS NOT NULL GROUP BY 1)
+    SELECT event_type, n::BIGINT AS n_gaps,
+           (sqrt((sgg::DOUBLE - sg::DOUBLE * sg::DOUBLE / n::DOUBLE) / n::DOUBLE)
+              - sg::DOUBLE / n::DOUBLE)
+           / (sqrt((sgg::DOUBLE - sg::DOUBLE * sg::DOUBLE / n::DOUBLE) / n::DOUBLE)
+              + sg::DOUBLE / n::DOUBLE) AS burstiness
+    FROM s ORDER BY event_type
+    """,
+)
+def events_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event burstiness per type (Goh-Barabási B = (σ−μ)/(σ+μ)):
+    exact-µs gaps, decimal sufficient stats, one IEEE chain."""
+    from .operators.events import burstiness
+
+    _prep(spark)
+    return burstiness(load(spark, sf_dir, "events"))
+
+
+@_q(
     "scd2_apply_changes",
     r"""
     WITH hist AS (

@@ -428,3 +428,42 @@ def dow_seasonality(events: DataFrame) -> DataFrame:
         )
         .orderBy("iso_dow")
     )
+
+
+def burstiness(events: DataFrame) -> DataFrame:
+    """Inter-event-time burstiness per event type: B = (σ−μ)/(σ+μ) of the
+    gaps (Goh & Barabási) — −1 regular, 0 Poisson, →1 bursty.  Gaps are
+    exact integer microseconds from a per-type lag; σ and μ derive from
+    exact decimal sufficient statistics with one fixed IEEE chain, so B is
+    engine-identical.  Population σ (÷n) keeps the chain division-free
+    until the end.
+
+    Scale shape: the per-type ordering window partitions by event_type —
+    at 100 TB repartition the window key to (type, day) and compute gaps
+    within day boundaries (documented coarsening); the aggregate itself is
+    map-side combinable.
+    """
+    # order by the exact µs epoch (equivalent to ts ordering), event_id tie
+    w = Window.partitionBy("event_type").orderBy("us", "event_id")
+    # microsecond epoch directly: unix_micros is exact for TimestampType
+    gaps = events.select(
+        "event_type", F.unix_micros("ts").alias("us"), "event_id"
+    ).withColumn("prev", F.lag("us").over(w)).where(F.col("prev").isNotNull()).select(
+        "event_type", (F.col("us") - F.col("prev")).cast("decimal(38,0)").alias("g")
+    )
+    s = gaps.groupBy("event_type").agg(
+        F.count("*").cast("decimal(38,0)").alias("n"),
+        F.sum("g").alias("sg"),
+        F.sum(F.col("g") * F.col("g")).alias("sgg"),
+    )
+    n, sg, sgg = (F.col(c).cast("double") for c in ("n", "sg", "sgg"))
+    mean = sg / n
+    sd = F.sqrt((sgg - sg * sg / n) / n)
+    return (
+        s.select(
+            "event_type",
+            F.col("n").cast("long").alias("n_gaps"),
+            ((sd - mean) / (sd + mean)).alias("burstiness"),
+        )
+        .orderBy("event_type")
+    )

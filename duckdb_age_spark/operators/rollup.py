@@ -367,3 +367,44 @@ def rolling_anomaly_z(events: DataFrame, window_days: int = 7, k: int = 3) -> Da
         .where(F.col("rk") <= k)
         .orderBy("event_type", "rk")
     )
+
+
+def acf_multi_lag(events: DataFrame, max_lag: int = 7) -> DataFrame:
+    """Autocorrelation function of global daily revenue at lags 1..max_lag
+    — the seasonality fingerprint (a weekly cycle shows as a lag-7 peak).
+
+    Pairs at lag L come from a self-join on day = day + L (no
+    single-partition global window), one join feeding ALL lags via a lag
+    explode; sufficient statistics are exact decimal sums of integer
+    cents, and each correlation is the fixed IEEE chain of corr_exact.
+    Output: (lag, n_pairs, acf).
+    """
+    daily = (
+        events.groupBy(F.to_date(F.date_trunc("day", F.col("ts"))).alias("day"))
+        .agg(F.sum(units("value")).alias("cents"))
+    )
+    lags = F.explode(F.sequence(F.lit(1), F.lit(max_lag))).alias("lag")
+    left = daily.select("day", F.col("cents").alias("x"), lags)
+    right = daily.select(F.col("day").alias("rday"), F.col("cents").alias("y"))
+    pairs = left.join(
+        right, F.expr("date_add(day, lag) = rday")
+    ).select("lag", F.col("x").cast("decimal(38,0)"), F.col("y").cast("decimal(38,0)"))
+    s = pairs.groupBy("lag").agg(
+        F.count("*").cast("decimal(38,0)").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n, sx, sy = (F.col(c).cast("double") for c in ("n", "sx", "sy"))
+    sxx, syy, sxy = (F.col(c).cast("double") for c in ("sxx", "syy", "sxy"))
+    acf = (n * sxy - sx * sy) / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy))
+    return (
+        s.select(
+            F.col("lag").cast("long"),
+            F.col("n").cast("long").alias("n_pairs"),
+            acf.alias("acf"),
+        )
+        .orderBy("lag")
+    )

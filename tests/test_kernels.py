@@ -175,7 +175,7 @@ def test_priority_50_covers_every_operator_family():
             "events_gapfill", "events_session_window", "events_rolling_1h",
             "events_ohlc", "events_uptime", "events_time_to_convert",
             "events_stickiness", "events_pareto_share",
-            "events_decayed_revenue", "events_dow_seasonality",
+            "events_decayed_revenue", "events_dow_seasonality", "events_burstiness",
         ],
         "window_cube": ["order_gaps", "window_balance_analytics"],
         "graph_layout": [
@@ -207,6 +207,7 @@ def test_priority_50_covers_every_operator_family():
             "asof_join", "range_join", "rollup_timebuckets",
             "rollup_time_weighted_avg", "asof_forward_tolerance",
             "rollup_order_concurrency", "rollup_autocorr", "rollup_anomaly_z",
+            "rollup_acf_multi_lag",
         ],
         "extension_points": ["udaf_geomean", "udtf_chunks"],
         "multimodal": [
