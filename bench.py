@@ -184,6 +184,8 @@ BENCH_QUERIES = [
     "scd2_apply_changes",
     "rollup_acf_multi_lag",
     "events_burstiness",
+    "stats_mann_whitney",
+    "sink_encrypted_partitioned",
 ]
 
 

@@ -5302,6 +5302,79 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "sink_encrypted_partitioned",
+    """
+    SELECT lang, count(*)::BIGINT AS n_docs, count(*)::BIGINT AS n_rt_ok
+    FROM documents WHERE lang IN ('en', 'de') GROUP BY 1 ORDER BY 1
+    """,
+)
+def sink_encrypted_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encrypted + partitioned sink composition: documents land as
+    lang-partitioned parquet with the text column age-encrypted; the read
+    path prunes to two partitions (the filter hits the partition column
+    BEFORE any decryption work) and decrypts, and every row must
+    round-trip to its original text.  The crypto column and the layout
+    optimizations compose — neither disables the other."""
+    from .sources.encrypted import read_encrypted, write_encrypted
+
+    _prep(spark)
+    path = _scratch("sink_enc_part", sf_dir)
+    docs = load(spark, sf_dir, "documents")
+    write_encrypted(docs, path, ["text"], KP1.public_key, partition_by=["lang"])
+    back = read_encrypted(spark, path, ["text"], KP1.private_key).where(
+        F.col("lang").isin("en", "de")
+    )
+    orig = docs.select("doc_id", F.col("text").alias("orig"))
+    return (
+        back.join(orig, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum((F.col("text") == F.col("orig")).cast("long")).cast("bigint").alias("n_rt_ok"),
+        )
+        .orderBy("lang")
+    )
+
+
+@_q(
+    "stats_mann_whitney",
+    r"""
+    WITH vals AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v, count(*)::BIGINT AS cnt,
+             sum((o_orderpriority = '1-URGENT')::BIGINT)::BIGINT AS cnt_g1
+      FROM orders GROUP BY 1),
+    ranked AS (
+      SELECT *, coalesce(sum(cnt) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND 1 PRECEDING), 0) AS cnt_lt
+      FROM vals),
+    agg AS (
+      SELECT sum(cnt_g1)::BIGINT AS n1, sum(cnt - cnt_g1)::BIGINT AS n2,
+             sum((cnt_g1 * (2 * cnt_lt + cnt + 1))::HUGEINT) AS r1_x2,
+             sum((cnt * cnt * cnt - cnt)::HUGEINT) AS tie_term
+      FROM ranked)
+    SELECT n1, n2,
+           CAST(2 * n1::HUGEINT * n2 + n1::HUGEINT * (n1 + 1) - r1_x2 AS DOUBLE)
+             AS u1_x2,
+           (CAST(2 * n1::HUGEINT * n2 + n1::HUGEINT * (n1 + 1) - r1_x2 AS DOUBLE) / 2.0
+            - n1::DOUBLE * n2::DOUBLE / 2.0)
+           / sqrt((n1::DOUBLE * n2::DOUBLE / 12.0)
+                  * ((n1::DOUBLE + n2::DOUBLE + 1.0)
+                     - tie_term::DOUBLE / ((n1::DOUBLE + n2::DOUBLE)
+                                           * (n1::DOUBLE + n2::DOUBLE - 1.0)))) AS z
+    FROM agg
+    """,
+)
+def stats_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U on order totals split by priority: doubled-rank tie
+    algebra keeps every rank sum an exact integer; normal-approx z with
+    tie-corrected variance is one IEEE chain."""
+    from .operators.stats import mann_whitney_u
+
+    _prep(spark)
+    return mann_whitney_u(load(spark, sf_dir, "orders"))
+
+
+@_q(
     "rollup_acf_multi_lag",
     r"""
     WITH daily AS (

@@ -848,3 +848,49 @@ def poisson_bootstrap_ci(
         ).alias("value")
     ).select(F.lit("mean_full").alias("stat"), "value")
     return pick.unionByName(full).orderBy("stat")
+
+
+def mann_whitney_u(orders: DataFrame, split_priority: str = "1-URGENT") -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) two-sample test on order totals,
+    split by priority — the nonparametric companion to welch_ttest/
+    ks_two_sample.  EXACT rank algebra: with doubled ranks the tie-average
+    is integer (2·avgrank(v) = 2·cnt_lt(v) + cnt(v) + 1), so
+    2R₁ = Σ_g1 values [cnt_g1 · (2·cnt_lt + cnt + 1)] is an exact BIGINT
+    and 2U₁ = 2·n₁n₂ + n₁(n₁+1) − 2R₁ likewise.  The normal-approximation
+    z (tie-corrected variance) is then ONE IEEE chain on exact integers.
+
+    Scale shape: one value-level aggregate (bounded by distinct cents, not
+    rows), a prefix-count window over that bounded table, and a 1-row
+    reduce.  Output: (n1, n2, u1_x2, z).
+    """
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    g1 = (F.col("o_orderpriority") == split_priority).cast("long")
+    vals = (
+        orders.select(cents.alias("v"), g1.alias("g"))
+        .groupBy("v")
+        .agg(F.count("*").cast("long").alias("cnt"), F.sum("g").cast("long").alias("cnt_g1"))
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = vals.withColumn("cnt_lt", F.coalesce(F.sum("cnt").over(w), F.lit(0)))
+    agg = ranked.agg(
+        F.sum("cnt_g1").cast("long").alias("n1"),
+        F.sum(F.col("cnt") - F.col("cnt_g1")).cast("long").alias("n2"),
+        F.sum(
+            (F.col("cnt_g1") * (2 * F.col("cnt_lt") + F.col("cnt") + 1)).cast("decimal(38,0)")
+        ).alias("r1_x2"),
+        F.sum(
+            (F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt")).cast("decimal(38,0)")
+        ).alias("tie_term"),
+    )
+    n1, n2 = F.col("n1").cast("double"), F.col("n2").cast("double")
+    u1_x2 = (
+        F.lit(2) * F.col("n1").cast("decimal(38,0)") * F.col("n2").cast("decimal(38,0)")
+        + F.col("n1").cast("decimal(38,0)") * (F.col("n1").cast("decimal(38,0)") + 1)
+        - F.col("r1_x2")
+    )
+    n = n1 + n2
+    var = (n1 * n2 / 12.0) * ((n + 1.0) - F.col("tie_term").cast("double") / (n * (n - 1.0)))
+    z = (u1_x2.cast("double") / 2.0 - n1 * n2 / 2.0) / F.sqrt(var)
+    return agg.select(
+        "n1", "n2", u1_x2.cast("decimal(38,0)").cast("double").alias("u1_x2"), z.alias("z")
+    )

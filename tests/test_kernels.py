@@ -136,7 +136,8 @@ def test_priority_50_covers_every_operator_family():
         "crypto": ["age_roundtrip", "age_version", "age_error_dispatch"],
         "dq": ["dq_report", "stats_benford"],
         "upsert": ["upsert_merge", "upsert_cdc_merge", "upsert_incremental_agg"],
-        "sinks": ["sink_csv_roundtrip", "sink_schema_evolution", "sink_bucketed_join"],
+        "sinks": ["sink_csv_roundtrip", "sink_schema_evolution", "sink_bucketed_join",
+                  "sink_encrypted_partitioned"],
         "setops": ["setops_customer_cohorts", "setops_full_outer_reconcile"],
         "streaming": [
             "streaming_windowed", "streaming_dedup", "streaming_join",
@@ -201,7 +202,7 @@ def test_priority_50_covers_every_operator_family():
             "stats_entropy", "stats_linreg", "sketch_approx_percentile",
             "stats_quantile_binning", "stats_ks_test", "stats_gini",
             "stats_psi_drift", "stats_welch_ttest",
-            "stats_quantile_interp", "stats_bootstrap_ci",
+            "stats_quantile_interp", "stats_bootstrap_ci", "stats_mann_whitney",
         ],
         "temporal": [
             "asof_join", "range_join", "rollup_timebuckets",
