@@ -186,6 +186,8 @@ BENCH_QUERIES = [
     "events_burstiness",
     "stats_mann_whitney",
     "sink_encrypted_partitioned",
+    "relational_share_of_parent",
+    "stats_spearman",
 ]
 
 

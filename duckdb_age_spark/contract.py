@@ -5302,6 +5302,75 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "relational_share_of_parent",
+    r"""
+    WITH nat AS (
+      SELECT r_name, n_name,
+             sum(CAST(round(o_totalprice * 100) AS BIGINT))::HUGEINT AS cents
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY 1, 2),
+    reg AS (SELECT r_name, sum(cents) AS r_cents FROM nat GROUP BY 1),
+    tot AS (SELECT sum(r_cents) AS t_cents FROM reg)
+    SELECT nat.r_name, n_name, CAST(cents AS DOUBLE) / 100.0 AS nation_revenue,
+           ((cents * 1000000) // r_cents)::BIGINT AS share_of_region_ppm,
+           ((r_cents * 1000000) // t_cents)::BIGINT AS region_share_ppm
+    FROM nat JOIN reg ON nat.r_name = reg.r_name CROSS JOIN tot
+    ORDER BY nat.r_name, n_name
+    """,
+)
+def relational_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level percent-of-parent report (nation within region, region of
+    total) with every share an exact integer ppm; one fact scan."""
+    from .operators.relational import revenue_share_of_parent
+
+    _prep(spark)
+    return revenue_share_of_parent(
+        load(spark, sf_dir, "orders"),
+        load(spark, sf_dir, "customer"),
+        load(spark, sf_dir, "nation"),
+        load(spark, sf_dir, "region"),
+    )
+
+
+@_q(
+    "stats_spearman",
+    r"""
+    WITH rxv AS (
+      SELECT v AS l_quantity, 2 * coalesce(sum(cnt) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + cnt + 1 AS rx
+      FROM (SELECT l_quantity AS v, count(*)::BIGINT AS cnt FROM lineitem GROUP BY 1)),
+    ryv AS (
+      SELECT v AS l_extendedprice, 2 * coalesce(sum(cnt) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + cnt + 1 AS ry
+      FROM (SELECT l_extendedprice AS v, count(*)::BIGINT AS cnt FROM lineitem GROUP BY 1)),
+    ranked AS (
+      SELECT rx::HUGEINT AS x, ry::HUGEINT AS y
+      FROM lineitem JOIN rxv USING (l_quantity) JOIN ryv USING (l_extendedprice)),
+    s AS (
+      SELECT count(*)::HUGEINT AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+      FROM ranked)
+    SELECT n::BIGINT AS n,
+           (n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+             / (sqrt(n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+                * sqrt(n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)) AS rho
+    FROM s
+    """,
+)
+def stats_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation (quantity vs extended price): exact
+    doubled-average-tie ranks from bounded value-level prefix counts,
+    decimal sufficient stats, the corr_exact IEEE chain."""
+    from .operators.stats import spearman_corr
+
+    _prep(spark)
+    return spearman_corr(load(spark, sf_dir, "lineitem"))
+
+
+@_q(
     "sink_encrypted_partitioned",
     """
     SELECT lang, count(*)::BIGINT AS n_docs, count(*)::BIGINT AS n_rt_ok

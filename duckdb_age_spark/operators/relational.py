@@ -861,3 +861,39 @@ def scd2_apply_changes(history: DataFrame, changes: DataFrame) -> DataFrame:
         )
     )
     return updated.unionByName(opened).orderBy("key", "valid_from", "attr")
+
+
+def revenue_share_of_parent(
+    orders: DataFrame, customer: DataFrame, nation: DataFrame, region: DataFrame
+) -> DataFrame:
+    """Two-level ratio-to-parent report: nation revenue as a share of its
+    region, region revenue as a share of the total — the classic OLAP
+    percent-of-parent, with every share an exact integer ppm
+    ((child·10⁶) div parent, no float ratio).
+
+    Scale shape: ONE fact aggregation at nation grain (map-side
+    combinable); region and grand totals re-aggregate the tiny nation
+    rollup and join back broadcast — the fact table is scanned once.
+    """
+    joined = (
+        orders.join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    nat = joined.groupBy("r_name", "n_name").agg(
+        F.sum(units("o_totalprice").cast("decimal(38,0)")).alias("cents")
+    )
+    reg = nat.groupBy("r_name").agg(F.sum("cents").alias("r_cents"))
+    tot = reg.agg(F.sum("r_cents").alias("t_cents"))
+    return (
+        nat.join(F.broadcast(reg), "r_name")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "r_name",
+            "n_name",
+            (F.col("cents").cast("double") / 100.0).alias("nation_revenue"),
+            F.expr("CAST((cents * 1000000) DIV r_cents AS BIGINT)").alias("share_of_region_ppm"),
+            F.expr("CAST((r_cents * 1000000) DIV t_cents AS BIGINT)").alias("region_share_ppm"),
+        )
+        .orderBy("r_name", "n_name")
+    )

@@ -894,3 +894,47 @@ def mann_whitney_u(orders: DataFrame, split_priority: str = "1-URGENT") -> DataF
     return agg.select(
         "n1", "n2", u1_x2.cast("decimal(38,0)").cast("double").alias("u1_x2"), z.alias("z")
     )
+
+
+def spearman_corr(lineitem: DataFrame) -> DataFrame:
+    """Spearman rank correlation between l_quantity and l_extendedprice —
+    Pearson on average-tie ranks, kept EXACT end-to-end: doubled ranks
+    (2·avgrank(v) = 2·cnt_lt(v) + cnt(v) + 1) are integers, assigned by a
+    value-level prefix count (bounded by distinct values, not rows) and
+    joined back; the six sufficient statistics are decimal-exact and the
+    final coefficient is the corr_exact IEEE chain.  Output: (n, rho).
+    """
+
+    def doubled_ranks(col: str, alias: str):
+        vals = (
+            lineitem.select(F.col(col).alias("v"))
+            .groupBy("v")
+            .agg(F.count("*").cast("long").alias("cnt"))
+        )
+        w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+        return vals.withColumn(
+            alias, 2 * F.coalesce(F.sum("cnt").over(w), F.lit(0)) + F.col("cnt") + 1
+        ).select(F.col("v").alias(col), alias)
+    rx = doubled_ranks("l_quantity", "rx")
+    ry = doubled_ranks("l_extendedprice", "ry")
+    ranked = (
+        lineitem.select("l_quantity", "l_extendedprice")
+        .join(rx, "l_quantity")
+        .join(ry, "l_extendedprice")  # AQE broadcasts when small enough
+        .select(
+            F.col("rx").cast("decimal(38,0)").alias("x"),
+            F.col("ry").cast("decimal(38,0)").alias("y"),
+        )
+    )
+    s = ranked.agg(
+        F.count("*").cast("decimal(38,0)").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n, sx, sy = (F.col(c).cast("double") for c in ("n", "sx", "sy"))
+    sxx, syy, sxy = (F.col(c).cast("double") for c in ("sxx", "syy", "sxy"))
+    rho = (n * sxy - sx * sy) / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy))
+    return s.select(F.col("n").cast("long").alias("n"), rho.alias("rho"))

@@ -193,6 +193,7 @@ def test_priority_50_covers_every_operator_family():
             "tpch_q4", "tpch_q9", "tpch_q17", "tpch_q18", "tpch_q21",
             "relational_cohort_retention", "scd2_priority_history",
             "scd2_asof_lookup", "scd2_apply_changes", "relational_revenue_share",
+            "relational_share_of_parent",
             "relational_transition_matrix",
         ],
         "skew": ["skew_salted_join", "skew_salted_agg", "skew_bloom_prefilter"],
@@ -203,6 +204,7 @@ def test_priority_50_covers_every_operator_family():
             "stats_quantile_binning", "stats_ks_test", "stats_gini",
             "stats_psi_drift", "stats_welch_ttest",
             "stats_quantile_interp", "stats_bootstrap_ci", "stats_mann_whitney",
+            "stats_spearman",
         ],
         "temporal": [
             "asof_join", "range_join", "rollup_timebuckets",

@@ -2314,3 +2314,43 @@ def test_link_prediction_square_graph(spark):
     rows = link_prediction(edges, k=10).collect()
     assert {(r.node_a, r.node_b) for r in rows} == {(1, 3), (2, 4)}
     assert all(r.common == 2 and r.jaccard_ppm == 1000000 for r in rows)
+
+
+def test_spearman_monotone_and_antitone(spark):
+    """Perfectly monotone data gives rho == 1.0 exactly (doubled ranks
+    cancel); reversing one variable flips the sign."""
+    from duckdb_age_spark.operators.stats import spearman_corr
+
+    n = 50
+    mono = spark.createDataFrame(
+        [(float(i), float(i * i)) for i in range(n)], "l_quantity double, l_extendedprice double"
+    )
+    # the IEEE chain is deterministic but not algebraically exact: 1 - 1ulp
+    assert abs(spearman_corr(mono).collect()[0].rho - 1.0) < 1e-12
+    anti = spark.createDataFrame(
+        [(float(i), float(-i)) for i in range(n)], "l_quantity double, l_extendedprice double"
+    )
+    assert abs(spearman_corr(anti).collect()[0].rho + 1.0) < 1e-12
+
+
+def test_share_of_parent_sums_to_whole(spark, sf_dir):
+    """Within each region the nation ppm shares sum to ~10^6 (floor-div
+    truncation loses < n_nations ppm); region shares likewise."""
+    from duckdb_age_spark.operators.relational import revenue_share_of_parent
+    from duckdb_age_spark.sources import read_table
+
+    out = revenue_share_of_parent(
+        read_table(spark, sf_dir, "orders"),
+        read_table(spark, sf_dir, "customer"),
+        read_table(spark, sf_dir, "nation"),
+        read_table(spark, sf_dir, "region"),
+    ).collect()
+    by_region: dict[str, int] = {}
+    region_ppm: dict[str, int] = {}
+    for r in out:
+        by_region[r.r_name] = by_region.get(r.r_name, 0) + r.share_of_region_ppm
+        region_ppm[r.r_name] = r.region_share_ppm
+    for region, total in by_region.items():
+        assert 1000000 - 10 <= total <= 1000000, (region, total)
+    s = sum(region_ppm.values())
+    assert 1000000 - 10 <= s <= 1000000, s
