@@ -188,6 +188,7 @@ BENCH_QUERIES = [
     "sink_encrypted_partitioned",
     "relational_share_of_parent",
     "stats_spearman",
+    "dedup_threshold_sweep",
 ]
 
 

@@ -5302,6 +5302,41 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "dedup_threshold_sweep",
+    f"""
+    WITH planted AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000 AS vec_id,
+             list_concat([embedding[1]::DOUBLE * 1.25],
+                         list_transform(embedding[2:], x -> x::DOUBLE)) AS embedding
+      FROM embeddings WHERE vec_id % 10 = 0),
+    e AS (
+      SELECT vec_id, embedding AS v, ({_EMB_BUCKET_SQL}) AS bucket
+      FROM planted),
+    pairs AS (
+      SELECT round({_EMB_DOT_SQL} / ({_EMB_NORM_SQL.format(x='a')}
+                                     * {_EMB_NORM_SQL.format(x='b')}), 4) AS cosine
+      FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+    SELECT sum((cosine >= 0.5)::BIGINT)::BIGINT AS n_ge_50,
+           sum((cosine >= 0.7)::BIGINT)::BIGINT AS n_ge_70,
+           sum((cosine >= 0.9)::BIGINT)::BIGINT AS n_ge_90,
+           sum((cosine >= 0.95)::BIGINT)::BIGINT AS n_ge_95,
+           sum((cosine >= 0.99)::BIGINT)::BIGINT AS n_ge_99
+    FROM pairs WHERE cosine >= 0.5
+    """,
+)
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup threshold tuning sweep: cumulative candidate-pair counts
+    at five cosine cutoffs from one pass over the LSH pair set."""
+    from .operators.dedup import embedding_threshold_sweep, planted_near_dup_embeddings
+
+    _prep(spark)
+    corpus = planted_near_dup_embeddings(load(spark, sf_dir, "embeddings"))
+    return embedding_threshold_sweep(corpus)
+
+
+@_q(
     "relational_share_of_parent",
     r"""
     WITH nat AS (

@@ -682,3 +682,28 @@ def ngram_containment_pairs(corpus: DataFrame, pairs: DataFrame, ngram: int = 3)
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+def embedding_threshold_sweep(
+    embeddings: DataFrame, thresholds: tuple[float, ...] = (0.5, 0.7, 0.9, 0.95, 0.99)
+) -> DataFrame:
+    """Threshold-tuning report for embedding near-dup: candidate-pair
+    counts at several cosine cutoffs from ONE pass over the LSH-bucketed
+    pair set (generated once at the loosest threshold; each tighter
+    cutoff is a conditional count on the same rows).  This is the sweep a
+    pipeline owner runs before committing a dedup threshold — the cost of
+    N thresholds is the cost of one.
+
+    Cutoffs compare the 4-dp-rounded cosine (the module contract), so
+    both engines count identical pair sets.  Output: one row of
+    cumulative counts n_ge_<pct>.
+    """
+    base = embedding_near_dup_pairs(embeddings, threshold=min(thresholds))
+    return base.agg(
+        *[
+            F.sum((F.col("cosine") >= F.lit(t)).cast("long"))
+            .cast("bigint")
+            .alias(f"n_ge_{int(round(t * 100))}")
+            for t in sorted(thresholds)
+        ]
+    )

@@ -162,7 +162,7 @@ def test_priority_50_covers_every_operator_family():
         "dedup": [
             "dedup_exact", "dedup_minhash_pairs", "dedup_embedding_pairs",
             "dedup_fuzzy_names_d2", "dedup_keep_canonical", "dedup_clusters",
-            "dedup_ngram_verify", "dedup_containment",
+            "dedup_ngram_verify", "dedup_containment", "dedup_threshold_sweep",
         ],
         "similarity": [
             "sim_topk_bruteforce", "sim_topk_lsh", "sim_topk_kmeans",
