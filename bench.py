@@ -189,6 +189,7 @@ BENCH_QUERIES = [
     "relational_share_of_parent",
     "stats_spearman",
     "dedup_threshold_sweep",
+    "pipeline_bigram_lift",
 ]
 
 

@@ -5302,6 +5302,47 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "pipeline_bigram_lift",
+    r"""
+    WITH toks AS (
+      SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok FROM documents),
+    uni AS (SELECT tok, count(*)::BIGINT AS n_tok FROM toks GROUP BY 1),
+    tot AS (SELECT count(*)::BIGINT AS n_total FROM toks),
+    docpairs AS (
+      SELECT unnest(list_transform(range(1, greatest(len(w) - 1, 0) + 1),
+             i -> w[i] || ' ' || w[i + 1])) AS pair
+      FROM (SELECT string_split_regex(lower(trim(text)), '\s+') AS w FROM documents)),
+    pairs AS (SELECT pair, count(*)::BIGINT AS n_ab FROM docpairs
+              GROUP BY 1 HAVING count(*) >= 5),
+    npt AS (
+      SELECT sum(greatest(len(string_split_regex(lower(trim(text)), '\s+')) - 1,
+                          0))::BIGINT AS np_total
+      FROM documents),
+    scored AS (
+      SELECT pair, n_ab, ua.n_tok AS n_a, ub.n_tok AS n_b,
+             ((n_ab::HUGEINT * n_total * n_total * 1000000)
+              // (ua.n_tok::HUGEINT * ub.n_tok * np_total))::BIGINT AS lift_ppm
+      FROM pairs
+      JOIN uni ua ON split_part(pair, ' ', 1) = ua.tok
+      JOIN uni ub ON split_part(pair, ' ', 2) = ub.tok
+      CROSS JOIN tot CROSS JOIN npt)
+    SELECT rk, pair, n_ab, n_a, n_b, lift_ppm FROM (
+      SELECT *, row_number() OVER (ORDER BY lift_ppm DESC, n_ab DESC, pair)::BIGINT AS rk
+      FROM scored)
+    WHERE rk <= 20 ORDER BY rk
+    """,
+)
+def pipeline_bigram_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining by exact-integer lift (PMI without the log):
+    lift_ppm = n_ab·N²·10⁶ div (n_a·n_b·N_pairs) — top-20 multi-word
+    expressions a tokenizer should learn."""
+    from .operators.pipeline import bigram_lift
+
+    _prep(spark)
+    return bigram_lift(load(spark, sf_dir, "documents"), min_count=5, k=20)
+
+
+@_q(
     "dedup_threshold_sweep",
     f"""
     WITH planted AS (

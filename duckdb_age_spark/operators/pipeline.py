@@ -511,3 +511,63 @@ def kfold_split(docs: DataFrame, k: int = 5) -> DataFrame:
         )
         .orderBy("fold")
     )
+
+
+def bigram_lift(docs: DataFrame, min_count: int = 5, k: int = 20) -> DataFrame:
+    """Collocation mining by LIFT — PMI's exact-integer cousin:
+    lift(a,b) = P(ab) / (P(a)·P(b)) = n_ab·N_tok² / (n_a·n_b·N_pair),
+    emitted as an integer in parts-per-million so no engine ever takes a
+    logarithm (the libm divergence the tfidf guard exists for — here the
+    metric itself is a pure ratio of exact counts).  High-lift bigrams are
+    the multi-word expressions a tokenizer or phrase-merger should learn.
+
+    One token-count aggregate + one adjacent-pair aggregate (both
+    map-side-combined), then a pair→unigram join keyed by token; pairs
+    below ``min_count`` are cut before the join.  Top-k by lift with
+    count/pair tie-breaks.
+    """
+    from pyspark.sql import Window
+
+    words = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    toks = docs.select(F.explode(words).alias("tok"))
+    uni = toks.groupBy("tok").agg(F.count("*").cast("long").alias("n_tok"))
+    n_tok_total = toks.agg(F.count("*").cast("long").alias("n_total"))
+    pairs_col = F.zip_with(
+        F.slice(words, 1, F.greatest(F.size(words) - 1, F.lit(0))),
+        F.slice(words, 2, F.greatest(F.size(words) - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    pairs = (
+        docs.select(F.explode(pairs_col).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count("*").cast("long").alias("n_ab"))
+        .where(F.col("n_ab") >= min_count)
+    )
+    n_pair_total = (
+        docs.select(F.greatest(F.size(words) - 1, F.lit(0)).cast("long").alias("np"))
+        .agg(F.sum("np").cast("long").alias("np_total"))
+    )
+    split = F.split(F.col("pair"), " ", 2)
+    ua = uni.select(F.col("tok").alias("tok_a"), F.col("n_tok").alias("n_a"))
+    ub = uni.select(F.col("tok").alias("tok_b"), F.col("n_tok").alias("n_b"))
+    scored = (
+        pairs.select("pair", "n_ab", split[0].alias("tok_a"), split[1].alias("tok_b"))
+        .join(ua, "tok_a")
+        .join(ub, "tok_b")
+        .crossJoin(F.broadcast(n_tok_total))
+        .crossJoin(F.broadcast(n_pair_total))
+        .withColumn(
+            "lift_ppm",
+            F.expr(
+                "CAST((CAST(n_ab AS DECIMAL(38,0)) * n_total * n_total * 1000000)"
+                " DIV (CAST(n_a AS DECIMAL(38,0)) * n_b * np_total) AS BIGINT)"
+            ),
+        )
+    )
+    rk = F.row_number().over(Window.orderBy(F.desc("lift_ppm"), F.desc("n_ab"), F.asc("pair")))
+    return (
+        scored.withColumn("rk", rk.cast("long"))
+        .where(F.col("rk") <= k)
+        .select("rk", "pair", "n_ab", "n_a", "n_b", "lift_ppm")
+        .orderBy("rk")
+    )

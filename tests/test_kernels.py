@@ -157,7 +157,7 @@ def test_priority_50_covers_every_operator_family():
             "pipeline_vocab_topk", "pipeline_balanced_sample",
             "pipeline_weighted_sample", "pipeline_dedup_report",
             "pipeline_pack_efficiency", "pipeline_doc_chunking",
-            "pipeline_kfold_split",
+            "pipeline_kfold_split", "pipeline_bigram_lift",
         ],
         "dedup": [
             "dedup_exact", "dedup_minhash_pairs", "dedup_embedding_pairs",
