@@ -190,6 +190,7 @@ BENCH_QUERIES = [
     "stats_spearman",
     "dedup_threshold_sweep",
     "pipeline_bigram_lift",
+    "text_source_tv_distance",
 ]
 
 

@@ -5302,6 +5302,39 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "text_source_tv_distance",
+    r"""
+    WITH toks AS (
+      SELECT source, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+      FROM documents),
+    st AS (SELECT source, tok, count(*)::BIGINT AS c_st FROM toks GROUP BY 1, 2),
+    g AS (SELECT tok, sum(c_st)::BIGINT AS c_t FROM st GROUP BY 1),
+    ns AS (SELECT source, sum(c_st)::BIGINT AS n_s FROM st GROUP BY 1),
+    nt AS (SELECT sum(n_s)::BIGINT AS n_total FROM ns),
+    per AS (
+      SELECT st.source, max(ns.n_s)::BIGINT AS n_tokens, max(nt.n_total) AS _n,
+             sum(abs(st.c_st::HUGEINT * nt.n_total - g.c_t::HUGEINT * ns.n_s)) AS a_term,
+             sum(g.c_t::HUGEINT) AS t_s
+      FROM st JOIN g USING (tok) JOIN ns USING (source) CROSS JOIN nt
+      GROUP BY 1)
+    SELECT source, n_tokens,
+           (((a_term + n_tokens::HUGEINT * (_n - t_s)) * 1000000)
+            // (2 * n_tokens::HUGEINT * _n))::BIGINT AS tvd_ppm
+    FROM per ORDER BY source
+    """,
+)
+def text_source_tv_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source total-variation distance from the corpus token
+    distribution — the log-free drift metric (exact rational of counts,
+    integer ppm); absent-token mass folds into one per-source scalar so
+    no source×token grid ever materializes."""
+    from .operators.text import source_tv_distance
+
+    _prep(spark)
+    return source_tv_distance(load(spark, sf_dir, "documents"))
+
+
+@_q(
     "pipeline_bigram_lift",
     r"""
     WITH toks AS (

@@ -614,3 +614,54 @@ def boilerplate_phrase_screen(
         .select("rk", "doc_id", "n_grams", "n_boiler", "boiler_ppm")
         .orderBy("rk")
     )
+
+
+def source_tv_distance(docs: DataFrame) -> DataFrame:
+    """Total-variation distance between each source's token distribution
+    and the whole corpus — the distribution-drift monitor for mixture
+    composition (JS/KL need logarithms; TVD = ½Σ|p−q| stays an EXACT
+    rational of counts, emitted as integer ppm).
+
+    Identity that avoids the full source×token grid: with C_st the
+    per-source counts, C_t global, N_s/N totals,
+
+        Σ_t |p_s − p_c| · N_s·N = Σ_{t∈s} |C_st·N − C_t·N_s|
+                                   + N_s·(N − Σ_{t∈s} C_t)
+
+    so only (source, token) rows that EXIST are touched — the absent-token
+    term collapses into one per-source scalar.  Two map-side-combined
+    aggregates + a token-keyed join; all decimal-exact until the single
+    ppm floor division.  Output: (source, n_tokens, tvd_ppm) ordered.
+    """
+    toks = docs.select(
+        "source", F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tok")
+    )
+    st = toks.groupBy("source", "tok").agg(F.count("*").cast("long").alias("c_st"))
+    g = st.groupBy("tok").agg(F.sum("c_st").cast("long").alias("c_t"))
+    ns = st.groupBy("source").agg(F.sum("c_st").cast("long").alias("n_s"))
+    n_row = ns.agg(F.sum("n_s").cast("long").alias("n_total"))
+    per = (
+        st.join(g, "tok")
+        .join(ns, "source")
+        .crossJoin(F.broadcast(n_row))
+        .groupBy("source")
+        .agg(
+            F.max("n_s").cast("long").alias("n_tokens"),
+            F.max("n_total").alias("_n"),
+            F.sum(
+                F.abs(
+                    F.col("c_st").cast("decimal(38,0)") * F.col("n_total")
+                    - F.col("c_t").cast("decimal(38,0)") * F.col("n_s")
+                )
+            ).alias("a_term"),
+            F.sum(F.col("c_t").cast("decimal(38,0)")).alias("t_s"),
+        )
+    )
+    return per.select(
+        "source",
+        "n_tokens",
+        F.expr(
+            "CAST(((a_term + CAST(n_tokens AS DECIMAL(38,0)) * (_n - t_s)) * 1000000)"
+            " DIV (2 * CAST(n_tokens AS DECIMAL(38,0)) * _n) AS BIGINT)"
+        ).alias("tvd_ppm"),
+    ).orderBy("source")

@@ -149,7 +149,7 @@ def test_priority_50_covers_every_operator_family():
             "text_pii_scrub", "text_repetition", "text_unigram_logprob",
             "text_bigram_logprob", "text_quality_screen", "text_hashing_vec",
             "text_sentence_stats", "text_langid_confusion",
-            "text_readability", "text_boilerplate_screen",
+            "text_readability", "text_boilerplate_screen", "text_source_tv_distance",
         ],
         "pipeline": [
             "pipeline_sample_split", "pipeline_pack", "pipeline_quality_topk",

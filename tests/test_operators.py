@@ -2354,3 +2354,22 @@ def test_share_of_parent_sums_to_whole(spark, sf_dir):
         assert 1000000 - 10 <= total <= 1000000, (region, total)
     s = sum(region_ppm.values())
     assert 1000000 - 10 <= s <= 1000000, s
+
+
+def test_tv_distance_bounds_and_identity(spark):
+    """A source identical to the corpus distribution has TVD 0; a source
+    with disjoint vocabulary approaches its share of separation."""
+    from duckdb_age_spark.operators.text import source_tv_distance
+
+    same = spark.createDataFrame(
+        [(1, "a b c", "s1"), (2, "a b c", "s2")], "doc_id long, text string, source string"
+    )
+    rows = {r.source: r.tvd_ppm for r in source_tv_distance(same).collect()}
+    assert rows == {"s1": 0, "s2": 0}
+
+    disjoint = spark.createDataFrame(
+        [(1, "a a a", "s1"), (2, "b b b", "s2")], "doc_id long, text string, source string"
+    )
+    rows = {r.source: r.tvd_ppm for r in source_tv_distance(disjoint).collect()}
+    # each source: p_s(own tok)=1 vs p_c=0.5 -> |1-.5|+|0-.5| = 1, /2 = 0.5
+    assert rows == {"s1": 500000, "s2": 500000}
