@@ -191,6 +191,7 @@ BENCH_QUERIES = [
     "dedup_threshold_sweep",
     "pipeline_bigram_lift",
     "text_source_tv_distance",
+    "events_funnel_conversion",
 ]
 
 

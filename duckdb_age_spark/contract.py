@@ -5302,6 +5302,38 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "events_funnel_conversion",
+    r"""
+    WITH per_user AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'signup' THEN ts END) AS s,
+             min(CASE WHEN event_type = 'view' THEN ts END) AS v,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS p
+      FROM events GROUP BY 1),
+    agg AS (
+      SELECT sum((s IS NOT NULL)::BIGINT)::BIGINT AS n1,
+             sum((s IS NOT NULL AND v IS NOT NULL AND s <= v)::BIGINT)::BIGINT AS n2,
+             sum((s IS NOT NULL AND v IS NOT NULL AND s <= v
+                  AND p IS NOT NULL AND v <= p)::BIGINT)::BIGINT AS n3
+      FROM per_user)
+    SELECT '1_signup'::VARCHAR AS step, n1 AS n_users, NULL::BIGINT AS conv_from_prev_ppm
+    FROM agg
+    UNION ALL SELECT '2_view_after_signup', n2, (n2 * 1000000) // greatest(n1, 1) FROM agg
+    UNION ALL SELECT '3_purchase_after_view', n3, (n3 * 1000000) // greatest(n2, 1) FROM agg
+    ORDER BY step
+    """,
+)
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel dropoff report: per-step reached-user counts and
+    step-to-step conversion as exact integer ppm; one conditional
+    min-timestamp aggregation."""
+    from .operators.events import funnel_conversion
+
+    _prep(spark)
+    return funnel_conversion(load(spark, sf_dir, "events"))
+
+
+@_q(
     "text_source_tv_distance",
     r"""
     WITH toks AS (

@@ -467,3 +467,41 @@ def burstiness(events: DataFrame) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def funnel_conversion(events: DataFrame) -> DataFrame:
+    """Step-by-step funnel conversion (signup → view → purchase, order
+    enforced by first-timestamps): per-step reached-user counts and the
+    step-to-step conversion as exact integer ppm — the dropoff report
+    behind any growth dashboard.
+
+    One conditional min-timestamp aggregation per user (the user_funnel
+    shuffle) reduced to THREE counters and two floor divisions; no floats.
+    Output rows: (step, n_users, conv_from_prev_ppm).
+    """
+    t = lambda et: F.min(F.when(F.col("event_type") == et, F.col("ts")))  # noqa: E731
+    per_user = events.groupBy("user_id").agg(
+        t("signup").alias("s"), t("view").alias("v"), t("purchase").alias("p")
+    )
+    reached1 = F.col("s").isNotNull()
+    reached2 = reached1 & F.col("v").isNotNull() & (F.col("s") <= F.col("v"))
+    reached3 = reached2 & F.col("p").isNotNull() & (F.col("v") <= F.col("p"))
+    agg = per_user.agg(
+        F.sum(reached1.cast("long")).cast("long").alias("n1"),
+        F.sum(reached2.cast("long")).cast("long").alias("n2"),
+        F.sum(reached3.cast("long")).cast("long").alias("n3"),
+    )
+    rows = [
+        ("1_signup", F.col("n1"), F.lit(None).cast("long")),
+        ("2_view_after_signup", F.col("n2"), F.expr("(n2 * 1000000) DIV greatest(n1, 1)")),
+        ("3_purchase_after_view", F.col("n3"), F.expr("(n3 * 1000000) DIV greatest(n2, 1)")),
+    ]
+    out = None
+    for step, n, conv in rows:
+        r = agg.select(
+            F.lit(step).alias("step"),
+            n.cast("long").alias("n_users"),
+            conv.alias("conv_from_prev_ppm"),
+        )
+        out = r if out is None else out.unionByName(r)
+    return out.orderBy("step")

@@ -177,6 +177,7 @@ def test_priority_50_covers_every_operator_family():
             "events_ohlc", "events_uptime", "events_time_to_convert",
             "events_stickiness", "events_pareto_share",
             "events_decayed_revenue", "events_dow_seasonality", "events_burstiness",
+            "events_funnel_conversion",
         ],
         "window_cube": ["order_gaps", "window_balance_analytics"],
         "graph_layout": [
