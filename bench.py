@@ -192,6 +192,7 @@ BENCH_QUERIES = [
     "pipeline_bigram_lift",
     "text_source_tv_distance",
     "events_funnel_conversion",
+    "stats_grouped_trend",
 ]
 
 

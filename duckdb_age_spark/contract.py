@@ -5302,6 +5302,55 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "stats_grouped_trend",
+    r"""
+    WITH m AS (
+      SELECT n_name, (year(o_orderdate) * 12 + month(o_orderdate))::BIGINT AS x,
+             sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS y
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY 1, 2),
+    s AS (SELECT n_name, count(*)::BIGINT AS n_obs, count(*)::DOUBLE AS n,
+                 sum(x)::DOUBLE AS sx, sum(y)::DOUBLE AS sy,
+                 sum(x * x)::DOUBLE AS sxx, sum(x * y)::DOUBLE AS sxy
+          FROM m GROUP BY 1)
+    SELECT n_name, n_obs,
+           CASE WHEN n * sxx - sx * sx != 0
+                THEN (n * sxy - sx * sy) / (n * sxx - sx * sx) END AS slope,
+           CASE WHEN n * sxx - sx * sx != 0
+                THEN (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n END
+             AS intercept
+    FROM s ORDER BY n_name
+    """,
+)
+def stats_grouped_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation revenue trend: OLS of monthly cents against the month
+    index from exact integer sufficient statistics (linreg_exact over the
+    monthly rollup) — the grouped time-trend screen behind forecasting."""
+    from .operators.stats import linreg_exact
+
+    _prep(spark)
+    monthly = (
+        load(spark, sf_dir, "orders")
+        .join(
+            load(spark, sf_dir, "customer"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(load(spark, sf_dir, "nation")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy(
+            "n_name",
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate")).cast("long").alias("x"),
+        )
+        .agg(F.sum(units("o_totalprice")).cast("long").alias("y"))
+    )
+    return linreg_exact(monthly, "n_name", F.col("x"), F.col("y")).orderBy("n_name")
+
+
+@_q(
     "events_funnel_conversion",
     r"""
     WITH per_user AS (

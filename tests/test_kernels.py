@@ -205,7 +205,7 @@ def test_priority_50_covers_every_operator_family():
             "stats_quantile_binning", "stats_ks_test", "stats_gini",
             "stats_psi_drift", "stats_welch_ttest",
             "stats_quantile_interp", "stats_bootstrap_ci", "stats_mann_whitney",
-            "stats_spearman",
+            "stats_spearman", "stats_grouped_trend",
         ],
         "temporal": [
             "asof_join", "range_join", "rollup_timebuckets",
