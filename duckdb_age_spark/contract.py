@@ -2457,28 +2457,38 @@ def tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q(
     "tpch_q14",
     """
-    SELECT round(100.00 * sum(CASE WHEN p_type LIKE 'PROMO%'
-                                   THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
-                 / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue
-    FROM lineitem JOIN part ON l_partkey = p_partkey
-    WHERE l_shipdate >= TIMESTAMP '1995-09-01' AND l_shipdate < TIMESTAMP '1995-10-01'
+    SELECT round(100.0 * CAST(sum(CASE WHEN p_type LIKE 'PROMO%' THEN vol ELSE 0 END) AS DOUBLE)
+                 / CAST(sum(vol) AS DOUBLE), 4) AS promo_revenue
+    FROM (
+      SELECT p_type,
+             CAST(round(l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS vol
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE l_shipdate >= TIMESTAMP '1995-09-01' AND l_shipdate < TIMESTAMP '1995-10-01')
     """,
 )
 def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14 shape: promo revenue share (broadcast part join +
-    conditional aggregation)."""
+    conditional aggregation).
+
+    Determinism: numerator and denominator are exact integer-unit sums
+    (cents x (100 - disc_pct), decimal(38,0) partial aggregates — see
+    operators/exact.py), so neither sum depends on reduction order; the
+    ratio is ONE int->double conversion each plus one division and one
+    4-dp round on bit-identical operands in both engines.  Same hazard
+    class as the r5 tpch_q9 flake, closed the same way.
+    """
     _prep(spark)
     li, part = load(spark, sf_dir, "lineitem"), load(spark, sf_dir, "part")
     j = li.where(
         (F.col("l_shipdate") >= F.lit("1995-09-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1995-10-01").cast("timestamp"))
     ).join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
-    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    vol = (units("l_extendedprice") * (F.lit(100) - units("l_discount"))).cast("decimal(38,0)")
+    num = F.sum(F.when(F.col("p_type").startswith("PROMO"), vol).otherwise(F.lit(0).cast("decimal(38,0)")))
+    den = F.sum(vol)
     return j.agg(
-        F.round(
-            100.0 * F.sum(F.when(F.col("p_type").startswith("PROMO"), disc).otherwise(0.0)) / F.sum(disc),
-            4,
-        ).alias("promo_revenue")
+        F.round(F.lit(100.0) * num.cast("double") / den.cast("double"), 4).alias("promo_revenue")
     )
 
 

@@ -30,6 +30,7 @@ FAMILY = [
     "tpch_q9",
     "tpch_q10",
     "tpch_q11",
+    "tpch_q14",
     "tpch_q15",
     "tpch_q17",
     "tpch_q22",

@@ -229,3 +229,91 @@ def test_priority_50_covers_every_operator_family():
     # every priority entry must also have an oracle so all 50 driver rows are
     # full three-check comparisons, not weaker rows-only checks
     assert all(n in contract.ORACLE_SQL for n in contract._PRIORITY_50)
+
+
+# --- float-sum determinism guard (VERDICT r6 item 2) --------------------------
+
+
+def test_every_rounded_sum_oracle_is_audited():
+    """Every oracle whose SQL rounds a sum() is a member of the IEEE
+    reduction-order hazard class that flaked ``tpch_q9`` in round 5: if the
+    summed expression is a non-integer DOUBLE, the result can depend on
+    Spark's partition-dependent reduction tree.  This gate pins the full
+    member list with a per-query audit verdict so a NEW query that rounds a
+    sum cannot land without a conscious entry here (and, when 'swept', a
+    matching row in scripts/sweep_determinism.py FAMILY).
+
+    Audit vocabulary:
+      int-units  — the sum's operand is an exact integer (CAST(round(x*scale)
+                   AS BIGINT) cents/ppm/nano units, or counts): exact in any
+                   order, safe by construction (operators/exact.py).
+      int-valued — the operand is a DOUBLE but every value is integer-valued
+                   (l_quantity): IEEE doubles add exactly below 2^53, safe.
+      swept      — genuinely order-sensitive float terms; covered by the
+                   rotating-config determinism sweep FAMILY.
+    """
+    import re
+
+    from duckdb_age_spark import contract
+
+    audited = {
+        # name -> verdict (see vocabulary above)
+        "text_unigram_logprob": "int-units",
+        "setops_full_outer_reconcile": "int-units",
+        "stats_price_histogram": "int-units",
+        "stats_corr_exact": "int-units",
+        "tpch_q1": "int-units",
+        "tpch_q14": "int-units",   # converted r7 — also in sweep FAMILY
+        "tpch_q18": "int-valued",  # sum(l_quantity): integer-valued doubles
+        "tpch_q22": "int-units",
+        "tpch_q8": "int-units",
+        "tpch_q11": "int-units",
+        "skew_salted_join": "int-valued",  # sum(l_quantity)
+        "pivot_priority_by_flag": "int-units",
+        "rollup_timebuckets": "int-units",
+        "stats_label_centroids": "int-units",
+        "stats_linreg": "int-units",
+        "stats_benford": "int-units",
+        "text_bigram_logprob": "int-units",
+        "rollup_order_concurrency": "int-units",  # n_open is a count
+        "stats_quantile_binning": "int-units",
+        "stats_ks_test": "int-units",
+        "stats_gini": "int-units",
+        "events_uptime": "int-units",  # gap sums are integer microseconds
+        "rollup_autocorr": "int-units",
+        "stats_psi_drift": "int-units",  # nano-int terms, order-free
+        "stats_welch_ttest": "int-units",
+        "events_pareto_share": "int-units",  # c is a count
+        "relational_revenue_share": "int-units",
+        "text_langid_confusion": "int-units",  # n is a count
+        "relational_transition_matrix": "int-units",
+        "graph_assortativity": "int-units",  # degrees are integers
+        "stats_grouped_trend": "int-units",
+        "dedup_threshold_sweep": "int-units",  # dot of 6-dp-fixed ints
+        "relational_share_of_parent": "int-units",
+        "stats_mann_whitney": "int-units",
+        "rollup_acf_multi_lag": "int-units",
+        "events_dow_seasonality": "int-units",
+        "rollup_anomaly_z": "int-units",
+    }
+    members = set()
+    for name, sql in contract.ORACLE_SQL.items():
+        for rm in re.finditer(r"round\(", sql, re.I):
+            seg = sql[rm.start() : rm.start() + 400]
+            if re.search(r"\bsum\(", seg, re.I):
+                members.add(name)
+                break
+    unaudited = members - set(audited)
+    assert not unaudited, (
+        f"oracles round a sum() without a determinism audit entry: {sorted(unaudited)} "
+        "— classify each as int-units / int-valued, or convert to exact integer "
+        "units (operators/exact.py) / add to sweep_determinism.py FAMILY"
+    )
+    # swept members must actually be in the sweep FAMILY file
+    fam_src = open("scripts/sweep_determinism.py").read()
+    for name, verdict in audited.items():
+        if verdict == "swept":
+            assert f'"{name}"' in fam_src, f"{name} audited as swept but absent from FAMILY"
+    # the r5 flake class itself stays pinned in the sweep
+    for pinned in ("tpch_q9", "tpch_q14"):
+        assert f'"{pinned}"' in fam_src
