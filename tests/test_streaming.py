@@ -442,3 +442,193 @@ def test_run_available_now_env_seam(spark, tmp_path, monkeypatch):
     assert out.count() == 1
     # drain ran with the env-resolved setting; session conf restored after
     assert spark.conf.get("spark.sql.shuffle.partitions") == prev
+
+
+def test_leaderboard_update_mode_state_evicted_past_horizon(spark, tmp_path):
+    """VERDICT r6 item 3: the leaderboard aggregation must run in UPDATE
+    mode so the state store actually EVICTS a (window, user) group once the
+    watermark passes its window end.  Three single-file micro-batches:
+    batch 1 fills window w0, batch 2 jumps event time far ahead (watermark
+    sails past w0's end), batch 3 confirms w0's state rows are gone — in
+    complete mode numRowsTotal would keep every group forever."""
+    from datetime import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from duckdb_age_spark.streaming import windowed_user_counts_stream
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    src = tmp_path / "src"
+    src.mkdir()
+
+    def write(name, rows, order):
+        path = src / name
+        pq.write_table(
+            pa.table(
+                {
+                    "ts": pa.array(
+                        [datetime(2024, 1, 1, h, m) for (h, m), _ in rows],
+                        pa.timestamp("us"),
+                    ),
+                    "user_id": pa.array([u for _, u in rows], pa.int64()),
+                }
+            ),
+            str(path),
+        )
+        os.utime(path, (1_700_000_000 + order, 1_700_000_000 + order))
+
+    # batch 1: 3 users in window [00:00, 01:00) — user 1 twice (count 2)
+    write("f1.parquet", [((0, 5), 1), ((0, 10), 1), ((0, 20), 2), ((0, 30), 3)], 0)
+    # batch 2: lone event at 06:00 — watermark advances to 04:00 > 01:00
+    write("f2.parquet", [((6, 0), 9)], 60)
+    # batch 3: event at 10:00 — w0 state must already be evicted
+    write("f3.parquet", [((10, 0), 7)], 120)
+
+    stream = (
+        spark.readStream.schema("ts timestamp, user_id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = windowed_user_counts_stream(stream, window="1 hour")
+
+    import uuid
+
+    name = f"lb_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    # state-store row count from the LAST progress that ran the agg:
+    # 5 groups ever existed ((w0,1),(w0,2),(w0,3),(w6,9),(w10,7)); w0's 3
+    # must be evicted by the final batch — complete mode would report 5
+    progresses = [p for p in q.recentProgress if p["stateOperators"]]
+    final_state_rows = progresses[-1]["stateOperators"][0]["numRowsTotal"]
+    assert final_state_rows <= 2, [
+        (p["batchId"], p["stateOperators"][0]["numRowsTotal"]) for p in progresses
+    ]
+
+    # and the update-emission log still compacts to the exact counts
+    rows = spark.table(name).collect()
+    w0 = datetime(2024, 1, 1, 0, 0)
+    best = {}
+    for r in rows:
+        if r.window_start == w0:
+            best[r.user_id] = max(best.get(r.user_id, 0), r.n_events)
+    assert best == {1: 2, 2: 1, 3: 1}, rows
+
+
+@pytest.mark.parametrize("mfpt", [1, 2, 7])
+def test_microbatch_boundary_chaos_invariance(spark, sf_dir, tmp_path, mfpt):
+    """VERDICT r6 item 9: micro-batch partitioning is the streaming analog
+    of the batch shuffle-order hazard — the FINAL result of the exact
+    update-mode operators must not depend on where micro-batch boundaries
+    fall.  The events fixture is split into 8 time-contiguous files (so a
+    2-hour watermark never outruns undelivered data) and drained with
+    rotated maxFilesPerTrigger; each rotation must compact to the same
+    leaderboard and the same distinct counts as the batch truth."""
+    from duckdb_age_spark.sources import read_table
+    from duckdb_age_spark.streaming import windowed_user_counts_stream
+
+    events = read_table(spark, sf_dir, "events").select("ts", "user_id").orderBy("ts")
+    rows = events.collect()
+    src = tmp_path / "chaos_src"
+    src.mkdir()
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    n_files = 8
+    chunk = (len(rows) + n_files - 1) // n_files
+    for i in range(n_files):
+        part = rows[i * chunk : (i + 1) * chunk]
+        if not part:
+            continue
+        path = src / f"f{i}.parquet"
+        pq.write_table(
+            pa.table(
+                {
+                    "ts": pa.array([r.ts for r in part], pa.timestamp("us")),
+                    "user_id": pa.array([r.user_id for r in part], pa.int64()),
+                }
+            ),
+            str(path),
+        )
+        os.utime(path, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    stream = (
+        spark.readStream.schema("ts timestamp, user_id long")
+        .option("maxFilesPerTrigger", mfpt)
+        .parquet(str(src))
+    )
+    out = windowed_user_counts_stream(stream, window="1 day")
+
+    import uuid
+
+    name = f"chaos_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    compact = (
+        spark.table(name)
+        .groupBy("window_start", "user_id")
+        .agg(F.max("n_events").alias("n_events"))
+    )
+    got = {(r.window_start, r.user_id): r.n_events for r in compact.collect()}
+
+    truth = (
+        spark.createDataFrame(rows)
+        .groupBy(F.window("ts", "1 day").alias("win"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("win.start").alias("ws"), "user_id", "n_events")
+    )
+    exp = {(r.ws, r.user_id): r.n_events for r in truth.collect()}
+    # every batch-truth group must be present with the exact final count —
+    # independent of where the micro-batch boundaries fell
+    assert got == exp and len(got) > 0
+
+    # same invariance for the update-mode EXACT DISTINCT operator: the
+    # per-window distinct-user count is monotone while the window is in
+    # horizon, so max() compacts emissions to the final exact value
+    from duckdb_age_spark.streaming import windowed_distinct_users_stream_update
+
+    stream2 = (
+        spark.readStream.schema("ts timestamp, user_id long")
+        .option("maxFilesPerTrigger", mfpt)
+        .parquet(str(src))
+    )
+    dname = f"chaosd_{uuid.uuid4().hex[:8]}"
+    q2 = (
+        windowed_distinct_users_stream_update(
+            stream2, window_sec=86400, watermark_sec=7200
+        )
+        .writeStream.format("memory")
+        .queryName(dname)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination()
+    dcompact = (
+        spark.table(dname)
+        .groupBy("window_start")
+        .agg(F.max("n_distinct_users").alias("n"))
+    )
+    dgot = {(r.window_start): r.n for r in dcompact.collect()}
+    dtruth = (
+        spark.createDataFrame(rows)
+        .groupBy(F.window("ts", "1 day").alias("win"))
+        .agg(F.countDistinct("user_id").alias("n"))
+        .select(F.col("win.start").alias("ws"), "n")
+    )
+    dexp = {r.ws: r.n for r in dtruth.collect()}
+    assert dgot == dexp and len(dgot) > 0
