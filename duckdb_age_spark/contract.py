@@ -6210,13 +6210,24 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q(
     "stats_bootstrap_ci",
     r"""
-    WITH grid AS (
-      SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents, b.b
-      FROM orders CROSS JOIN (SELECT unnest(range(0, 40)) AS b) b),
+    WITH hashed AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             (('0x' || substr(md5(o_orderkey::VARCHAR), 1, 15))::BIGINT) AS h
+      FROM orders),
+    grid AS (
+      SELECT cents, h, b.b FROM hashed CROSS JOIN (SELECT unnest(range(0, 40)) AS b) b),
     keyed AS (
       SELECT b, cents,
-             (('0x' || substr(md5(b::VARCHAR || ':' || o_orderkey::VARCHAR), 1, 15))::BIGINT) AS u
-      FROM grid),
+             xor(z, z >> 29) AS u
+      FROM (SELECT b, cents,
+                   (  (a0 * 1284865837) % 1152921504606846976
+                    + (((a0 * 1481765933) % 268435456) << 32)
+                    + (((a1 * 1284865837) % 1073741824) << 30)
+                   ) % 1152921504606846976 AS z
+            FROM (SELECT b, cents,
+                         (h + b * 8315539447683195) % 1073741824 AS a0,
+                         (h + b * 8315539447683195) >> 30 AS a1
+                  FROM grid))),
     wtd AS (
       SELECT b, cents,
              CASE WHEN u <= 424136118829305344 THEN 0

@@ -785,6 +785,16 @@ POISSON1_T60 = [
 ]
 
 
+# Integer mixer constants for per-resample key derivation (see
+# poisson_bootstrap_ci).  K_B is a 53-bit odd constant (so
+# b·K_B + h < 2^58.3 + 2^60 < 2^61 — no BIGINT overflow for b < 64);
+# MULT is the 63-bit PCG multiplier (mix·MULT < 2^61 · 2^63 = 2^124
+# ≈ 2.1e37 < 10^38 — fits decimal(38,0) and HUGEINT exactly).
+MIX_K_B = 0x1D8AF066E5187B
+MIX_MULT = 6364136223846793005  # 0x5851F42D4C957F2D
+MIX_MOD60 = 1 << 60
+
+
 def poisson_bootstrap_ci(
     orders: DataFrame, n_resamples: int = 40, value_col: str = "o_totalprice"
 ) -> DataFrame:
@@ -792,30 +802,81 @@ def poisson_bootstrap_ci(
     the scalable bootstrap (each row draws a Poisson(1) replication weight
     per resample; no global rank, no sampling shuffle — the map-side
     pattern behind Bag-of-Little-Bootstraps at 100 TB), made
-    ENGINE-PORTABLE: the "random" weight is the 60-bit md5 of
-    (resample, row) cut against integer Poisson-CDF thresholds, so both
-    engines draw the IDENTICAL resamples.
+    ENGINE-PORTABLE: per-resample keys are derived from ONE 60-bit md5 per
+    row and cut against integer Poisson-CDF thresholds, so both engines
+    draw the IDENTICAL resamples.
+
+    Key derivation (the r6 roadmap's integer mixer — md5 was 85% of this
+    operator's cost at B=40 because it ran per (row, resample); now it
+    runs per row and the per-resample key is a handful of 64-bit integer
+    ops in whole-stage codegen):
+
+        h   = 60-bit md5(o_orderkey)                  [once per row]
+        mix = h + b·K_B                               [BIGINT, < 2^61]
+        z   = (mix · MULT) mod 2^60                   [split multiply]
+        u   = z XOR (z >> 29)                         [BIGINT, < 2^60]
+
+    The 2^124-bit product mix·MULT is evaluated as a SPLIT multiply so
+    every intermediate stays in signed 64-bit: with a = a1·2^30 + a0 and
+    MULT = m1·2^32 + m0,
+
+        z = ( a0·m0 mod 2^60
+            + ((a0·m1 mod 2^28) << 32)
+            + ((a1·m0 mod 2^30) << 30) ) mod 2^60
+
+    (the a1·m1 term carries a 2^62 factor ≡ 0 mod 2^60 and is dropped;
+    equivalence to the wide product is property-tested in
+    tests/test_operators.py).
+
+    Cross-engine portability argument, required before trusting the mixer
+    (both engines must agree bit-for-bit on every op):
+    * no overflow anywhere: every intermediate is < 2^63 by construction
+      (a0 < 2^30, a1 < 2^31, m0 < 2^32, m1 < 2^31 ⇒ each product < 2^62;
+      the 3-term sum < 2^61 + 2^60 + 2^60 < 2^62).  This is load-bearing:
+      Spark 4 ANSI mode and DuckDB both RAISE on 64-bit overflow rather
+      than wrap, so a wrapping splitmix-style mixer would be a
+      correctness bug, not just nonportable;
+    * every op is +, ·, %, <<, >>, XOR on NONNEGATIVE BIGINTs: % by a
+      power-of-two constant on nonnegative operands is the mathematical
+      remainder in both engines; shifts and XOR are bit-identical by
+      definition.
+    Uniformity: h is md5-uniform; + b·K_B separates resamples; ·MULT mod
+    2^60 (PCG multiplier) avalanches into the high bits that the
+    threshold comparison reads; the final xor-shift folds high bits back
+    into the low ones.  The thresholds span the full 60-bit range.
 
     Per resample: mean_b = decimal(cents·w) / sum(w) — exact integers, one
     IEEE division.  The CI is read off the SORTED resample means at exact
     ranks (2/20/38 of 40 = p05/p50/p95 with deterministic b tie-break).
     Everything shuffled is B partial-aggregated rows.
     """
+    assert n_resamples < 64, "b·K_B bound (no-overflow argument) holds for b < 64"
     b_grid = F.explode(F.sequence(F.lit(0), F.lit(n_resamples - 1))).alias("b")
     cents = F.round(F.col(value_col) * 100).cast("long")
-    u = F.conv(
-        F.substring(
-            F.md5(F.concat(F.col("b").cast("string"), F.lit(":"), F.col("o_orderkey").cast("string"))),
-            1,
-            15,
-        ),
-        16,
-        10,
+    h = F.conv(
+        F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 15), 16, 10
     ).cast("long")
+    m0, m1 = MIX_MULT & 0xFFFFFFFF, MIX_MULT >> 32
+    mix = F.col("h") + F.col("b") * F.lit(MIX_K_B)
+    a0 = mix % F.lit(1 << 30)
+    a1 = F.shiftright(mix, 30)
+    z = (
+        (a0 * F.lit(m0)) % F.lit(MIX_MOD60)
+        + F.shiftleft((a0 * F.lit(m1)) % F.lit(1 << 28), 32)
+        + F.shiftleft((a1 * F.lit(m0)) % F.lit(1 << 30), 30)
+    ) % F.lit(MIX_MOD60)
+    u = z.bitwiseXOR(F.shiftright(z, 29))
     w = F.lit(8)
     for k in range(len(POISSON1_T60) - 1, -1, -1):
         w = F.when(F.col("u") <= POISSON1_T60[k], F.lit(k)).otherwise(w)
-    grid = orders.select(cents.alias("cents"), "o_orderkey", b_grid).withColumn("u", u)
+    # h is projected BEFORE the explode (a Generate is a projection
+    # barrier Catalyst won't inline an alias through), so md5 runs once
+    # per order row, not once per (row, resample) grid row
+    grid = (
+        orders.select(cents.alias("cents"), h.alias("h"))
+        .select("cents", "h", b_grid)
+        .withColumn("u", u)
+    )
     means = (
         grid.withColumn("w", w)
         .groupBy("b")

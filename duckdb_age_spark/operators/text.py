@@ -587,13 +587,24 @@ def boilerplate_phrase_screen(
     doc-frequency count, a gram-keyed flag join (no broadcast — the
     boilerplate set grows with the corpus), then a per-doc partial
     aggregate.  No floats anywhere until — nowhere: the ppm is integer.
+
+    The gram stream feeds BOTH the doc-frequency aggregate and the scoring
+    join; without materialization Spark plans two full
+    scan→split→array_distinct→explode passes (the consumers diverge before
+    any exchange, so ReusedExchange can't kick in — VERDICT r6 item 4).
+    ``localCheckpoint(eager=False)`` computes gram generation ONCE and
+    both consumers read the materialized blocks — the same multi-consumer
+    pattern as the modularity edge list (contract.py) and the LSH
+    signature self-joins (dedup.py).  The join keeps the memory-safe shape
+    for hot grams: sort-merge streams a skewed gram's rows, where a
+    window/collect_list restatement would buffer the whole partition.
     """
     from .dedup import _word_ngrams
 
     grams = docs.select(
         "doc_id",
         F.explode(F.array_distinct(_word_ngrams(F.col("text"), ngram))).alias("gram"),
-    )
+    ).localCheckpoint(eager=False)
     df_count = grams.groupBy("gram").agg(F.countDistinct("doc_id").alias("nd"))
     boiler = df_count.where(F.col("nd") >= min_docs).select("gram", F.lit(1).alias("is_b"))
     scored = (

@@ -2373,3 +2373,31 @@ def test_tv_distance_bounds_and_identity(spark):
     rows = {r.source: r.tvd_ppm for r in source_tv_distance(disjoint).collect()}
     # each source: p_s(own tok)=1 vs p_c=0.5 -> |1-.5|+|0-.5| = 1, /2 = 0.5
     assert rows == {"s1": 500000, "s2": 500000}
+
+
+def test_bootstrap_mixer_split_multiply_equivalence():
+    """The bootstrap key mixer evaluates (mix·MULT) mod 2^60 as a split
+    multiply so every intermediate fits signed 64-bit (stats.py docstring).
+    Property-test the split form against Python's arbitrary-precision
+    product over the full mix range, including the boundary values."""
+    import random
+
+    from duckdb_age_spark.operators.stats import MIX_K_B, MIX_MOD60, MIX_MULT
+
+    m0, m1 = MIX_MULT & 0xFFFFFFFF, MIX_MULT >> 32
+
+    def split(mix):
+        a0, a1 = mix % (1 << 30), mix >> 30
+        t = (
+            (a0 * m0) % MIX_MOD60
+            + (((a0 * m1) % (1 << 28)) << 32)
+            + (((a1 * m0) % (1 << 30)) << 30)
+        )
+        assert t < 1 << 63  # the no-overflow bound both engines rely on
+        return t % MIX_MOD60
+
+    rng = random.Random(7)
+    max_mix = (MIX_MOD60 - 1) + 63 * MIX_K_B  # h < 2^60, b < 64
+    cases = [0, 1, MIX_MOD60 - 1, max_mix] + [rng.randrange(max_mix) for _ in range(50_000)]
+    for mix in cases:
+        assert split(mix) == (mix * MIX_MULT) % MIX_MOD60, mix

@@ -699,3 +699,20 @@ def test_pq_assignment_is_partial_aggregate_not_window(spark, sf_dir):
     assert "partial_min_by" in plan, plan
     assert "Window" not in plan, plan
     assert has_broadcast_join(df)
+
+
+def test_boilerplate_screen_single_gram_pass(spark, sf_dir):
+    """VERDICT r6 item 4: the gram-explode subtree feeds both the
+    doc-frequency aggregate and the scoring join; it must be materialized
+    once (localCheckpoint), not planned as two scan->split->explode passes.
+    The executed plan therefore reads the checkpointed RDD (ExistingRDD)
+    and contains NO parquet scan of documents and NO explode at all — gram
+    generation ran exactly once, inside the checkpoint."""
+    from duckdb_age_spark.operators.text import boilerplate_phrase_screen
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = boilerplate_phrase_screen(docs)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ExistingRDD" in plan, plan[:2000]
+    assert "Scan parquet" not in plan, plan[:2000]
+    assert "Generate explode" not in plan, plan[:2000]
