@@ -5944,6 +5944,16 @@ _HLL_RMAX = 60 - _HLL_B + 1  # 53
 from .operators.sketch import hll_alpha as _hll_alpha  # noqa: E402
 
 _HLL_NUMER = _hll_alpha(_HLL_M) * _HLL_M * _HLL_M * float(1 << _HLL_RMAX)
+# hll_est with the small-range (linear counting) correction — the exact CASE
+# mirror of operators/sketch.py:_hll_est_cols.  Expects columns n_buckets and
+# s_scaled in scope.  The fixtures sit far above the 2.5·m cut, so the ln()
+# branch (libm, last-ulp caveat) never feeds an oracle hash.
+_HLL_EST_SQL = (
+    f"CASE WHEN {_HLL_NUMER!r} / s_scaled::DOUBLE <= {2.5 * _HLL_M!r} "
+    f"AND n_buckets < {_HLL_M} "
+    f"THEN {float(_HLL_M)!r} * ln({float(_HLL_M)!r} / ({_HLL_M} - n_buckets)::DOUBLE) "
+    f"ELSE {_HLL_NUMER!r} / s_scaled::DOUBLE END"
+)
 _KMV_K = 64
 _KMV_KCONST = float(_KMV_K - 1) * float(1 << 60)
 
@@ -5966,18 +5976,19 @@ _KMV_KCONST = float(_KMV_K - 1) * float(1 << 60)
       SELECT count(*)::BIGINT AS n_buckets,
              sum((1::BIGINT << ({_HLL_RMAX} - register::INT)))::BIGINT AS s_present
       FROM merged),
+    sc AS (
+      SELECT n_buckets,
+             (s_present + ({_HLL_M} - n_buckets) * (1::BIGINT << {_HLL_RMAX}))::BIGINT
+               AS s_scaled
+      FROM agg),
     ex AS (SELECT count(DISTINCT event_id)::BIGINT AS exact_n FROM events
            WHERE event_type IN ('purchase', 'view'))
     SELECT 'purchase+view'::VARCHAR AS union_of, {_HLL_M}::BIGINT AS m, n_buckets,
-           (s_present + ({_HLL_M} - n_buckets) * (1::BIGINT << {_HLL_RMAX}))::BIGINT
-             AS s_scaled,
-           {_HLL_NUMER!r} / (s_present + ({_HLL_M} - n_buckets)
-                             * (1::BIGINT << {_HLL_RMAX}))::DOUBLE AS hll_est,
+           s_scaled,
+           {_HLL_EST_SQL} AS hll_est,
            exact_n,
-           floor(abs({_HLL_NUMER!r} / (s_present + ({_HLL_M} - n_buckets)
-                                       * (1::BIGINT << {_HLL_RMAX}))::DOUBLE
-                     - exact_n) / exact_n * 10000)::BIGINT AS err_bp
-    FROM agg, ex
+           floor(abs(({_HLL_EST_SQL}) - exact_n) / exact_n * 10000)::BIGINT AS err_bp
+    FROM sc, ex
     """,
 )
 def sketch_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6035,17 +6046,31 @@ def sink_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     the plain parquet join (identical exact-cent results prove layout
     changed the plan, not the answer; tests/test_bucketing.py pins the
     zero-exchange plan itself)."""
+    import os
+
     _prep(spark)
     path = _scratch("bucketed_join", sf_dir)
+    # pid-keyed table names (the _scratch scheme): no collision when two
+    # sessions share a metastore, and repeated in-process runs overwrite
+    # one pair instead of leaking fixed-name catalog entries (ADVICE r6)
+    tag = os.getpid()
+    t_orders, t_lineitem = f"age_ctr_orders_b_{tag}", f"age_ctr_lineitem_b_{tag}"
+    prev_bucketing = spark.conf.get("spark.sql.sources.bucketing.enabled")
     spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
-    load(spark, sf_dir, "orders").write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy(
-        "o_orderkey"
-    ).option("path", f"{path}/orders_b").saveAsTable("age_ctr_orders_b")
-    load(spark, sf_dir, "lineitem").write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy(
-        "l_orderkey"
-    ).option("path", f"{path}/lineitem_b").saveAsTable("age_ctr_lineitem_b")
-    o = spark.table("age_ctr_orders_b")
-    l = spark.table("age_ctr_lineitem_b")
+    try:
+        load(spark, sf_dir, "orders").write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy(
+            "o_orderkey"
+        ).option("path", f"{path}/orders_b").saveAsTable(t_orders)
+        load(spark, sf_dir, "lineitem").write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy(
+            "l_orderkey"
+        ).option("path", f"{path}/lineitem_b").saveAsTable(t_lineitem)
+        o = spark.table(t_orders)
+        l = spark.table(t_lineitem)
+    finally:
+        # restore the session conf (the default is true, so a restored
+        # session still plans the bucketed scan when the driver executes
+        # the returned lazy DataFrame)
+        spark.conf.set("spark.sql.sources.bucketing.enabled", prev_bucketing)
     return (
         o.join(l, o.o_orderkey == l.l_orderkey)
         .groupBy("o_orderstatus")
@@ -6552,17 +6577,18 @@ def pipeline_kfold_split(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT count(*)::BIGINT AS n_buckets,
              sum((1::BIGINT << ({_HLL_RMAX} - register::INT)))::BIGINT AS s_present
       FROM regs),
+    sc AS (
+      SELECT n_buckets,
+             (s_present + ({_HLL_M} - n_buckets) * (1::BIGINT << {_HLL_RMAX}))::BIGINT
+               AS s_scaled
+      FROM agg),
     ex AS (SELECT count(DISTINCT event_id)::BIGINT AS exact_n FROM events)
     SELECT {_HLL_M}::BIGINT AS m, n_buckets,
-           (s_present + ({_HLL_M} - n_buckets) * (1::BIGINT << {_HLL_RMAX}))::BIGINT
-             AS s_scaled,
-           {_HLL_NUMER!r} / (s_present + ({_HLL_M} - n_buckets)
-                             * (1::BIGINT << {_HLL_RMAX}))::DOUBLE AS hll_est,
+           s_scaled,
+           {_HLL_EST_SQL} AS hll_est,
            exact_n,
-           floor(abs({_HLL_NUMER!r} / (s_present + ({_HLL_M} - n_buckets)
-                                       * (1::BIGINT << {_HLL_RMAX}))::DOUBLE
-                     - exact_n) / exact_n * 10000)::BIGINT AS err_bp
-    FROM agg, ex
+           floor(abs(({_HLL_EST_SQL}) - exact_n) / exact_n * 10000)::BIGINT AS err_bp
+    FROM sc, ex
     """,
 )
 def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -491,17 +491,30 @@ def funnel_conversion(events: DataFrame) -> DataFrame:
         F.sum(reached2.cast("long")).cast("long").alias("n2"),
         F.sum(reached3.cast("long")).cast("long").alias("n3"),
     )
-    rows = [
-        ("1_signup", F.col("n1"), F.lit(None).cast("long")),
-        ("2_view_after_signup", F.col("n2"), F.expr("(n2 * 1000000) DIV greatest(n1, 1)")),
-        ("3_purchase_after_view", F.col("n3"), F.expr("(n3 * 1000000) DIV greatest(n2, 1)")),
-    ]
-    out = None
-    for step, n, conv in rows:
-        r = agg.select(
-            F.lit(step).alias("step"),
-            n.cast("long").alias("n_users"),
-            conv.alias("conv_from_prev_ppm"),
-        )
-        out = r if out is None else out.unionByName(r)
-    return out.orderBy("step")
+    # ONE pass over the 1-row agg: explode an array of (step, n, conv)
+    # structs instead of unioning three selects of the same aggregate —
+    # the union form re-executed the full per-user min-timestamp
+    # aggregation up to three times unless exchange reuse happened to
+    # kick in (ADVICE r6)
+    steps = F.array(
+        F.struct(
+            F.lit("1_signup").alias("step"),
+            F.col("n1").cast("long").alias("n_users"),
+            F.lit(None).cast("long").alias("conv_from_prev_ppm"),
+        ),
+        F.struct(
+            F.lit("2_view_after_signup").alias("step"),
+            F.col("n2").cast("long").alias("n_users"),
+            F.expr("(n2 * 1000000) DIV greatest(n1, 1)").alias("conv_from_prev_ppm"),
+        ),
+        F.struct(
+            F.lit("3_purchase_after_view").alias("step"),
+            F.col("n3").cast("long").alias("n_users"),
+            F.expr("(n3 * 1000000) DIV greatest(n2, 1)").alias("conv_from_prev_ppm"),
+        ),
+    )
+    return (
+        agg.select(F.explode(steps).alias("r"))
+        .select("r.step", "r.n_users", "r.conv_from_prev_ppm")
+        .orderBy("step")
+    )

@@ -469,11 +469,16 @@ def image_byte_histogram(media: DataFrame, bins: int = 16) -> DataFrame:
                 if kind != "image/bmp":
                     continue
                 try:
-                    decode_bmp(bytes(payload))
+                    width, height = decode_bmp(bytes(payload))
                 except ValueError:
                     continue
                 off = struct.unpack_from("<I", payload, 10)[0]
-                px = np.frombuffer(payload, dtype=np.uint8, offset=off)
+                # count bounds the read to the pixel buffer proper
+                # (row-padded 24bpp geometry from the parsed header):
+                # valid BMPs may carry trailing bytes after the pixel
+                # array, which must not be bucketed (ADVICE r6)
+                n_px_bytes = (3 * width + 3) // 4 * 4 * height
+                px = np.frombuffer(payload, dtype=np.uint8, offset=off, count=n_px_bytes)
                 counts_arr = np.bincount(px // div, minlength=bins)
                 for b in np.nonzero(counts_arr)[0]:
                     ids.append(int(mid))

@@ -104,20 +104,36 @@ def hll_estimate(df: DataFrame, col: str, b: int = 8) -> DataFrame:
         .alias("s_scaled"),
         "exact_n",
     )
-    return out.select(
-        "m",
-        "n_buckets",
-        "s_scaled",
-        (F.lit(numer) / F.col("s_scaled").cast("double")).alias("hll_est"),
-        "exact_n",
-        F.floor(
-            F.abs(F.lit(numer) / F.col("s_scaled").cast("double") - F.col("exact_n"))
-            / F.col("exact_n")
-            * 10000
-        )
+    est, err = _hll_est_cols(m, numer)
+    return out.select("m", "n_buckets", "s_scaled", est, "exact_n", err)
+
+
+def _hll_est_cols(m: int, numer: float):
+    """Final HLL estimate + basis-point error columns, with the standard
+    small-range (linear counting) correction: when the raw estimate is
+    ≤ 2.5·m AND empty buckets exist, E = m·ln(m / V) (V = empty buckets)
+    replaces the raw harmonic estimate, fixing the well-known low-range
+    bias of raw HLL (Flajolet et al. 2007 §4; ADVICE r6).
+
+    Cross-engine note: ln() is a libm call — the one op in this module
+    whose last ulp is not guaranteed identical across engines (same
+    caveat as stats_benford's log10, which rides the same policy).  The
+    contract fixtures sit far above the 2.5·m cut (exact_n ≥ 1000 vs
+    2.5·m = 640 at b=8), so the corrected branch never feeds an oracle
+    hash; it is exercised by a dedicated low-cardinality unit test.
+    """
+    raw = F.lit(numer) / F.col("s_scaled").cast("double")
+    v = (F.lit(m) - F.col("n_buckets")).cast("double")
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (v > F.lit(0.0)),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / v),
+    ).otherwise(raw)
+    err = (
+        F.floor(F.abs(est - F.col("exact_n")) / F.col("exact_n") * 10000)
         .cast("long")
-        .alias("err_bp"),
+        .alias("err_bp")
     )
+    return est.alias("hll_est"), err
 
 
 def kmv_minima(df: DataFrame, group: str, col: str, k: int = 64) -> DataFrame:
@@ -242,18 +258,5 @@ def hll_merge_estimate(
         .alias("s_scaled"),
         "exact_n",
     )
-    return out.select(
-        "union_of",
-        "m",
-        "n_buckets",
-        "s_scaled",
-        (F.lit(numer) / F.col("s_scaled").cast("double")).alias("hll_est"),
-        "exact_n",
-        F.floor(
-            F.abs(F.lit(numer) / F.col("s_scaled").cast("double") - F.col("exact_n"))
-            / F.col("exact_n")
-            * 10000
-        )
-        .cast("long")
-        .alias("err_bp"),
-    )
+    est, err = _hll_est_cols(m, numer)
+    return out.select("union_of", "m", "n_buckets", "s_scaled", est, "exact_n", err)

@@ -2401,3 +2401,46 @@ def test_bootstrap_mixer_split_multiply_equivalence():
     cases = [0, 1, MIX_MOD60 - 1, max_mix] + [rng.randrange(max_mix) for _ in range(50_000)]
     for mix in cases:
         assert split(mix) == (mix * MIX_MULT) % MIX_MOD60, mix
+
+
+def test_hll_small_range_linear_counting(spark):
+    """ADVICE r6: below ~2.5·m the raw HLL estimator is systematically
+    biased; the linear-counting branch (E = m·ln(m/V)) must kick in and
+    land near the exact count.  50 distinct values at m=256 sit deep in
+    the correction range."""
+    import math
+
+    from duckdb_age_spark.operators.sketch import hll_estimate
+
+    df = spark.range(50).select((F.col("id") * 977 + 13).cast("string").alias("v"))
+    row = hll_estimate(df, "v", b=8).first()
+    assert row.exact_n == 50
+    # corrected estimate is close (linear counting is near-exact when
+    # V ≈ m): within 10% of truth
+    assert abs(row.hll_est - 50) / 50 < 0.10, row
+    # and the branch actually fired: it differs from the raw harmonic
+    # estimate, which at this range is biased upward by alpha-related bias
+    from duckdb_age_spark.operators.sketch import hll_alpha
+
+    m, rmax = 256, 53
+    raw = hll_alpha(m) * m * m * float(1 << rmax) / float(row.s_scaled)
+    assert row.hll_est != raw
+    # exact linear-counting replay: V = m - n_buckets
+    v = m - row.n_buckets
+    assert math.isclose(row.hll_est, m * math.log(m / v), rel_tol=1e-12)
+
+
+def test_image_histogram_ignores_trailing_bytes(spark):
+    """ADVICE r6: a valid BMP may carry bytes AFTER the pixel array; the
+    histogram must bucket only the decoded pixel buffer.  The same image
+    with and without 64 trailing 0xFF bytes must histogram identically."""
+    from duckdb_age_spark.operators.multimodal import encode_bmp, image_byte_histogram
+
+    img = encode_bmp(4, 3, seed=5)
+    rows = [(1, "image/bmp", bytearray(img)), (2, "image/bmp", bytearray(img + b"\xff" * 64))]
+    df = spark.createDataFrame(rows, "media_id long, kind string, payload binary")
+    out = image_byte_histogram(df).collect()
+    h1 = {(r.bin): r.n_bytes for r in out if r.media_id == 1}
+    h2 = {(r.bin): r.n_bytes for r in out if r.media_id == 2}
+    assert h1 == h2 and h1, out
+    # with the old unbounded frombuffer, the 0xFF run would inflate bin 15
