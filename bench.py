@@ -390,9 +390,18 @@ def main() -> None:
         load_end = [round(x, 2) for x in os.getloadavg()]
     except OSError:
         load_end = []
+    # Second kernel control AFTER the sweep (VERDICT r6 item 8): the box
+    # has drifted hundreds of MB/s/core at idle within one session, so one
+    # pre-run control can't tell box drift from a code regression.  The
+    # bracket pair lets the reader normalize round-over-round comparisons
+    # without forensics: a healthy run has start ≈ end; a drifting box
+    # shows it here.  (The JVM is resident but idle; min-of-reps only ever
+    # inflates under contention, never deflates.)
+    kernel_end = _kernel_bench()
     extra["load_avg_start"] = load_start
     extra["load_avg_end"] = load_end
     extra.update(kernel)
+    extra.update({f"end_{k}": v for k, v in kernel_end.items()})
 
     total = round(sum(timings.values()), 3)
     # The driver tail-captures stdout and parses the LAST line as JSON: keep
@@ -418,6 +427,10 @@ def main() -> None:
         # pre-JVM with min-of-reps and are the stable round-over-round
         # crypto signal.  load_avg documents how noisy the run was.
         "kernel": kernel,
+        # the same control re-measured after the sweep: start ≈ end means a
+        # quiet box; a gap means drift, and query medians should be read
+        # against the bracket, not either endpoint
+        "kernel_end": kernel_end,
         "load_avg": {"start": load_start, "end": load_end},
     }
     line = json.dumps(headline)

@@ -6725,8 +6725,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # local 130/130 oracle sweep and their CORRECTNESS_r01–r04 history.
 
 _PRIORITY_50 = [
-    # crypto core (SURVEY §2a — the reference's own surface, all 8 + the
-    # round-6 key-file loader attestation, VERDICT r5 item 5)
+    # crypto core (SURVEY §2a — the reference's own surface; permanent
+    # slots so the core deliverable re-attests every round)
     "age_roundtrip",
     "age_multi_roundtrip",
     "age_keygen_check",
@@ -6736,63 +6736,58 @@ _PRIORITY_50 = [
     "age_secrets_listing",
     "age_version",
     "age_secret_files",
-    # tpch_q9 re-attests the r5 flake now that the whole revenue family
-    # sums exact integer cents (VERDICT r5 item 1)
-    "tpch_q9",
-    # every remaining slot: never-driver-attested queries (VERDICT r5
-    # item 2) — all 11 unattested TPC-H shapes first
-    "tpch_q7",
-    "tpch_q8",
-    "tpch_q10",
-    "tpch_q11",
-    "tpch_q12",
+    # tpch_q14 re-attests the LAST member of the float-sum hazard family
+    # now that it sums exact integer units (VERDICT r6 item 2)
     "tpch_q14",
-    "tpch_q15",
-    "tpch_q16",
-    "tpch_q19",
-    "tpch_q20",
-    "tpch_q22",
-    # family-representative slots (every family must keep a driver gate —
-    # tests/test_kernels.py::test_priority_50_covers_every_operator_family)
+    # family-representative slots for families whose every member is
+    # already attested (the first-50 must keep one driver gate per family
+    # — tests/test_kernels.py::test_priority_50_covers_every_operator_family)
     "dq_report",
-    "sink_schema_evolution",
+    "upsert_incremental_agg",
     "setops_full_outer_reconcile",
     "grouped_map_zscore",
     "window_balance_analytics",
     "udaf_geomean",
-    # relational/rollup/windows
-    "relational_revenue_share",
-    "relational_transition_matrix",
-    "rollup_grouping_sets",
-    "asof_forward_tolerance",
-    "upsert_incremental_agg",
-    # events
-    "events_ohlc",
-    "streaming_ohlc",
-    # graph
-    "graph_assortativity",
-    "graph_kcore",
-    "graph_label_propagation",
-    # dedup / similarity
-    "dedup_ngram_verify",
-    "sim_int8_quantize",
-    # multimodal (real codecs; resize rotates to round 7)
-    "multimodal_audio_stats",
-    # round-6 portable-sketch family gets its driver gate immediately
-    "sketch_hll_distinct",
-    # text analysis
-    "text_hashing_vec",
-    "text_langid_confusion",
-    "text_quality_screen",
-    # pipeline ops
-    "pipeline_dedup_report",
-    "pipeline_weighted_sample",
-    # stats
-    "stats_ks_test",
-    "stats_psi_drift",
-    "stats_welch_ttest",
-    # scale/skew
     "skew_bloom_prefilter",
+    # every remaining slot: never-driver-attested queries (VERDICT r6
+    # item 1 — 33 of the 63-query attestation debt; the r5 two-round-old
+    # leftovers first, then the r6 additions)
+    "text_repetition",
+    "text_unigram_logprob",
+    "text_bigram_logprob",
+    "text_sentence_stats",
+    "stats_price_histogram",
+    "stats_corr_exact",
+    "stats_gini",
+    "stats_bootstrap_ci",
+    "pipeline_bpe_pairs",
+    "pipeline_pack_efficiency",
+    "pipeline_doc_chunking",
+    "dedup_fuzzy_names",
+    "dedup_containment",
+    "events_rolling_1h",
+    "events_time_to_convert",
+    "events_stickiness",
+    "events_pareto_share",
+    "events_decayed_revenue",
+    "graph_copurchase",
+    "graph_topk_similar",
+    "graph_link_prediction",
+    "graph_clustering_coeff",
+    "rollup_order_concurrency",
+    "rollup_autocorr",
+    "rollup_anomaly_z",
+    # the three VERDICT-item fixes attest in their fixed form (items 3-5)
+    "streaming_topk_users",
+    "text_boilerplate_screen",
+    # multimodal family incl. the two-round-old resize (VERDICT item 6)
+    "multimodal_resize",
+    "multimodal_image_histogram",
+    "multimodal_wav_resample",
+    # similarity / sketches / sinks
+    "sim_range_search",
+    "sketch_kmv_distinct",
+    "sink_bucketed_join",
 ]
 
 

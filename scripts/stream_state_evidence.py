@@ -1,0 +1,118 @@
+#!/usr/bin/env python
+"""Streaming state-boundedness evidence (VERDICT r6 item 7): drain the
+update-mode leaderboard aggregation over a TIME-CHUNKED copy of the events
+fixture (10 single-file micro-batches in event-time order, the shape a
+production file/kafka feed actually has) and record, from the streaming
+progress, the state-store row count per batch.
+
+The claim under test: state is bounded by (active users × windows inside
+the watermark horizon), NOT by stream length — i.e. max per-batch
+numRowsTotal stays well below the all-time (window, user) group count that
+complete mode would have pinned.
+
+Appends one JSON line to SCALE_EVIDENCE.jsonl:
+  {"sf", "query": "streaming_topk_users_state", "total_groups",
+   "max_state_rows", "final_state_rows", "n_batches", "wall_s"}
+
+Usage: python scripts/stream_state_evidence.py <sf_dir> <sf_label>
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+import uuid
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+N_CHUNKS = 10
+
+
+def main() -> int:
+    sf_dir, sf_label = sys.argv[1], sys.argv[2]
+
+    from pyspark.sql import SparkSession, functions as F
+
+    spark = (
+        SparkSession.builder.master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]")
+        .appName("stream-state-evidence")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "16g")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from duckdb_age_spark.sources import read_table
+    from duckdb_age_spark.streaming import windowed_user_counts_stream
+
+    events = read_table(spark, sf_dir, "events").select("ts", "user_id")
+    total_groups = (
+        events.groupBy(F.window("ts", "1 day"), "user_id").count().count()
+    )
+
+    stage = tempfile.mkdtemp(prefix="stream_state_")
+    src = os.path.join(stage, "src")
+    try:
+        # time-ordered chunk files: range-partition by ts so part-0000k
+        # holds the k-th time slice, then pin increasing mtimes (the file
+        # source schedules micro-batches by mtime)
+        events.repartitionByRange(N_CHUNKS, "ts").write.mode("overwrite").parquet(src)
+        parts = sorted(glob.glob(f"{src}/part-*.parquet"))
+        for i, p in enumerate(parts):
+            os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+
+        stream = (
+            spark.readStream.schema("ts timestamp, user_id long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        out = windowed_user_counts_stream(stream, window="1 day")
+        name = f"sse_{uuid.uuid4().hex[:8]}"
+        t0 = time.time()
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        wall = time.time() - t0
+        state_rows = [
+            p["stateOperators"][0]["numRowsTotal"]
+            for p in q.recentProgress
+            if p["stateOperators"]
+        ]
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+
+    rec = {
+        "sf": sf_label,
+        "query": "streaming_topk_users_state",
+        "total_groups": total_groups,
+        "max_state_rows": max(state_rows),
+        "final_state_rows": state_rows[-1],
+        "n_batches": len(state_rows),
+        "wall_s": round(wall, 2),
+    }
+    line = json.dumps(rec)
+    print(line)
+    with open(
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALE_EVIDENCE.jsonl"),
+        "a",
+    ) as f:
+        f.write(line + "\n")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -191,7 +191,7 @@ def test_priority_50_covers_every_operator_family():
         ],
         "relational": [
             "tpch_q1", "tpch_q3", "tpch_q6", "tpch_q13", "tpch_q2",
-            "tpch_q4", "tpch_q9", "tpch_q17", "tpch_q18", "tpch_q21",
+            "tpch_q4", "tpch_q9", "tpch_q14", "tpch_q17", "tpch_q18", "tpch_q21",
             "relational_cohort_retention", "scd2_priority_history",
             "scd2_asof_lookup", "scd2_apply_changes", "relational_revenue_share",
             "relational_share_of_parent",
