@@ -193,6 +193,9 @@ BENCH_QUERIES = [
     "text_source_tv_distance",
     "events_funnel_conversion",
     "stats_grouped_trend",
+    # round 7
+    "relational_markov_steady",
+    "streaming_tvd_drift",
 ]
 
 

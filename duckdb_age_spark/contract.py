@@ -5280,6 +5280,50 @@ def relational_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return priority_transition_matrix(load(spark, sf_dir, "orders"))
 
 
+_MARKOV_ROUNDS = 8
+# 8 unrolled power-iteration rounds; mcells/mrt MATERIALIZED — each round
+# references them twice, and inlining would re-evaluate the lag window
+# ~3^rounds times (the kcore CTE lesson, ROADMAP r5)
+_MARKOV_ROUND_SQL = ",\n    ".join(
+    f"""v{k + 1} AS (
+      SELECT c.q AS state, sum((v.w * c.n) // rt.t)::BIGINT AS w
+      FROM v{k} v JOIN mcells c ON v.state = c.p JOIN mrt rt ON rt.p = c.p
+      GROUP BY 1)"""
+    for k in range(_MARKOV_ROUNDS)
+)
+
+
+@_q(
+    "relational_markov_steady",
+    f"""
+    WITH seq AS (
+      SELECT lag(o_orderpriority) OVER
+               (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS p,
+             o_orderpriority AS q
+      FROM orders),
+    mcells AS MATERIALIZED (
+      SELECT p, q, count(*)::BIGINT AS n FROM seq WHERE p IS NOT NULL GROUP BY 1, 2),
+    mrt AS MATERIALIZED (SELECT p, sum(n)::BIGINT AS t FROM mcells GROUP BY 1),
+    states AS MATERIALIZED (
+      SELECT DISTINCT s AS state FROM (SELECT p AS s FROM mcells UNION SELECT q FROM mcells)),
+    v0 AS (SELECT state, (1000000 // (SELECT count(*) FROM states))::BIGINT AS w FROM states),
+    {_MARKOV_ROUND_SQL}
+    SELECT state::VARCHAR AS state, w::BIGINT AS steady_ppm
+    FROM v{_MARKOV_ROUNDS} ORDER BY state
+    """,
+)
+def relational_markov_steady(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Steady-state of the order-priority Markov chain: 8 exact
+    integer-ppm power-iteration rounds over the transition counts (floor
+    division per term — both engines replay the identical fixed point).
+    Corpus-scale work is ONE lag window + |S|² cell aggregate; the
+    iteration itself runs on ≤25 integers (operators/relational.py)."""
+    from .operators.relational import markov_steady_state
+
+    _prep(spark)
+    return markov_steady_state(load(spark, sf_dir, "orders"), rounds=_MARKOV_ROUNDS)
+
+
 @_q(
     "graph_assortativity",
     f"""
@@ -6190,6 +6234,39 @@ def streaming_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "rk",
     ).orderBy("window_sec", "rk")
+
+
+@_q(
+    "streaming_tvd_drift",
+    r"""
+    WITH c AS (
+      SELECT (floor(epoch(ts))::BIGINT - floor(epoch(ts))::BIGINT % 86400) AS window_sec,
+             event_type, count(*)::BIGINT AS c
+      FROM events GROUP BY 1, 2),
+    g AS (SELECT event_type, sum(c)::BIGINT AS g FROM c GROUP BY 1),
+    nw AS (SELECT window_sec, sum(c)::BIGINT AS n_w FROM c GROUP BY 1),
+    tot AS (SELECT sum(c)::BIGINT AS n FROM c)
+    SELECT window_sec, n_w AS n_events,
+           ((a_term + n_w::HUGEINT * (n - g_s)) * 1000000
+            // (2 * n_w::HUGEINT * n))::BIGINT AS tvd_ppm
+    FROM (SELECT c.window_sec, max(n_w) AS n_w, max(n) AS n,
+                 sum(abs(c.c::HUGEINT * n - g.g::HUGEINT * n_w)) AS a_term,
+                 sum(g.g::HUGEINT) AS g_s
+          FROM c JOIN g USING (event_type) JOIN nw USING (window_sec) CROSS JOIN tot
+          GROUP BY 1)
+    ORDER BY window_sec
+    """,
+)
+def streaming_tvd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming drift monitor: per-day TVD (exact integer ppm) between
+    each window's event-type mix and the whole stream's — update-mode
+    watermark-bounded counts, max-compacted per drain, sparse-identity
+    TVD downstream (streaming/tvd_drift_update_drain).  The oracle
+    replays the identical arithmetic from the batch table."""
+    from .streaming import stream_events, tvd_drift_update_drain
+
+    _prep(spark)
+    return tvd_drift_update_drain(stream_events(spark, sf_dir), window="1 day")
 
 
 @_q(

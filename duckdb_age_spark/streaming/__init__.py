@@ -627,3 +627,70 @@ def topk_users_update_drain(
         W.partitionBy("window_start").orderBy(F.desc("n_events"), F.asc("user_id"))
     )
     return compact.withColumn("rk", rk.cast("bigint")).where(F.col("rk") <= k)
+
+
+def tvd_drift_update_drain(events: DataFrame, window: str = "1 day") -> DataFrame:
+    """Streaming distribution-drift monitor: per-window total-variation
+    distance between the window's event-type mix and the whole stream's —
+    the mixture-composition alarm (batch twin: text.source_tv_distance)
+    run against live windows.
+
+    Streaming half: per-(window, event_type) counts aggregate in UPDATE
+    mode (watermark-bounded state, one row per open window × type;
+    re-uses windowed_counts_stream) and the emission log compacts by
+    per-key max (counts are monotone — same last-writer-wins compaction
+    as topk_users_update_drain).  Drift half runs per drain on the
+    compacted counts with the sparse TVD identity
+
+        Σ_t |p_w − p_all| · N_w·N = Σ_{t∈w} |c_wt·N − g_t·N_w|
+                                     + N_w·(N − Σ_{t∈w} g_t)
+
+    so only (window, type) rows that EXIST are touched; everything is
+    decimal-exact integers until the single ppm floor division, so a SQL
+    oracle replays it bit-for-bit.  In production the reference mix g_t
+    comes from the compacted store (as here) or a frozen baseline table —
+    either way the per-drain cost is two small aggregates and a
+    type-keyed join, never a windows×types dense grid.
+    Returns (window_sec, n_events, tvd_ppm) ordered by window.
+    """
+    out = run_available_now(
+        windowed_counts_stream(events, window=window, watermark="2 hours"),
+        output_mode="update",
+    )
+    # materialize the compacted counts once: they feed four consumers
+    # (per-type totals, per-window totals, grand total, and the scoring
+    # join), and the shared lineage otherwise trips Spark's conflicting-
+    # reference resolution on the self-join — windows × types rows, tiny
+    c = (
+        out.groupBy("window_start", "event_type")
+        .agg(F.max("n_events").cast("long").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    g = c.groupBy("event_type").agg(F.sum("c").cast("long").alias("g"))
+    nw = c.groupBy("window_start").agg(F.sum("c").cast("long").alias("n_w"))
+    tot = c.agg(F.sum("c").cast("long").alias("n_total"))
+    per = (
+        c.join(g, "event_type")
+        .join(nw, "window_start")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("window_start")
+        .agg(
+            F.max("n_w").cast("long").alias("n_w"),
+            F.max("n_total").alias("_n"),
+            F.sum(
+                F.abs(
+                    F.col("c").cast("decimal(38,0)") * F.col("n_total")
+                    - F.col("g").cast("decimal(38,0)") * F.col("n_w")
+                )
+            ).alias("a_term"),
+            F.sum(F.col("g").cast("decimal(38,0)")).alias("g_s"),
+        )
+    )
+    return per.select(
+        F.col("window_start").cast("long").alias("window_sec"),
+        F.col("n_w").alias("n_events"),
+        F.expr(
+            "CAST(((a_term + CAST(n_w AS DECIMAL(38,0)) * (_n - g_s)) * 1000000)"
+            " DIV (2 * CAST(n_w AS DECIMAL(38,0)) * _n) AS BIGINT)"
+        ).alias("tvd_ppm"),
+    ).orderBy("window_sec")

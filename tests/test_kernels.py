@@ -142,7 +142,7 @@ def test_priority_50_covers_every_operator_family():
         "streaming": [
             "streaming_windowed", "streaming_dedup", "streaming_join",
             "streaming_distinct_users", "streaming_cms_topusers",
-            "streaming_ohlc", "streaming_topk_users",
+            "streaming_ohlc", "streaming_topk_users", "streaming_tvd_drift",
         ],
         "text": [
             "text_doc_stats", "text_bm25_topk", "text_tfidf_keywords",
@@ -195,7 +195,7 @@ def test_priority_50_covers_every_operator_family():
             "relational_cohort_retention", "scd2_priority_history",
             "scd2_asof_lookup", "scd2_apply_changes", "relational_revenue_share",
             "relational_share_of_parent",
-            "relational_transition_matrix",
+            "relational_transition_matrix", "relational_markov_steady",
         ],
         "skew": ["skew_salted_join", "skew_salted_agg", "skew_bloom_prefilter"],
         "stats": [

@@ -2444,3 +2444,68 @@ def test_image_histogram_ignores_trailing_bytes(spark):
     h2 = {(r.bin): r.n_bytes for r in out if r.media_id == 2}
     assert h1 == h2 and h1, out
     # with the old unbounded frombuffer, the 0xFF run would inflate bin 15
+
+
+def test_markov_steady_state_two_state_chain(spark):
+    """Known 2-state chain: P(A->A)=0.8, P(B->A)=0.5 gives steady state
+    pi_A = 5/7.  The integer ppm iteration from uniform must land within
+    floor-loss distance of the analytic fixed point, and total mass can
+    only shed ppm (floor division), never grow."""
+    from duckdb_age_spark.operators.relational import markov_steady_state
+
+    rows = []
+    pairs = [("A", "A")] * 8 + [("A", "B")] * 2 + [("B", "A")] * 5 + [("B", "B")] * 5
+    for i, (p, q) in enumerate(pairs):
+        rows.append((i, p, "2024-01-01", i * 2))
+        rows.append((i, q, "2024-01-02", i * 2 + 1))
+    df = spark.createDataFrame(
+        rows, "o_custkey long, o_orderpriority string, o_orderdate string, o_orderkey long"
+    ).withColumn("o_orderdate", F.col("o_orderdate").cast("timestamp"))
+    out = {r.state: r.steady_ppm for r in markov_steady_state(df, rounds=8).collect()}
+    assert set(out) == {"A", "B"}
+    assert abs(out["A"] - 714286) < 2500, out   # 5/7 of 1e6
+    assert abs(out["B"] - 285714) < 2500, out   # 2/7 of 1e6
+    assert 995000 <= out["A"] + out["B"] <= 1000000
+
+
+def test_streaming_tvd_drift_zero_for_identical_mix(spark, tmp_path):
+    """A window whose type mix equals the global mix must score 0 ppm;
+    a skewed window must score > 0.  Days 1-2 share the same 3:1 mix,
+    day 3 is all-purchase."""
+    from datetime import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from duckdb_age_spark.streaming import tvd_drift_update_drain
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    src = tmp_path / "src"
+    src.mkdir()
+    rows = []
+    for day in (1, 2):
+        rows += [(datetime(2024, 1, day, 10, i), "view") for i in range(3)]
+        rows += [(datetime(2024, 1, day, 11, 0), "purchase")]
+    rows += [(datetime(2024, 1, 3, 10, i), "purchase") for i in range(4)]
+    pq.write_table(
+        pa.table(
+            {
+                "ts": pa.array([t for t, _ in rows], pa.timestamp("us")),
+                "event_type": pa.array([e for _, e in rows], pa.string()),
+                "value": pa.array([1.0] * len(rows), pa.float64()),
+            }
+        ),
+        str(src / "f.parquet"),
+    )
+    stream = spark.readStream.schema(
+        "ts timestamp, event_type string, value double"
+    ).parquet(str(src))
+    out = {r.window_sec: r.tvd_ppm for r in tvd_drift_update_drain(stream, window="1 day").collect()}
+    d1 = int(datetime(2024, 1, 1).timestamp())
+    d2 = int(datetime(2024, 1, 2).timestamp())
+    d3 = int(datetime(2024, 1, 3).timestamp())
+    # global mix: 6 view, 6 purchase.  days 1-2 (3v,1p) differ from the
+    # 50:50 global -> TVD = |3/4-1/2| = 1/4 -> 250000 ppm; day 3 (0v,4p)
+    # -> TVD = 1/2 -> 500000 ppm
+    assert out[d1] == 250000 and out[d2] == 250000, out
+    assert out[d3] == 500000, out
