@@ -398,8 +398,11 @@ def main() -> None:
     # pre-run control can't tell box drift from a code regression.  The
     # bracket pair lets the reader normalize round-over-round comparisons
     # without forensics: a healthy run has start ≈ end; a drifting box
-    # shows it here.  (The JVM is resident but idle; min-of-reps only ever
-    # inflates under contention, never deflates.)
+    # shows it here.  Stop the Spark session FIRST — the first r7 run
+    # measured 610 MB/s/core with executor threads still settling vs 950
+    # pre-JVM on the same box; post-stop the control is symmetric with the
+    # pre-JVM one (min-of-reps only ever inflates under contention).
+    spark.stop()
     kernel_end = _kernel_bench()
     extra["load_avg_start"] = load_start
     extra["load_avg_end"] = load_end

@@ -653,38 +653,41 @@ def tvd_drift_update_drain(events: DataFrame, window: str = "1 day") -> DataFram
     type-keyed join, never a windows×types dense grid.
     Returns (window_sec, n_events, tvd_ppm) ordered by window.
     """
+    from pyspark.sql import Window as W
+
     out = run_available_now(
         windowed_counts_stream(events, window=window, watermark="2 hours"),
         output_mode="update",
     )
-    # materialize the compacted counts once: they feed four consumers
-    # (per-type totals, per-window totals, grand total, and the scoring
-    # join), and the shared lineage otherwise trips Spark's conflicting-
-    # reference resolution on the self-join — windows × types rows, tiny
-    c = (
-        out.groupBy("window_start", "event_type")
-        .agg(F.max("n_events").cast("long").alias("c"))
-        .localCheckpoint(eager=False)
+    # One chain over the compacted counts: the per-type totals g_t,
+    # per-window totals N_w, and grand total N are WINDOW sums instead of
+    # three aggregate+join consumers — no self-join lineage, no
+    # checkpoint, one job at collect.  The compacted table is bounded by
+    # (windows in retention × event types), so even the grand-total
+    # window's single partition holds ~10^6 tiny rows at the most
+    # pessimistic 100 TB retention, not corpus-scale data (the lit(1)
+    # partition key is deliberate: partition-less windows warn and plan
+    # identically).
+    c = out.groupBy("window_start", "event_type").agg(
+        F.max("n_events").cast("long").alias("c")
     )
-    g = c.groupBy("event_type").agg(F.sum("c").cast("long").alias("g"))
-    nw = c.groupBy("window_start").agg(F.sum("c").cast("long").alias("n_w"))
-    tot = c.agg(F.sum("c").cast("long").alias("n_total"))
-    per = (
-        c.join(g, "event_type")
-        .join(nw, "window_start")
-        .crossJoin(F.broadcast(tot))
-        .groupBy("window_start")
-        .agg(
-            F.max("n_w").cast("long").alias("n_w"),
-            F.max("n_total").alias("_n"),
-            F.sum(
-                F.abs(
-                    F.col("c").cast("decimal(38,0)") * F.col("n_total")
-                    - F.col("g").cast("decimal(38,0)") * F.col("n_w")
-                )
-            ).alias("a_term"),
-            F.sum(F.col("g").cast("decimal(38,0)")).alias("g_s"),
-        )
+    enr = c.select(
+        "window_start",
+        F.col("c"),
+        F.sum("c").over(W.partitionBy("event_type")).cast("long").alias("g"),
+        F.sum("c").over(W.partitionBy("window_start")).cast("long").alias("n_w"),
+        F.sum("c").over(W.partitionBy(F.lit(1))).cast("long").alias("n_total"),
+    )
+    per = enr.groupBy("window_start").agg(
+        F.max("n_w").cast("long").alias("n_w"),
+        F.max("n_total").alias("_n"),
+        F.sum(
+            F.abs(
+                F.col("c").cast("decimal(38,0)") * F.col("n_total")
+                - F.col("g").cast("decimal(38,0)") * F.col("n_w")
+            )
+        ).alias("a_term"),
+        F.sum(F.col("g").cast("decimal(38,0)")).alias("g_s"),
     )
     return per.select(
         F.col("window_start").cast("long").alias("window_sec"),
