@@ -716,3 +716,17 @@ def test_boilerplate_screen_single_gram_pass(spark, sf_dir):
     assert "ExistingRDD" in plan, plan[:2000]
     assert "Scan parquet" not in plan, plan[:2000]
     assert "Generate explode" not in plan, plan[:2000]
+
+
+def test_tvd_drift_post_processing_is_one_chain(spark, sf_dir):
+    """The drift monitor's per-type/per-window/grand totals must be window
+    sums over ONE chain of the compacted counts — no aggregate+join
+    consumers (the r7 first cut paid 13s of scheduling overhead at sf0.1
+    for three joins over a 150-row table) and no checkpoint."""
+    from duckdb_age_spark.streaming import stream_events, tvd_drift_update_drain
+
+    df = tvd_drift_update_drain(stream_events(spark, sf_dir), window="1 day")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan, plan[:2000]
+    assert "BroadcastHashJoin" not in plan, plan[:2000]
+    assert plan.count("Window") >= 1
