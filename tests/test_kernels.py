@@ -218,6 +218,7 @@ def test_priority_50_covers_every_operator_family():
             "multimodal_features", "multimodal_frames", "multimodal_decode",
             "multimodal_resize", "multimodal_audio_stats",
             "multimodal_image_histogram", "multimodal_wav_resample",
+            "multimodal_flip",
         ],
         "sketches": [
             "sketch_hll_distinct", "sketch_kmv_distinct", "sketch_kmv_union",

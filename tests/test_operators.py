@@ -2509,3 +2509,35 @@ def test_streaming_tvd_drift_zero_for_identical_mix(spark, tmp_path):
     # -> TVD = 1/2 -> 500000 ppm
     assert out[d1] == 250000 and out[d2] == 250000, out
     assert out[d3] == 500000, out
+
+
+def test_flip_bmp_involution_and_row_inversion():
+    """flip(flip(x)) == x; a flipped 2-row image has its rows swapped and
+    the header untouched."""
+    from duckdb_age_spark.operators.multimodal import decode_bmp, encode_bmp, flip_bmp
+
+    img = encode_bmp(5, 4, seed=9)
+    flipped = flip_bmp(img)
+    assert flip_bmp(flipped) == img
+    assert decode_bmp(flipped) == decode_bmp(img) == (5, 4)
+    assert flipped[:54] == img[:54]
+    import struct
+
+    off = struct.unpack_from("<I", img, 10)[0]
+    row = (3 * 5 + 3) // 4 * 4
+    for y in range(4):
+        assert flipped[off + y * row : off + (y + 1) * row] == img[
+            off + (3 - y) * row : off + (4 - y) * row
+        ]
+
+
+def test_flip_features_poison_degrades_to_error_row(spark):
+    """A malformed payload yields an error row, never a failed stage."""
+    from duckdb_age_spark.operators.multimodal import encode_bmp, flip_features
+
+    rows = [(1, "image/bmp", bytearray(encode_bmp(3, 3, seed=1))),
+            (2, "image/bmp", bytearray(b"BMgarbage"))]
+    df = spark.createDataFrame(rows, "media_id long, kind string, payload binary")
+    out = {r.media_id: r for r in flip_features(df).collect()}
+    assert out[1].decode_ok == "real" and out[1].checksum is not None
+    assert out[2].decode_ok.startswith("error:") and out[2].checksum is None
