@@ -61,6 +61,32 @@ def _prep(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 
+_BUCKETED_CLEANUP: set[str] = set()
+
+
+def _register_bucketed_cleanup(*tables: str) -> None:
+    """Drop the pid-keyed bucketed catalog tables at interpreter exit (they
+    must outlive their creating call — the returned DataFrames read them
+    lazily — but should not outlive the process in a shared metastore)."""
+    import atexit
+
+    if not _BUCKETED_CLEANUP:
+
+        def _drop_all() -> None:
+            try:
+                from pyspark.sql import SparkSession
+
+                spark = SparkSession.getActiveSession()
+                if spark is not None:
+                    for t in _BUCKETED_CLEANUP:
+                        spark.sql(f"DROP TABLE IF EXISTS {t}")
+            except Exception:
+                pass  # best-effort: session may already be gone
+
+        atexit.register(_drop_all)
+    _BUCKETED_CLEANUP.update(tables)
+
+
 def _scratch(name: str, sf_dir: str) -> str:
     """Deterministic scratch dir for sink/upsert round-trips.
 
@@ -6134,6 +6160,11 @@ def sink_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one pair instead of leaking fixed-name catalog entries (ADVICE r6)
     tag = os.getpid()
     t_orders, t_lineitem = f"age_ctr_orders_b_{tag}", f"age_ctr_lineitem_b_{tag}"
+    # the tables must outlive this call (the returned DataFrame reads them
+    # lazily), so cleanup happens at process exit: drop our pid's entries
+    # if a live session remains, bounding the metastore to entries of
+    # still-running processes (code-review r7 finding)
+    _register_bucketed_cleanup(t_orders, t_lineitem)
     prev_bucketing = spark.conf.get("spark.sql.sources.bucketing.enabled")
     spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
     try:

@@ -565,14 +565,24 @@ def resample_wav(media: DataFrame, factor: int = 4) -> DataFrame:
 def flip_bmp(payload: bytes) -> bytes:
     """REAL vertical flip of a 24-bit BMP operating on the container
     bytes: parse the header, reverse the (padded) pixel-row order,
-    re-emit with the identical header — geometry is unchanged, content
-    row order inverts.  Pure stdlib."""
+    re-emit with the identical header AND any trailing bytes preserved —
+    geometry is unchanged, content row order inverts, and flip is an
+    involution even for valid BMPs carrying data after the pixel array
+    (the same trailing-bytes contract as image_byte_histogram).
+    Pure stdlib."""
+    out, _, _, _, _ = _flip_bmp_geom(payload)
+    return out
+
+
+def _flip_bmp_geom(payload: bytes) -> tuple[bytes, int, int, int, int]:
+    """flip_bmp plus the parsed geometry (w, h, pixel offset, row stride)
+    so callers don't re-parse the header they already validated."""
     w, h = decode_bmp(payload)
     off = struct.unpack_from("<I", payload, 10)[0]
     row = (3 * w + 3) // 4 * 4
     buf = payload[off : off + row * h]
     flipped = b"".join(buf[(h - 1 - y) * row : (h - y) * row] for y in range(h))
-    return payload[:off] + flipped
+    return payload[:off] + flipped + payload[off + row * h :], w, h, off, row
 
 
 FLIP_SCHEMA = StructType(
@@ -606,12 +616,11 @@ def flip_features(media: DataFrame) -> DataFrame:
                 rec = {"media_id": int(mid), "width": None, "height": None,
                        "byte_len": None, "checksum": None}
                 try:
-                    out = flip_bmp(b)
-                    w, h = decode_bmp(out)  # re-decode proof
+                    out, _, _, off, row = _flip_bmp_geom(b)
+                    w, h = decode_bmp(out)  # re-decode proof of the OUTPUT
                     rec["width"], rec["height"] = w, h
                     rec["byte_len"] = len(out)
-                    off = struct.unpack_from("<I", out, 10)[0]
-                    n = (3 * w + 3) // 4 * 4 * h
+                    n = row * h
                     px = np.frombuffer(out, dtype=np.uint8, offset=off, count=n)
                     rec["checksum"] = int(
                         np.sum(px.astype(np.int64) * (np.arange(n, dtype=np.int64) + 1))

@@ -941,13 +941,25 @@ def markov_steady_state(orders: DataFrame, rounds: int = 8) -> DataFrame:
     totals: dict[str, int] = {}
     for (p, _), n in cells.items():
         totals[p] = totals.get(p, 0) + n
+    spark = orders.sparkSession
+    schema = "state string, steady_ppm long"
+    if not states:
+        # no observed transitions (every customer has <= 1 order): the
+        # chain is undefined — empty result, matching the oracle (whose
+        # v0 has no rows, so the per-row division never evaluates)
+        return spark.createDataFrame([], schema)
     v = {s: 1_000_000 // len(states) for s in states}
     for _ in range(rounds):
         nxt: dict[str, int] = {}
         for (p, q), n in cells.items():
-            nxt[q] = nxt.get(q, 0) + (v.get(p, 0) * n) // totals[p]
+            # `p in v`, not `v.get(p, 0)`: the oracle's round is an INNER
+            # JOIN of v_k with the cells, so a state absent from v_k
+            # contributes NOTHING and its targets get no row — whereas a
+            # present-with-zero-mass state still emits zero-mass target
+            # rows.  get(p, 0) would diverge on degenerate chains (a
+            # target row [('B', 0)] here vs [] in SQL once B's sources
+            # die out).
+            if p in v:
+                nxt[q] = nxt.get(q, 0) + (v[p] * n) // totals[p]
         v = nxt
-    spark = orders.sparkSession
-    return spark.createDataFrame(
-        [(s, v[s]) for s in sorted(v)], "state string, steady_ppm long"
-    )
+    return spark.createDataFrame([(s, v[s]) for s in sorted(v)], schema)

@@ -311,7 +311,14 @@ def test_every_rounded_sum_oracle_is_audited():
         "units (operators/exact.py) / add to sweep_determinism.py FAMILY"
     )
     # swept members must actually be in the sweep FAMILY file
-    fam_src = open("scripts/sweep_determinism.py").read()
+    import os
+
+    fam_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "scripts",
+        "sweep_determinism.py",
+    )
+    fam_src = open(fam_path).read()
     for name, verdict in audited.items():
         if verdict == "swept":
             assert f'"{name}"' in fam_src, f"{name} audited as swept but absent from FAMILY"

@@ -2463,6 +2463,19 @@ def test_markov_steady_state_two_state_chain(spark):
     ).withColumn("o_orderdate", F.col("o_orderdate").cast("timestamp"))
     out = {r.state: r.steady_ppm for r in markov_steady_state(df, rounds=8).collect()}
     assert set(out) == {"A", "B"}
+    # degenerate inputs degrade to empty, matching the oracle's inner-join
+    # rounds: no transitions at all, and a chain whose mass dies out
+    single = spark.createDataFrame(
+        [(1, "A", "2024-01-01", 1)],
+        "o_custkey long, o_orderpriority string, o_orderdate string, o_orderkey long",
+    ).withColumn("o_orderdate", F.col("o_orderdate").cast("timestamp"))
+    assert markov_steady_state(single, rounds=3).count() == 0
+    one_hop = spark.createDataFrame(
+        [(1, "A", "2024-01-01", 1), (1, "B", "2024-01-02", 2)],
+        "o_custkey long, o_orderpriority string, o_orderdate string, o_orderkey long",
+    ).withColumn("o_orderdate", F.col("o_orderdate").cast("timestamp"))
+    # A->B only: B has no outgoing, so all mass dies by round 2 -> empty
+    assert markov_steady_state(one_hop, rounds=3).count() == 0
     assert abs(out["A"] - 714286) < 2500, out   # 5/7 of 1e6
     assert abs(out["B"] - 285714) < 2500, out   # 2/7 of 1e6
     assert 995000 <= out["A"] + out["B"] <= 1000000
@@ -2521,6 +2534,11 @@ def test_flip_bmp_involution_and_row_inversion():
     assert flip_bmp(flipped) == img
     assert decode_bmp(flipped) == decode_bmp(img) == (5, 4)
     assert flipped[:54] == img[:54]
+    # trailing container bytes are preserved, and flip stays an involution
+    tailed = img + b"\xabCD"
+    ft = flip_bmp(tailed)
+    assert ft.endswith(b"\xabCD") and len(ft) == len(tailed)
+    assert flip_bmp(ft) == tailed
     import struct
 
     off = struct.unpack_from("<I", img, 10)[0]
