@@ -2559,3 +2559,34 @@ def test_flip_features_poison_degrades_to_error_row(spark):
     out = {r.media_id: r for r in flip_features(df).collect()}
     assert out[1].decode_ok == "real" and out[1].checksum is not None
     assert out[2].decode_ok.startswith("error:") and out[2].checksum is None
+
+
+def test_flip_bmp_involution_random_geometries():
+    """Property: flip is an involution and header-preserving for any
+    geometry, including widths where the row stride needs 1-3 pad bytes
+    and single-row/single-column degenerate images."""
+    import random
+
+    from duckdb_age_spark.operators.multimodal import decode_bmp, encode_bmp, flip_bmp
+
+    rng = random.Random(11)
+    cases = [(1, 1), (1, 64), (64, 1), (3, 2), (4, 4)] + [
+        (rng.randrange(1, 65), rng.randrange(1, 65)) for _ in range(40)
+    ]
+    for w, h in cases:
+        img = encode_bmp(w, h, seed=w * 100 + h)
+        f = flip_bmp(img)
+        assert flip_bmp(f) == img, (w, h)
+        assert decode_bmp(f) == (w, h)
+        assert f[:54] == img[:54]
+        if h > 1:
+            assert f != img or w * h == 0 or _rows_identical(img, w, h)
+
+
+def _rows_identical(img, w, h):
+    import struct as _s
+
+    off = _s.unpack_from("<I", img, 10)[0]
+    row = (3 * w + 3) // 4 * 4
+    rows = {img[off + y * row : off + (y + 1) * row] for y in range(h)}
+    return len(rows) == 1
