@@ -898,6 +898,21 @@ def revenue_share_of_parent(
         .orderBy("r_name", "n_name")
     )
 
+def transition_cells(orders: DataFrame) -> DataFrame:
+    """Corpus-scale half of the Markov chain: consecutive-priority
+    transition counts per customer — one lag window keyed by customer and
+    one map-side-combined |S|² aggregate (plan audited in
+    tests/test_plans.py).  Returns (p, q, n)."""
+    from pyspark.sql import Window, functions as F
+
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = orders.select(
+        F.lag("o_orderpriority").over(w).alias("p"),
+        F.col("o_orderpriority").alias("q"),
+    ).where(F.col("p").isNotNull())
+    return seq.groupBy("p", "q").agg(F.count("*").cast("long").alias("n"))
+
+
 def markov_steady_state(orders: DataFrame, rounds: int = 8) -> DataFrame:
     """Steady-state distribution of the order-priority Markov chain by
     fixed-point power iteration — the long-run answer to the transition
@@ -928,14 +943,8 @@ def markov_steady_state(orders: DataFrame, rounds: int = 8) -> DataFrame:
     """
     from pyspark.sql import Window, functions as F
 
-    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-    seq = orders.select(
-        F.lag("o_orderpriority").over(w).alias("p"),
-        F.col("o_orderpriority").alias("q"),
-    ).where(F.col("p").isNotNull())
     cells = {
-        (r.p, r.q): r.n
-        for r in seq.groupBy("p", "q").agg(F.count("*").cast("long").alias("n")).collect()
+        (r.p, r.q): r.n for r in transition_cells(orders).collect()
     }
     states = sorted({s for pq in cells for s in pq})
     totals: dict[str, int] = {}

@@ -730,3 +730,27 @@ def test_tvd_drift_post_processing_is_one_chain(spark, sf_dir):
     assert "SortMergeJoin" not in plan, plan[:2000]
     assert "BroadcastHashJoin" not in plan, plan[:2000]
     assert plan.count("Window") >= 1
+
+
+def test_markov_transition_cells_partial_aggregate(spark, sf_dir):
+    """The Markov query's only corpus-scale stage: the transition-count
+    aggregate must map-side combine (partial_count before the exchange),
+    and the whole subtree is one window shuffle + one agg shuffle."""
+    from duckdb_age_spark.operators.relational import transition_cells
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    df = transition_cells(orders)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "partial_count" in plan, plan[:2000]
+    assert plan.count("Exchange") == 2, plan[:2000]
+
+
+def test_flip_features_is_shuffle_free_mapinpandas(spark, sf_dir):
+    """The flip stage itself must be pure mapInPandas; the only exchange
+    in the contract query is the final small-output sort."""
+    import __spark_entry__ as e
+
+    df = e.queries()["multimodal_flip"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan
+    assert plan.count("Exchange") == 1, plan[:2000]
