@@ -6892,45 +6892,45 @@ _PRIORITY_50 = [
     "window_balance_analytics",
     "udaf_geomean",
     "skew_bloom_prefilter",
-    # every remaining slot: never-driver-attested queries (VERDICT r6
-    # item 1 — 33 of the 63-query attestation debt; the r5 two-round-old
-    # leftovers first, then the r6 additions)
-    "text_repetition",
-    "text_unigram_logprob",
-    "text_bigram_logprob",
-    "text_sentence_stats",
-    "stats_price_histogram",
-    "stats_corr_exact",
-    "stats_gini",
-    "stats_bootstrap_ci",
-    "pipeline_bpe_pairs",
-    "pipeline_pack_efficiency",
-    "pipeline_doc_chunking",
-    "dedup_fuzzy_names",
-    "dedup_containment",
-    "events_rolling_1h",
-    "events_time_to_convert",
-    "events_stickiness",
-    "events_pareto_share",
-    "events_decayed_revenue",
-    "graph_copurchase",
-    "graph_topk_similar",
-    "graph_link_prediction",
-    "graph_clustering_coeff",
-    "rollup_order_concurrency",
-    "rollup_autocorr",
-    "rollup_anomaly_z",
-    # the three VERDICT-item fixes attest in their fixed form (items 3-5)
-    "streaming_topk_users",
-    "text_boilerplate_screen",
-    # multimodal family incl. the two-round-old resize (VERDICT item 6)
-    "multimodal_resize",
-    "multimodal_image_histogram",
-    "multimodal_wav_resample",
-    # similarity / sketches / sinks
-    "sim_range_search",
-    "sketch_kmv_distinct",
-    "sink_bucketed_join",
+    # Round-8 rotation (VERDICT r7 item 1): the FINAL 33 queries that have
+    # never appeared in any CORRECTNESS_r* file — exactly filling the 33
+    # rotating slots, so a green driver run this round closes union
+    # attestation at 207/207.  Widening is frozen at zero this round by
+    # the same math (ROADMAP "Round-8 attestation math").  Ordered by
+    # family so the driver log groups related shapes.
+    "stats_label_centroids",
+    "stats_winsorized",
+    "stats_quantile_binning",
+    "stats_quantile_interp",
+    "stats_grouped_trend",
+    "stats_spearman",
+    "stats_mann_whitney",
+    "sketch_cms_heavy_hitters",
+    "sketch_hll_merge",
+    "sketch_kmv_union",
+    "graph_triangles_degree",
+    "graph_degree_distribution",
+    "graph_weighted_sssp",
+    "graph_modularity",
+    "scd2_asof_lookup",
+    "scd2_apply_changes",
+    "relational_share_of_parent",
+    "relational_markov_steady",
+    "events_uptime",
+    "events_funnel_conversion",
+    "events_dow_seasonality",
+    "events_burstiness",
+    "text_source_tv_distance",
+    "text_readability",
+    "pipeline_bigram_lift",
+    "pipeline_kfold_split",
+    "dedup_threshold_sweep",
+    "sim_embedding_zscore",
+    "sim_pq_codebook",
+    "sink_encrypted_partitioned",
+    "rollup_acf_multi_lag",
+    "multimodal_flip",
+    "streaming_tvd_drift",
 ]
 
 
