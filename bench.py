@@ -403,6 +403,16 @@ def main() -> None:
     # measured 610 MB/s/core with executor threads still settling vs 950
     # pre-JVM on the same box; post-stop the control is symmetric with the
     # pre-JVM one (min-of-reps only ever inflates under contention).
+    # Drop this run's pid-keyed bucketed tables while the session is still
+    # alive — the contract's atexit hook is a no-op once spark.stop() has
+    # run, which is exactly what happens next (ADVICE r7).
+    try:
+        from duckdb_age_spark import contract as _contract
+
+        for _t in _contract._BUCKETED_CLEANUP:
+            spark.sql(f"DROP TABLE IF EXISTS {_t}")
+    except Exception:
+        pass  # best-effort: bench numbers must not depend on catalog state
     spark.stop()
     kernel_end = _kernel_bench()
     extra["load_avg_start"] = load_start

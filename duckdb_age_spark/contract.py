@@ -87,6 +87,29 @@ def _register_bucketed_cleanup(*tables: str) -> None:
     _BUCKETED_CLEANUP.update(tables)
 
 
+def _drop_stale_bucketed_tables(spark: SparkSession) -> None:
+    """Eagerly drop pid-keyed bucketed tables left behind by processes that
+    no longer exist.  The atexit hook above is a no-op whenever the
+    SparkSession is stopped before interpreter exit (bench.py always stops
+    it to bracket the kernel control — ADVICE r7), so without this sweep a
+    persisted metastore accumulates one table pair per bench run.  Tables
+    whose pid is still alive belong to a concurrent run and are left
+    alone."""
+    import os
+    import re
+
+    for t in spark.catalog.listTables():
+        m = re.fullmatch(r"age_ctr_\w+?_b_(\d+)", t.name)
+        if not m or int(m.group(1)) == os.getpid():
+            continue
+        try:
+            os.kill(int(m.group(1)), 0)  # raises if the owner is gone
+        except ProcessLookupError:
+            spark.sql(f"DROP TABLE IF EXISTS {t.name}")
+        except PermissionError:
+            pass  # alive under another uid — not ours to drop
+
+
 def _scratch(name: str, sf_dir: str) -> str:
     """Deterministic scratch dir for sink/upsert round-trips.
 
@@ -6155,6 +6178,9 @@ def sink_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _prep(spark)
     path = _scratch("bucketed_join", sf_dir)
+    # reclaim table pairs abandoned by dead processes before adding ours
+    # (the atexit hook can't fire once bench.py has stopped the session)
+    _drop_stale_bucketed_tables(spark)
     # pid-keyed table names (the _scratch scheme): no collision when two
     # sessions share a metastore, and repeated in-process runs overwrite
     # one pair instead of leaking fixed-name catalog entries (ADVICE r6)

@@ -220,7 +220,11 @@ def build_udfs(secrets: SecretsSnapshot) -> dict:
     # per-chunk constant vector is an acknowledged quirk — SURVEY.md §2a).
     # Nondeterministic: prevents Catalyst CSE from collapsing distinct calls.
     keygen_udf = F.udf(_keygen, keypair_type).asNondeterministic()
-    keygen_from_seed_udf = F.udf(_keygen_from_seed, keypair_type)
+    # Deterministic, so Arrow-batchable (VERDICT r7 item 4).  useArrow keeps
+    # row semantics — NULL seed still yields a top-level NULL struct, which
+    # a pandas_udf struct return cannot express — while the plan becomes
+    # ArrowEvalPython (batched transfer) instead of row-pickled BatchEval.
+    keygen_from_seed_udf = F.udf(_keygen_from_seed, keypair_type, useArrow=True)
 
     @F.pandas_udf(BinaryType())
     def encrypt_udf(it: Iterator[tuple[pd.Series, pd.Series]]) -> Iterator[pd.Series]:

@@ -604,8 +604,11 @@ def flip_features(media: DataFrame) -> DataFrame:
     sum over j of out[j]·(j+1) — which an oracle can replay symbolically
     from the synthesis formula (pixel j is pattern[(src index) mod 12], so
     the checksum pins the actual row inversion, not just the geometry).
-    Max value ~2^39 per image: exact in int64.  Non-BMP/poison rows
-    degrade to error rows.  Shuffle-free mapInPandas."""
+    ~2^39 for the ≤64×64 fixtures, but computed block-wise with a
+    Python-int accumulator so it stays exact for ARBITRARY payload sizes
+    (a single int64 reduction would wrap past ~270 MB — ADVICE r7).
+    Non-BMP/poison rows degrade to error rows.  Shuffle-free
+    mapInPandas."""
     import numpy as np
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -622,9 +625,20 @@ def flip_features(media: DataFrame) -> DataFrame:
                     rec["byte_len"] = len(out)
                     n = row * h
                     px = np.frombuffer(out, dtype=np.uint8, offset=off, count=n)
-                    rec["checksum"] = int(
-                        np.sum(px.astype(np.int64) * (np.arange(n, dtype=np.int64) + 1))
-                    )
+                    # Block-exact position-weighted sum: a single int64
+                    # np.sum wraps silently once 255·n²/2 exceeds 2^63
+                    # (~270 MB pixel buffer — legal BMP, just huge).  Each
+                    # 1 MiB block's partial is ≤ 255·2^20·(s+2^20) < 2^63
+                    # for any n < 2^31 (Arrow's per-cell cap), and the
+                    # Python-int accumulator is unbounded, so the checksum
+                    # is exact for every payload Arrow can deliver.
+                    total = 0
+                    blk_sz = 1 << 20
+                    for s in range(0, n, blk_sz):
+                        blk = px[s : s + blk_sz].astype(np.int64)
+                        idx = np.arange(s + 1, s + 1 + len(blk), dtype=np.int64)
+                        total += int(np.dot(blk, idx))
+                    rec["checksum"] = total
                     rec["decode_ok"] = "real"
                 except (ValueError, struct.error) as exc:
                     rec["decode_ok"] = f"error:{exc}"

@@ -708,7 +708,10 @@ def welch_ttest(orders: DataFrame, split_priority: str = "1-URGENT") -> DataFram
     df = (sea + seb) * (sea + seb) / (
         sea * sea / (F.col("na") - 1) + seb * seb / (F.col("nb") - 1)
     )
-    return a.crossJoin(b).select(
+    # both sides are 1-row aggregates; broadcast keeps the plan a
+    # BroadcastNestedLoopJoin like every other scalar crossJoin in this
+    # module (VERDICT r7 item 6 — plan hygiene, no behavior change)
+    return a.crossJoin(F.broadcast(b)).select(
         F.col("na").cast("bigint").alias("n_a"),
         F.col("nb").cast("bigint").alias("n_b"),
         F.round(mean("sa", "na") / 100.0, 4).alias("mean_a"),

@@ -95,6 +95,13 @@ def main() -> int:
     finally:
         shutil.rmtree(stage, ignore_errors=True)
 
+    if not state_rows:
+        # A drain with zero batches (or a Spark version that reshapes
+        # recentProgress) must not blow up AFTER the work is done with a
+        # bare max() ValueError — exit with a diagnosable message instead
+        # (ADVICE r7).
+        sys.exit("no stateOperators progress captured — nothing to record")
+
     rec = {
         "sf": sf_label,
         "query": "streaming_topk_users_state",

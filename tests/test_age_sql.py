@@ -205,6 +205,20 @@ def test_null_propagation(spark):
     assert row.e1 is None and row.e2 is None and row.d1 is None and row.k1 is None and row.m1 is None
 
 
+def test_keygen_from_seed_is_arrow_batched(spark):
+    """VERDICT r7 item 4: the deterministic seeded keygen must ride the
+    Arrow-batched UDF path (ArrowEvalPython), not row-pickled
+    BatchEvalPython — while still top-level-NULL-propagating, which is why
+    it is an Arrow-optimized row UDF rather than a pandas_udf (a struct
+    pandas_udf cannot emit a NULL struct)."""
+    df = spark.sql(
+        "SELECT age_keygen_from_seed(CAST('s' AS BINARY)) AS kp FROM range(2)"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
 def test_keygen_from_seed_sql_deterministic(spark):
     rows = spark.sql(
         "SELECT age_keygen_from_seed(CAST('fixture-seed' AS BINARY)) AS kp FROM range(3)"

@@ -297,13 +297,30 @@ def test_every_rounded_sum_oracle_is_audited():
         "events_dow_seasonality": "int-units",
         "rollup_anomaly_z": "int-units",
     }
-    members = set()
-    for name, sql in contract.ORACLE_SQL.items():
+    def _round_wraps_sum(sql: str) -> bool:
+        # Balanced-paren scan of each round(...) argument (ADVICE r7: a
+        # fixed 400-char window let a sum() sitting deeper in a long CTE
+        # escape the audit).  Flags round(<arg>) iff a sum( appears
+        # anywhere INSIDE the balanced argument.
         for rm in re.finditer(r"round\(", sql, re.I):
-            seg = sql[rm.start() : rm.start() + 400]
-            if re.search(r"\bsum\(", seg, re.I):
-                members.add(name)
-                break
+            depth, i = 1, rm.end()
+            while i < len(sql) and depth:
+                if sql[i] == "(":
+                    depth += 1
+                elif sql[i] == ")":
+                    depth -= 1
+                i += 1
+            if re.search(r"\bsum\(", sql[rm.end() : i - 1], re.I):
+                return True
+        return False
+
+    members = {name for name, sql in contract.ORACLE_SQL.items() if _round_wraps_sum(sql)}
+    # detector self-check: the scan must still see known TRUE positives
+    # (sum INSIDE a round argument), so a future regex regression can't
+    # silently empty the member set.  Note sum(round(...)) — per-row round
+    # then exact integer sum, e.g. tpch_q1 — is correctly NOT a member:
+    # that shape is order-insensitive by construction.
+    assert {"tpch_q14", "stats_gini", "events_uptime"} <= members
     unaudited = members - set(audited)
     assert not unaudited, (
         f"oracles round a sum() without a determinism audit entry: {sorted(unaudited)} "

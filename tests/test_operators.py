@@ -2561,6 +2561,30 @@ def test_flip_features_poison_degrades_to_error_row(spark):
     assert out[2].decode_ok.startswith("error:") and out[2].checksum is None
 
 
+def test_flip_features_checksum_blockwise_exact(spark):
+    """The position-weighted checksum is computed in 1 MiB blocks with a
+    Python-int accumulator (ADVICE r7: a single int64 reduction wraps for
+    huge images).  Pin block-boundary exactness: a pixel buffer larger
+    than one block must equal the naive exact formula."""
+    import struct
+
+    from duckdb_age_spark.operators.multimodal import (
+        encode_bmp,
+        flip_bmp,
+        flip_features,
+    )
+
+    img = encode_bmp(600, 600, seed=3)  # stride 1800 -> 1.08 MB buffer
+    df = spark.createDataFrame(
+        [(1, "image/bmp", bytearray(img))], "media_id long, kind string, payload binary"
+    )
+    row = flip_features(df).first()
+    out = flip_bmp(img)
+    off = struct.unpack_from("<I", out, 10)[0]
+    expected = sum(b * (j + 1) for j, b in enumerate(out[off:]))  # exact: Python ints
+    assert row.checksum == expected and row.decode_ok == "real"
+
+
 def test_flip_bmp_involution_random_geometries():
     """Property: flip is an involution and header-preserving for any
     geometry, including widths where the row stride needs 1-3 pad bytes

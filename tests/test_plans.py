@@ -598,6 +598,9 @@ def test_welch_ttest_two_scalar_aggregates(t):
     assert has_partial_aggregate(df)
     # two one-row sufficient-stat aggregates + their cross join
     assert count_exchanges(df) <= 2, formatted_plan(df)
+    # the scalar crossJoin is explicitly broadcast (VERDICT r7 item 6) —
+    # same BroadcastNestedLoopJoin shape as every other scalar crossJoin
+    assert "BroadcastNestedLoopJoin" in formatted_plan(df), formatted_plan(df)
 
 
 def test_ivf_assign_is_partial_aggregate_not_window(spark, sf_dir):
