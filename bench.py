@@ -419,6 +419,16 @@ def main() -> None:
     extra["load_avg_end"] = load_end
     extra.update(kernel)
     extra.update({f"end_{k}": v for k, v in kernel_end.items()})
+    # Embed the latest payload-size sweep (scripts/payload_sweep.py) so the
+    # committed BENCH_extra.json records the python-vs-JVM crypto-path
+    # throughput at 2 KiB / 64 KiB / 1 MiB (VERDICT r7 item 3).  The sweep
+    # needs its own session (the UDF jar must be on the driver classpath at
+    # JVM launch), so it runs separately and bench just carries the file.
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "PAYLOAD_SWEEP.json")) as f:
+            extra["payload_sweep"] = json.load(f)
+    except (OSError, ValueError):
+        pass
 
     total = round(sum(timings.values()), 3)
     # The driver tail-captures stdout and parses the LAST line as JSON: keep

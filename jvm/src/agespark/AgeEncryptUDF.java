@@ -1,0 +1,49 @@
+package agespark;
+
+import org.apache.spark.sql.api.java.UDF2;
+
+/**
+ * age_encrypt_jvm(data BINARY, recipient STRING) -&gt; BINARY — JVM-side
+ * single-recipient encrypt.  Registered via
+ * spark.udf.registerJavaFunction by duckdb_age_spark.jvm.register_jvm_crypto;
+ * payload bytes never cross into Python (VERDICT r7 item 3).  Fresh file
+ * key per call, so results are nondeterministic like the Python path.
+ */
+public class AgeEncryptUDF implements UDF2<byte[], String, byte[]> {
+
+    private record Parsed(byte[] raw, java.security.PublicKey key) {}
+
+    // per-executor memo of bech32 string -> parsed key (the analog of the
+    // Python path's lru_cache; parsing + KeyFactory is the per-row cost
+    // that made the JVM path lose to Python on 2 KiB rows)
+    private static final java.util.concurrent.ConcurrentHashMap<String, Parsed> CACHE =
+            new java.util.concurrent.ConcurrentHashMap<>();
+
+    @Override
+    public byte[] call(byte[] data, String recipient) throws Exception {
+        if (data == null || recipient == null) return null;
+        Parsed p = CACHE.get(recipient);
+        if (p == null) {
+            byte[] raw;
+            try {
+                raw = AgeCrypto.decodeRecipient(recipient);
+            } catch (IllegalArgumentException e) {
+                throw new IllegalArgumentException(
+                        "Invalid age recipient key: " + recipient
+                                + " (not a valid age key or secret name)");
+            }
+            try {
+                p = new Parsed(raw, AgeCrypto.rawToPublic(raw));
+            } catch (Exception e) {
+                throw new IllegalArgumentException("Invalid age recipient key: " + recipient);
+            }
+            if (CACHE.size() >= 256) CACHE.clear(); // bound, like lru_cache(256)
+            CACHE.put(recipient, p);
+        }
+        try {
+            return AgeCrypto.encrypt(data, p.raw(), p.key());
+        } catch (Exception e) {
+            throw new IllegalArgumentException("Invalid age recipient key: " + recipient);
+        }
+    }
+}

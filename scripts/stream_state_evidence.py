@@ -1,20 +1,27 @@
 #!/usr/bin/env python
-"""Streaming state-boundedness evidence (VERDICT r6 item 7): drain the
-update-mode leaderboard aggregation over a TIME-CHUNKED copy of the events
-fixture (10 single-file micro-batches in event-time order, the shape a
+"""Streaming state-boundedness evidence (VERDICT r6 item 7 / r7 item 7):
+drain an update-mode streaming aggregation over a TIME-CHUNKED copy of the
+events fixture (single-file micro-batches in event-time order, the shape a
 production file/kafka feed actually has) and record, from the streaming
 progress, the state-store row count per batch.
 
-The claim under test: state is bounded by (active users × windows inside
-the watermark horizon), NOT by stream length — i.e. max per-batch
-numRowsTotal stays well below the all-time (window, user) group count that
-complete mode would have pinned.
+Two queries:
+
+* ``topk``  — the leaderboard aggregation (windowed_user_counts_stream,
+  1-day windows, 10 chunks).  Claim: state is bounded by (active users ×
+  windows inside the watermark horizon), NOT stream length.
+* ``tvd``   — the drift monitor's state half (windowed_counts_stream,
+  1-HOUR windows, 40 chunks, maxFilesPerTrigger=1 — the long-retention /
+  many-windows chaos shape).  Claim (streaming/__init__.py): state is one
+  row per (open window × event type) inside the horizon, so peak state
+  stays far below the all-time windows×types cardinality complete mode
+  would pin.
 
 Appends one JSON line to SCALE_EVIDENCE.jsonl:
-  {"sf", "query": "streaming_topk_users_state", "total_groups",
-   "max_state_rows", "final_state_rows", "n_batches", "wall_s"}
+  {"sf", "query", "total_groups", "max_state_rows", "final_state_rows",
+   "n_batches", "wall_s"}
 
-Usage: python scripts/stream_state_evidence.py <sf_dir> <sf_label>
+Usage: python scripts/stream_state_evidence.py <sf_dir> <sf_label> [topk|tvd]
 """
 
 from __future__ import annotations
@@ -30,11 +37,10 @@ import uuid
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-N_CHUNKS = 10
-
 
 def main() -> int:
     sf_dir, sf_label = sys.argv[1], sys.argv[2]
+    query = sys.argv[3] if len(sys.argv) > 3 else "topk"
 
     from pyspark.sql import SparkSession, functions as F
 
@@ -52,12 +58,33 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
 
     from duckdb_age_spark.sources import read_table
-    from duckdb_age_spark.streaming import windowed_user_counts_stream
-
-    events = read_table(spark, sf_dir, "events").select("ts", "user_id")
-    total_groups = (
-        events.groupBy(F.window("ts", "1 day"), "user_id").count().count()
+    from duckdb_age_spark.streaming import (
+        windowed_counts_stream,
+        windowed_user_counts_stream,
     )
+
+    if query == "topk":
+        events = read_table(spark, sf_dir, "events").select("ts", "user_id")
+        schema = "ts timestamp, user_id long"
+        n_chunks = 10
+        total_groups = events.groupBy(F.window("ts", "1 day"), "user_id").count().count()
+
+        def build(stream):
+            return windowed_user_counts_stream(stream, window="1 day")
+
+    elif query == "tvd":
+        events = read_table(spark, sf_dir, "events").select("ts", "event_type", "value")
+        schema = "ts timestamp, event_type string, value double"
+        n_chunks = 40
+        total_groups = (
+            events.groupBy(F.window("ts", "1 hour"), "event_type").count().count()
+        )
+
+        def build(stream):
+            return windowed_counts_stream(stream, window="1 hour", watermark="2 hours")
+
+    else:
+        sys.exit(f"unknown query {query!r} (want topk|tvd)")
 
     stage = tempfile.mkdtemp(prefix="stream_state_")
     src = os.path.join(stage, "src")
@@ -65,17 +92,17 @@ def main() -> int:
         # time-ordered chunk files: range-partition by ts so part-0000k
         # holds the k-th time slice, then pin increasing mtimes (the file
         # source schedules micro-batches by mtime)
-        events.repartitionByRange(N_CHUNKS, "ts").write.mode("overwrite").parquet(src)
+        events.repartitionByRange(n_chunks, "ts").write.mode("overwrite").parquet(src)
         parts = sorted(glob.glob(f"{src}/part-*.parquet"))
         for i, p in enumerate(parts):
             os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
 
         stream = (
-            spark.readStream.schema("ts timestamp, user_id long")
+            spark.readStream.schema(schema)
             .option("maxFilesPerTrigger", 1)
             .parquet(src)
         )
-        out = windowed_user_counts_stream(stream, window="1 day")
+        out = build(stream)
         name = f"sse_{uuid.uuid4().hex[:8]}"
         t0 = time.time()
         q = (
@@ -104,7 +131,7 @@ def main() -> int:
 
     rec = {
         "sf": sf_label,
-        "query": "streaming_topk_users_state",
+        "query": {"topk": "streaming_topk_users_state", "tvd": "streaming_tvd_drift_state"}[query],
         "total_groups": total_groups,
         "max_state_rows": max(state_rows),
         "final_state_rows": state_rows[-1],
