@@ -219,7 +219,10 @@ def build_udfs(secrets: SecretsSnapshot) -> dict:
     # Per-row keygen (documented reference behavior; the reference's actual
     # per-chunk constant vector is an acknowledged quirk — SURVEY.md §2a).
     # Nondeterministic: prevents Catalyst CSE from collapsing distinct calls.
-    keygen_udf = F.udf(_keygen, keypair_type).asNondeterministic()
+    # useArrow only batches the TRANSFER — the function still runs (and
+    # draws fresh randomness) once per row; verified per-row-distinct in
+    # tests/test_age_sql.py.
+    keygen_udf = F.udf(_keygen, keypair_type, useArrow=True).asNondeterministic()
     # Deterministic, so Arrow-batchable (VERDICT r7 item 4).  useArrow keeps
     # row semantics — NULL seed still yields a top-level NULL struct, which
     # a pandas_udf struct return cannot express — while the plan becomes

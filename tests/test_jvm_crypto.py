@@ -82,6 +82,41 @@ def test_java_rejects_tampered_ciphertext(jar):
     assert "payload authentication failed" in proc.stderr
 
 
+def test_java_header_parser_rejects_malformed(jar):
+    """Adversarial parity with the Python parser's fuzz hardening: every
+    malformed variant must fail cleanly (non-zero exit, no wrong-plaintext
+    success, no hang).  Cases mirror the classes tests/test_crypto.py pins
+    for the Python path."""
+    from duckdb_age_spark.crypto import format as agefmt, keys
+
+    ct = agefmt.encrypt(b"victim", [keys.parse_recipient(PUB)])
+    nl1 = ct.index(b"\n")
+    mac_at = ct.index(b"--- ")
+    cases = {
+        "empty": b"",
+        "bad_version": b"age-encryption.org/v2" + ct[nl1:],
+        "truncated_header": ct[: nl1 + 5],
+        "truncated_after_stanza": ct[:mac_at],
+        "no_arrow_stanza": ct[: nl1 + 1] + b"X25519 junk\n" + ct[nl1 + 1 :],
+        "padded_b64_share": ct.replace(b"-> X25519 ", b"-> X25519 AAA= ", 1),
+        "flipped_mac": ct[: mac_at + 6]
+        + bytes([ct[mac_at + 6] ^ 1])
+        + ct[mac_at + 7 :],
+        "truncated_payload_nonce": ct[: mac_at + 48 + 4],
+        "garbage": b"\x00\xff" * 40,
+    }
+    for name, bad in cases.items():
+        proc = subprocess.run(
+            ["java", "-cp", jar, "agespark.SelfTest", "dec", PRIV,
+             base64.b64encode(bad).decode()],
+            capture_output=True,
+            text=True,
+            timeout=60,
+        )
+        assert proc.returncode != 0, f"{name}: malformed input decrypted successfully"
+        assert "victim" not in proc.stdout, f"{name}: leaked plaintext"
+
+
 _SPARK_SCRIPT = r"""
 import sys
 sys.path.insert(0, {repo!r})
