@@ -106,8 +106,14 @@ def _drop_stale_bucketed_tables(spark: SparkSession) -> None:
             os.kill(int(m.group(1)), 0)  # raises if the owner is gone
         except ProcessLookupError:
             spark.sql(f"DROP TABLE IF EXISTS {t.name}")
-        except PermissionError:
-            pass  # alive under another uid — not ours to drop
+        except (PermissionError, OverflowError, ValueError):
+            # PermissionError: alive under another uid — not ours to drop.
+            # Overflow/ValueError: a \d+ suffix that is not a valid pid
+            # (crafted table name) must not crash the query (code-review
+            # r8); leave it, the atexit/bench cleanup of its creator owns
+            # it.  Residual: pid REUSE keeps a stale pair alive until the
+            # recycled pid exits — eventual cleanup, never growth.
+            pass
 
 
 def _scratch(name: str, sf_dir: str) -> str:

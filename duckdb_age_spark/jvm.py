@@ -45,20 +45,37 @@ JAR_PATH = os.path.join(_JVM_DIR, "age-spark-udf.jar")
 def ensure_jar() -> str:
     """Compile jvm/src into the UDF jar if missing or stale (source newer
     than jar).  Requires javac (JDK 17); raises RuntimeError if absent so
-    callers can gate cleanly."""
+    callers can gate cleanly.
+
+    Concurrency-safe: parallel callers (pytest-xdist workers, a sweep next
+    to the suite) serialize on an flock'd build lock, and build.sh renames
+    a temp jar into place atomically — a concurrent reader never sees a
+    half-written jar (code-review r8 finding)."""
     src_dir = os.path.join(_JVM_DIR, "src", "agespark")
-    srcs = [os.path.join(src_dir, f) for f in sorted(os.listdir(src_dir)) if f.endswith(".java")]
-    if not srcs:
-        raise RuntimeError(f"no Java sources under {src_dir}")
-    if os.path.exists(JAR_PATH):
-        jar_mtime = os.path.getmtime(JAR_PATH)
-        if all(os.path.getmtime(s) <= jar_mtime for s in srcs):
+
+    def _fresh() -> bool:
+        srcs = [
+            os.path.join(src_dir, f) for f in sorted(os.listdir(src_dir)) if f.endswith(".java")
+        ]
+        if not srcs:
+            raise RuntimeError(f"no Java sources under {src_dir}")
+        return os.path.exists(JAR_PATH) and all(
+            os.path.getmtime(s) <= os.path.getmtime(JAR_PATH) for s in srcs
+        )
+
+    if _fresh():
+        return JAR_PATH
+    import fcntl
+
+    with open(os.path.join(_JVM_DIR, ".build.lock"), "w") as lock:
+        fcntl.flock(lock, fcntl.LOCK_EX)
+        if _fresh():  # another process built it while we waited
             return JAR_PATH
-    proc = subprocess.run(
-        ["sh", os.path.join(_JVM_DIR, "build.sh")], capture_output=True, text=True
-    )
-    if proc.returncode != 0:
-        raise RuntimeError(f"jvm build failed:\n{proc.stdout}\n{proc.stderr}")
+        proc = subprocess.run(
+            ["sh", os.path.join(_JVM_DIR, "build.sh")], capture_output=True, text=True
+        )
+        if proc.returncode != 0:
+            raise RuntimeError(f"jvm build failed:\n{proc.stdout}\n{proc.stderr}")
     return JAR_PATH
 
 

@@ -33,8 +33,9 @@ public class AgeDecryptUDF implements UDF2<byte[], String, byte[]> {
                         "Invalid age identity key: " + identity
                                 + " (not a valid age key or secret name)");
             }
-            if (CACHE.size() >= 64) CACHE.clear(); // bound, like lru_cache(64)
-            CACHE.put(identity, p);
+            // bound without flushing hot entries: past capacity new keys
+            // just run unmemoized (real workloads decrypt with few keys)
+            if (CACHE.size() < 64) CACHE.put(identity, p);
         }
         try {
             return AgeCrypto.decrypt(data, p.sk(), p.ourPub());

@@ -37,12 +37,16 @@ public class AgeEncryptUDF implements UDF2<byte[], String, byte[]> {
             } catch (Exception e) {
                 throw new IllegalArgumentException("Invalid age recipient key: " + recipient);
             }
-            if (CACHE.size() >= 256) CACHE.clear(); // bound, like lru_cache(256)
-            CACHE.put(recipient, p);
+            // bound without flushing hot entries: past capacity new keys
+            // just run unmemoized (real workloads encrypt to few keys)
+            if (CACHE.size() < 256) CACHE.put(recipient, p);
         }
         try {
             return AgeCrypto.encrypt(data, p.raw(), p.key());
         } catch (Exception e) {
+            // the reference's FFI boundary collapses ANY encrypt failure
+            // to this message (duckdb_age_spark/errors.py docstring, ref
+            // rust/src/lib.rs:82-88) — same observable taxonomy here
             throw new IllegalArgumentException("Invalid age recipient key: " + recipient);
         }
     }

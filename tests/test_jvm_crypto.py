@@ -25,9 +25,16 @@ PRIV = "AGE-SECRET-KEY-1DMYUTPVUSD3M7HMU4K5KXNZ65JZVC9J04MSVV2J8Y4NE8GZCVU6ST7DR
 
 @pytest.fixture(scope="module")
 def jar():
+    import shutil
+
+    if shutil.which("javac") is None or shutil.which("java") is None:
+        pytest.skip("JDK not available — JVM crypto path is opt-in")
     from duckdb_age_spark.jvm import ensure_jar
 
-    return ensure_jar()
+    try:
+        return ensure_jar()
+    except RuntimeError as e:
+        pytest.skip(f"jvm jar build unavailable: {e}")
 
 
 def _java(jar, *args: str) -> str:

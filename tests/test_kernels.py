@@ -301,7 +301,11 @@ def test_every_rounded_sum_oracle_is_audited():
         # Balanced-paren scan of each round(...) argument (ADVICE r7: a
         # fixed 400-char window let a sum() sitting deeper in a long CTE
         # escape the audit).  Flags round(<arg>) iff a sum( appears
-        # anywhere INSIDE the balanced argument.
+        # anywhere INSIDE the balanced argument.  String literals are
+        # blanked first so a ')' inside '...' can't close the span early
+        # and hide a following sum() (code-review r8); '' escapes are
+        # consumed by the non-greedy repeat.
+        sql = re.sub(r"'(?:[^']|'')*'", "''", sql)
         for rm in re.finditer(r"round\(", sql, re.I):
             depth, i = 1, rm.end()
             while i < len(sql) and depth:
