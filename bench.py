@@ -197,6 +197,12 @@ BENCH_QUERIES = [
     "relational_markov_steady",
     "streaming_tvd_drift",
     "multimodal_flip",
+    # round 8
+    "text_substring_dedup",
+    "pipeline_ngram_novelty",
+    "graph_hits",
+    "streaming_ewma_hourly",
+    "events_attribution",
 ]
 
 

@@ -6853,6 +6853,157 @@ def sketch_kmv_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "text_substring_dedup",
+    """
+    WITH p AS (
+      SELECT doc_id, substr(md5(substr(text, CAST(i AS INT), 24)), 1, 16) AS h
+      FROM documents, unnest(range(1, length(text) - 22)) AS t(i)
+      WHERE length(text) >= 24),
+    w AS (SELECT DISTINCT doc_id, h FROM p
+          WHERE ('0x' || substr(h, 1, 4))::BIGINT % 8 = 0),
+    hc AS (SELECT h, count(DISTINCT doc_id) AS nd FROM w GROUP BY 1)
+    SELECT doc_id, count(*)::BIGINT AS n_anchors,
+           sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_dup_anchors,
+           (sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) * 1000000
+            // count(*))::BIGINT AS dup_ppm
+    FROM w JOIN hc USING (h) GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def text_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-span census (ExactSubstr-style): every 24-char
+    window hashed, content-defined anchor selection (winnowing/CDC — the
+    alignment-robust form), anchors shared by ≥2 docs are boilerplate.
+    Banded/bucketed like MinHash — no all-pairs stage."""
+    from .operators.dedup import duplicated_span_census
+
+    _prep(spark)
+    return duplicated_span_census(load(spark, sf_dir, "documents"), k=24, anchor_mod=8)
+
+
+@_q(
+    "pipeline_ngram_novelty",
+    f"""
+    WITH dg AS (
+      SELECT doc_id, unnest(list_distinct(list_transform({_GRAMS5_SQL}, g -> md5(g)))) AS g
+      FROM documents),
+    f AS (SELECT g, min(doc_id) AS first_doc FROM dg GROUP BY 1)
+    SELECT doc_id, count(*)::BIGINT AS n_grams,
+           sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)::BIGINT AS n_novel,
+           (sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) * 1000000
+            // count(*))::BIGINT AS novel_ppm
+    FROM dg JOIN f USING (g) GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def pipeline_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc 5-gram novelty vs the corpus ingested before it (min-doc_id
+    first-occurrence) — the curriculum/memorization screen next to
+    decontamination.  One explode + MIN shuffle + join back, all-integer."""
+    from .operators.pipeline import ngram_novelty
+
+    _prep(spark)
+    return ngram_novelty(load(spark, sf_dir, "documents"), n=5)
+
+
+def _hits_oracle(n_iter: int = 2) -> str:
+    ctes = [
+        f"edges AS MATERIALIZED ({_PR_EDGES_SQL})",
+        "nodes AS MATERIALIZED (SELECT src AS node FROM edges UNION SELECT dst FROM edges)",
+        "h0 AS MATERIALIZED (SELECT node, 1000000::BIGINT AS hub FROM nodes)",
+    ]
+    for i in range(1, n_iter + 1):
+        ctes.append(
+            f"a{i}r AS MATERIALIZED (SELECT dst, sum(hub) AS s "
+            f"FROM edges JOIN h{i-1} ON src = node GROUP BY 1)"
+        )
+        ctes.append(
+            f"a{i} AS MATERIALIZED (SELECT dst AS node, (s::HUGEINT * 1000000 "
+            f"// (SELECT sum(s::HUGEINT) FROM a{i}r))::BIGINT AS auth FROM a{i}r)"
+        )
+        ctes.append(
+            f"h{i}r AS MATERIALIZED (SELECT src, sum(auth) AS s "
+            f"FROM edges JOIN a{i} ON dst = node GROUP BY 1)"
+        )
+        ctes.append(
+            f"h{i} AS MATERIALIZED (SELECT src AS node, (s::HUGEINT * 1000000 "
+            f"// (SELECT sum(s::HUGEINT) FROM h{i}r))::BIGINT AS hub FROM h{i}r)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+    SELECT node, coalesce(h.hub, 0)::BIGINT AS hub, coalesce(a.auth, 0)::BIGINT AS auth
+    FROM nodes LEFT JOIN h{n_iter} h USING (node) LEFT JOIN a{n_iter} a USING (node)
+    """
+    )
+
+
+@_q("graph_hits", _hits_oracle())
+def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs/authorities (2 unrolled rounds, L1-normalized fixed point
+    in integer millionths) over the supplier→customer graph — the link-
+    analysis twin to graph_pagerank, bit-exact vs the unrolled CTE chain."""
+    from .operators.graph import hits_scores
+
+    _prep(spark)
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select((F.col("l_suppkey") + 1_000_000).alias("src"), F.col("o_custkey").alias("dst"))
+        .distinct()
+    )
+    return hits_scores(edges, n_iter=2)
+
+
+@_q(
+    "streaming_ewma_hourly",
+    """
+    WITH c AS (
+      SELECT (floor(epoch(ts))::BIGINT // 3600) AS w, count(*)::BIGINT AS n
+      FROM events GROUP BY 1),
+    contrib AS (
+      SELECT w + d AS t, n * (1::BIGINT << (7 - d)) AS num, (1::BIGINT << (7 - d)) AS den
+      FROM c, unnest(range(0, 8)) AS u(d)),
+    a AS (SELECT t, sum(num)::BIGINT AS num, sum(den)::BIGINT AS den FROM contrib GROUP BY 1)
+    SELECT (c.w * 3600)::BIGINT AS window_sec, c.n AS n_events,
+           (a.num * 100 // a.den)::BIGINT AS ewma_x100
+    FROM c JOIN a ON c.w = a.t ORDER BY window_sec
+    """,
+)
+def streaming_ewma_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming volume EWMA: hourly counts aggregate in UPDATE mode
+    (watermark-bounded state), each drain scatters power-of-two weighted
+    contributions forward over the last 8 windows and gathers with one
+    partial-agg sum — exact-integer EWMA, renormalized over gaps."""
+    from .streaming import ewma_volume_drain, stream_events
+
+    _prep(spark)
+    return ewma_volume_drain(stream_events(spark, sf_dir), window="1 hour", span=8)
+
+
+@_q(
+    "events_attribution",
+    """
+    WITH attr AS (
+      SELECT event_type, value,
+             last_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS channel
+      FROM events)
+    SELECT coalesce(channel, 'direct') AS channel, count(*)::BIGINT AS n_purchases,
+           sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS revenue_cents
+    FROM attr WHERE event_type = 'purchase' GROUP BY 1 ORDER BY 1
+    """,
+)
+def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch revenue attribution: one IGNORE-NULLS window carry per
+    user (no self-join), purchases credit their latest preceding
+    non-purchase touch; integer-cent revenue by channel."""
+    from .operators.events import last_touch_attribution
+
+    _prep(spark)
+    return last_touch_attribution(load(spark, sf_dir, "events"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: encrypted-document pipeline at sf0.001 — round-trip an
     age-encrypted documents table and join quality stats (SURVEY.md §7.3)."""

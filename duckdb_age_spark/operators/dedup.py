@@ -707,3 +707,68 @@ def embedding_threshold_sweep(
             for t in sorted(thresholds)
         ]
     )
+
+
+def duplicated_span_census(docs: DataFrame, k: int = 24, anchor_mod: int = 8) -> DataFrame:
+    """Exact duplicated-substring detection — the 'ExactSubstr' pass
+    training pipelines run after document-level dedup (Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better"), since
+    verbatim boilerplate spans hide inside otherwise-unique documents.
+
+    Every ``k``-char window of every doc is hashed, and a window is
+    *selected* as a fingerprint when its hash value satisfies a content
+    condition (first 4 hex digits ≡ 0 mod ``anchor_mod``) — content-defined
+    anchor selection, the winnowing/CDC trick.  Position-strided selection
+    would be ~``anchor_mod``× cheaper to hash but only detects spans whose
+    alignment offsets agree mod the stride (a planted-span test caught
+    exactly that miss); anchors select the SAME windows inside a shared
+    span regardless of where the span sits in each doc.  A shared span of
+    s chars carries s−k+1 window hashes, so it is detected with
+    probability 1 − (1 − 1/anchor_mod)^(s−k+1) — ≥ 96% at the defaults for
+    spans just 2 windows past k, and exact copies always collide on every
+    anchor.
+
+    Returns per doc: (doc_id, n_anchors, n_dup_anchors, dup_ppm) over the
+    doc's distinct selected fingerprints, dup meaning the fingerprint
+    occurs in ≥ 2 distinct docs.  Docs shorter than ``k`` chars (or with
+    no selected anchor) are excluded — they are document-level dedup's
+    problem, not span-level's.
+
+    Scale shape: hashing every position is a pure narrow map (the CDC
+    cost — embarrassingly parallel, zero shuffle); only selected anchors
+    (~1/anchor_mod of positions) explode into rows carrying (doc_id,
+    16-hex hash).  One map-side-combined shuffle groups by hash for the
+    distinct-doc count, one join returns it, one re-group rolls up per
+    doc — no all-pairs stage anywhere, the same banded profile as MinHash.
+    md5 keeps the oracle engine-identical; a production deployment would
+    swap a rolling polynomial hash into the same plan if per-byte hashing
+    ever dominates the scan.
+    """
+    positions = F.sequence(F.lit(1), F.length("text") - F.lit(k - 1))
+    hashes = F.transform(
+        positions,
+        lambda i: F.substring(
+            F.md5(F.col("text").substr(i, F.lit(k)).cast("binary")), 1, 16
+        ),
+    )
+    anchors = F.array_distinct(
+        F.filter(
+            hashes,
+            lambda h: F.conv(F.substring(h, 1, 4), 16, 10).cast("long") % anchor_mod == 0,
+        )
+    )
+    w = (
+        docs.where(F.length("text") >= k)
+        .select("doc_id", F.explode(anchors).alias("h"))
+    )
+    hc = w.groupBy("h").agg(F.countDistinct("doc_id").alias("nd"))
+    return (
+        w.join(hc, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_anchors"),
+            F.sum((F.col("nd") >= 2).cast("long")).cast("long").alias("n_dup_anchors"),
+        )
+        .withColumn("dup_ppm", F.expr("n_dup_anchors * 1000000 DIV n_anchors"))
+        .orderBy("doc_id")
+    )

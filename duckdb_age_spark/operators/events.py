@@ -518,3 +518,43 @@ def funnel_conversion(events: DataFrame) -> DataFrame:
         .select("r.step", "r.n_users", "r.conv_from_prev_ppm")
         .orderBy("step")
     )
+
+
+def last_touch_attribution(events: DataFrame) -> DataFrame:
+    """Last-touch revenue attribution: each purchase credits the user's most
+    recent *preceding* non-purchase event type (the marketing channel);
+    purchases with no prior touch credit 'direct'.  The classic attribution
+    query every events warehouse runs, expressed as one IGNORE-NULLS window
+    carry — no self-join, no per-user collect.
+
+    Scale shape: a single window over (user_id) ordered by (ts, event_id)
+    — one shuffle keyed by user, linear scan per user partition; revenue is
+    summed in exact integer cents.  Skewed users are bounded by their own
+    event counts (no cross-user state), and the final channel rollup is a
+    five-row aggregate.  Returns (channel, n_purchases, revenue_cents).
+    """
+    from pyspark.sql import Window as W
+
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    channel = F.last(
+        F.when(F.col("event_type") != "purchase", F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        events.withColumn("channel", channel)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.coalesce("channel", F.lit("direct")).alias("channel"),
+            F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+        )
+        .groupBy("channel")
+        .agg(
+            F.count("*").cast("long").alias("n_purchases"),
+            F.sum("cents").cast("long").alias("revenue_cents"),
+        )
+        .orderBy("channel")
+    )

@@ -802,3 +802,69 @@ def link_prediction(edges: DataFrame, k: int = 20) -> DataFrame:
         .select("rk", "node_a", "node_b", "common", "jaccard_ppm")
         .orderBy("rk")
     )
+
+
+def hits_scores(edges: DataFrame, n_iter: int = 2) -> DataFrame:
+    """HITS hubs-and-authorities fixed point over a directed (src, dst)
+    edge list — the Kleinberg link-analysis twin to :func:`pagerank_exact`
+    (ref motivation: ranked retrieval over derived relational graphs).
+
+    Same all-integer discipline as PageRank so a DuckDB oracle can verify
+    the distributed iteration hash-for-hash: hub₀(v) = S (S = 10⁶);
+    each round computes raw authority a'(v) = Σ_{u→v} hub(u), then
+    L1-normalizes in fixed point a(v) = a'(v)·S ÷ Σ a', and symmetrically
+    hub'(u) = Σ_{u→v} a(v) with the same normalization.  The classic HITS
+    L2 norm is irrational (unverifiable across engines); L1 keeps the same
+    fixed point direction and every intermediate an exact integer.
+
+    Overflow: raw sums are ≤ E·S (E = edge count) and the normalization
+    multiplies by S before dividing, so the product is staged through
+    DECIMAL(38,0) (HUGEINT in the oracle) — exact at any graph size that
+    fits a cluster, while the *returned* scores are ≤ S and fit BIGINT.
+
+    Scale shape: per half-round one join (scores⋈edges — broadcast-or-
+    shuffle by AQE) + one map-side-combined sum keyed by dst (resp. src)
+    + one 1-row total broadcast back; identical shuffle profile to the
+    PageRank loop.  The default 2 unrolled rounds keeps lineage flat; pass
+    the result through truncate_lineage for long runs at cluster scale.
+    Returns (node, hub, auth) with missing directions as 0.
+    """
+    S = 10**6
+    edges = truncate_lineage(edges)  # feeds node set + every half-round
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionAll(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+
+    def _l1_normalize(raw: DataFrame, key: str, out: str) -> DataFrame:
+        total = raw.agg(F.sum(F.col("s").cast("decimal(38,0)")).alias("t"))
+        return raw.crossJoin(F.broadcast(total)).select(
+            F.col(key).alias("node"),
+            F.expr(f"CAST((CAST(s AS DECIMAL(38,0)) * {S}) DIV t AS BIGINT)").alias(out),
+        )
+
+    hub = nodes.select("node", F.lit(S).cast("long").alias("hub"))
+    auth = None
+    for _ in range(n_iter):
+        a_raw = (
+            edges.join(hub, edges.src == hub.node)
+            .groupBy("dst")
+            .agg(F.sum("hub").alias("s"))
+        )
+        auth = _l1_normalize(a_raw, "dst", "auth")
+        h_raw = (
+            edges.join(auth, edges.dst == auth.node)
+            .groupBy("src")
+            .agg(F.sum("auth").alias("s"))
+        )
+        hub = _l1_normalize(h_raw, "src", "hub")
+    return (
+        nodes.join(hub, "node", "left")
+        .join(auth, "node", "left")
+        .select(
+            "node",
+            F.coalesce("hub", F.lit(0)).cast("long").alias("hub"),
+            F.coalesce("auth", F.lit(0)).cast("long").alias("auth"),
+        )
+    )

@@ -571,3 +571,46 @@ def bigram_lift(docs: DataFrame, min_count: int = 5, k: int = 20) -> DataFrame:
         .select("rk", "pair", "n_ab", "n_a", "n_b", "lift_ppm")
         .orderBy("rk")
     )
+
+
+def ngram_novelty(docs: DataFrame, n: int = 5) -> DataFrame:
+    """Per-document n-gram novelty against the rest of the corpus in
+    doc_id order — the memorization/redundancy screen that complements
+    decontamination: instead of flagging overlap with an *external* eval
+    set, it scores how much of each doc is the corpus's own first sighting.
+
+    A doc's distinct word ``n``-grams are novel when their first corpus
+    occurrence (min doc_id over all docs containing the gram) is this doc.
+    Returns (doc_id, n_grams, n_novel, novel_ppm) over distinct grams —
+    curriculum builders drop or down-weight low-novelty docs.
+
+    Scale shape: one explode to (doc_id, gram_hash) distinct rows, one
+    map-side-combined MIN shuffle keyed by gram for the first-occurrence
+    table, one join back (AQE picks broadcast vs shuffle by gram-table
+    size), one per-doc re-aggregation.  All-integer output; the ordering
+    key is whatever doc_id encodes (ingest time in production), so the
+    semantics are 'novel vs everything ingested before me'.
+    """
+    from .dedup import _word_ngrams
+
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(_word_ngrams(F.col("text"), n), lambda g: F.md5(g.cast("binary")))
+            )
+        ).alias("g"),
+    )
+    first = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        grams.join(first, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.sum((F.col("first_doc") == F.col("doc_id")).cast("long"))
+            .cast("long")
+            .alias("n_novel"),
+        )
+        .withColumn("novel_ppm", F.expr("n_novel * 1000000 DIV n_grams"))
+        .orderBy("doc_id")
+    )

@@ -697,3 +697,68 @@ def tvd_drift_update_drain(events: DataFrame, window: str = "1 day") -> DataFram
             " DIV (2 * CAST(n_w AS DECIMAL(38,0)) * _n) AS BIGINT)"
         ).alias("tvd_ppm"),
     ).orderBy("window_sec")
+
+
+def ewma_volume_drain(events: DataFrame, window: str = "1 hour", span: int = 8) -> DataFrame:
+    """Streaming volume-EWMA monitor: per-hour event counts aggregate in
+    UPDATE mode (watermark-bounded state, same discipline as
+    tvd_drift_update_drain) and each drain computes a *bounded-window*
+    exponentially-weighted moving average of window volume — the smoothed
+    trend line an ops dashboard alarms on.
+
+    The classic EWMA recurrence s_t = α·x_t + (1−α)·s_{t−1} is an infinite
+    lookback and float-orderdependent — unverifiable and unbounded.  This
+    uses the production-practical truncation: power-of-two weights over the
+    last ``span`` windows,
+
+        ewma(w) = Σ_{d=0..span−1} x_{w−d} · 2^{span−1−d}
+                  ÷ Σ_{d: window w−d exists} 2^{span−1−d}
+
+    — α = 1/2 decay, exact integers throughout (the events_decayed_revenue
+    trick).  Rather than a range join, each source window *scatters* its
+    ``span`` weighted contributions forward (explode of a span-length
+    array, shuffle keyed by target window) and a partial-agg sum gathers
+    them — the same explode+combine shape that beat the interval join in
+    ROADMAP r5's gap-fill rewrite.  Missing hours simply contribute
+    nothing; the denominator sums only weights of windows that exist, so
+    the estimate renormalizes over gaps instead of decaying toward zero.
+
+    State shape: one streaming state row per open hour window inside the
+    watermark horizon (update mode evicts at watermark-pass); the drain-side
+    EWMA runs on the compacted per-window counts — bounded by windows in
+    retention, never event volume.  Counts are monotone non-decreasing
+    across update emissions, so per-key max compacts the emission log
+    exactly like topk_users_update_drain.
+    Returns (window_sec, n_events, ewma_x100) ordered by window.
+    """
+    out = run_available_now(
+        events.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", window).alias("win"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("n_events").cast("long"),
+        ),
+        output_mode="update",
+    )
+    c = out.groupBy("window_start").agg(F.max("n_events").cast("long").alias("n"))
+    idx = c.select(F.expr("CAST(window_start AS LONG) DIV 3600").alias("w"), "n")
+    contrib = idx.select(
+        F.explode(F.sequence(F.lit(0), F.lit(span - 1))).alias("d"), "w", "n"
+    ).select(
+        (F.col("w") + F.col("d")).alias("t"),
+        F.expr(f"n * CAST(shiftleft(1, {span - 1} - d) AS BIGINT)").alias("num"),
+        F.expr(f"CAST(shiftleft(1, {span - 1} - d) AS BIGINT)").alias("den"),
+    )
+    gathered = contrib.groupBy("t").agg(
+        F.sum("num").alias("num"), F.sum("den").alias("den")
+    )
+    return (
+        idx.join(gathered, idx.w == gathered.t)
+        .select(
+            (F.col("w") * 3600).cast("long").alias("window_sec"),
+            F.col("n").alias("n_events"),
+            F.expr("num * 100 DIV den").cast("long").alias("ewma_x100"),
+        )
+        .orderBy("window_sec")
+    )

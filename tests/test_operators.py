@@ -2614,3 +2614,167 @@ def _rows_identical(img, w, h):
     row = (3 * w + 3) // 4 * 4
     rows = {img[off + y * row : off + (y + 1) * row] for y in range(h)}
     return len(rows) == 1
+
+
+def test_duplicated_span_census_planted(spark):
+    """Two docs sharing a verbatim span at DIFFERENT offsets (the case
+    position-strided selection provably misses) must both flag duplicated
+    anchors; a unique doc flags none; a doc shorter than the window is
+    excluded entirely."""
+    from duckdb_age_spark.operators.dedup import duplicated_span_census
+
+    shared = (
+        "the quick brown fox jumps over the lazy dog today and "
+        "every mirror of this page carries this exact sentence"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " plus a unique tail written only here for doc one x"),
+            (2, "completely different opening words " + shared),
+            (3, "x" * 23),  # one char short of a window
+            (4, "this document shares nothing with any other one and is long enough"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in duplicated_span_census(docs, k=24, anchor_mod=8).collect()}
+    assert 3 not in out
+    assert out[4].n_dup_anchors == 0 and out[4].dup_ppm == 0
+    # offsets differ by 35 (not ≡ 0 mod 8): content-defined anchors still hit
+    assert out[1].n_dup_anchors >= 1 and out[2].n_dup_anchors >= 1
+    for r in out.values():
+        assert 0 <= r.n_dup_anchors <= r.n_anchors
+        assert r.dup_ppm == r.n_dup_anchors * 1_000_000 // r.n_anchors
+
+
+def test_duplicated_span_census_exact_copy_full_ppm(spark):
+    """An exact copy selects the identical anchor set in both docs, so
+    every anchor is duplicated and dup_ppm = 10⁶ for both."""
+    from duckdb_age_spark.operators.dedup import duplicated_span_census
+
+    text = (
+        "some boilerplate sentence that repeats verbatim across mirrors "
+        "and keeps repeating long enough to guarantee several anchors"
+    )
+    docs = spark.createDataFrame(
+        [(1, text), (2, text)], "doc_id long, text string"
+    )
+    rows = duplicated_span_census(docs, k=24, anchor_mod=8).collect()
+    assert len(rows) == 2
+    for r in rows:
+        assert r.n_anchors >= 1
+        assert r.n_dup_anchors == r.n_anchors and r.dup_ppm == 1_000_000
+
+
+def test_ngram_novelty_copy_scores_zero(spark):
+    """Doc 0's grams are all first sightings (novel_ppm = 10⁶); an exact
+    later copy is all re-sightings (0); a half-overlapping doc lands
+    strictly between."""
+    from duckdb_age_spark.operators.pipeline import ngram_novelty
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [
+            (0, base),
+            (1, base),
+            (2, base + " iota kappa lambda mu nu xi omicron pi rho"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in ngram_novelty(docs, n=5).collect()}
+    assert out[0].novel_ppm == 1_000_000
+    assert out[1].novel_ppm == 0 and out[1].n_novel == 0
+    assert 0 < out[2].novel_ppm < 1_000_000
+    assert out[0].n_grams == out[1].n_grams  # identical text, identical grams
+
+
+def test_hits_star_graph_exact_fixed_point(spark):
+    """Hand-computed 2-round HITS on h1→{a1,a2}, h2→a1: every integer
+    intermediate is checkable by hand, so the assert pins the exact
+    L1-normalized fixed-point values (floor divisions included)."""
+    from duckdb_age_spark.operators.graph import hits_scores
+
+    edges = spark.createDataFrame(
+        [(10, 1), (10, 2), (20, 1)], "src long, dst long"
+    )
+    out = {r.node: (r.hub, r.auth) for r in hits_scores(edges, n_iter=2).collect()}
+    # round 1: a'=(2S, S) -> auth=(666666, 333333); h'=(999999, 666666)
+    #   -> hub=(600000, 400000)
+    # round 2: a'=(1000000, 600000) -> auth=(625000, 375000)
+    #   h'=(1000000, 625000) -> hub=(615384, 384615)
+    assert out[10] == (615384, 0)
+    assert out[20] == (384615, 0)
+    assert out[1] == (0, 625000)
+    assert out[2] == (0, 375000)
+
+
+def test_ewma_volume_known_sequence(spark, tmp_path):
+    """Hour volumes 4, 2, gap, 8: the bounded power-of-two EWMA at each
+    present hour is hand-computable, including gap renormalization (the
+    missing hour contributes neither numerator nor denominator)."""
+    from datetime import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from duckdb_age_spark.streaming import ewma_volume_drain
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    src = tmp_path / "src"
+    src.mkdir()
+    ts = (
+        [datetime(2024, 1, 1, 0, i) for i in range(4)]
+        + [datetime(2024, 1, 1, 1, i) for i in range(2)]
+        + [datetime(2024, 1, 1, 3, i) for i in range(8)]
+    )
+    pq.write_table(
+        pa.table({"ts": pa.array(ts, pa.timestamp("us"))}),
+        str(src / "f.parquet"),
+    )
+    stream = spark.readStream.schema("ts timestamp").parquet(str(src))
+    out = {
+        r.window_sec: (r.n_events, r.ewma_x100)
+        for r in ewma_volume_drain(stream, window="1 hour", span=8).collect()
+    }
+    h0 = int(datetime(2024, 1, 1, 0).timestamp())
+    # h0: 4*128*100 // 128 = 400
+    assert out[h0] == (4, 400)
+    # h1: (2*128 + 4*64)*100 // (128+64) = 51200 // 192 = 266
+    assert out[h0 + 3600] == (2, 266)
+    # gap hour emits nothing
+    assert h0 + 7200 not in out
+    # h3: (8*128 + 2*32 + 4*16)*100 // (128+32+16) = 115200 // 176 = 654
+    assert out[h0 + 3 * 3600] == (8, 654)
+
+
+def test_last_touch_attribution_rules(spark):
+    """Purchase credits the latest PRECEDING non-purchase touch of the same
+    user; a purchase with no prior event is 'direct'; later events never
+    attribute backwards; back-to-back purchases reuse the same last touch."""
+    from datetime import datetime
+
+    from duckdb_age_spark.operators.events import last_touch_attribution
+
+    rows = [
+        # user 1: view -> click -> purchase  => click
+        (1, datetime(2024, 1, 1, 0), 1, "view", 0.0),
+        (2, datetime(2024, 1, 1, 1), 1, "click", 0.0),
+        (3, datetime(2024, 1, 1, 2), 1, "purchase", 10.00),
+        # user 2: purchase first => direct; then error -> purchase => error
+        (4, datetime(2024, 1, 2, 0), 2, "purchase", 5.50),
+        (5, datetime(2024, 1, 2, 1), 2, "error", 0.0),
+        (6, datetime(2024, 1, 2, 2), 2, "purchase", 1.25),
+        # user 3: view -> purchase -> purchase => view credited twice
+        (7, datetime(2024, 1, 3, 0), 3, "view", 0.0),
+        (8, datetime(2024, 1, 3, 1), 3, "purchase", 2.00),
+        (9, datetime(2024, 1, 3, 2), 3, "purchase", 3.00),
+    ]
+    events = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    out = {r.channel: (r.n_purchases, r.revenue_cents) for r in last_touch_attribution(events).collect()}
+    assert out == {
+        "click": (1, 1000),
+        "direct": (1, 550),
+        "error": (1, 125),
+        "view": (2, 500),
+    }

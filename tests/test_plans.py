@@ -757,3 +757,57 @@ def test_flip_features_is_shuffle_free_mapinpandas(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "MapInPandas" in plan
     assert plan.count("Exchange") == 1, plan[:2000]
+
+
+def test_span_census_no_allpairs_and_partial_aggs(t):
+    from duckdb_age_spark.operators.dedup import duplicated_span_census
+
+    df = duplicated_span_census(t["documents"])
+    plan = formatted_plan(df)
+    # bucketed-by-hash, never all-pairs: no cartesian/nested-loop anywhere
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    # both the hash-count and the per-doc rollup combine map-side
+    assert has_partial_aggregate(df)
+    # scan reads only (doc_id, text)
+    schemas = read_schemas(df)
+    assert schemas and all("lang" not in s and "source" not in s for s in schemas), schemas
+
+
+def test_ngram_novelty_partial_min_before_shuffle(t):
+    from duckdb_age_spark.operators.pipeline import ngram_novelty
+
+    df = ngram_novelty(t["documents"])
+    plan = formatted_plan(df)
+    assert has_partial_aggregate(df)  # MIN combines before the gram shuffle
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_hits_totals_broadcast_not_cartesian(t):
+    from duckdb_age_spark.operators.graph import hits_scores
+
+    edges = (
+        t["lineitem"]
+        .join(t["orders"], t["lineitem"].l_orderkey == t["orders"].o_orderkey)
+        .select(
+            (F.col("l_suppkey") + 1_000_000).alias("src"),
+            F.col("o_custkey").alias("dst"),
+        )
+        .distinct()
+    )
+    df = hits_scores(edges, n_iter=2)
+    plan = formatted_plan(df)
+    # the four 1-row L1 totals come back as broadcast nested loops, never
+    # a shuffled cartesian; the per-node sums combine map-side
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert has_partial_aggregate(df)
+
+
+def test_attribution_single_user_shuffle(t):
+    from duckdb_age_spark.operators.events import last_touch_attribution
+
+    df = last_touch_attribution(t["events"])
+    # one exchange for the per-user window, one for the channel rollup,
+    # one for the final sort — nothing hidden
+    assert count_exchanges(df) <= 3
+    assert has_partial_aggregate(df)
