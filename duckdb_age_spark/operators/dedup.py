@@ -735,35 +735,59 @@ def duplicated_span_census(docs: DataFrame, k: int = 24, anchor_mod: int = 8) ->
     problem, not span-level's.
 
     Scale shape: hashing every position is a pure narrow map (the CDC
-    cost — embarrassingly parallel, zero shuffle); only selected anchors
-    (~1/anchor_mod of positions) explode into rows carrying (doc_id,
-    16-hex hash).  One map-side-combined shuffle groups by hash for the
-    distinct-doc count, one join returns it, one re-group rolls up per
-    doc — no all-pairs stage anywhere, the same banded profile as MinHash.
-    md5 keeps the oracle engine-identical; a production deployment would
-    swap a rolling polynomial hash into the same plan if per-byte hashing
-    ever dominates the scan.
+    cost — embarrassingly parallel, zero shuffle).  The hash chain runs as
+    ROW-level expressions after an explode of the position sequence, NOT
+    inside array higher-order-function lambdas: HOF lambda bodies are
+    interpreted per element outside whole-stage codegen, and the first cut
+    of this operator (md5 inside transform+filter) measured ~4× slower at
+    sf10 for exactly that reason — same lesson as the minhash explode
+    rewrite (minhash_signatures docstring).  Anchor filtering drops
+    ~(1−1/anchor_mod) of rows before the per-doc distinct, whose map-side
+    partial aggregation means the shuffle still carries only the distinct
+    (doc_id, 16-hex) anchors.  The distinct-doc count per hash is then a
+    COUNT window over the already-distinct rows rather than an aggregate
+    joined back to its own input: the join formulation executes the
+    scan+hash lineage once per join side (measured 2× wall at sf10 — the
+    boilerplate-screen lesson), while the window consumes the distinct's
+    shuffle output in a single pass.  Net: ONE scan, three anchor-row
+    shuffles ((doc_id, h) distinct → h window → doc_id rollup), no
+    all-pairs stage anywhere — the same banded profile as MinHash.  md5
+    keeps the oracle engine-identical; a production deployment would swap
+    a rolling polynomial hash into the same plan if per-byte hashing ever
+    dominates the scan.
     """
-    positions = F.sequence(F.lit(1), F.length("text") - F.lit(k - 1))
-    hashes = F.transform(
-        positions,
-        lambda i: F.substring(
-            F.md5(F.col("text").substr(i, F.lit(k)).cast("binary")), 1, 16
-        ),
+    from pyspark.sql import Window as W
+
+    # the explode multiplies per-row work ~len(text)×, so input-split
+    # parallelism (sized for scan bytes, not compute) gates the whole
+    # stage — spread the SKINNY doc rows across every core first; the
+    # repartition ships raw docs once (cheap) and is the same fat-compute
+    # fix as the 4 MB row-group rule in SCALE_EVIDENCE.md
+    spread = docs.where(F.length("text") >= k).repartition(
+        docs.sparkSession.sparkContext.defaultParallelism
     )
-    anchors = F.array_distinct(
-        F.filter(
-            hashes,
-            lambda h: F.conv(F.substring(h, 1, 4), 16, 10).cast("long") % anchor_mod == 0,
-        )
+    pos = spread.select(
+        "doc_id",
+        "text",
+        F.explode(F.sequence(F.lit(1), F.length("text") - F.lit(k - 1))).alias("i"),
+    )
+    hashed = pos.select(
+        "doc_id",
+        F.substring(
+            F.md5(F.expr(f"CAST(substr(text, i, {k}) AS BINARY)")), 1, 16
+        ).alias("h"),
     )
     w = (
-        docs.where(F.length("text") >= k)
-        .select("doc_id", F.explode(anchors).alias("h"))
+        hashed.where(
+            F.conv(F.substring("h", 1, 4), 16, 10).cast("long") % anchor_mod == 0
+        )
+        .select("doc_id", "h")
+        .distinct()
     )
-    hc = w.groupBy("h").agg(F.countDistinct("doc_id").alias("nd"))
+    # rows are distinct (doc_id, h), so a plain COUNT per h IS the
+    # distinct-doc count — no countDistinct (illegal in windows) needed
     return (
-        w.join(hc, "h")
+        w.withColumn("nd", F.count("*").over(W.partitionBy("h")))
         .groupBy("doc_id")
         .agg(
             F.count("*").cast("long").alias("n_anchors"),

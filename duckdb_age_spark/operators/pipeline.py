@@ -584,26 +584,34 @@ def ngram_novelty(docs: DataFrame, n: int = 5) -> DataFrame:
     Returns (doc_id, n_grams, n_novel, novel_ppm) over distinct grams —
     curriculum builders drop or down-weight low-novelty docs.
 
-    Scale shape: one explode to (doc_id, gram_hash) distinct rows, one
-    map-side-combined MIN shuffle keyed by gram for the first-occurrence
-    table, one join back (AQE picks broadcast vs shuffle by gram-table
-    size), one per-doc re-aggregation.  All-integer output; the ordering
-    key is whatever doc_id encodes (ingest time in production), so the
-    semantics are 'novel vs everything ingested before me'.
+    Scale shape: one explode to (doc_id, gram_hash) distinct rows; the
+    first-occurrence doc is a MIN window over the gram key rather than an
+    aggregate joined back to its own input — the join formulation executes
+    the scan+shingle lineage once per join side (measured 2× wall at sf10,
+    the boilerplate-screen lesson), while the window consumes the gram
+    shuffle in a single pass.  Net: ONE scan, one shuffle keyed by gram,
+    one per-doc re-aggregation.  All-integer output; the ordering key is
+    whatever doc_id encodes (ingest time in production), so the semantics
+    are 'novel vs everything ingested before me'.  The md5 runs row-level
+    AFTER the explode (whole-stage codegen), not inside the gram-array
+    transform lambda — HOF bodies are interpreted per element
+    (minhash_signatures lesson).
     """
+    from pyspark.sql import Window as W
+
     from .dedup import _word_ngrams
 
-    grams = docs.select(
+    # shingling + hashing is ~n_words× the scan work per row: spread the
+    # skinny doc rows across every core before the fat compute (same
+    # fix as duplicated_span_census — input splits are sized for scan
+    # bytes, not for downstream explode cost)
+    spread = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    grams = spread.select(
         "doc_id",
-        F.explode(
-            F.array_distinct(
-                F.transform(_word_ngrams(F.col("text"), n), lambda g: F.md5(g.cast("binary")))
-            )
-        ).alias("g"),
-    )
-    first = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+        F.explode(F.array_distinct(_word_ngrams(F.col("text"), n))).alias("gram"),
+    ).select("doc_id", F.md5(F.col("gram").cast("binary")).alias("g"))
     return (
-        grams.join(first, "g")
+        grams.withColumn("first_doc", F.min("doc_id").over(W.partitionBy("g")))
         .groupBy("doc_id")
         .agg(
             F.count("*").cast("long").alias("n_grams"),
