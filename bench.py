@@ -203,6 +203,11 @@ BENCH_QUERIES = [
     "graph_hits",
     "streaming_ewma_hourly",
     "events_attribution",
+    "dedup_span_pairs",
+    "sim_topk_mips",
+    "events_rfm_segments",
+    "multimodal_audio_blocks",
+    "text_zipf_slope",
 ]
 
 

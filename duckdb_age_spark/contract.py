@@ -6853,15 +6853,18 @@ def sketch_kmv_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_q(
-    "text_substring_dedup",
-    """
-    WITH p AS (
+_SPAN_ANCHORS_SQL = """p AS (
       SELECT doc_id, substr(md5(substr(text, CAST(i AS INT), 24)), 1, 16) AS h
       FROM documents, unnest(range(1, length(text) - 22)) AS t(i)
       WHERE length(text) >= 24),
     w AS (SELECT DISTINCT doc_id, h FROM p
-          WHERE ('0x' || substr(h, 1, 4))::BIGINT % 8 = 0),
+          WHERE ('0x' || substr(h, 1, 4))::BIGINT % 8 = 0)"""
+
+
+@_q(
+    "text_substring_dedup",
+    f"""
+    WITH {_SPAN_ANCHORS_SQL},
     hc AS (SELECT h, count(DISTINCT doc_id) AS nd FROM w GROUP BY 1)
     SELECT doc_id, count(*)::BIGINT AS n_anchors,
            sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_dup_anchors,
@@ -6879,6 +6882,142 @@ def text_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _prep(spark)
     return duplicated_span_census(load(spark, sf_dir, "documents"), k=24, anchor_mod=8)
+
+
+@_q(
+    "dedup_span_pairs",
+    f"""
+    WITH {_SPAN_ANCHORS_SQL}
+    SELECT doc_a, doc_b, n_shared FROM (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS n_shared
+      FROM w a JOIN w b ON a.h = b.h AND a.doc_id < b.doc_id GROUP BY 1, 2)
+    WHERE n_shared >= 2 ORDER BY doc_a, doc_b
+    """,
+)
+def dedup_span_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pair-level ExactSubstr: doc pairs sharing ≥2 distinct span
+    fingerprints, formed per anchor bucket (banded self-join with the
+    LSH hot-bucket cap) — the edge list span-dedup clustering consumes."""
+    from .operators.dedup import duplicated_span_pairs
+
+    _prep(spark)
+    return duplicated_span_pairs(load(spark, sf_dir, "documents"), k=24, anchor_mod=8)
+
+
+@_q(
+    "sim_topk_mips",
+    """
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+    scored AS (
+      SELECT query_id, e.vec_id,
+             round(list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * e.v[i])), 4) AS dot
+      FROM e CROSS JOIN q WHERE e.vec_id != q.query_id)
+    SELECT query_id, vec_id, dot, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, vec_id ASC) AS rank
+      FROM scored)
+    WHERE rank <= 5
+    """,
+)
+def sim_topk_mips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact maximum-inner-product top-k (unnormalized dot — the
+    recommender/two-tower retrieval objective cosine deliberately
+    erases); broadcast queries, one WindowGroupLimit-pruned shuffle."""
+    from .operators.similarity import mips_topk, queries_from_ids
+
+    _prep(spark)
+    emb = load(spark, sf_dir, "embeddings")
+    out = mips_topk(emb, queries_from_ids(emb, [0, 1, 2, 3, 4]), k=5)
+    return out.withColumn("rank", F.col("rank").cast("bigint"))
+
+
+@_q(
+    "events_rfm_segments",
+    """
+    WITH pu AS (
+      SELECT user_id, max(floor(epoch(ts))::BIGINT) AS last_sec, count(*)::BIGINT AS freq,
+             sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS cents
+      FROM events WHERE event_type = 'purchase' GROUP BY 1),
+    gm AS (SELECT max(floor(epoch(ts))::BIGINT) AS max_sec FROM events),
+    scored AS (SELECT user_id, max_sec - last_sec AS recency_sec, freq, cents
+               FROM pu CROSS JOIN gm),
+    tiles AS (
+      SELECT user_id, cents,
+             ntile(5) OVER (ORDER BY recency_sec ASC, user_id ASC) AS r_tile,
+             ntile(5) OVER (ORDER BY freq DESC, user_id ASC) AS f_tile,
+             ntile(5) OVER (ORDER BY cents DESC, user_id ASC) AS m_tile
+      FROM scored)
+    SELECT r_tile::BIGINT AS r_tile, f_tile::BIGINT AS f_tile, m_tile::BIGINT AS m_tile,
+           count(*)::BIGINT AS n_users, sum(cents)::BIGINT AS revenue_cents
+    FROM tiles GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+    """,
+)
+def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM quintile segmentation over purchasers — ntiles over TOTAL
+    orders (metric, user_id), census of the ≤125-cell segment grid."""
+    from .operators.events import rfm_segments
+
+    _prep(spark)
+    return rfm_segments(load(spark, sf_dir, "events"), n_tiles=5)
+
+
+@_q(
+    "multimodal_audio_blocks",
+    """
+    WITH wav AS (
+      SELECT doc_id AS media_id, doc_id % 1000 + 1 AS n
+      FROM documents WHERE doc_id % 2 = 1),
+    blocks AS (
+      SELECT media_id, n, b FROM wav, unnest(range(0, (n + 255) // 256)) AS t(b))
+    SELECT media_id, b::BIGINT AS block,
+           (least(n, (b + 1) * 256) - b * 256)::BIGINT AS n_samples,
+           list_sum(list_transform(range(b * 256, least(n, (b + 1) * 256)),
+                    i -> ((media_id + i) * 257 % 4096 - 2048)
+                         * ((media_id + i) * 257 % 4096 - 2048)))::BIGINT AS sum_sq,
+           list_max(list_transform(range(b * 256, least(n, (b + 1) * 256)),
+                    i -> abs((media_id + i) * 257 % 4096 - 2048)))::BIGINT AS peak,
+           'real' AS decode_ok
+    FROM blocks ORDER BY media_id, block
+    """,
+)
+def multimodal_audio_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed block energy (exact Σs², peak) over REAL WAV bytes —
+    the VAD/loudness profile; numpy over Arrow batches, shuffle-free,
+    oracle replays the synthesis formula per block."""
+    from .operators.multimodal import audio_block_features, synthesize_media
+
+    _prep(spark)
+    media = synthesize_media(load(spark, sf_dir, "documents"))
+    return audio_block_features(media, block=256).orderBy("media_id", "block")
+
+
+@_q(
+    "text_zipf_slope",
+    r"""
+    WITH toks AS (
+      SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok FROM documents),
+    vocab AS (SELECT tok, count(*) AS c FROM toks GROUP BY 1),
+    ranked AS (
+      SELECT CAST(round(ln(rk) * 1e9) AS BIGINT) AS x,
+             CAST(round(ln(c) * 1e9) AS BIGINT) AS y
+      FROM (SELECT c, row_number() OVER (ORDER BY c DESC, tok ASC) AS rk FROM vocab)
+      WHERE rk <= 100),
+    s AS (SELECT count(*)::HUGEINT AS n, sum(x::HUGEINT) AS sx, sum(y::HUGEINT) AS sy,
+                 sum(x::HUGEINT * y) AS sxy, sum(x::HUGEINT * x) AS sxx FROM ranked)
+    SELECT CAST(n AS BIGINT) AS n_terms,
+           (-(((sx * sy - n * sxy) * 1000000) // (n * sxx - sx * sx)))::BIGINT AS slope_ppm,
+           ((sy * 1000000 + ((sx * sy - n * sxy) * 1000000 // (n * sxx - sx * sx)) * sx)
+            // (n * 1000000))::BIGINT AS intercept_nano
+    FROM s
+    """,
+)
+def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law OLS fit (ln freq on ln rank, top-100 vocab) in exact
+    nano-int/DECIMAL arithmetic — one-number corpus-health gate."""
+    from .operators.text import zipf_slope
+
+    _prep(spark)
+    return zipf_slope(load(spark, sf_dir, "documents"), top_n=100)
 
 
 @_q(

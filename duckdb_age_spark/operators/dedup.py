@@ -758,11 +758,28 @@ def duplicated_span_census(docs: DataFrame, k: int = 24, anchor_mod: int = 8) ->
     """
     from pyspark.sql import Window as W
 
-    # the explode multiplies per-row work ~len(text)×, so input-split
-    # parallelism (sized for scan bytes, not compute) gates the whole
-    # stage — spread the SKINNY doc rows across every core first; the
-    # repartition ships raw docs once (cheap) and is the same fat-compute
-    # fix as the 4 MB row-group rule in SCALE_EVIDENCE.md
+    w = _span_anchors(docs, k, anchor_mod)
+    # rows are distinct (doc_id, h), so a plain COUNT per h IS the
+    # distinct-doc count — no countDistinct (illegal in windows) needed
+    return (
+        w.withColumn("nd", F.count("*").over(W.partitionBy("h")))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_anchors"),
+            F.sum((F.col("nd") >= 2).cast("long")).cast("long").alias("n_dup_anchors"),
+        )
+        .withColumn("dup_ppm", F.expr("n_dup_anchors * 1000000 DIV n_anchors"))
+        .orderBy("doc_id")
+    )
+
+
+def _span_anchors(docs: DataFrame, k: int, anchor_mod: int) -> DataFrame:
+    """Distinct (doc_id, h) content-defined span fingerprints shared by the
+    census and pair operators (see duplicated_span_census for the full
+    selection/plan rationale: explode-first row-level md5, anchor filter,
+    map-side-combined distinct; the repartition spreads the skinny doc rows
+    before the ~len(text)× explode because input splits are sized for scan
+    bytes, not compute)."""
     spread = docs.where(F.length("text") >= k).repartition(
         docs.sparkSession.sparkContext.defaultParallelism
     )
@@ -777,22 +794,50 @@ def duplicated_span_census(docs: DataFrame, k: int = 24, anchor_mod: int = 8) ->
             F.md5(F.expr(f"CAST(substr(text, i, {k}) AS BINARY)")), 1, 16
         ).alias("h"),
     )
-    w = (
+    return (
         hashed.where(
             F.conv(F.substring("h", 1, 4), 16, 10).cast("long") % anchor_mod == 0
         )
         .select("doc_id", "h")
         .distinct()
     )
-    # rows are distinct (doc_id, h), so a plain COUNT per h IS the
-    # distinct-doc count — no countDistinct (illegal in windows) needed
+
+
+def duplicated_span_pairs(
+    docs: DataFrame,
+    k: int = 24,
+    anchor_mod: int = 8,
+    min_shared: int = 2,
+    max_bucket: int = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
+    """Pair-level ExactSubstr output: which documents share verbatim spans,
+    and how many distinct span fingerprints each pair shares — the edge
+    list a span-dedup pass feeds into clustering/retention, complementing
+    the per-doc census (duplicated_span_census).
+
+    Same content-defined anchor table; pairs form per anchor bucket (the
+    classic banded self-join — candidates only among docs that already
+    collide on a fingerprint, never all-pairs) and aggregate to
+    (doc_a, doc_b, n_shared).  ``min_shared`` ≥ 2 demands two independent
+    fingerprint collisions, suppressing the single-window coincidences a
+    64-bit truncated hash admits in principle.
+
+    Scale shape: the per-anchor join is quadratic in bucket size, so
+    buckets above ``max_bucket`` are dropped from candidate generation
+    exactly like the MinHash/SimHash LSH joins (_drop_hot_buckets — a
+    corpus-wide boilerplate string is a cluster-killer, and its pairs are
+    document-dedup's job anyway); below the cap the join parallelizes
+    across buckets.  One extra shuffle over the census: the pair rollup.
+    """
+    w = _span_anchors(docs, k, anchor_mod)
+    w = _drop_hot_buckets(w, "h", max_bucket)
+    a = w.select(F.col("doc_id").alias("doc_a"), "h")
+    b = w.select(F.col("doc_id").alias("doc_b"), "h")
     return (
-        w.withColumn("nd", F.count("*").over(W.partitionBy("h")))
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").cast("long").alias("n_anchors"),
-            F.sum((F.col("nd") >= 2).cast("long")).cast("long").alias("n_dup_anchors"),
-        )
-        .withColumn("dup_ppm", F.expr("n_dup_anchors * 1000000 DIV n_anchors"))
-        .orderBy("doc_id")
+        a.join(b, "h")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+        .orderBy("doc_a", "doc_b")
     )

@@ -558,3 +558,67 @@ def last_touch_attribution(events: DataFrame) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+def rfm_segments(events: DataFrame, n_tiles: int = 5) -> DataFrame:
+    """RFM (recency / frequency / monetary) quintile segmentation over
+    purchasers — the classic customer-value grid every events warehouse
+    derives: R = seconds since the user's last purchase (vs the stream's
+    max timestamp), F = purchase count, M = exact integer cents.
+
+    Each dimension is an ntile over a TOTAL order ((metric, user_id) —
+    ntile on a partial order is engine-nondeterministic); R ascends
+    (recent = tile 1), F and M descend (heavy = tile 1).  Returns the
+    segment census (r_tile, f_tile, m_tile, n_users, revenue_cents) —
+    the bounded ≤ n_tiles³ grid, not per-user rows.
+
+    Scale shape: one map-side-combined per-user aggregate (the only
+    corpus-scale shuffle), a 1-row global-max broadcast, three ntile
+    windows over the USER table (user-cardinality, not event-cardinality
+    — and ntile needs a global sort, the unavoidable exact-quantile cost;
+    at extreme user counts swap approx quantile cuts into the same plan),
+    one bounded census aggregate.
+    """
+    from pyspark.sql import Window as W
+
+    per_user = (
+        events.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.max(F.col("ts").cast("long")).alias("last_sec"),
+            F.count("*").alias("freq"),
+            F.sum(F.expr("CAST(round(value * 100) AS BIGINT)")).alias("cents"),
+        )
+    )
+    global_max = events.agg(F.max(F.col("ts").cast("long")).alias("max_sec"))
+    scored = per_user.crossJoin(F.broadcast(global_max)).select(
+        "user_id",
+        (F.col("max_sec") - F.col("last_sec")).alias("recency_sec"),
+        "freq",
+        "cents",
+    )
+    r = F.ntile(n_tiles).over(W.orderBy(F.asc("recency_sec"), F.asc("user_id")))
+    f = F.ntile(n_tiles).over(W.orderBy(F.desc("freq"), F.asc("user_id")))
+    m = F.ntile(n_tiles).over(W.orderBy(F.desc("cents"), F.asc("user_id")))
+    return (
+        scored.select(
+            "user_id",
+            "cents",
+            r.alias("r_tile"),
+            f.alias("f_tile"),
+            m.alias("m_tile"),
+        )
+        .groupBy("r_tile", "f_tile", "m_tile")
+        .agg(
+            F.count("*").cast("long").alias("n_users"),
+            F.sum("cents").cast("long").alias("revenue_cents"),
+        )
+        .select(
+            F.col("r_tile").cast("long"),
+            F.col("f_tile").cast("long"),
+            F.col("m_tile").cast("long"),
+            "n_users",
+            "revenue_cents",
+        )
+        .orderBy("r_tile", "f_tile", "m_tile")
+    )

@@ -651,3 +651,64 @@ def flip_features(media: DataFrame) -> DataFrame:
             yield out_df
 
     return media.mapInPandas(batches, schema=FLIP_SCHEMA)
+
+
+AUDIO_BLOCK_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("block", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("sum_sq", LongType()),
+        StructField("peak", LongType()),
+        StructField("decode_ok", StringType()),
+    ]
+)
+
+
+def audio_block_features(media: DataFrame, block: int = 256) -> DataFrame:
+    """Windowed signal energy over REAL WAV bytes: the PCM data section is
+    parsed (stdlib header decode, numpy int16 view) and each ``block``-
+    sample window emits its exact Σs² and peak |s| — the block-energy
+    profile VAD/silence-trimming and loudness-normalization passes run
+    before audio-training-data selection.  RMS itself is irrational, so
+    the operator returns the (sum_sq, n_samples) pair it derives from —
+    exact integers an oracle replays from the synthesis formula (a parser
+    bug in offset/endianness/width corrupts every block and fails the
+    hash).  Σs² ≤ 2048²·block ≈ 2³⁰ per block — no overflow anywhere.
+
+    Poison payloads degrade to a single block=-1 error row (the 100 TB
+    rule: a bad byte-string must never kill the job).  Scale shape:
+    shuffle-free mapInPandas — blocks of one payload never cross rows, so
+    the stage stays a narrow map at any corpus size; numpy does the
+    squaring per Arrow batch.
+    """
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k: [] for k in ("media_id", "block", "n_samples", "sum_sq", "peak", "decode_ok")}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload) if payload is not None else b""
+                try:
+                    _rate, n = decode_wav(b)
+                    samples = np.frombuffer(b, dtype="<i2", offset=44, count=n).astype(np.int64)
+                    for blk in range(0, (n + block - 1) // block):
+                        seg = samples[blk * block : (blk + 1) * block]
+                        out["media_id"].append(int(mid))
+                        out["block"].append(blk)
+                        out["n_samples"].append(int(seg.size))
+                        out["sum_sq"].append(int((seg * seg).sum()))
+                        out["peak"].append(int(np.abs(seg).max()))
+                        out["decode_ok"].append("real")
+                except (ValueError, struct.error) as exc:
+                    out["media_id"].append(int(mid))
+                    out["block"].append(-1)
+                    out["n_samples"].append(0)
+                    out["sum_sq"].append(0)
+                    out["peak"].append(0)
+                    out["decode_ok"].append(f"error:{exc}")
+            yield pd.DataFrame(out)
+
+    return media.where(F.col("kind") == "audio/wav").mapInPandas(
+        batches, schema=AUDIO_BLOCK_SCHEMA
+    )

@@ -659,3 +659,40 @@ def pq_codebook_stats(
         .select(F.col("subspace").cast("long"), F.col("code").cast("long"), "n_vecs", "total_err_micro")
         .orderBy("subspace", "code")
     )
+
+
+def mips_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5) -> DataFrame:
+    """Exact top-k by MAXIMUM INNER PRODUCT for each query vector — the
+    retrieval objective recommender and two-tower models actually optimize
+    (unnormalized: a long vector can outrank a better-aligned short one,
+    which cosine deliberately erases — that is the point of MIPS).
+
+    Same plan as brute_force_topk: broadcast the small query side, narrow
+    zip_with dot product, one shuffle for the per-query top-k window
+    (WindowGroupLimit prunes to k per query before the final sort).  The
+    dot accumulates left-to-right over the same doubles in both engines,
+    so the 4-dp round is engine-identical (sim module contract).
+    """
+    corpus = embeddings.select("vec_id", _as_double(F.col("embedding")).alias("v"))
+    scored = (
+        corpus.join(F.broadcast(queries))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(
+                F.aggregate(
+                    F.zip_with(F.col("qv"), F.col("v"), lambda a, b: a * b),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                4,
+            ).alias("dot"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("dot"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "dot", "rank")
+    )

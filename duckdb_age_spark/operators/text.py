@@ -676,3 +676,66 @@ def source_tv_distance(docs: DataFrame) -> DataFrame:
             " DIV (2 * CAST(n_tokens AS DECIMAL(38,0)) * _n) AS BIGINT)"
         ).alias("tvd_ppm"),
     ).orderBy("source")
+
+
+def zipf_slope(docs: DataFrame, top_n: int = 100) -> DataFrame:
+    """Zipf's-law fit over the corpus vocabulary: OLS slope of ln(freq) on
+    ln(rank) for the ``top_n`` most frequent tokens — natural language
+    sits near −1; templated/boilerplate corpora flatten, spam steepens,
+    so the slope is a one-number corpus-health gate next to the per-doc
+    quality screens.
+
+    Determinism: ranks and counts are exact integers; ln is the only
+    transcendental, and both engines round ln(exact integer)·10⁹ to a
+    nano-int BEFORE any arithmetic — a 1-ulp libm divergence is ~10⁶×
+    below the rounding granularity (the benford log10 argument).  The
+    OLS normal equations then run in DECIMAL(38,0) (Σxy ~ 10²¹ overflows
+    int64), with every divided quantity kept positive because integer
+    division floors in DuckDB but truncates toward zero in Spark.
+
+    Scale shape: one map-side-combined token count (the only corpus-scale
+    shuffle), a top-n rank that WindowGroupLimit prunes, and a 1-row
+    aggregate of the n≤top_n fit points.
+    Returns one row (n_terms, slope_ppm, intercept_nano).
+    """
+    from pyspark.sql import Window as W
+
+    toks = docs.select(
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tok")
+    )
+    vocab = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    ranked = (
+        vocab.withColumn(
+            "rk", F.row_number().over(W.orderBy(F.desc("c"), F.asc("tok")))
+        )
+        .where(F.col("rk") <= top_n)
+        .select(
+            F.round(F.log(F.col("rk").cast("double")) * 1e9, 0).cast("long").alias("x"),
+            F.round(F.log(F.col("c").cast("double")) * 1e9, 0).cast("long").alias("y"),
+        )
+    )
+    sums = ranked.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("x").cast("decimal(38,0)")).alias("sx"),
+        F.sum(F.col("y").cast("decimal(38,0)")).alias("sy"),
+        # cast BEFORE multiplying: x·y ~ 5·10¹⁹ overflows int64 (ANSI error)
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias("sxx"),
+    )
+    # slope < 0 for any Zipf-ish corpus: divide the POSITIVE mirror
+    # (sx·sy − n·sxy) and negate; intercept = (sy + pos_slope_ppm·sx/1e6)/n
+    # stays positive, so both DIVs agree across engines.
+    return sums.select(
+        F.col("n").cast("long").alias("n_terms"),
+        # parens around the DIV, then negate: -pos DIV den would divide a
+        # NEGATIVE dividend, where Spark truncates but DuckDB floors
+        F.expr(
+            "CAST(-(((sx * sy - CAST(n AS DECIMAL(38,0)) * sxy) * 1000000)"
+            " DIV (CAST(n AS DECIMAL(38,0)) * sxx - sx * sx)) AS BIGINT)"
+        ).alias("slope_ppm"),
+        F.expr(
+            "CAST((sy * 1000000 + ((sx * sy - CAST(n AS DECIMAL(38,0)) * sxy) * 1000000)"
+            " DIV (CAST(n AS DECIMAL(38,0)) * sxx - sx * sx) * sx)"
+            " DIV (CAST(n AS DECIMAL(38,0)) * 1000000) AS BIGINT)"
+        ).alias("intercept_nano"),
+    )

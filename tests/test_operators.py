@@ -2778,3 +2778,150 @@ def test_last_touch_attribution_rules(spark):
         "error": (1, 125),
         "view": (2, 500),
     }
+
+
+def test_span_pairs_planted_and_threshold(spark):
+    """Docs sharing a long span at different offsets must pair; the
+    min_shared=2 floor suppresses single-collision pairs; disjoint docs
+    never pair."""
+    from duckdb_age_spark.operators.dedup import duplicated_span_pairs
+
+    shared = (
+        "the quick brown fox jumps over the lazy dog today and "
+        "every mirror of this page carries this exact sentence"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " plus a unique tail written only here"),
+            (2, "completely different opening words " + shared),
+            (3, "this document shares nothing with either of the others above"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {(r.doc_a, r.doc_b): r.n_shared for r in duplicated_span_pairs(docs).collect()}
+    assert set(pairs) == {(1, 2)}
+    assert pairs[(1, 2)] >= 2
+
+
+def test_span_pairs_hot_anchor_capped(spark):
+    """An anchor shared by 60 near-identical docs would form C(60,2)=1770
+    pairs; with max_bucket=10 the bucket is dropped from candidate
+    generation entirely (bounded work), and an independent 2-doc span
+    still pairs."""
+    from duckdb_age_spark.operators.dedup import duplicated_span_pairs
+
+    boiler = (
+        "subscribe to our newsletter for daily updates and exclusive offers "
+        "delivered straight to your inbox every single morning"
+    )
+    uniq = (
+        "an entirely unrelated pair of documents that share this one "
+        "particular long sentence and absolutely nothing else at all"
+    )
+    rows = [(i, boiler) for i in range(60)]
+    rows += [(100, uniq + " first tail"), (101, "prefix words then " + uniq)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {(r.doc_a, r.doc_b) for r in duplicated_span_pairs(docs, max_bucket=10).collect()}
+    assert (100, 101) in pairs
+    assert all(a >= 100 for a, _ in pairs), pairs  # boilerplate block dropped
+
+
+def test_mips_ranks_by_magnitude_not_angle(spark):
+    """A long vector must beat a perfectly-aligned short one under MIPS —
+    the exact case cosine inverts."""
+    from duckdb_age_spark.operators.similarity import mips_topk
+
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),        # query
+            (1, [10.0, 10.0]),      # misaligned but long: dot = 10
+            (2, [0.5, 0.0]),        # perfectly aligned, short: dot = 0.5
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    q = emb.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    out = [(r.vec_id, r.dot, r.rank) for r in mips_topk(emb, q, k=2).collect()]
+    assert out == [(1, 10.0, 1), (2, 0.5, 2)]
+
+
+def test_rfm_segments_tiles_and_census(spark):
+    """10 users with strictly increasing recency/frequency/monetary land
+    in deterministic quintiles; census covers all users exactly once and
+    revenue matches."""
+    from datetime import datetime
+
+    from duckdb_age_spark.operators.events import rfm_segments
+
+    rows = []
+    eid = 0
+    for u in range(10):
+        # user u: u+1 purchases, each of value (u+1) dollars, last at hour u
+        for p in range(u + 1):
+            rows.append((eid, datetime(2024, 1, 1, u, p), u, "purchase", float(u + 1)))
+            eid += 1
+    rows.append((eid, datetime(2024, 1, 2, 0), 99, "view", 0.0))  # non-purchaser
+    events = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    out = rfm_segments(events, n_tiles=5).collect()
+    assert sum(r.n_users for r in out) == 10  # viewer-only user excluded
+    total_cents = sum(r.revenue_cents for r in out)
+    assert total_cents == sum((u + 1) * (u + 1) * 100 for u in range(10))
+    # user 9 (most recent, most frequent, biggest) sits in (r=?,f=1,m=1):
+    # recency ASC puts latest-last-purchase first -> user 9 has last_sec
+    # closest to max -> r_tile 1
+    top = [r for r in out if r.f_tile == 1 and r.m_tile == 1 and r.r_tile == 1]
+    assert top and top[0].n_users >= 1
+
+
+def test_audio_blocks_known_signal_and_poison(spark):
+    """A 300-sample WAV yields blocks of 256 and 44 samples whose Σs² and
+    peak match a direct Python replay; a poison payload degrades to one
+    block=-1 error row."""
+    from duckdb_age_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        audio_block_features,
+        encode_wav,
+    )
+
+    wav = encode_wav(300, 8000, seed=7)
+    media = spark.createDataFrame(
+        [(7, "audio/wav", bytearray(wav), "{}"), (8, "audio/wav", bytearray(b"RIFFjunk"), "{}")],
+        MEDIA_SCHEMA,
+    )
+    rows = {(r.media_id, r.block): r for r in audio_block_features(media, block=256).collect()}
+    samples = [((7 + i) * 257) % 4096 - 2048 for i in range(300)]
+    for blk, seg in ((0, samples[:256]), (1, samples[256:])):
+        r = rows[(7, blk)]
+        assert r.n_samples == len(seg)
+        assert r.sum_sq == sum(s * s for s in seg)
+        assert r.peak == max(abs(s) for s in seg)
+        assert r.decode_ok == "real"
+    assert rows[(8, -1)].decode_ok.startswith("error:")
+
+
+def test_zipf_slope_exact_powerlaw(spark):
+    """A corpus whose token counts are exactly c(r) = 2^(10-r)·r⁻⁰ ... use
+    a pure power law c(r) = K·r^s with s = -1: counts 1200//r make the
+    fit land near -1; a flat corpus (all counts equal) fits slope 0."""
+    from duckdb_age_spark.operators.text import zipf_slope
+
+    # build docs so that token t_r appears ~1200//r times: one doc per
+    # occurrence keeps tokenization trivial
+    rows = []
+    i = 0
+    for r in range(1, 21):
+        for _ in range(1200 // r):
+            rows.append((i, f"t{r:02d}"))
+            i += 1
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = zipf_slope(docs, top_n=20).collect()[0]
+    assert out.n_terms == 20
+    assert -1_050_000 < out.slope_ppm < -950_000, out  # ppm of slope ~ -1
+    flat = spark.createDataFrame(
+        [(i, f"w{i % 7}") for i in range(70)], "doc_id long, text string"
+    )
+    out2 = zipf_slope(flat, top_n=7).collect()[0]
+    assert out2.slope_ppm == 0

@@ -811,3 +811,55 @@ def test_attribution_single_user_shuffle(t):
     # one for the final sort — nothing hidden
     assert count_exchanges(df) <= 3
     assert has_partial_aggregate(df)
+
+
+def test_span_pairs_banded_join_not_allpairs(t):
+    from duckdb_age_spark.operators.dedup import duplicated_span_pairs
+
+    df = duplicated_span_pairs(t["documents"])
+    plan = formatted_plan(df)
+    # the pair join is keyed by anchor hash (SortMergeJoin/ShuffledHashJoin
+    # on h) — never a cartesian over docs
+    assert "CartesianProduct" not in plan
+    assert has_partial_aggregate(df)
+
+
+def test_mips_broadcasts_queries(spark, sf_dir):
+    from duckdb_age_spark.operators.similarity import mips_topk, queries_from_ids
+    from duckdb_age_spark.sources import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    df = mips_topk(emb, queries_from_ids(emb, [0, 1]), k=3)
+    assert has_broadcast_join(df)
+    plan = formatted_plan(df)
+    assert "WindowGroupLimit" in plan  # top-k prunes before the full sort
+
+
+def test_rfm_user_aggregate_partial_and_broadcast_max(t):
+    from duckdb_age_spark.operators.events import rfm_segments
+
+    df = rfm_segments(t["events"])
+    assert has_partial_aggregate(df)  # per-user agg combines map-side
+    assert has_broadcast_join(df)     # 1-row global max comes back broadcast
+
+
+def test_audio_blocks_shuffle_free(t):
+    from duckdb_age_spark.operators.multimodal import audio_block_features, synthesize_media
+
+    df = audio_block_features(synthesize_media(t["documents"]))
+    assert count_exchanges(df) == 0
+
+
+def test_zipf_vocab_partial_agg_and_bounded_exchanges(t):
+    from duckdb_age_spark.operators.text import zipf_slope
+
+    df = zipf_slope(t["documents"])
+    plan = formatted_plan(df)
+    # (WindowGroupLimit does NOT fire here: the rank window is partition-
+    # less, and Spark only plans the group-limit for partitioned windows —
+    # the vocab table is already one aggregate's output, so the global
+    # sort is over the post-combine vocab, not the corpus)
+    assert "CartesianProduct" not in plan
+    assert has_partial_aggregate(df)  # token count combines map-side
+    # token-count shuffle, global rank sort, 1-row final agg — nothing more
+    assert count_exchanges(df) <= 3
