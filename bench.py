@@ -208,6 +208,7 @@ BENCH_QUERIES = [
     "events_rfm_segments",
     "multimodal_audio_blocks",
     "text_zipf_slope",
+    "streaming_hll_users",
 ]
 
 

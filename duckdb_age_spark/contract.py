@@ -7021,6 +7021,46 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "streaming_hll_users",
+    f"""
+    WITH keyed AS (
+      SELECT (floor(epoch(ts))::BIGINT - floor(epoch(ts))::BIGINT % 86400) AS window_sec,
+             (('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT) AS key
+      FROM events),
+    regs AS (
+      SELECT window_sec, key >> {60 - _HLL_B} AS bucket,
+             max(CASE WHEN key % {_HLL_SUFFIX} = 0 THEN {_HLL_RMAX}
+                      ELSE {_HLL_RMAX} - length(bin(key % {_HLL_SUFFIX})) END)::BIGINT
+               AS register
+      FROM keyed GROUP BY 1, 2),
+    agg AS (
+      SELECT window_sec, count(*)::BIGINT AS n_buckets,
+             sum((1::BIGINT << ({_HLL_RMAX} - register::INT)))::BIGINT AS s_present
+      FROM regs GROUP BY 1),
+    sc AS (
+      SELECT window_sec, n_buckets,
+             (s_present + ({_HLL_M} - n_buckets) * (1::BIGINT << {_HLL_RMAX}))::BIGINT
+               AS s_scaled
+      FROM agg)
+    SELECT window_sec, n_buckets, s_scaled, {_HLL_EST_SQL} AS hll_est
+    FROM sc ORDER BY window_sec
+    """,
+)
+def streaming_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming distinct-user estimator with FIXED-SIZE state: per-window
+    HLL registers live as applyInPandasWithState arbitrary state (2^8
+    longs per open window regardless of user volume — the bounded-memory
+    counterpart to the exact streaming distinct); the oracle rebuilds the
+    identical registers from the batch table."""
+    from .streaming import hll_distinct_users_stream_drain, stream_events
+
+    _prep(spark)
+    return hll_distinct_users_stream_drain(
+        stream_events(spark, sf_dir), window_sec_size=86400, b=_HLL_B
+    )
+
+
+@_q(
     "pipeline_ngram_novelty",
     f"""
     WITH dg AS (

@@ -762,3 +762,116 @@ def ewma_volume_drain(events: DataFrame, window: str = "1 hour", span: int = 8) 
         )
         .orderBy("window_sec")
     )
+
+
+def hll_distinct_users_stream_drain(
+    events: DataFrame, window_sec_size: int = 86400, b: int = 8
+) -> DataFrame:
+    """Streaming distinct-user ESTIMATION with fixed-size state: per-window
+    HyperLogLog registers maintained as arbitrary state
+    (``applyInPandasWithState``) — the bounded-memory counterpart to
+    ``windowed_distinct_users_stream_update``, whose exact dedup-set state
+    grows with the user count.  Here every open window pins exactly
+    m = 2^b longs no matter how many users stream through — the sketch
+    property that makes streaming reach/distinct monitoring viable at
+    100 TB/day, and the streaming twin of operators/sketch.py.
+
+    Register discipline is byte-identical to the batch HLL (sketch.py /
+    the _HLL_* oracle constants): 60-bit md5 key, bucket = key >> (60−b),
+    rho = (61−b) − bit_length(suffix) with the zero-suffix pin, register
+    = max rho.  Registers only grow, so every per-batch emission carries
+    a strictly increasing update counter and the drain compacts the
+    emission log with max_by — then ONE double division of exact integers
+    (plus the standard linear-counting low-range branch) yields the
+    estimate, identically in the SQL oracle.
+
+    Returns (window_sec, n_buckets, s_scaled, hll_est) per window.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..operators.sketch import hll_alpha
+
+    m = 1 << b
+    suffix_bits = 60 - b
+    suffix_mask = (1 << suffix_bits) - 1
+    rmax = suffix_bits + 1
+    numer = hll_alpha(m) * m * m * float(1 << rmax)
+
+    out_schema = StructType(
+        [
+            StructField("window_sec", LongType()),
+            StructField("n_updates", LongType()),
+            StructField("n_buckets", LongType()),
+            StructField("s_scaled", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("registers", ArrayType(LongType())),
+            StructField("n_updates", LongType()),
+        ]
+    )
+
+    def fn(key, pdf_iter, state: GroupState):
+        import hashlib
+
+        (window_sec,) = key
+        if state.exists:
+            regs, n_updates = state.get
+            regs = list(regs)
+        else:
+            regs, n_updates = [0] * m, 0
+        for pdf in pdf_iter:
+            for uid in pdf["user_id"]:
+                k = int(hashlib.md5(str(int(uid)).encode()).hexdigest()[:15], 16)
+                bucket = k >> suffix_bits
+                w = k & suffix_mask
+                rho = rmax if w == 0 else rmax - w.bit_length()
+                if rho > regs[bucket]:
+                    regs[bucket] = rho
+        n_updates += 1
+        state.update((regs, n_updates))
+        yield pd.DataFrame(
+            [
+                {
+                    "window_sec": int(window_sec),
+                    "n_updates": n_updates,
+                    "n_buckets": sum(1 for r in regs if r > 0),
+                    # empty buckets (r=0) contribute 2^rmax directly, so the
+                    # scaled harmonic sum is one pass over all m registers
+                    "s_scaled": sum(1 << (rmax - r) for r in regs),
+                }
+            ]
+        )
+
+    keyed = events.select(
+        F.expr(
+            f"CAST(CAST(ts AS LONG) DIV {window_sec_size} * {window_sec_size} AS LONG)"
+        ).alias("window_sec"),
+        "user_id",
+    )
+    out = run_available_now(
+        keyed.groupBy("window_sec").applyInPandasWithState(
+            fn,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        ),
+        output_mode="append",
+    )
+    compact = (
+        out.groupBy("window_sec")
+        .agg(F.max_by(F.struct("n_buckets", "s_scaled"), "n_updates").alias("s"))
+        .select("window_sec", "s.n_buckets", "s.s_scaled")
+    )
+    raw = F.lit(numer) / F.col("s_scaled").cast("double")
+    v = (F.lit(m) - F.col("n_buckets")).cast("double")
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (v > F.lit(0.0)),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / v),
+    ).otherwise(raw)
+    return compact.select(
+        "window_sec", "n_buckets", "s_scaled", est.alias("hll_est")
+    ).orderBy("window_sec")

@@ -632,3 +632,67 @@ def test_microbatch_boundary_chaos_invariance(spark, sf_dir, tmp_path, mfpt):
     )
     dexp = {r.ws: r.n for r in dtruth.collect()}
     assert dgot == dexp and len(dgot) > 0
+
+
+def test_streaming_hll_matches_batch_registers(spark, tmp_path):
+    """The drained streaming HLL must equal the BATCH sketch built from the
+    same rows (streaming-vs-batch register equivalence), with registers
+    accumulating across micro-batches and duplicate users changing
+    nothing."""
+    from datetime import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from duckdb_age_spark.operators.sketch import KEY_BITS, hll_registers
+    from duckdb_age_spark.streaming import hll_distinct_users_stream_drain
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    src = tmp_path / "src"
+    src.mkdir()
+
+    def write(name, rows):
+        pq.write_table(
+            pa.table(
+                {
+                    "ts": pa.array([t for t, _ in rows], pa.timestamp("us")),
+                    "user_id": pa.array([u for _, u in rows], pa.int64()),
+                }
+            ),
+            str(src / name),
+        )
+
+    d1 = [(datetime(2024, 1, 1, 1, i % 60), u) for i, u in enumerate(range(50))]
+    # second file: 30 DUPLICATE users + 20 new ones, same day + a second day
+    d2 = [(datetime(2024, 1, 1, 5, i % 60), u) for i, u in enumerate(range(30))]
+    d2 += [(datetime(2024, 1, 1, 6, i % 60), u) for i, u in enumerate(range(100, 120))]
+    d2 += [(datetime(2024, 1, 2, 1, i % 60), u) for i, u in enumerate(range(7))]
+    write("a.parquet", d1)
+    write("b.parquet", d2)
+
+    stream = (
+        spark.readStream.schema("ts timestamp, user_id long")
+        .option("maxFilesPerTrigger", 1)  # force multi-batch accumulation
+        .parquet(str(src))
+    )
+    got = {
+        r.window_sec: (r.n_buckets, r.s_scaled)
+        for r in hll_distinct_users_stream_drain(stream, 86400, b=8).collect()
+    }
+
+    batch = spark.createDataFrame(d1 + d2, "ts timestamp, user_id long")
+    rmax = KEY_BITS - 8 + 1
+    expected = {}
+    for day, part in batch.groupBy(
+        F.expr("CAST(CAST(ts AS LONG) DIV 86400 * 86400 AS LONG)").alias("w")
+    ).agg(F.collect_list("user_id")).collect():
+        regs = hll_registers(
+            spark.createDataFrame([(u,) for u in part], "user_id long"), "user_id", b=8
+        ).collect()
+        n_buckets = len(regs)
+        s_scaled = sum(1 << (rmax - r.register) for r in regs) + (256 - n_buckets) * (
+            1 << rmax
+        )
+        expected[day] = (n_buckets, s_scaled)
+    assert got == expected, (got, expected)
