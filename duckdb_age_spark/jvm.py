@@ -37,6 +37,7 @@ from __future__ import annotations
 
 import os
 import subprocess
+import sys
 
 _JVM_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "jvm")
 JAR_PATH = os.path.join(_JVM_DIR, "age-spark-udf.jar")
@@ -71,8 +72,14 @@ def ensure_jar() -> str:
         fcntl.flock(lock, fcntl.LOCK_EX)
         if _fresh():  # another process built it while we waited
             return JAR_PATH
+        # hand build.sh THIS interpreter for the pyspark-jars classpath
+        # fallback — `python` may be absent or a different env (code-review r8)
+        env = dict(os.environ, PYTHON=sys.executable)
         proc = subprocess.run(
-            ["sh", os.path.join(_JVM_DIR, "build.sh")], capture_output=True, text=True
+            ["sh", os.path.join(_JVM_DIR, "build.sh")],
+            capture_output=True,
+            text=True,
+            env=env,
         )
         if proc.returncode != 0:
             raise RuntimeError(f"jvm build failed:\n{proc.stdout}\n{proc.stderr}")

@@ -829,6 +829,8 @@ def hits_scores(edges: DataFrame, n_iter: int = 2) -> DataFrame:
     the result through truncate_lineage for long runs at cluster scale.
     Returns (node, hub, auth) with missing directions as 0.
     """
+    if n_iter < 1:
+        raise ValueError("hits_scores needs n_iter >= 1 (auth is undefined before the first half-round)")
     S = 10**6
     edges = truncate_lineage(edges)  # feeds node set + every half-round
     nodes = (

@@ -692,13 +692,16 @@ def audio_block_features(media: DataFrame, block: int = 256) -> DataFrame:
                 try:
                     _rate, n = decode_wav(b)
                     samples = np.frombuffer(b, dtype="<i2", offset=44, count=n).astype(np.int64)
-                    for blk in range(0, (n + block - 1) // block):
+                    # max(1, …): a data_len=0 WAV is VALID (decode_wav
+                    # accepts it) and must still emit one (empty) block
+                    # row, not vanish from the output (code-review r8)
+                    for blk in range(0, max(1, (n + block - 1) // block)):
                         seg = samples[blk * block : (blk + 1) * block]
                         out["media_id"].append(int(mid))
                         out["block"].append(blk)
                         out["n_samples"].append(int(seg.size))
                         out["sum_sq"].append(int((seg * seg).sum()))
-                        out["peak"].append(int(np.abs(seg).max()))
+                        out["peak"].append(int(np.abs(seg).max()) if seg.size else 0)
                         out["decode_ok"].append("real")
                 except (ValueError, struct.error) as exc:
                     out["media_id"].append(int(mid))

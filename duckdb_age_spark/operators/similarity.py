@@ -36,6 +36,32 @@ def cosine_col(a, b):
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def _broadcast_score_topk(
+    embeddings: DataFrame, queries: DataFrame, score_fn, score_name: str, k: int
+) -> DataFrame:
+    """Shared exact-top-k plan for the brute-force scorers: broadcast the
+    small query side, narrow per-pair score (rounded to 4 dp BEFORE the
+    rank — engine-identical), one shuffle for the per-query window with
+    (score DESC, vec_id) tie-break.  Parameterized by the score expression
+    so cosine and MIPS cannot drift apart structurally (code-review r8)."""
+    corpus = embeddings.select("vec_id", _as_double(F.col("embedding")).alias("v"))
+    scored = (
+        corpus.join(F.broadcast(queries))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(score_fn(F.col("qv"), F.col("v")), 4).alias(score_name),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc(score_name), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", score_name, "rank")
+    )
+
+
 def brute_force_topk(
     embeddings: DataFrame, queries: DataFrame, k: int = 5
 ) -> DataFrame:
@@ -45,22 +71,7 @@ def brute_force_topk(
     Excludes self-matches (query_id == vec_id).  Plan: BroadcastNestedLoopJoin
     (cross) → narrow score → single shuffle for the per-query window.
     """
-    corpus = embeddings.select("vec_id", _as_double(F.col("embedding")).alias("v"))
-    scored = (
-        corpus.join(F.broadcast(queries))
-        .where(F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "vec_id",
-            F.round(cosine_col(F.col("qv"), F.col("v")), 4).alias("cosine"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "vec_id", "cosine", "rank")
-    )
+    return _broadcast_score_topk(embeddings, queries, cosine_col, "cosine", k)
 
 
 def queries_from_ids(embeddings: DataFrame, ids: list[int]) -> DataFrame:
@@ -667,32 +678,19 @@ def mips_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5) -> DataFram
     (unnormalized: a long vector can outrank a better-aligned short one,
     which cosine deliberately erases — that is the point of MIPS).
 
-    Same plan as brute_force_topk: broadcast the small query side, narrow
-    zip_with dot product, one shuffle for the per-query top-k window
-    (WindowGroupLimit prunes to k per query before the final sort).  The
-    dot accumulates left-to-right over the same doubles in both engines,
-    so the 4-dp round is engine-identical (sim module contract).
+    Same plan as brute_force_topk (shared _broadcast_score_topk helper):
+    broadcast the small query side, narrow zip_with dot product, one
+    shuffle for the per-query top-k window (WindowGroupLimit prunes to k
+    per query before the final sort).  The dot accumulates left-to-right
+    over the same doubles in both engines, so the 4-dp round is
+    engine-identical (sim module contract).
     """
-    corpus = embeddings.select("vec_id", _as_double(F.col("embedding")).alias("v"))
-    scored = (
-        corpus.join(F.broadcast(queries))
-        .where(F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "vec_id",
-            F.round(
-                F.aggregate(
-                    F.zip_with(F.col("qv"), F.col("v"), lambda a, b: a * b),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                ),
-                4,
-            ).alias("dot"),
+
+    def dot(qv, v):
+        return F.aggregate(
+            F.zip_with(qv, v, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
         )
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("dot"), F.asc("vec_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "vec_id", "dot", "rank")
-    )
+
+    return _broadcast_score_topk(embeddings, queries, dot, "dot", k)

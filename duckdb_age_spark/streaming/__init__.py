@@ -764,39 +764,24 @@ def ewma_volume_drain(events: DataFrame, window: str = "1 hour", span: int = 8) 
     )
 
 
-def hll_distinct_users_stream_drain(
-    events: DataFrame, window_sec_size: int = 86400, b: int = 8
+def _hll_stateful_stage(
+    events: DataFrame,
+    window_sec_size: int,
+    b: int,
+    timeout_ms: int | None,
 ) -> DataFrame:
-    """Streaming distinct-user ESTIMATION with fixed-size state: per-window
-    HyperLogLog registers maintained as arbitrary state
-    (``applyInPandasWithState``) — the bounded-memory counterpart to
-    ``windowed_distinct_users_stream_update``, whose exact dedup-set state
-    grows with the user count.  Here every open window pins exactly
-    m = 2^b longs no matter how many users stream through — the sketch
-    property that makes streaming reach/distinct monitoring viable at
-    100 TB/day, and the streaming twin of operators/sketch.py.
-
-    Register discipline is byte-identical to the batch HLL (sketch.py /
-    the _HLL_* oracle constants): 60-bit md5 key, bucket = key >> (60−b),
-    rho = (61−b) − bit_length(suffix) with the zero-suffix pin, register
-    = max rho.  Registers only grow, so every per-batch emission carries
-    a strictly increasing update counter and the drain compacts the
-    emission log with max_by — then ONE double division of exact integers
-    (plus the standard linear-counting low-range branch) yields the
-    estimate, identically in the SQL oracle.
-
-    Returns (window_sec, n_buckets, s_scaled, hll_est) per window.
-    """
+    """The STREAMING half of hll_distinct_users_stream_drain (kept
+    separate so the eviction test can drive it with a continuous trigger
+    instead of the bounded availableNow drain): per-window HLL registers
+    as applyInPandasWithState state, one (window_sec, n_updates,
+    n_buckets, s_scaled) snapshot row per touched key per micro-batch."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-
-    from ..operators.sketch import hll_alpha
 
     m = 1 << b
     suffix_bits = 60 - b
     suffix_mask = (1 << suffix_bits) - 1
     rmax = suffix_bits + 1
-    numer = hll_alpha(m) * m * m * float(1 << rmax)
 
     out_schema = StructType(
         [
@@ -817,6 +802,14 @@ def hll_distinct_users_stream_drain(
         import hashlib
 
         (window_sec,) = key
+        if state.hasTimedOut:
+            # final snapshot already went out with the last update —
+            # eviction only reclaims the registers
+            state.remove()
+            yield pd.DataFrame(
+                columns=["window_sec", "n_updates", "n_buckets", "s_scaled"]
+            )
+            return
         if state.exists:
             regs, n_updates = state.get
             regs = list(regs)
@@ -832,6 +825,8 @@ def hll_distinct_users_stream_drain(
                     regs[bucket] = rho
         n_updates += 1
         state.update((regs, n_updates))
+        if timeout_ms is not None:
+            state.setTimeoutDuration(timeout_ms)
         yield pd.DataFrame(
             [
                 {
@@ -851,14 +846,61 @@ def hll_distinct_users_stream_drain(
         ).alias("window_sec"),
         "user_id",
     )
-    out = run_available_now(
-        keyed.groupBy("window_sec").applyInPandasWithState(
-            fn,
-            outputStructType=out_schema,
-            stateStructType=state_schema,
-            outputMode="append",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+    return keyed.groupBy("window_sec").applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=(
+            GroupStateTimeout.NoTimeout
+            if timeout_ms is None
+            else GroupStateTimeout.ProcessingTimeTimeout
         ),
+    )
+
+
+def hll_distinct_users_stream_drain(
+    events: DataFrame,
+    window_sec_size: int = 86400,
+    b: int = 8,
+    timeout_ms: int | None = None,
+) -> DataFrame:
+    """Streaming distinct-user ESTIMATION with fixed-size state: per-window
+    HyperLogLog registers maintained as arbitrary state
+    (``applyInPandasWithState``) — the bounded-memory counterpart to
+    ``windowed_distinct_users_stream_update``, whose exact dedup-set state
+    grows with the user count.  Here every open window pins exactly
+    m = 2^b longs no matter how many users stream through — the sketch
+    property that makes streaming reach/distinct monitoring viable at
+    100 TB/day, and the streaming twin of operators/sketch.py.
+
+    Register discipline is byte-identical to the batch HLL (sketch.py /
+    the _HLL_* oracle constants): 60-bit md5 key, bucket = key >> (60−b),
+    rho = (61−b) − bit_length(suffix) with the zero-suffix pin, register
+    = max rho.  Registers only grow, so every per-batch emission carries
+    a strictly increasing update counter and the drain compacts the
+    emission log with max_by — then ONE double division of exact integers
+    (plus the standard linear-counting low-range branch) yields the
+    estimate, identically in the SQL oracle.
+
+    Each sketch is fixed-size, but the KEY SPACE (one state row per
+    window ever seen) is not — a live deployment must evict closed
+    windows or state grows one sketch per window forever (code-review
+    r8).  Pass ``timeout_ms`` to drop a window's registers on a
+    processing-time timer after its last update (the final snapshot was
+    already emitted — eviction loses nothing); the same
+    availableNow-vs-timer conflict as sessionize_stream applies, so
+    bounded test drains leave it None.
+
+    Returns (window_sec, n_buckets, s_scaled, hll_est) per window.
+    """
+    from ..operators.sketch import _hll_est_cols, hll_alpha
+
+    m = 1 << b
+    rmax = 60 - b + 1
+    numer = hll_alpha(m) * m * m * float(1 << rmax)
+    out = run_available_now(
+        _hll_stateful_stage(events, window_sec_size, b, timeout_ms),
         output_mode="append",
     )
     compact = (
@@ -866,12 +908,10 @@ def hll_distinct_users_stream_drain(
         .agg(F.max_by(F.struct("n_buckets", "s_scaled"), "n_updates").alias("s"))
         .select("window_sec", "s.n_buckets", "s.s_scaled")
     )
-    raw = F.lit(numer) / F.col("s_scaled").cast("double")
-    v = (F.lit(m) - F.col("n_buckets")).cast("double")
-    est = F.when(
-        (raw <= F.lit(2.5 * m)) & (v > F.lit(0.0)),
-        F.lit(float(m)) * F.log(F.lit(float(m)) / v),
-    ).otherwise(raw)
+    # reuse the batch estimator verbatim (incl. the linear-counting branch)
+    # so streaming and batch can never silently diverge (code-review r8);
+    # the err half lazily references exact_n and is simply not selected
+    est, _err = _hll_est_cols(m, numer)
     return compact.select(
-        "window_sec", "n_buckets", "s_scaled", est.alias("hll_est")
+        "window_sec", "n_buckets", "s_scaled", est
     ).orderBy("window_sec")

@@ -10,7 +10,12 @@ cd "$(dirname "$0")"
 # /opt/spark — code-review r8 finding).
 SPARK_JARS="${SPARK_HOME:-/opt/spark}/jars"
 if [ ! -d "$SPARK_JARS" ]; then
-    SPARK_JARS="$(python -c 'import os, pyspark; print(os.path.join(os.path.dirname(pyspark.__file__), "jars"))')"
+    # $PYTHON lets ensure_jar() pass sys.executable (the interpreter that
+    # actually has pyspark); bare `python` does not exist on Debian/Ubuntu
+    # without python-is-python3 (code-review r8)
+    PY="${PYTHON:-python3}"
+    command -v "$PY" >/dev/null 2>&1 || PY=python
+    SPARK_JARS="$("$PY" -c 'import os, pyspark; print(os.path.join(os.path.dirname(pyspark.__file__), "jars"))')"
 fi
 rm -rf classes.tmp && mkdir -p classes.tmp
 javac -encoding UTF-8 -classpath "$SPARK_JARS/*" -d classes.tmp src/agespark/*.java

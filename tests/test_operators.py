@@ -2886,9 +2886,21 @@ def test_audio_blocks_known_signal_and_poison(spark):
         encode_wav,
     )
 
+    import struct as _struct
+
     wav = encode_wav(300, 8000, seed=7)
+    # a data_len=0 WAV is VALID per decode_wav and must emit one empty
+    # block row, not vanish (code-review r8)
+    wav0 = _struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36, b"WAVE", b"fmt ", 16, 1, 1, 8000, 16000, 2, 16, b"data", 0,
+    )
     media = spark.createDataFrame(
-        [(7, "audio/wav", bytearray(wav), "{}"), (8, "audio/wav", bytearray(b"RIFFjunk"), "{}")],
+        [
+            (7, "audio/wav", bytearray(wav), "{}"),
+            (8, "audio/wav", bytearray(b"RIFFjunk"), "{}"),
+            (9, "audio/wav", bytearray(wav0), "{}"),
+        ],
         MEDIA_SCHEMA,
     )
     rows = {(r.media_id, r.block): r for r in audio_block_features(media, block=256).collect()}
@@ -2900,6 +2912,8 @@ def test_audio_blocks_known_signal_and_poison(spark):
         assert r.peak == max(abs(s) for s in seg)
         assert r.decode_ok == "real"
     assert rows[(8, -1)].decode_ok.startswith("error:")
+    z = rows[(9, 0)]
+    assert (z.n_samples, z.sum_sq, z.peak, z.decode_ok) == (0, 0, 0, "real")
 
 
 def test_zipf_slope_exact_powerlaw(spark):

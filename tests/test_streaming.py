@@ -696,3 +696,68 @@ def test_streaming_hll_matches_batch_registers(spark, tmp_path):
         )
         expected[day] = (n_buckets, s_scaled)
     assert got == expected, (got, expected)
+
+
+def test_streaming_hll_timeout_evicts_window_state(spark, tmp_path):
+    """With ``timeout_ms`` set, a window's registers are DROPPED after the
+    processing-time timer fires: data arriving afterwards re-creates the
+    state from scratch, observable as a second n_updates=1 emission whose
+    register population restarts small (unevicted state would emit
+    n_updates=2 with the cumulative registers) — pins the state bound a
+    live deployment relies on (code-review r8)."""
+    import datetime as dt
+    import time
+
+    from duckdb_age_spark.streaming import hll_distinct_users_stream_drain
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    src = tmp_path / "hll_src"
+    src.mkdir()
+    spark.createDataFrame(
+        [(u, t0) for u in range(40)], "user_id long, ts timestamp"
+    ).coalesce(1).write.mode("append").parquet(str(src))
+
+    stream = spark.readStream.schema("user_id long, ts timestamp").parquet(str(src))
+    # drive the stateful half directly with a continuous trigger so the
+    # processing-time timer can fire (the public drain is availableNow)
+    from duckdb_age_spark.streaming import _hll_stateful_stage
+
+    out_stream = _hll_stateful_stage(stream, 86400, 8, timeout_ms=1000)
+    q = (
+        out_stream.writeStream.format("memory")
+        .queryName("hll_evict")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if spark.sql("SELECT count(*) AS n FROM hll_evict").first().n >= 1:
+                break
+            time.sleep(0.5)
+        first = spark.sql(
+            "SELECT n_updates, n_buckets FROM hll_evict ORDER BY n_updates LIMIT 1"
+        ).first()
+        assert first and first.n_updates == 1 and first.n_buckets >= 20
+        time.sleep(5)  # let the 1s timer fire and evict
+        spark.createDataFrame(
+            [(999, t0 + dt.timedelta(hours=1))], "user_id long, ts timestamp"
+        ).coalesce(1).write.mode("append").parquet(str(src))
+        deadline = time.time() + 60
+        fresh = None
+        while time.time() < deadline:
+            rows = spark.sql(
+                "SELECT n_updates, n_buckets FROM hll_evict"
+            ).collect()
+            fresh = [r for r in rows if r.n_updates == 1 and r.n_buckets <= 2]
+            if fresh:
+                break
+            time.sleep(0.5)
+        # evicted: the late row re-created state from scratch (n_updates
+        # back to 1, one occupied bucket) instead of appending as update 2
+        assert fresh, spark.sql("SELECT * FROM hll_evict").collect()
+    finally:
+        q.stop()
