@@ -209,6 +209,7 @@ BENCH_QUERIES = [
     "multimodal_audio_blocks",
     "text_zipf_slope",
     "streaming_hll_users",
+    "dedup_span_clusters",
 ]
 
 

@@ -6905,6 +6905,40 @@ def dedup_span_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "dedup_span_clusters",
+    f"""
+    WITH RECURSIVE {_SPAN_ANCHORS_SQL},
+    pairs AS (
+      SELECT doc_a, doc_b FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+        FROM w a JOIN w b ON a.h = b.h AND a.doc_id < b.doc_id GROUP BY 1, 2)
+      WHERE n_shared >= 2),
+    edges AS (SELECT doc_a AS node, doc_b AS neigh FROM pairs
+              UNION ALL
+              SELECT doc_b AS node, doc_a AS neigh FROM pairs),
+    uni AS (SELECT doc_id FROM documents WHERE length(text) >= 24),
+    reach(node, lab) AS (
+        SELECT doc_id, doc_id FROM uni
+      UNION
+        SELECT e.node, r.lab FROM reach r JOIN edges e ON e.neigh = r.node)
+    SELECT node::BIGINT AS doc_id, min(lab)::BIGINT AS cluster_id
+    FROM reach GROUP BY node ORDER BY doc_id
+    """,
+)
+def dedup_span_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level dedup clustering: shared-span pair graph → distributed
+    min-label connected components → (doc_id, cluster_id) over every
+    span-eligible doc.  Oracle: recursive CTE min-reachable-id."""
+    from .operators.dedup import span_dedup_clusters
+
+    _prep(spark)
+    out = span_dedup_clusters(load(spark, sf_dir, "documents"), k=24, anchor_mod=8)
+    return out.select(F.col("doc_id").cast("bigint"), F.col("cluster_id").cast("bigint")).orderBy(
+        "doc_id"
+    )
+
+
+@_q(
     "sim_topk_mips",
     """
     WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),

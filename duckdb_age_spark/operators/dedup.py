@@ -841,3 +841,39 @@ def duplicated_span_pairs(
         .where(F.col("n_shared") >= min_shared)
         .orderBy("doc_a", "doc_b")
     )
+
+
+def span_dedup_clusters(
+    docs: DataFrame,
+    k: int = 24,
+    anchor_mod: int = 8,
+    min_shared: int = 2,
+    max_bucket: int = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
+    """Span-level dedup clustering — the third stage of the ExactSubstr
+    pipeline (census → pairs → CLUSTERS): documents connected through
+    shared-span pairs collapse into groups via the same distributed
+    min-label propagation the MinHash pipeline uses
+    (:func:`connected_components`), so boilerplate families (mirrors,
+    template spins, chained quote-of-a-quote) get one canonical id even
+    when only pairwise-transitively related.
+
+    The cluster universe is every doc long enough to carry a span window
+    (length ≥ k); docs that pair with nothing label themselves.  Returns
+    (doc_id, cluster_id) — feed :func:`keep_canonical` for the retention
+    row set, exactly as with the MinHash clusters.
+
+    Scale shape: inherits the banded pair join (hot-bucket-capped,
+    never all-pairs) and the CC loop's one-join-one-agg-per-round with
+    lineage truncation and sum-fixpoint detection — both scale-measured
+    at sf10 (SCALE_EVIDENCE.md: 37 M span pairs in 158 s skew 1.02;
+    33 M-edge CC in 302 s).
+    """
+    pairs = duplicated_span_pairs(
+        docs, k=k, anchor_mod=anchor_mod, min_shared=min_shared, max_bucket=max_bucket
+    )
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    nodes = docs.where(F.length("text") >= k).select(F.col("doc_id").alias("id"))
+    return connected_components(edges, nodes).select(
+        F.col("id").alias("doc_id"), "cluster_id"
+    )

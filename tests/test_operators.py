@@ -2939,3 +2939,36 @@ def test_zipf_slope_exact_powerlaw(spark):
     )
     out2 = zipf_slope(flat, top_n=7).collect()[0]
     assert out2.slope_ppm == 0
+
+
+def test_span_clusters_transitive_family(spark):
+    """Three docs chained only pairwise (A~B and B~C share different spans)
+    must land in ONE cluster; an unrelated doc stays a singleton; a
+    too-short doc is outside the universe."""
+    from duckdb_age_spark.operators.dedup import keep_canonical, span_dedup_clusters
+
+    span1 = (
+        "first shared boilerplate sentence that appears verbatim in "
+        "document one and document two only nowhere else at all"
+    )
+    span2 = (
+        "second shared boilerplate sentence that appears verbatim in "
+        "document two and document three only nowhere else at all"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, span1 + " unique tail of the first document here"),
+            (2, "middle doc starts differently " + span1 + " and then " + span2),
+            (3, span2 + " entirely different ending for the third one"),
+            (4, "a lonely document with no shared sentences whatsoever in it"),
+            (5, "x" * 23),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.cluster_id for r in span_dedup_clusters(docs).collect()}
+    assert out[1] == out[2] == out[3] == 1  # transitive closure, min id
+    assert out[4] == 4
+    assert 5 not in out
+    kept = {r.doc_id for r in keep_canonical(
+        span_dedup_clusters(docs).select("doc_id", "cluster_id")).collect()}
+    assert kept == {1, 4}
