@@ -83,8 +83,23 @@ def main() -> int:
         def build(stream):
             return windowed_counts_stream(stream, window="1 hour", watermark="2 hours")
 
+    elif query == "hll":
+        # fixed-size-sketch claim: state rows = OPEN WINDOWS (one 2^8-long
+        # register array each), while the exact-distinct alternative would
+        # pin (window × user) rows — total_groups records that cardinality
+        # so the compression ratio is explicit in the evidence row
+        from duckdb_age_spark.streaming import _hll_stateful_stage
+
+        events = read_table(spark, sf_dir, "events").select("ts", "user_id")
+        schema = "ts timestamp, user_id long"
+        n_chunks = 20
+        total_groups = events.groupBy(F.window("ts", "1 day"), "user_id").count().count()
+
+        def build(stream):
+            return _hll_stateful_stage(stream, 86400, 8, None)
+
     else:
-        sys.exit(f"unknown query {query!r} (want topk|tvd)")
+        sys.exit(f"unknown query {query!r} (want topk|tvd|hll)")
 
     stage = tempfile.mkdtemp(prefix="stream_state_")
     src = os.path.join(stage, "src")
@@ -108,7 +123,8 @@ def main() -> int:
         q = (
             out.writeStream.format("memory")
             .queryName(name)
-            .outputMode("update")
+            # applyInPandasWithState runs in append; the windowed aggs in update
+            .outputMode("append" if query == "hll" else "update")
             .trigger(availableNow=True)
             .start()
         )
@@ -131,7 +147,11 @@ def main() -> int:
 
     rec = {
         "sf": sf_label,
-        "query": {"topk": "streaming_topk_users_state", "tvd": "streaming_tvd_drift_state"}[query],
+        "query": {
+            "topk": "streaming_topk_users_state",
+            "tvd": "streaming_tvd_drift_state",
+            "hll": "streaming_hll_users_state",
+        }[query],
         "total_groups": total_groups,
         "max_state_rows": max(state_rows),
         "final_state_rows": state_rows[-1],
