@@ -210,6 +210,7 @@ BENCH_QUERIES = [
     "text_zipf_slope",
     "streaming_hll_users",
     "dedup_span_clusters",
+    "events_cusum_shift",
 ]
 
 

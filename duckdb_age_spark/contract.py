@@ -6996,6 +6996,41 @@ def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "events_cusum_shift",
+    """
+    WITH daily AS (
+      SELECT (floor(epoch(ts))::BIGINT - floor(epoch(ts))::BIGINT % 86400) AS day_sec,
+             sum(CAST(round(value * 100) AS BIGINT)) AS cents
+      FROM events WHERE event_type = 'purchase' GROUP BY 1),
+    tot AS (SELECT sum(cents)::HUGEINT AS total, count(*)::HUGEINT AS n FROM daily),
+    enr AS (
+      SELECT day_sec, cents,
+             row_number() OVER (ORDER BY day_sec) AS t,
+             sum(cents::HUGEINT) OVER (ORDER BY day_sec
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pre
+      FROM daily),
+    c AS (SELECT day_sec, cents, pre * n - t * total AS c, total
+          FROM enr CROSS JOIN tot),
+    s AS (SELECT day_sec, cents, total,
+                 c - least(min(c) OVER (ORDER BY day_sec
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS s
+          FROM c)
+    SELECT day_sec, cents::BIGINT AS revenue_cents, s::BIGINT AS cusum_ncents,
+           s > total * 4 AS alarm
+    FROM s ORDER BY day_sec
+    """,
+)
+def events_cusum_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM mean-shift monitor over daily revenue via the prefix identity
+    S_t = C_t − min prefix C (two window scans, no recursion), exact
+    cross-multiplied n·cent integers through DECIMAL/HUGEINT."""
+    from .operators.events import cusum_shift
+
+    _prep(spark)
+    return cusum_shift(load(spark, sf_dir, "events"), h_mult=4)
+
+
+@_q(
     "multimodal_audio_blocks",
     """
     WITH wav AS (

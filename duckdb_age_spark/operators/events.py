@@ -622,3 +622,72 @@ def rfm_segments(events: DataFrame, n_tiles: int = 5) -> DataFrame:
         )
         .orderBy("r_tile", "f_tile", "m_tile")
     )
+
+
+def cusum_shift(events: DataFrame, h_mult: int = 4) -> DataFrame:
+    """CUSUM mean-shift detection over daily revenue — the classic
+    sequential change-point monitor (Page 1954) a pipeline runs on its
+    own output volumes: a sustained upward drift accumulates where a
+    z-score anomaly flag (rollup_anomaly_z) only sees single spikes.
+
+    The textbook recurrence S_t = max(0, S_{t−1} + (x_t − target)) is not
+    a window function, but the classic prefix identity
+
+        S_t = C_t − min_{0≤j≤t} C_j,   C_t = Σ_{i≤t} (x_i − target)
+
+    turns it into TWO window scans (cumulative sum, cumulative min) —
+    fully relational, no recursion, no driver loop.  With target = the
+    period's own mean, everything is cross-multiplied into exact
+    integers: in n·cent units, C_t = n·prefix(cents) − t·total, staged
+    through DECIMAL(38,0) so corpus-scale revenue cannot overflow.  The
+    alarm threshold is ``h_mult``·(total DIV n)·n = h_mult·n·mean-days
+    of drift, also exact.
+
+    Scale shape: one map-side-combined daily aggregate (the only
+    event-volume shuffle), then two windows over the DAY table ordered by
+    day (bounded by days in retention, not events; a single-partition
+    window over ~10³ retention days is deliberate).  Returns
+    (day_sec, revenue_cents, cusum_ncents, alarm) ordered by day.
+    """
+    from pyspark.sql import Window as W
+
+    daily = (
+        events.where(F.col("event_type") == "purchase")
+        .groupBy(
+            F.expr("CAST(CAST(ts AS LONG) DIV 86400 * 86400 AS LONG)").alias("day_sec")
+        )
+        .agg(F.sum(F.expr("CAST(round(value * 100) AS BIGINT)")).alias("cents"))
+    )
+    tot = daily.agg(
+        F.sum(F.col("cents").cast("decimal(38,0)")).alias("total"),
+        F.count("*").alias("n"),
+    )
+    w = W.orderBy("day_sec").rowsBetween(W.unboundedPreceding, 0)
+    enr = (
+        daily.crossJoin(F.broadcast(tot))
+        .withColumn("t", F.count("*").over(W.orderBy("day_sec")))
+        .withColumn(
+            "c",
+            F.sum(F.col("cents").cast("decimal(38,0)")).over(w) * F.col("n")
+            - F.col("t") * F.col("total"),
+        )
+    )
+    # prefix min of C including the implicit C_0 = 0 start
+    cmin = F.least(F.min("c").over(w), F.lit(0).cast("decimal(38,0)"))
+    s = F.col("c") - cmin
+    thresh = F.col("total").cast("decimal(38,0)") * h_mult
+    return (
+        enr.select(
+            "day_sec",
+            F.col("cents").alias("revenue_cents"),
+            s.cast("decimal(38,0)").alias("s"),
+            thresh.alias("thresh"),
+        )
+        .select(
+            "day_sec",
+            "revenue_cents",
+            F.expr("CAST(s AS BIGINT)").alias("cusum_ncents"),
+            (F.col("s") > F.col("thresh")).alias("alarm"),
+        )
+        .orderBy("day_sec")
+    )

@@ -2972,3 +2972,40 @@ def test_span_clusters_transitive_family(spark):
     kept = {r.doc_id for r in keep_canonical(
         span_dedup_clusters(docs).select("doc_id", "cluster_id")).collect()}
     assert kept == {1, 4}
+
+
+def test_cusum_detects_step_shift_not_noise(spark):
+    """A flat series must never alarm (CUSUM vs its own mean stays small);
+    a series with a sustained step-up must alarm during the shifted
+    regime, and the recurrence identity S_t = C_t - min prefix C must
+    match a direct Python replay of max(0, S+(x-mean))."""
+    from datetime import datetime
+
+    from duckdb_age_spark.operators.events import cusum_shift
+
+    def mk(vals):
+        rows = [
+            (i, datetime(2024, 1, 1 + i), 1, "purchase", float(v))
+            for i, v in enumerate(vals)
+        ]
+        return spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+        )
+
+    flat = [100.0] * 20
+    out = cusum_shift(mk(flat), h_mult=4).collect()
+    assert all(not r.alarm for r in out)
+    assert all(r.cusum_ncents == 0 for r in out)
+
+    shifted = [100.0] * 14 + [300.0] * 6  # sustained step in the tail
+    out2 = cusum_shift(mk(shifted), h_mult=4).collect()
+    # replay the textbook recurrence in exact n*cent units
+    cents = [round(v * 100) for v in shifted]
+    n, total = len(cents), sum(cents)
+    s, expect = 0, []
+    for x in cents:
+        s = max(0, s + (x * n - total))
+        expect.append(s)
+    assert [r.cusum_ncents for r in out2] == expect
+    assert any(r.alarm for r in out2[14:])   # fires inside the new regime
+    assert not any(r.alarm for r in out2[:14])
