@@ -211,6 +211,8 @@ BENCH_QUERIES = [
     "streaming_hll_users",
     "dedup_span_clusters",
     "events_cusum_shift",
+    "relational_cube_revenue",
+    "relational_pivot_priority",
 ]
 
 

@@ -7252,6 +7252,64 @@ def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return last_touch_attribution(load(spark, sf_dir, "events"))
 
 
+@_q(
+    "relational_cube_revenue",
+    """
+    WITH enr AS (
+      SELECT r_name, year(o_orderdate)::BIGINT AS o_year,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey)
+    SELECT r_name, o_year, GROUPING(r_name, o_year)::BIGINT AS gid,
+           sum(cents)::BIGINT AS revenue_cents, count(*)::BIGINT AS n_orders
+    FROM enr GROUP BY CUBE (r_name, o_year)
+    ORDER BY gid, r_name, o_year
+    """,
+)
+def relational_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-level CUBE aggregation (region × order-year revenue at every
+    grouping level, grouping_id-tagged) — Spark's Expand does the level
+    fan-out map-side with partial aggs, so ONE shuffle of ≤4·|cells|."""
+    from .operators.relational import revenue_cube
+
+    _prep(spark)
+    return revenue_cube(
+        load(spark, sf_dir, "orders"),
+        load(spark, sf_dir, "customer"),
+        load(spark, sf_dir, "nation"),
+        load(spark, sf_dir, "region"),
+    )
+
+
+@_q(
+    "relational_pivot_priority",
+    """
+    WITH o AS (
+      SELECT year(o_orderdate)::BIGINT AS o_year, o_orderpriority,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders)
+    SELECT o_year,
+           sum(CASE WHEN o_orderpriority = '1-URGENT' THEN cents END)::BIGINT AS urgent_cents,
+           sum(CASE WHEN o_orderpriority = '2-HIGH' THEN cents END)::BIGINT AS high_cents,
+           sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN cents END)::BIGINT AS medium_cents,
+           sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN cents END)::BIGINT
+             AS notspec_cents,
+           sum(CASE WHEN o_orderpriority = '5-LOW' THEN cents END)::BIGINT AS low_cents
+    FROM o GROUP BY 1 ORDER BY 1
+    """,
+)
+def relational_pivot_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT with explicit values: per-year revenue cents spread across
+    the five order priorities as columns — compiles to ONE conditional
+    aggregate (no discovery job), shuffle carries ≤|years| rows."""
+    from .operators.relational import priority_pivot
+
+    _prep(spark)
+    return priority_pivot(load(spark, sf_dir, "orders"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: encrypted-document pipeline at sf0.001 — round-trip an
     age-encrypted documents table and join quality stats (SURVEY.md §7.3)."""

@@ -972,3 +972,77 @@ def markov_steady_state(orders: DataFrame, rounds: int = 8) -> DataFrame:
                 nxt[q] = nxt.get(q, 0) + (v[p] * n) // totals[p]
         v = nxt
     return spark.createDataFrame([(s, v[s]) for s in sorted(v)], schema)
+
+
+def revenue_cube(
+    orders: DataFrame, customer: DataFrame, nation: DataFrame, region: DataFrame
+) -> DataFrame:
+    """Multi-level OLAP aggregation: order revenue by (region, order-year)
+    at EVERY grouping level via ``CUBE`` — the drill-down report the
+    reference's host engine answers with ``GROUP BY CUBE``.
+
+    ``grouping_id()`` tags each level (0=cell, 1=year rolled up, 2=region
+    rolled up, 3=grand total) so rolled-up NULLs are distinguishable from
+    natural NULLs.  Scale shape: two broadcast dimension joins, then ONE
+    shuffle — Spark's ``Expand`` replicates rows per grouping set
+    map-side and partially aggregates BEFORE the exchange, so the shuffle
+    carries ≤ 4·|regions×years| partial cells, not the fact table.
+    Revenue is an exact decimal(38,0) cents sum (operators/exact.py).
+    """
+    cust = customer.select("c_custkey", "c_nationkey")
+    nat = nation.select("n_nationkey", "n_regionkey")
+    reg = region.select("r_regionkey", "r_name")
+    enr = (
+        orders.select("o_custkey", "o_orderdate", units("o_totalprice").alias("cents"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("r_name", F.year("o_orderdate").cast("long").alias("o_year"), "cents")
+    )
+    return (
+        enr.cube("r_name", "o_year")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.sum(F.col("cents").cast("decimal(38,0)")).cast("long").alias("revenue_cents"),
+            F.count("*").cast("long").alias("n_orders"),
+        )
+        .orderBy("gid", "r_name", "o_year")
+    )
+
+
+_PIVOT_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+
+def priority_pivot(orders: DataFrame) -> DataFrame:
+    """PIVOT: per-year revenue cents spread across the five order
+    priorities as columns — the wide report shape ``PIVOT`` produces in
+    the reference's host engine.
+
+    Pivot values are EXPLICIT, and the pivot is compiled HERE to plain
+    conditional aggregates (``sum(CASE WHEN …)``) rather than
+    ``DataFrame.pivot`` — Spark's pivot with explicit values still plans
+    a two-stage aggregate (group by (year, priority), then a pivotfirst
+    re-shuffle); the conditional form is ONE map-side-combinable
+    aggregate with a single ≤|years|-row exchange.  A year with no
+    orders of some priority yields NULL, matching SQL's conditional-sum
+    semantics.
+    """
+    aliases = ["urgent_cents", "high_cents", "medium_cents", "notspec_cents", "low_cents"]
+    aggs = [
+        F.sum(
+            F.when(F.col("o_orderpriority") == p, F.col("cents").cast("decimal(38,0)"))
+        )
+        .cast("long")
+        .alias(a)
+        for p, a in zip(_PIVOT_PRIORITIES, aliases)
+    ]
+    return (
+        orders.select(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            "o_orderpriority",
+            units("o_totalprice").alias("cents"),
+        )
+        .groupBy("o_year")
+        .agg(*aggs)
+        .orderBy("o_year")
+    )

@@ -3009,3 +3009,65 @@ def test_cusum_detects_step_shift_not_noise(spark):
     assert [r.cusum_ncents for r in out2] == expect
     assert any(r.alarm for r in out2[14:])   # fires inside the new regime
     assert not any(r.alarm for r in out2[:14])
+
+
+def test_revenue_cube_levels_and_grouping_id(spark):
+    """Every CUBE level must appear exactly once with the right gid tag
+    (0=cell, 1=year rolled, 2=region rolled, 3=grand total) and rolled-up
+    totals must equal the sum of their children — hand-computed planted
+    data, two regions x two years."""
+    from datetime import datetime
+
+    from duckdb_age_spark.operators.relational import revenue_cube
+
+    orders = spark.createDataFrame(
+        [
+            (1, 10, datetime(1995, 3, 1), 10.00),
+            (2, 10, datetime(1996, 3, 1), 20.00),
+            (3, 20, datetime(1995, 3, 1), 40.00),
+        ],
+        "o_orderkey long, o_custkey long, o_orderdate timestamp, o_totalprice double",
+    )
+    customer = spark.createDataFrame(
+        [(10, 1), (20, 2)], "c_custkey long, c_nationkey long"
+    )
+    nation = spark.createDataFrame([(1, 1), (2, 2)], "n_nationkey long, n_regionkey long")
+    region = spark.createDataFrame([(1, "EUROPE"), (2, "ASIA")], "r_regionkey long, r_name string")
+    rows = {
+        (r.r_name, r.o_year, r.gid): (r.revenue_cents, r.n_orders)
+        for r in revenue_cube(orders, customer, nation, region).collect()
+    }
+    assert rows[("EUROPE", 1995, 0)] == (1000, 1)
+    assert rows[("EUROPE", 1996, 0)] == (2000, 1)
+    assert rows[("ASIA", 1995, 0)] == (4000, 1)
+    assert rows[("EUROPE", None, 1)] == (3000, 2)   # year rolled up
+    assert rows[("ASIA", None, 1)] == (4000, 1)
+    assert rows[(None, 1995, 2)] == (5000, 2)       # region rolled up
+    assert rows[(None, 1996, 2)] == (2000, 1)
+    assert rows[(None, None, 3)] == (7000, 3)       # grand total
+    assert len(rows) == 8
+
+
+def test_priority_pivot_wide_and_null_holes(spark):
+    """Pivot must produce one row per year with priority columns in cents
+    and NULL (not 0) where a year has no orders of that priority."""
+    from datetime import datetime
+
+    from duckdb_age_spark.operators.relational import priority_pivot
+
+    orders = spark.createDataFrame(
+        [
+            (1, 1, datetime(1995, 1, 1), 10.00, "1-URGENT"),
+            (2, 1, datetime(1995, 6, 1), 5.50, "1-URGENT"),
+            (3, 1, datetime(1995, 1, 1), 7.25, "5-LOW"),
+            (4, 1, datetime(1996, 1, 1), 1.00, "3-MEDIUM"),
+        ],
+        "o_orderkey long, o_custkey long, o_orderdate timestamp, "
+        "o_totalprice double, o_orderpriority string",
+    )
+    out = {r.o_year: r for r in priority_pivot(orders).collect()}
+    assert list(out) == [1995, 1996]
+    assert (out[1995].urgent_cents, out[1995].low_cents) == (1550, 725)
+    assert out[1995].medium_cents is None
+    assert out[1996].medium_cents == 100
+    assert out[1996].urgent_cents is None

@@ -863,3 +863,31 @@ def test_zipf_vocab_partial_agg_and_bounded_exchanges(t):
     assert has_partial_aggregate(df)  # token count combines map-side
     # token-count shuffle, global rank sort, 1-row final agg — nothing more
     assert count_exchanges(df) <= 3
+
+
+def test_cube_expands_mapside_single_exchange(t):
+    """CUBE must fan out grouping levels via Expand BEFORE a partial
+    aggregate, broadcast all three dimension joins, and pay exactly one
+    agg exchange — the shuffle carries partial cells, not the fact rows."""
+    from duckdb_age_spark.operators.relational import revenue_cube
+
+    df = revenue_cube(t["orders"], t["customer"], t["nation"], t["region"])
+    plan = formatted_plan(df)
+    assert "Expand" in plan
+    assert has_broadcast_join(df)
+    assert has_partial_aggregate(df)
+    # one agg exchange + the final orderBy range exchange, nothing else
+    assert count_exchanges(df) <= 2
+
+
+def test_pivot_is_one_conditional_aggregate(t):
+    """Explicit pivot values must compile to a single aggregate pass (no
+    value-discovery job, no join): one partial+final agg, one exchange
+    (+ the orderBy range partition)."""
+    from duckdb_age_spark.operators.relational import priority_pivot
+
+    df = priority_pivot(t["orders"])
+    plan = formatted_plan(df)
+    assert "Join" not in plan
+    assert has_partial_aggregate(df)
+    assert count_exchanges(df) <= 2
