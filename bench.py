@@ -213,6 +213,7 @@ BENCH_QUERIES = [
     "events_cusum_shift",
     "relational_cube_revenue",
     "relational_pivot_priority",
+    "stats_theil_sen",
 ]
 
 

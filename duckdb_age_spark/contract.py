@@ -7253,6 +7253,36 @@ def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "stats_theil_sen",
+    """
+    WITH daily AS (
+      SELECT floor(epoch(ts))::BIGINT // 86400 AS day,
+             sum(CAST(round(value * 100) AS BIGINT)) AS cents
+      FROM events WHERE event_type = 'purchase' GROUP BY 1),
+    t AS (SELECT day, cents, row_number() OVER (ORDER BY day) AS t FROM daily),
+    pairs AS (
+      SELECT a.t AS t1, b.t AS t2,
+             ((b.cents - a.cents) * 1000000 // (b.day - a.day))::BIGINT AS slope_micro
+      FROM t a JOIN t b ON a.t < b.t),
+    ranked AS (
+      SELECT *, row_number() OVER (ORDER BY slope_micro, t1, t2) AS rk FROM pairs),
+    c AS (SELECT count(*)::BIGINT AS n_days,
+                 (count(*) * (count(*) - 1) // 2)::BIGINT AS n_pairs FROM daily)
+    SELECT n_days, n_pairs, slope_micro AS slope_microcents_per_day
+    FROM ranked CROSS JOIN c WHERE rk = (n_pairs + 1) // 2
+    """,
+)
+def stats_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust daily-revenue trend: lower median of all pairwise
+    Δcents·1e6 DIV Δdays slopes — outlier-proof where OLS is not; pair
+    work is calendar-bounded (|days|²), corpus work is one daily agg."""
+    from .operators.stats import theil_sen_trend
+
+    _prep(spark)
+    return theil_sen_trend(load(spark, sf_dir, "events"))
+
+
+@_q(
     "relational_cube_revenue",
     """
     WITH enr AS (

@@ -1002,3 +1002,70 @@ def spearman_corr(lineitem: DataFrame) -> DataFrame:
     sxx, syy, sxy = (F.col(c).cast("double") for c in ("sxx", "syy", "sxy"))
     rho = (n * sxy - sx * sy) / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy))
     return s.select(F.col("n").cast("long").alias("n"), rho.alias("rho"))
+
+
+def theil_sen_trend(events: DataFrame, event_type: str = "purchase") -> DataFrame:
+    """Theil–Sen robust trend of daily revenue: the MEDIAN of all pairwise
+    slopes — unlike the OLS fit (:func:`linreg_exact`), up to ~29% of the
+    days can be wild outliers without moving the estimate.
+
+    Exact-integer discipline so the oracle replays it bit-for-bit: each
+    pair's slope is ``(Δcents · 1e6) DIV Δdays`` (truncating division —
+    identical in Spark ``DIV`` and DuckDB ``//``), and the median is the
+    LOWER median (rank ``(n+1)//2`` under a total order with (t1, t2)
+    tie-breaks) — no float averaging of middle elements anywhere.
+
+    Scale shape: the ONLY corpus-scale work is the daily-revenue
+    aggregate (one map-side-combined shuffle).  The pairwise join runs on
+    the aggregated series — |days|² pairs, bounded by the calendar, not
+    the corpus (a decade of days is ~6.7M pairs — still a single-executor
+    broadcast join at any corpus size).  The global rank window over the
+    pairs is likewise calendar-bounded, never row-count-bounded.
+    Returns one row (n_days, n_pairs, slope_microcents_per_day).
+    """
+    from pyspark.sql import Window
+
+    daily = (
+        events.where(F.col("event_type") == event_type)
+        .groupBy(F.expr("CAST(CAST(ts AS LONG) DIV 86400 AS LONG)").alias("day"))
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"))
+        # three consumers diverge below any exchange (pair sides a/b + the
+        # count aggregate) — without materialization Spark re-plans the
+        # corpus scan for each; the lazy localCheckpoint computes the
+        # ≤|days|-row series ONCE (same multi-consumer pattern as the
+        # boilerplate gram stream, text.py)
+        .localCheckpoint(eager=False)
+    )
+    t = daily.withColumn("t", F.row_number().over(Window.orderBy("day")))
+    a, b = t.alias("a"), t.alias("b")
+    pairs = (
+        a.join(F.broadcast(b), F.col("a.t") < F.col("b.t"))
+        .select(
+            F.col("a.t").alias("t1"),
+            F.col("b.t").alias("t2"),
+            F.expr(
+                "CAST((b.cents - a.cents) * 1000000 DIV (b.day - a.day) AS BIGINT)"
+            ).alias("slope_micro"),
+        )
+    )
+    ranked = pairs.withColumn(
+        "rk", F.row_number().over(Window.orderBy("slope_micro", "t1", "t2"))
+    )
+    # n_days/n_pairs live INSIDE the plan (1-row broadcast aggregate +
+    # cross join) — a driver-side daily.count() would re-scan the corpus
+    # in a second job.
+    counts = F.broadcast(
+        daily.agg(F.count("*").cast("long").alias("n_days")).select(
+            "n_days",
+            (F.col("n_days") * (F.col("n_days") - 1) / 2).cast("long").alias("n_pairs"),
+        )
+    )
+    return (
+        ranked.crossJoin(counts)
+        .where(F.col("rk") == F.expr("(n_pairs + 1) DIV 2"))
+        .select(
+            "n_days",
+            "n_pairs",
+            F.col("slope_micro").alias("slope_microcents_per_day"),
+        )
+    )

@@ -3071,3 +3071,36 @@ def test_priority_pivot_wide_and_null_holes(spark):
     assert out[1995].medium_cents is None
     assert out[1996].medium_cents == 100
     assert out[1996].urgent_cents is None
+
+
+def test_theil_sen_is_outlier_robust_and_exact(spark):
+    """A clean +200-cents/day line with two wild outlier days must still
+    yield exactly 200e6 microcents/day (OLS would be dragged far off);
+    the lower-median rank and truncating pair division are replayed in
+    Python with int() truncation semantics."""
+    from datetime import datetime, timedelta
+
+    from duckdb_age_spark.operators.stats import theil_sen_trend
+
+    base = datetime(2024, 1, 1)
+    vals = [100.0 + 2.0 * i for i in range(15)]   # +200 cents/day
+    vals[3] = 90000.0                             # wild outliers
+    vals[11] = 0.01
+    rows = [
+        (i, base + timedelta(days=i), 1, "purchase", v) for i, v in enumerate(vals)
+    ]
+    events = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    out = theil_sen_trend(events).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.n_days, r.n_pairs) == (15, 105)
+    # replay: pairwise truncating slopes, lower median
+    cents = [round(v * 100) for v in vals]
+    slopes = sorted(
+        int((cents[j] - cents[i]) * 1_000_000 / (j - i))
+        for i in range(15)
+        for j in range(i + 1, 15)
+    )
+    assert r.slope_microcents_per_day == slopes[(105 + 1) // 2 - 1] == 200_000_000

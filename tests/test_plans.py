@@ -891,3 +891,20 @@ def test_pivot_is_one_conditional_aggregate(t):
     assert "Join" not in plan
     assert has_partial_aggregate(df)
     assert count_exchanges(df) <= 2
+
+
+def test_theil_sen_pairs_after_aggregate_only(t):
+    """The pairwise self-join must sit ABOVE the daily aggregate (pairs
+    are calendar-bounded, never corpus-bounded): exactly one partial
+    aggregate over the scan, the non-equi pair join broadcasts, and no
+    second scan of events (driver-side count would add one)."""
+    from duckdb_age_spark.operators.stats import theil_sen_trend
+
+    df = theil_sen_trend(t["events"])
+    plan = formatted_plan(df)
+    assert has_partial_aggregate(df)
+    # the daily series is localCheckpoint-materialized, so the three
+    # consumers re-read its blocks — at most the checkpoint's own single
+    # parquet scan may appear, never one per consumer
+    assert plan.count("Scan parquet") <= 1
+    assert "BroadcastNestedLoopJoin" in plan
