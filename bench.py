@@ -214,6 +214,7 @@ BENCH_QUERIES = [
     "relational_cube_revenue",
     "relational_pivot_priority",
     "stats_theil_sen",
+    "sketch_kmv_intersection",
 ]
 
 

@@ -7253,6 +7253,55 @@ def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "sketch_kmv_intersection",
+    f"""
+    WITH keyed AS (
+      SELECT DISTINCT event_type,
+             (('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT) AS key
+      FROM events WHERE event_type IN ('purchase', 'view')),
+    ranked AS (
+      SELECT event_type, key,
+             row_number() OVER (PARTITION BY event_type ORDER BY key) AS rk
+      FROM keyed),
+    mins AS (SELECT event_type, key FROM ranked WHERE rk <= {_KMV_K}),
+    merged AS (SELECT DISTINCT key FROM mins),
+    mtop AS (SELECT key, rk FROM
+               (SELECT key, row_number() OVER (ORDER BY key) AS rk FROM merged)
+             WHERE rk <= {_KMV_K}),
+    kth AS (SELECT max(rk)::BIGINT AS n_keys, max(key)::BIGINT AS kth_key FROM mtop),
+    b AS (SELECT key FROM mins GROUP BY key HAVING count(*) = 2),
+    nc AS (SELECT count(*)::BIGINT AS n_common FROM b JOIN mtop USING (key)),
+    ex AS (SELECT count(*)::BIGINT AS exact_n FROM (
+             SELECT user_id FROM events WHERE event_type IN ('purchase', 'view')
+             GROUP BY user_id HAVING count(DISTINCT event_type) = 2))
+    SELECT 'purchase&view'::VARCHAR AS pair, n_common,
+           ({_KMV_KCONST!r} / kth_key::DOUBLE) AS union_est,
+           CASE WHEN n_keys < {_KMV_K} THEN n_common::DOUBLE
+                ELSE (n_common::DOUBLE * ({_KMV_KCONST!r} / kth_key::DOUBLE))
+                     / {float(_KMV_K)!r} END AS inter_est,
+           (n_common * 10000 // {_KMV_K})::BIGINT AS jaccard_bp,
+           exact_n,
+           floor(abs(CASE WHEN n_keys < {_KMV_K} THEN n_common::DOUBLE
+                          ELSE (n_common::DOUBLE * ({_KMV_KCONST!r} / kth_key::DOUBLE))
+                               / {float(_KMV_K)!r} END - exact_n)
+                 / exact_n * 10000)::BIGINT AS err_bp
+    FROM kth, nc, ex
+    """,
+)
+def sketch_kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV sketch INTERSECTION (closes the sketch algebra): Jaccard ρ̂ =
+    common-keys-in-union-sketch / k, |A∩B| ≈ ρ̂·|A∪B|̂ — overlap of the
+    purchase/view user sets from two 64-key sketches, exact count
+    alongside for the error column."""
+    from .operators.sketch import kmv_intersection_estimate
+
+    _prep(spark)
+    return kmv_intersection_estimate(
+        load(spark, sf_dir, "events"), "event_type", "user_id", ["view", "purchase"], k=_KMV_K
+    )
+
+
+@_q(
     "stats_theil_sen",
     """
     WITH daily AS (

@@ -260,3 +260,63 @@ def hll_merge_estimate(
     )
     est, err = _hll_est_cols(m, numer)
     return out.select("union_of", "m", "n_buckets", "s_scaled", est, "exact_n", err)
+
+
+def kmv_intersection_estimate(
+    df: DataFrame, group: str, col: str, groups: list[str], k: int = 64
+) -> DataFrame:
+    """Set-INTERSECTION size estimated from the two per-group k-minima
+    sketches alone — closes the KMV algebra (distinct / union /
+    intersection): ρ̂ = |S_A ∩ S_B ∩ union-sketch| / k estimates the
+    Jaccard similarity, and |A∩B| ≈ ρ̂ · |A∪B|̂ (the KMV union estimate).
+    When the union sketch holds fewer than k keys it IS the union, so the
+    intersection is exact (= the common-key count).
+
+    Everything is deterministic: keys are md5-derived 60-bit integers
+    (key60), ranks are total-ordered, and the two IEEE float ops (union
+    estimate, scale-by-ρ̂) are a fixed sequence on exact integers — the
+    oracle replays them bit-for-bit.  Scale shape: one distinct + one
+    WindowGroupLimit top-k per group; every op after the sketch runs on
+    ≤2k rows.  The exact intersection (for the error column) is the only
+    other corpus-scale aggregate.
+    Returns one row (pair, n_common, union_est, inter_est, jaccard_bp,
+    exact_n, err_bp).
+    """
+    assert len(groups) == 2
+    minima = kmv_minima(df, group, col, k).where(F.col(group).isin(groups))
+    merged = minima.select("key").distinct()
+    mrk = (
+        merged.select("key", F.row_number().over(Window.orderBy("key")).alias("rk"))
+        .where(F.col("rk") <= k)
+    )
+    kth = mrk.agg(F.max("rk").cast("long").alias("n_keys"), F.max("key").alias("kth_key"))
+    both = minima.groupBy("key").agg(F.count("*").alias("ng")).where(F.col("ng") == 2)
+    n_common = (
+        both.join(mrk, "key").agg(F.count("*").cast("long").alias("n_common"))
+    )
+    exact = (
+        df.where(F.col(group).isin(groups))
+        .groupBy(col)
+        .agg(F.countDistinct(group).alias("ng"))
+        .where(F.col("ng") == 2)
+        .agg(F.count("*").cast("long").alias("exact_n"))
+    )
+    union_est = F.lit(float(k - 1) * float(1 << KEY_BITS)) / F.col("kth_key").cast("double")
+    inter_est = F.when(F.col("n_keys") < k, F.col("n_common").cast("double")).otherwise(
+        (F.col("n_common").cast("double") * union_est) / F.lit(float(k))
+    )
+    return (
+        kth.crossJoin(F.broadcast(n_common))
+        .crossJoin(F.broadcast(exact))
+        .select(
+            F.lit("&".join(sorted(groups))).alias("pair"),
+            "n_common",
+            union_est.alias("union_est"),
+            inter_est.alias("inter_est"),
+            F.expr(f"CAST(n_common * 10000 DIV {k} AS BIGINT)").alias("jaccard_bp"),
+            "exact_n",
+            F.floor(F.abs(inter_est - F.col("exact_n")) / F.col("exact_n") * 10000)
+            .cast("long")
+            .alias("err_bp"),
+        )
+    )

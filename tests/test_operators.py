@@ -3104,3 +3104,52 @@ def test_theil_sen_is_outlier_robust_and_exact(spark):
         for j in range(i + 1, 15)
     )
     assert r.slope_microcents_per_day == slopes[(105 + 1) // 2 - 1] == 200_000_000
+
+
+def test_kmv_intersection_exact_small_and_replayed_large(spark):
+    """Below k distinct union keys the sketch IS the union, so the
+    intersection estimate must equal the exact overlap; above k the
+    estimate must equal a bit-for-bit Python replay of the md5-key
+    sketch rule (not just land within a tolerance)."""
+    import hashlib
+    from datetime import datetime
+
+    from duckdb_age_spark.operators.sketch import kmv_intersection_estimate
+
+    def mk(n_view, n_purch, overlap):
+        rows, eid = [], 0
+        for u in range(n_view):
+            rows.append((eid, datetime(2024, 1, 1), u, "view", 1.0)); eid += 1
+        for u in range(n_view - overlap, n_view - overlap + n_purch):
+            rows.append((eid, datetime(2024, 1, 1), u, "purchase", 1.0)); eid += 1
+        return spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+        )
+
+    # small: 30 view ∪ 25 purchase, 10 common -> union 45 < k=64 -> exact
+    out = kmv_intersection_estimate(
+        mk(30, 25, 10), "event_type", "user_id", ["view", "purchase"], k=64
+    ).collect()[0]
+    assert out.exact_n == 10
+    assert out.n_common == 10
+    assert out.inter_est == 10.0
+
+    # large: 600 ∪ 500 with 200 common -> sketch path; replay the rule
+    out = kmv_intersection_estimate(
+        mk(600, 500, 200), "event_type", "user_id", ["view", "purchase"], k=64
+    ).collect()[0]
+
+    def key(u):
+        return int(hashlib.md5(str(u).encode()).hexdigest()[:15], 16)
+
+    views = sorted(key(u) for u in range(600))[:64]
+    purch = sorted(key(u) for u in range(400, 900))[:64]
+    union = sorted(set(views) | set(purch))[:64]
+    kth = union[-1]
+    n_common = len(set(views) & set(purch) & set(union))
+    union_est = float(63 * (1 << 60)) / float(kth)
+    expect = (float(n_common) * union_est) / 64.0
+    assert out.exact_n == 200
+    assert out.n_common == n_common
+    assert out.inter_est == expect
+    assert out.jaccard_bp == n_common * 10000 // 64
