@@ -215,6 +215,7 @@ BENCH_QUERIES = [
     "relational_pivot_priority",
     "stats_theil_sen",
     "sketch_kmv_intersection",
+    "pipeline_importance_weights",
 ]
 
 

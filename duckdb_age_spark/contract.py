@@ -7253,6 +7253,45 @@ def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "pipeline_importance_weights",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, source,
+             unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+      FROM documents),
+    vocab AS (
+      SELECT tok, count(*)::BIGINT AS cg,
+             sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END)::BIGINT AS ct
+      FROM toks GROUP BY 1),
+    tot AS (SELECT sum(cg)::BIGINT AS tg, sum(ct)::BIGINT AS tt,
+                   count(*)::BIGINT AS v FROM vocab),
+    lw AS (
+      SELECT doc_id,
+             CAST(round((ln((ct + 1) / (tt + v)) - ln((cg + 1) / (tg + v))) * 1e9)
+                  AS BIGINT) AS lw
+      FROM toks JOIN vocab USING (tok) CROSS JOIN tot),
+    agg AS (
+      SELECT doc_id, sum(lw) + count(*) * 32000000000 AS s_shift,
+             count(*)::BIGINT AS cnt
+      FROM lw GROUP BY 1)
+    SELECT doc_id,
+           ((2 * s_shift * 1000 + cnt * 1000000000) // (2 * cnt * 1000000000)) / 1000.0
+             - 32.0 AS mean_lw
+    FROM agg ORDER BY doc_id
+    """,
+)
+def pipeline_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data-selection weights: per-doc mean ln-likelihood
+    ratio between the target domain's smoothed unigram LM and the corpus
+    LM — nano-int per-token rounding + positive-dividend shifted mean,
+    so both engines hash-match to the last millinat."""
+    from .operators.pipeline import importance_weights
+
+    _prep(spark)
+    return importance_weights(load(spark, sf_dir, "documents"), target_source="src1")
+
+
+@_q(
     "sketch_kmv_intersection",
     f"""
     WITH keyed AS (

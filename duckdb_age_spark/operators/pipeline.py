@@ -622,3 +622,74 @@ def ngram_novelty(docs: DataFrame, n: int = 5) -> DataFrame:
         .withColumn("novel_ppm", F.expr("n_novel * 1000000 DIV n_grams"))
         .orderBy("doc_id")
     )
+
+
+def importance_weights(docs: DataFrame, target_source: str = "src1") -> DataFrame:
+    """DSIR-style data-selection weights: per-doc mean log-likelihood
+    ratio ln(P_target(tok)/P_corpus(tok)) between a TARGET domain's
+    unigram model and the whole-corpus model — rank by it and keep the
+    top mass to steer a 100 TB crawl toward a target distribution
+    (the Data Selection with Importance Resampling recipe, restated on
+    add-one-smoothed unigrams instead of hashed n-grams).
+
+    Both models are Laplace-smoothed over the SHARED corpus vocabulary
+    ((c+1)/(T+V)), so target-absent tokens contribute a finite negative
+    ratio instead of -inf.  Determinism follows unigram_logprob: each
+    token's ratio is rounded to integer nano-units BEFORE the per-doc
+    sum (order-independent), and the 3-dp mean uses the positive-
+    dividend rounding identity after shifting by +32 (|ratio| < 30 by
+    construction: both smoothed probs lie in [1/(T+V), 1]) — the shift
+    commutes with rounding exactly and keeps every DIV operand positive
+    and < 2^63 for docs up to ~7e4 tokens.
+
+    Scale shape: ONE vocab aggregate carrying both models' counts (the
+    target count is a conditional sum in the same map-side-combined
+    pass, so the corpus/target split costs no extra scan), one
+    broadcast-or-AQE token join, one per-doc integer sum.  No Python
+    anywhere.  Returns (doc_id, mean_lw) ordered by doc_id.
+    """
+    words = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    toks = docs.select("doc_id", "source", F.explode(words).alias("tok"))
+    vocab = (
+        toks.groupBy("tok")
+        .agg(
+            F.count("*").alias("cg"),
+            F.sum(F.when(F.col("source") == target_source, 1).otherwise(0)).alias("ct"),
+        )
+        # two consumers (the totals aggregate and the scoring join) —
+        # materialize the vocab ONCE or each re-runs the corpus explode
+        # (same multi-consumer pattern as the boilerplate gram stream)
+        .localCheckpoint(eager=False)
+    )
+    totals = vocab.agg(
+        F.sum("cg").alias("tg"),
+        F.sum("ct").alias("tt"),
+        F.count("*").alias("v"),
+    )
+    lw_nano = F.round(
+        (
+            F.log((F.col("ct") + 1) / (F.col("tt") + F.col("v")))
+            - F.log((F.col("cg") + 1) / (F.col("tg") + F.col("v")))
+        )
+        * 1e9,
+        0,
+    ).cast("long")
+    return (
+        toks.join(F.broadcast(vocab), "tok")
+        .crossJoin(F.broadcast(totals))
+        .select("doc_id", lw_nano.alias("lw"))
+        .groupBy("doc_id")
+        .agg(
+            (F.sum("lw") + F.count("*") * F.lit(32_000_000_000)).alias("s_shift"),
+            F.count("*").alias("cnt"),
+        )
+        .select(
+            "doc_id",
+            (
+                F.expr("(2 * s_shift * 1000 + cnt * 1000000000) DIV (2 * cnt * 1000000000)")
+                / F.lit(1000.0)
+                - F.lit(32.0)
+            ).alias("mean_lw"),
+        )
+        .orderBy("doc_id")
+    )

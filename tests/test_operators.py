@@ -3153,3 +3153,41 @@ def test_kmv_intersection_exact_small_and_replayed_large(spark):
     assert out.n_common == n_common
     assert out.inter_est == expect
     assert out.jaccard_bp == n_common * 10000 // 64
+
+
+def test_importance_weights_favor_target_like_docs(spark):
+    """Docs wording like the target domain must score higher than docs
+    full of target-absent vocabulary, the weight must be replayed
+    exactly from the smoothed-unigram definition, and every doc must get
+    a row (no -inf/NULL from target-absent tokens)."""
+    import math
+
+    from duckdb_age_spark.operators.pipeline import importance_weights
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta alpha beta", "en", "tgt", 0),
+            (2, "alpha beta gamma", "en", "other", 0),
+            (3, "delta delta epsilon zeta", "en", "other", 0),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = {r.doc_id: r.mean_lw for r in importance_weights(docs, "tgt").collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1] > out[2] > out[3]
+
+    # replay doc 2 exactly: corpus counts over all docs, target = doc 1
+    cg = {"alpha": 3, "beta": 3, "gamma": 1, "delta": 2, "epsilon": 1, "zeta": 1}
+    ct = {"alpha": 2, "beta": 2}
+    tg, tt, v = sum(cg.values()), sum(ct.values()), len(cg)
+    lw = {
+        t: round((math.log((ct.get(t, 0) + 1) / (tt + v)) - math.log((c + 1) / (tg + v))) * 1e9)
+        for t, c in cg.items()
+    }
+    for doc_id, toks in ((1, ["alpha", "beta", "alpha", "beta"]),
+                         (2, ["alpha", "beta", "gamma"]),
+                         (3, ["delta", "delta", "epsilon", "zeta"])):
+        s_shift = sum(lw[t] for t in toks) + len(toks) * 32_000_000_000
+        cnt = len(toks)
+        milli = (2 * s_shift * 1000 + cnt * 1_000_000_000) // (2 * cnt * 1_000_000_000)
+        assert out[doc_id] == milli / 1000.0 - 32.0

@@ -908,3 +908,19 @@ def test_theil_sen_pairs_after_aggregate_only(t):
     # parquet scan may appear, never one per consumer
     assert plan.count("Scan parquet") <= 1
     assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_importance_weights_single_vocab_pass(t):
+    """The corpus and target unigram models must come from ONE
+    map-side-combined aggregate (conditional sum), not two explode
+    passes: exactly two parquet scans total (vocab pass + scoring
+    join pass) and partial aggregation present."""
+    from duckdb_age_spark.operators.pipeline import importance_weights
+
+    df = importance_weights(t["documents"])
+    plan = formatted_plan(df)
+    assert has_partial_aggregate(df)
+    # formatted plans print each scan twice (tree + detail): 2 logical
+    # corpus scans -> 4 mentions; without the vocab materialization the
+    # totals consumer adds a third explode pass (6 mentions)
+    assert plan.count("Scan parquet") <= 4
