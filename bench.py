@@ -216,6 +216,7 @@ BENCH_QUERIES = [
     "stats_theil_sen",
     "sketch_kmv_intersection",
     "pipeline_importance_weights",
+    "graph_harmonic_closeness",
 ]
 
 

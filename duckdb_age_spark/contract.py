@@ -7253,6 +7253,37 @@ def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "graph_harmonic_closeness",
+    f"""
+    WITH {_COPURCHASE_CP_SQL}, {_COPURCHASE_E_SQL},
+    adj AS (SELECT src AS a, dst AS b FROM e UNION ALL SELECT dst, src FROM e),
+    seeds AS (SELECT DISTINCT a AS seed FROM adj ORDER BY 1 LIMIT 4),
+    walk AS (
+      WITH RECURSIVE w(seed, node, hops) AS (
+        SELECT seed, seed, 0 FROM seeds
+        UNION
+        SELECT w.seed, adj.b, hops + 1 FROM w JOIN adj ON adj.a = w.node
+        WHERE hops < 3)
+      SELECT seed, node, min(hops) AS hops FROM w GROUP BY 1, 2)
+    SELECT node::BIGINT AS node, count(*)::BIGINT AS n_seeds_reaching,
+           sum(1000000 // hops)::BIGINT AS harmonic_micro
+    FROM walk WHERE hops > 0 GROUP BY 1 ORDER BY 1
+    """,
+)
+def graph_harmonic_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Landmark harmonic closeness over the co-purchase graph: one
+    multi-source BFS from the 4 smallest nodes, score = Σ 1e6 DIV d —
+    the scalable stand-in for O(V·E) exact closeness; frontier-only
+    rounds, in-plan seed selection, exact-integer micro-units."""
+    from .operators.graph import copurchase_edges, harmonic_closeness
+
+    _prep(spark)
+    orders = load(spark, sf_dir, "orders").where(F.col("o_custkey") % 10 == 0)
+    edges = copurchase_edges(orders, load(spark, sf_dir, "lineitem"), min_shared_parts=2)
+    return harmonic_closeness(edges, n_seeds=4, max_hops=3)
+
+
+@_q(
     "pipeline_importance_weights",
     r"""
     WITH toks AS (

@@ -870,3 +870,62 @@ def hits_scores(edges: DataFrame, n_iter: int = 2) -> DataFrame:
             F.coalesce("auth", F.lit(0)).cast("long").alias("auth"),
         )
     )
+
+
+def harmonic_closeness(
+    edges: DataFrame,
+    n_seeds: int = 4,
+    max_hops: int = 3,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Landmark harmonic-closeness centrality: run ONE multi-source BFS
+    from the ``n_seeds`` smallest node ids and score every reached node
+    as Σ_seeds 1/d(seed, node) — the landmark estimator used where exact
+    all-pairs closeness is impossible (it is O(V·E)); more seeds tighten
+    it, and the per-round work stays O(edges touching the frontier ×
+    seeds).
+
+    Per-(seed, node) hop distances are exact integers and the harmonic
+    sum is accumulated in micro-units as ``1_000_000 DIV hops`` — exact
+    in any engine and any order, so the DuckDB recursive-CTE replay
+    hash-matches.  Seeds are selected IN-PLAN (top-k smallest ids, a
+    WindowGroupLimit, then broadcast into the BFS init) — no driver
+    collect.  Same frontier/visited/checkpoint discipline as
+    :func:`bfs_hops`: anti-join on (seed, node), every round's new
+    frontier checkpointed, ``checkpoint_dir`` for reliable checkpoints
+    on real clusters.
+    Returns (node, n_seeds_reaching, harmonic_micro) ordered by node.
+    """
+    from .iterate import truncate_lineage
+
+    edges = truncate_lineage(edges.select("src", "dst"), checkpoint_dir)
+    adj = truncate_lineage(
+        edges.unionAll(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))),
+        checkpoint_dir,
+    )
+    nodes = adj.select(F.col("src").alias("node")).distinct()
+    seeds = F.broadcast(
+        nodes.orderBy("node").limit(n_seeds).select(F.col("node").alias("seed"))
+    )
+    visited = seeds.select("seed", F.col("seed").alias("node"), F.lit(0).alias("hops"))
+    frontier = visited
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(adj, frontier.node == adj.src)
+            .select("seed", F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("seed", "node"), ["seed", "node"], "left_anti")
+            .select("seed", "node", F.lit(hop).alias("hops"))
+        )
+        nxt = truncate_lineage(nxt, checkpoint_dir)
+        visited = visited.unionAll(nxt)
+        frontier = nxt
+    return (
+        visited.where(F.col("hops") > 0)
+        .groupBy("node")
+        .agg(
+            F.count("*").cast("long").alias("n_seeds_reaching"),
+            F.sum(F.expr("1000000 DIV hops")).cast("long").alias("harmonic_micro"),
+        )
+        .orderBy("node")
+    )

@@ -3191,3 +3191,26 @@ def test_importance_weights_favor_target_like_docs(spark):
         cnt = len(toks)
         milli = (2 * s_shift * 1000 + cnt * 1_000_000_000) // (2 * cnt * 1_000_000_000)
         assert out[doc_id] == milli / 1000.0 - 32.0
+
+
+def test_harmonic_closeness_path_graph_exact(spark):
+    """On the path 1-2-3-4-5-6 with seeds {1,2}: hand-computed exact
+    micro-unit harmonic scores, including the DIV-truncation cell
+    (1e6 DIV 3 = 333333) and unreached pairs contributing nothing."""
+    from duckdb_age_spark.operators.graph import harmonic_closeness
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6)], "src long, dst long"
+    )
+    out = {
+        r.node: (r.n_seeds_reaching, r.harmonic_micro)
+        for r in harmonic_closeness(edges, n_seeds=2, max_hops=3).collect()
+    }
+    third = 1_000_000 // 3
+    # node: d(1,.), d(2,.) within 3 hops -> sum(1e6 DIV d)
+    assert out[1] == (1, 1_000_000)                  # only seed 2 at d=1
+    assert out[2] == (1, 1_000_000)                  # only seed 1 at d=1
+    assert out[3] == (2, 500_000 + 1_000_000)        # d=2 from 1, d=1 from 2
+    assert out[4] == (2, third + 500_000)            # d=3 from 1, d=2 from 2
+    assert out[5] == (1, third)                      # d=4 from 1 unreached
+    assert 6 not in out                             # beyond 3 hops from both seeds
