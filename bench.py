@@ -217,6 +217,7 @@ BENCH_QUERIES = [
     "sketch_kmv_intersection",
     "pipeline_importance_weights",
     "graph_harmonic_closeness",
+    "multimodal_ahash_pairs",
 ]
 
 

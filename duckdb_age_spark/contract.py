@@ -7253,6 +7253,64 @@ def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "multimodal_ahash_pairs",
+    """
+    WITH imgs AS (
+      SELECT doc_id AS media_id, doc_id % 64 + 1 AS w, (doc_id * 7) % 64 + 1 AS h,
+             ((3 * (doc_id % 64 + 1) + 3) // 4) * 4 AS rowb
+      FROM documents WHERE doc_id % 2 = 0),
+    px AS (
+      SELECT media_id, w, h, rowb, p % w AS x, p // w AS y
+      FROM imgs, unnest(range(0, w * h)) AS t(p)),
+    g AS (
+      SELECT media_id,
+             (y * 8) // h * 8 + (x * 8) // w AS k,
+             (((media_id + ((rowb * (h - 1 - y) + 3 * x) % 12)) * 31) % 256
+              + ((media_id + ((rowb * (h - 1 - y) + 3 * x + 1) % 12)) * 31) % 256
+              + ((media_id + ((rowb * (h - 1 - y) + 3 * x + 2) % 12)) * 31) % 256) // 3
+               AS gray
+      FROM px),
+    cells AS (SELECT media_id, k, sum(gray)::BIGINT AS cs, count(*)::BIGINT AS cc
+              FROM g GROUP BY 1, 2),
+    tot AS (SELECT media_id, sum(cs) AS ts, sum(cc) AS n FROM cells GROUP BY 1),
+    words AS (
+      SELECT cells.media_id,
+             sum(CASE WHEN cs * n > ts * cc AND k >= 32
+                      THEN 1::BIGINT << (k - 32) ELSE 0 END)::BIGINT AS hi,
+             sum(CASE WHEN cs * n > ts * cc AND k < 32
+                      THEN 1::BIGINT << k ELSE 0 END)::BIGINT AS lo
+      FROM cells JOIN tot USING (media_id) GROUP BY 1),
+    bands AS (
+      SELECT media_id, b,
+             CASE b WHEN 0 THEN lo & 65535 WHEN 1 THEN (lo >> 16) & 65535
+                    WHEN 2 THEN hi & 65535 ELSE (hi >> 16) & 65535 END AS v
+      FROM words, unnest(range(0, 4)) AS t(b)),
+    ok AS (SELECT b, v FROM bands GROUP BY 1, 2 HAVING count(*) <= 200),
+    cand AS (
+      SELECT DISTINCT l.media_id AS a, r.media_id AS b
+      FROM bands l JOIN ok USING (b, v)
+      JOIN bands r ON l.b = r.b AND l.v = r.v AND l.media_id < r.media_id)
+    SELECT a, b,
+           (bit_count(xor(wa.hi, wb.hi)) + bit_count(xor(wa.lo, wb.lo)))::BIGINT AS hamming
+    FROM cand JOIN words wa ON wa.media_id = a JOIN words wb ON wb.media_id = b
+    WHERE bit_count(xor(wa.hi, wb.hi)) + bit_count(xor(wa.lo, wb.lo)) <= 4
+    ORDER BY a, b
+    """,
+)
+def multimodal_ahash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate IMAGE pairs: perceptual average-hash over real
+    decoded BMP pixels (8×8 integer gray grid vs image mean), banded
+    16-bit LSH candidate join with the hot-bucket cap, exact Hamming ≤ 4
+    verify — the image twin of the MinHash text pipeline.  Oracle
+    replays the pixel synthesis formula symbolically."""
+    from .operators.multimodal import ahash_dup_pairs, synthesize_media
+
+    _prep(spark)
+    media = synthesize_media(load(spark, sf_dir, "documents"))
+    return ahash_dup_pairs(media, max_hamming=4, band_cap=200)
+
+
+@_q(
     "graph_harmonic_closeness",
     f"""
     WITH {_COPURCHASE_CP_SQL}, {_COPURCHASE_E_SQL},

@@ -715,3 +715,138 @@ def audio_block_features(media: DataFrame, block: int = 256) -> DataFrame:
     return media.where(F.col("kind") == "audio/wav").mapInPandas(
         batches, schema=AUDIO_BLOCK_SCHEMA
     )
+
+
+AHASH_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("ahash_hi", LongType()),
+        StructField("ahash_lo", LongType()),
+    ]
+)
+
+
+def ahash_features(media: DataFrame) -> DataFrame:
+    """Perceptual average-hash over REAL decoded BMP pixels: 8×8 grid of
+    integer gray sums, bit k set iff cell k's mean gray exceeds the
+    image mean — the classic near-duplicate image fingerprint (two
+    re-encodes/resizes of one photo land within a few Hamming bits).
+
+    All-integer and engine-replayable: gray = (b+g+r) DIV 3 per pixel,
+    cell assignment (x·8 DIV w, y·8 DIV h), and the mean comparison is
+    cross-multiplied (cell_sum·n > total·cell_count — exact for images
+    up to ~1.9e8 pixels, far past any BMP this decoder accepts).  The
+    64 bits are returned as two non-negative 32-bit words (hi, lo) so
+    BIGINT arithmetic never wraps.  Vectorized numpy over Arrow
+    batches, shuffle-free; non-BMP/malformed payloads are skipped (the
+    decode taxonomy lives in decode_features).
+    """
+    import numpy as np
+
+    def ah(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, ws, hs, his, los = [], [], [], [], []
+            for mid, kind, payload in zip(pdf["media_id"], pdf["kind"], pdf["payload"]):
+                if kind != "image/bmp":
+                    continue
+                try:
+                    w, h = decode_bmp(bytes(payload))
+                except ValueError:
+                    continue
+                off = struct.unpack_from("<I", payload, 10)[0]
+                rowb = (3 * w + 3) // 4 * 4
+                buf = np.frombuffer(payload, np.uint8, offset=off, count=rowb * h)
+                px = buf.reshape(h, rowb)[:, : 3 * w].reshape(h, w, 3)
+                # bottom-up container: buffer row 0 is image row h-1
+                gray = px.astype(np.int64).sum(axis=2)[::-1] // 3
+                cys = np.arange(h) * 8 // h
+                cxs = np.arange(w) * 8 // w
+                cell = (cys[:, None] * 8 + cxs[None, :]).ravel()
+                sums = np.zeros(64, np.int64)
+                np.add.at(sums, cell, gray.ravel())
+                cnts = np.bincount(cell, minlength=64)
+                n = w * h
+                total = int(gray.sum())
+                bits = sums * n > total * cnts
+                hi = lo = 0
+                for k in np.nonzero(bits)[0]:
+                    k = int(k)
+                    if k < 32:
+                        lo |= 1 << k
+                    else:
+                        hi |= 1 << (k - 32)
+                ids.append(int(mid)); ws.append(w); hs.append(h)
+                his.append(hi); los.append(lo)
+            yield pd.DataFrame(
+                {"media_id": ids, "width": ws, "height": hs, "ahash_hi": his, "ahash_lo": los}
+            )
+
+    return media.mapInPandas(ah, schema=AHASH_SCHEMA)
+
+
+def ahash_dup_pairs(
+    media: DataFrame, max_hamming: int = 4, band_cap: int = 200
+) -> DataFrame:
+    """Near-duplicate image pairs by banded average-hash: split each
+    64-bit ahash into four 16-bit bands, candidate pairs share a band
+    value (the LSH pigeonhole — same recall/cost trade as MinHash
+    banding; a pair differing in all four bands is not generated), then
+    verify with the exact Hamming distance (bit_count of the xor) ≤
+    ``max_hamming``.
+
+    Scale shape: the hash table is one row per image (two BIGINTs); the
+    self-join is banded, never all-pairs, and band values held by more
+    than ``band_cap`` images are dropped before the join (the MinHash
+    hot-bucket guard — a degenerate constant-color corpus cannot
+    quadratic-blow the join; dropped bands only cost recall, and the
+    oracle replays the drop exactly).  Returns (a, b, hamming).
+    """
+    feats = ahash_features(media).localCheckpoint(eager=False)
+    band_vals = [
+        (0, F.expr("ahash_lo & 65535")),
+        (1, F.expr("(ahash_lo >> 16) & 65535")),
+        (2, F.expr("ahash_hi & 65535")),
+        (3, F.expr("(ahash_hi >> 16) & 65535")),
+    ]
+    bands = feats.select(
+        "media_id",
+        F.explode(
+            F.array(*[F.struct(F.lit(b).alias("b"), v.alias("v")) for b, v in band_vals])
+        ).alias("bv"),
+    ).select("media_id", F.col("bv.b").alias("b"), F.col("bv.v").alias("v"))
+    ok = bands.groupBy("b", "v").agg(F.count("*").alias("nb")).where(
+        F.col("nb") <= band_cap
+    )
+    rhs = bands.withColumnRenamed("media_id", "media_id_2")
+    cand = (
+        bands.join(ok.select("b", "v"), ["b", "v"])
+        .join(rhs, ["b", "v"])
+        .where(F.col("media_id") < F.col("media_id_2"))
+        .select(F.col("media_id").alias("a"), F.col("media_id_2").alias("b"))
+        .distinct()
+    )
+    fa = feats.select(
+        F.col("media_id").alias("a"),
+        F.col("ahash_hi").alias("hi_a"),
+        F.col("ahash_lo").alias("lo_a"),
+    )
+    fb = feats.select(
+        F.col("media_id").alias("b"),
+        F.col("ahash_hi").alias("hi_b"),
+        F.col("ahash_lo").alias("lo_b"),
+    )
+    return (
+        cand.join(fa, "a")
+        .join(fb, "b")
+        .select(
+            "a",
+            "b",
+            F.expr("CAST(bit_count(hi_a ^ hi_b) + bit_count(lo_a ^ lo_b) AS BIGINT)").alias(
+                "hamming"
+            ),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .orderBy("a", "b")
+    )

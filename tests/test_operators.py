@@ -3214,3 +3214,76 @@ def test_harmonic_closeness_path_graph_exact(spark):
     assert out[4] == (2, third + 500_000)            # d=3 from 1, d=2 from 2
     assert out[5] == (1, third)                      # d=4 from 1 unreached
     assert 6 not in out                             # beyond 3 hops from both seeds
+
+
+def _bmp_from_gray(rows):
+    """24-bit BMP with pixel (x, y) = gray rows[y][x] (top-down list,
+    written bottom-up per the container spec)."""
+    import struct as _s
+
+    h, w = len(rows), len(rows[0])
+    rowb = (3 * w + 3) // 4 * 4
+    pix = bytearray()
+    for y in range(h - 1, -1, -1):
+        line = bytearray()
+        for x in range(w):
+            line += bytes([rows[y][x]] * 3)
+        line += b"\0" * (rowb - len(line))
+        pix += line
+    header = _s.pack("<2sIHHI", b"BM", 54 + len(pix), 0, 0, 54)
+    info = _s.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pix), 2835, 2835, 0, 0)
+    return bytes(header + info + pix)
+
+
+def test_ahash_structure_and_hamming_pairs(spark):
+    """Bright-top/dark-bottom images must set exactly the 32 top-half
+    cell bits (image rows 0-3 -> k 0..31 -> lo = 2^32-1, hi = 0); a
+    one-cell perturbation lands at Hamming 1 and pairs with it; the
+    inverted image (hi all-set) is Hamming 64 away and must NOT pair.
+    Hash bits computed structurally, not snapshot."""
+    from duckdb_age_spark.operators.multimodal import ahash_dup_pairs, ahash_features
+
+    top_bright = [[200] * 8 for _ in range(4)] + [[10] * 8 for _ in range(4)]
+    perturbed = [r[:] for r in top_bright]
+    perturbed[7][7] = 255  # one bottom cell jumps above the mean
+    bot_bright = [[10] * 8 for _ in range(4)] + [[200] * 8 for _ in range(4)]
+    media = spark.createDataFrame(
+        [
+            (1, "image/bmp", _bmp_from_gray(top_bright), "{}"),
+            (2, "image/bmp", _bmp_from_gray(perturbed), "{}"),
+            (3, "image/bmp", _bmp_from_gray(bot_bright), "{}"),
+            (4, "audio/wav", b"not an image", "{}"),   # skipped, not an error
+        ],
+        "media_id long, kind string, payload binary, meta_json string",
+    )
+    feats = {r.media_id: (r.ahash_hi, r.ahash_lo) for r in ahash_features(media).collect()}
+    assert set(feats) == {1, 2, 3}
+    assert feats[1] == (0, (1 << 32) - 1)        # top half above mean
+    assert feats[3] == ((1 << 32) - 1, 0)        # inverted
+    ha, la = feats[2]
+    assert bin(ha ^ feats[1][0]).count("1") + bin(la ^ feats[1][1]).count("1") == 1
+    pairs = {(r.a, r.b): r.hamming for r in ahash_dup_pairs(media, max_hamming=4).collect()}
+    assert pairs == {(1, 2): 1}
+
+
+def test_ahash_hot_band_cap_drops_degenerate_bucket(spark):
+    """A constant-color flood (every image identical, all four bands
+    over the cap) must generate ZERO candidate pairs, while an
+    independent near-dup pair in the same table still pairs — the
+    MinHash hot-bucket guard applied to images."""
+    from duckdb_age_spark.operators.multimodal import ahash_dup_pairs
+
+    flat = [[128] * 8 for _ in range(8)]
+    top_bright = [[200] * 8 for _ in range(4)] + [[10] * 8 for _ in range(4)]
+    perturbed = [r[:] for r in top_bright]
+    perturbed[7][7] = 255
+    rows = [(i, "image/bmp", _bmp_from_gray(flat), "{}") for i in range(10)]
+    rows += [
+        (100, "image/bmp", _bmp_from_gray(top_bright), "{}"),
+        (101, "image/bmp", _bmp_from_gray(perturbed), "{}"),
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary, meta_json string"
+    )
+    pairs = {(r.a, r.b) for r in ahash_dup_pairs(media, max_hamming=4, band_cap=5).collect()}
+    assert pairs == {(100, 101)}   # the 10-image flood paired nothing

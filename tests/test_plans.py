@@ -924,3 +924,16 @@ def test_importance_weights_single_vocab_pass(t):
     # corpus scans -> 4 mentions; without the vocab materialization the
     # totals consumer adds a third explode pass (6 mentions)
     assert plan.count("Scan parquet") <= 4
+
+
+def test_ahash_pairs_banded_join_not_allpairs(t):
+    """The image near-dup join must be equi-keyed on (band, value)
+    (BroadcastHashJoin/SortMergeJoin), never a cartesian over images,
+    and the hash computation is a shuffle-free mapInPandas."""
+    from duckdb_age_spark.operators.multimodal import ahash_dup_pairs, synthesize_media
+
+    df = ahash_dup_pairs(synthesize_media(t["documents"]))
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "MapInPandas" in plan
