@@ -7588,45 +7588,48 @@ _PRIORITY_50 = [
     "window_balance_analytics",
     "udaf_geomean",
     "skew_bloom_prefilter",
-    # Round-8 rotation (VERDICT r7 item 1): the FINAL 33 queries that have
-    # never appeared in any CORRECTNESS_r* file — exactly filling the 33
-    # rotating slots, so a green driver run this round closes union
-    # attestation at 207/207.  Widening is frozen at zero this round by
-    # the same math (ROADMAP "Round-8 attestation math").  Ordered by
-    # family so the driver log groups related shapes.
-    "stats_label_centroids",
-    "stats_winsorized",
-    "stats_quantile_binning",
-    "stats_quantile_interp",
-    "stats_grouped_trend",
-    "stats_spearman",
-    "stats_mann_whitney",
-    "sketch_cms_heavy_hitters",
-    "sketch_hll_merge",
-    "sketch_kmv_union",
-    "graph_triangles_degree",
-    "graph_degree_distribution",
-    "graph_weighted_sssp",
-    "graph_modularity",
-    "scd2_asof_lookup",
-    "scd2_apply_changes",
-    "relational_share_of_parent",
-    "relational_markov_steady",
-    "events_uptime",
-    "events_funnel_conversion",
-    "events_dow_seasonality",
-    "events_burstiness",
-    "text_source_tv_distance",
-    "text_readability",
-    "pipeline_bigram_lift",
-    "pipeline_kfold_split",
-    "dedup_threshold_sweep",
-    "sim_embedding_zscore",
-    "sim_pq_codebook",
-    "sink_encrypted_partitioned",
-    "rollup_acf_multi_lag",
-    "multimodal_flip",
-    "streaming_tvd_drift",
+    # Round-9 rotation (VERDICT r8 item 2): the 20 round-8 widening
+    # queries that have never appeared in any CORRECTNESS_r* file — a
+    # green driver run this round closes union attestation at 227/227.
+    # Ordered by family so the driver log groups related shapes.
+    "dedup_span_pairs",
+    "dedup_span_clusters",
+    "text_substring_dedup",
+    "text_zipf_slope",
+    "sim_topk_mips",
+    "graph_hits",
+    "graph_harmonic_closeness",
+    "events_rfm_segments",
+    "events_attribution",
+    "events_cusum_shift",
+    "streaming_ewma_hourly",
+    "streaming_hll_users",
+    "sketch_kmv_intersection",
+    "stats_theil_sen",
+    "pipeline_ngram_novelty",
+    "pipeline_importance_weights",
+    "relational_cube_revenue",
+    "relational_pivot_priority",
+    "multimodal_ahash_pairs",
+    "multimodal_audio_blocks",
+    # The remaining 13 slots re-attest the longest-unattested veterans
+    # (last driver row = CORRECTNESS_r01, except asof_join r04 which holds
+    # the temporal family's mandatory representative), shrinking recency
+    # debt; the r1 veterans that did not fit (events_sliding,
+    # top_customers, tpch_q5) rotate in next round.
+    "asof_join",
+    "cube_priority_status",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "events_funnel",
+    "events_hourly",
+    "order_priority",
+    "sim_topk_ivf",
+    "sink_json_roundtrip",
+    "sink_orc_roundtrip",
+    "sink_partitioned_roundtrip",
+    "text_fingerprints",
+    "text_lang_stats",
 ]
 
 

@@ -231,9 +231,16 @@ public final class AgeCrypto {
      * lru_cache key memoization — parsing is ~µs/row otherwise). */
     public static byte[] encrypt(byte[] plaintext, byte[] recipientRaw, PublicKey recipientKey)
             throws Exception {
-        byte[] fileKey = new byte[FILE_KEY_SIZE];
-        RNG.nextBytes(fileKey);
+        return encryptMulti(plaintext, new byte[][] {recipientRaw},
+                new PublicKey[] {recipientKey});
+    }
 
+    /** One X25519 recipient stanza: fresh ephemeral keypair per stanza,
+     * wrap key = HKDF(shared, eph_share || recipient_raw, label) — same
+     * construction as crypto/format.py::_x25519_stanza. */
+    private static void appendX25519Stanza(
+            StringBuilder header, byte[] fileKey, byte[] recipientRaw, PublicKey recipientKey)
+            throws Exception {
         KeyPairGenerator kpg = KeyPairGenerator.getInstance("X25519");
         KeyPair eph = kpg.generateKeyPair();
         byte[] ephShare = publicToRaw(eph.getPublic());
@@ -243,12 +250,26 @@ public final class AgeCrypto {
         System.arraycopy(recipientRaw, 0, saltCat, 32, 32);
         byte[] wrapKey = hkdf(shared, saltCat, X25519_LABEL);
         byte[] sealedKey = chacha(Cipher.ENCRYPT_MODE, wrapKey, new byte[12], fileKey);
-
-        StringBuilder header = new StringBuilder();
-        header.append("age-encryption.org/v1\n");
         header.append("-> X25519 ").append(B64.encodeToString(ephShare)).append('\n');
         wrapBody(header, B64.encodeToString(sealedKey));
         header.append('\n');
+    }
+
+    /** Multi-recipient encrypt: ONE file key sealed under N recipient
+     * stanzas (any identity decrypts — the any-of-N contract pinned by the
+     * Python path's tests).  Wire-compatible with crypto/format.py::encrypt
+     * at every N. */
+    public static byte[] encryptMulti(
+            byte[] plaintext, byte[][] recipientRaws, PublicKey[] recipientKeys)
+            throws Exception {
+        byte[] fileKey = new byte[FILE_KEY_SIZE];
+        RNG.nextBytes(fileKey);
+
+        StringBuilder header = new StringBuilder();
+        header.append("age-encryption.org/v1\n");
+        for (int i = 0; i < recipientRaws.length; i++) {
+            appendX25519Stanza(header, fileKey, recipientRaws[i], recipientKeys[i]);
+        }
         header.append("---");
         byte[] headerNoMac = header.toString().getBytes(StandardCharsets.US_ASCII);
         byte[] macKey = hkdf(fileKey, new byte[0], "header".getBytes(StandardCharsets.US_ASCII));

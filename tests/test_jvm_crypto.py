@@ -21,6 +21,9 @@ import pytest
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 PUB = "age1j2tqev8spvn9s9ktkr750ntl03sy20f7dck0mdyetway3cj2naasngwz3u"
 PRIV = "AGE-SECRET-KEY-1DMYUTPVUSD3M7HMU4K5KXNZ65JZVC9J04MSVV2J8Y4NE8GZCVU6ST7DRT2"
+# second keypair for multi-recipient tests (keygen_from_seed of a fixed seed)
+PUB2 = "age1egzm9f262exff3k0vwxjkvcd389y5r9n606zuxhelpqh5x9etgwqkvdpkw"
+PRIV2 = "AGE-SECRET-KEY-1SS2SH4L00GC52NGL0Q49QR408JVWTAW2E07FFQUFRWYXFV6KEE6S75XZ05"
 
 
 @pytest.fixture(scope="module")
@@ -74,6 +77,24 @@ def test_multichunk_interop_both_directions(jar):
     assert agefmt.decrypt(ct, keys.parse_identity(PRIV)) == pt.encode()
     ct2 = agefmt.encrypt(pt.encode(), [keys.parse_recipient(PUB)])
     assert _java(jar, "dec", PRIV, base64.b64encode(ct2).decode()) == pt
+
+
+def test_multi_recipient_interop_both_directions(jar):
+    """Java encryptMulti: ONE file key under N stanzas — EITHER identity
+    decrypts under the Python path, and a Python multi ciphertext decrypts
+    under Java with either identity (any-of-N contract, both engines)."""
+    from duckdb_age_spark.crypto import format as agefmt, keys
+
+    ct = base64.b64decode(_java(jar, "encmulti", f"{PUB},{PUB2}", "multi wire"))
+    assert agefmt.decrypt(ct, keys.parse_identity(PRIV)) == b"multi wire"
+    assert agefmt.decrypt(ct, keys.parse_identity(PRIV2)) == b"multi wire"
+    assert len(ct) == agefmt.ciphertext_length(len(b"multi wire"), 2)
+
+    ct2 = agefmt.encrypt(
+        b"python multi", [keys.parse_recipient(PUB), keys.parse_recipient(PUB2)]
+    )
+    assert _java(jar, "dec", PRIV, base64.b64encode(ct2).decode()) == "python multi"
+    assert _java(jar, "dec", PRIV2, base64.b64encode(ct2).decode()) == "python multi"
 
 
 def test_java_rejects_tampered_ciphertext(jar):
@@ -160,15 +181,85 @@ try:
 except Exception as e:
     assert "Invalid age recipient key: invalid_key (not a valid age key or secret name)" in str(e)
     print("ERRMSG-OK")
+
+# --- multi-recipient + named-secret dispatch via the Column helpers -------
+from duckdb_age_spark import default_manager
+from duckdb_age_spark.jvm import encrypt_col, decrypt_col, encrypt_multi_col
+PUB2, PRIV2 = {pub2!r}, {priv2!r}
+default_manager.create_secret("jvmkey", public_key=PUB, private_key=PRIV)
+
+df = spark.range(1).select(F.encode(F.lit("named"), "UTF-8").alias("pt"))
+out = df.select(
+    age.age_decrypt(encrypt_col(F.col("pt"), "jvmkey"), F.lit(PRIV)).alias("n2p"),
+    decrypt_col(age.age_encrypt(F.col("pt"), F.lit(PUB)), "jvmkey").alias("p2n"),
+).first()
+assert bytes(out.n2p) == b"named", out.n2p
+assert bytes(out.p2n) == b"named", out.p2n
+print("NAMED-SECRET-OK")
+
+# multi: one name + one literal; both identities decrypt (any-of-N)
+m = df.select(encrypt_multi_col(F.col("pt"), ["jvmkey", PUB2]).alias("ct"))
+mrow = m.select(
+    age.age_decrypt(F.col("ct"), F.lit(PRIV)).alias("a"),
+    age.age_decrypt(F.col("ct"), F.lit(PRIV2)).alias("b"),
+).first()
+assert bytes(mrow.a) == b"named" and bytes(mrow.b) == b"named"
+print("MULTI-OK")
+
+# multi error taxonomy: empty list (eager) and bad resolved key (JVM-side)
+try:
+    encrypt_multi_col(F.col("pt"), [])
+    print("NO-EMPTY-ERROR")
+except Exception as e:
+    assert "Recipients list cannot be empty" in str(e)
+    print("MULTI-EMPTY-OK")
+try:
+    df.select(F.call_udf("age_encrypt_multi_jvm", F.col("pt"),
+                         F.array(F.lit("age1notakey")))).collect()
+    print("NO-MULTI-ERROR")
+except Exception as e:
+    assert "Encryption failed: Invalid recipient at position 0: age1notakey" in str(e)
+    print("MULTI-ERRMSG-OK")
+
+# --- CSE caveat pin (VERDICT r8 item 3) -----------------------------------
+# registerJavaFunction offers no nondeterminism flag, so Catalyst is FREE to
+# collapse two syntactically identical encrypt calls into one ciphertext —
+# unlike the Python path, whose asNondeterministic() guarantees two distinct
+# file keys.  Pin both behaviors so a Spark version changing CSE semantics
+# is caught.  Workaround for pipelines needing distinct ciphertexts per
+# call: use the Python path, or make the calls syntactically distinct
+# (e.g. concat a per-row salt column into the plaintext).
+pair = df.select(
+    F.call_udf("age_encrypt_jvm", F.col("pt"), F.lit(PUB)).alias("a"),
+    F.call_udf("age_encrypt_jvm", F.col("pt"), F.lit(PUB)).alias("b"),
+).first()
+jvm_collapsed = bytes(pair.a) == bytes(pair.b)
+ppair = df.select(
+    age.age_encrypt(F.col("pt"), F.lit(PUB)).alias("a"),
+    age.age_encrypt(F.col("pt"), F.lit(PUB)).alias("b"),
+).first()
+assert bytes(ppair.a) != bytes(ppair.b), "Python path must stay per-call-fresh"
+print("CSE-JVM-COLLAPSED" if jvm_collapsed else "CSE-JVM-DISTINCT")
+print("CSE-PYTHON-OK")
 spark.stop()
 """
 
 
 def test_spark_registered_jvm_udfs_cross_path(jar):
-    script = _SPARK_SCRIPT.format(repo=REPO, jar=jar, pub=PUB, priv=PRIV)
+    script = _SPARK_SCRIPT.format(
+        repo=REPO, jar=jar, pub=PUB, priv=PRIV, pub2=PUB2, priv2=PRIV2
+    )
     proc = subprocess.run(
-        [sys.executable, "-c", script], capture_output=True, text=True, cwd=REPO, timeout=300
+        [sys.executable, "-c", script], capture_output=True, text=True, cwd=REPO, timeout=600
     )
     assert proc.returncode == 0, proc.stderr[-3000:]
     assert "CROSS-PATH-OK" in proc.stdout
     assert "ERRMSG-OK" in proc.stdout
+    assert "NAMED-SECRET-OK" in proc.stdout
+    assert "MULTI-OK" in proc.stdout
+    assert "MULTI-EMPTY-OK" in proc.stdout
+    assert "MULTI-ERRMSG-OK" in proc.stdout
+    # the CSE caveat pin: Python per-call freshness must hold; the JVM
+    # path's collapse-or-not is recorded either way (see script comment)
+    assert "CSE-PYTHON-OK" in proc.stdout
+    assert ("CSE-JVM-COLLAPSED" in proc.stdout) or ("CSE-JVM-DISTINCT" in proc.stdout)

@@ -137,12 +137,14 @@ def test_priority_50_covers_every_operator_family():
         "dq": ["dq_report", "stats_benford"],
         "upsert": ["upsert_merge", "upsert_cdc_merge", "upsert_incremental_agg"],
         "sinks": ["sink_csv_roundtrip", "sink_schema_evolution", "sink_bucketed_join",
-                  "sink_encrypted_partitioned"],
+                  "sink_encrypted_partitioned", "sink_json_roundtrip",
+                  "sink_orc_roundtrip", "sink_partitioned_roundtrip"],
         "setops": ["setops_customer_cohorts", "setops_full_outer_reconcile"],
         "streaming": [
             "streaming_windowed", "streaming_dedup", "streaming_join",
             "streaming_distinct_users", "streaming_cms_topusers",
             "streaming_ohlc", "streaming_topk_users", "streaming_tvd_drift",
+            "streaming_ewma_hourly", "streaming_hll_users",
         ],
         "text": [
             "text_doc_stats", "text_bm25_topk", "text_tfidf_keywords",
@@ -150,6 +152,8 @@ def test_priority_50_covers_every_operator_family():
             "text_bigram_logprob", "text_quality_screen", "text_hashing_vec",
             "text_sentence_stats", "text_langid_confusion",
             "text_readability", "text_boilerplate_screen", "text_source_tv_distance",
+            "text_substring_dedup", "text_zipf_slope", "text_fingerprints",
+            "text_lang_stats", "text_lang_id",
         ],
         "pipeline": [
             "pipeline_sample_split", "pipeline_pack", "pipeline_quality_topk",
@@ -158,17 +162,20 @@ def test_priority_50_covers_every_operator_family():
             "pipeline_weighted_sample", "pipeline_dedup_report",
             "pipeline_pack_efficiency", "pipeline_doc_chunking",
             "pipeline_kfold_split", "pipeline_bigram_lift",
+            "pipeline_ngram_novelty", "pipeline_importance_weights",
         ],
         "dedup": [
             "dedup_exact", "dedup_minhash_pairs", "dedup_embedding_pairs",
             "dedup_fuzzy_names_d2", "dedup_keep_canonical", "dedup_clusters",
             "dedup_ngram_verify", "dedup_containment", "dedup_threshold_sweep",
+            "dedup_span_pairs", "dedup_span_clusters", "dedup_simhash",
+            "dedup_ngram_jaccard",
         ],
         "similarity": [
             "sim_topk_bruteforce", "sim_topk_lsh", "sim_topk_kmeans",
             "sim_topk_int8", "sim_knn_label_vote", "sim_lsh_recall",
             "sim_embedding_zscore", "sim_int8_quantize", "sim_range_search",
-            "sim_pq_codebook",
+            "sim_pq_codebook", "sim_topk_mips", "sim_topk_ivf",
         ],
         "grouped_map": ["grouped_map_zscore"],
         "events": [
@@ -177,9 +184,12 @@ def test_priority_50_covers_every_operator_family():
             "events_ohlc", "events_uptime", "events_time_to_convert",
             "events_stickiness", "events_pareto_share",
             "events_decayed_revenue", "events_dow_seasonality", "events_burstiness",
-            "events_funnel_conversion",
+            "events_funnel_conversion", "events_rfm_segments",
+            "events_attribution", "events_cusum_shift", "events_funnel",
+            "events_hourly",
         ],
-        "window_cube": ["order_gaps", "window_balance_analytics"],
+        "window_cube": ["order_gaps", "window_balance_analytics",
+                        "cube_priority_status"],
         "graph_layout": [
             "graph_pagerank", "layout_zorder_stats", "graph_bfs_hops",
             "graph_triangles", "graph_triangles_degree",
@@ -187,7 +197,7 @@ def test_priority_50_covers_every_operator_family():
             "graph_label_propagation", "graph_topk_similar",
             "graph_degree_distribution", "graph_assortativity",
             "graph_clustering_coeff", "graph_weighted_sssp", "graph_modularity",
-            "graph_link_prediction",
+            "graph_link_prediction", "graph_hits", "graph_harmonic_closeness",
         ],
         "relational": [
             "tpch_q1", "tpch_q3", "tpch_q6", "tpch_q13", "tpch_q2",
@@ -196,6 +206,8 @@ def test_priority_50_covers_every_operator_family():
             "scd2_asof_lookup", "scd2_apply_changes", "relational_revenue_share",
             "relational_share_of_parent",
             "relational_transition_matrix", "relational_markov_steady",
+            "relational_cube_revenue", "relational_pivot_priority",
+            "order_priority", "top_customers", "tpch_q5",
         ],
         "skew": ["skew_salted_join", "skew_salted_agg", "skew_bloom_prefilter"],
         "stats": [
@@ -205,7 +217,7 @@ def test_priority_50_covers_every_operator_family():
             "stats_quantile_binning", "stats_ks_test", "stats_gini",
             "stats_psi_drift", "stats_welch_ttest",
             "stats_quantile_interp", "stats_bootstrap_ci", "stats_mann_whitney",
-            "stats_spearman", "stats_grouped_trend",
+            "stats_spearman", "stats_grouped_trend", "stats_theil_sen",
         ],
         "temporal": [
             "asof_join", "range_join", "rollup_timebuckets",
@@ -218,11 +230,11 @@ def test_priority_50_covers_every_operator_family():
             "multimodal_features", "multimodal_frames", "multimodal_decode",
             "multimodal_resize", "multimodal_audio_stats",
             "multimodal_image_histogram", "multimodal_wav_resample",
-            "multimodal_flip",
+            "multimodal_flip", "multimodal_ahash_pairs", "multimodal_audio_blocks",
         ],
         "sketches": [
             "sketch_hll_distinct", "sketch_kmv_distinct", "sketch_kmv_union",
-            "sketch_hll_merge",
+            "sketch_hll_merge", "sketch_kmv_intersection",
         ],
     }
     for family, members in families.items():

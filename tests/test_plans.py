@@ -929,11 +929,25 @@ def test_importance_weights_single_vocab_pass(t):
 def test_ahash_pairs_banded_join_not_allpairs(t):
     """The image near-dup join must be equi-keyed on (band, value)
     (BroadcastHashJoin/SortMergeJoin), never a cartesian over images,
-    and the hash computation is a shuffle-free mapInPandas."""
-    from duckdb_age_spark.operators.multimodal import ahash_dup_pairs, synthesize_media
+    and the hash computation is a shuffle-free mapInPandas.
 
-    df = ahash_dup_pairs(synthesize_media(t["documents"]))
+    ``ahash_dup_pairs`` wraps its feature table in a lazy
+    ``localCheckpoint``, which renders as ``Scan ExistingRDD`` and hides
+    the MapInPandas node from the pair plan — so the shuffle-free hash
+    property is asserted on the pre-checkpoint ``ahash_features`` stage,
+    and the pair plan is only required to be non-cartesian."""
+    from duckdb_age_spark.operators.multimodal import (
+        ahash_dup_pairs,
+        ahash_features,
+        synthesize_media,
+    )
+
+    media = synthesize_media(t["documents"])
+    feat_plan = formatted_plan(ahash_features(media))
+    assert "MapInPandas" in feat_plan
+    assert "Exchange" not in feat_plan  # hash computation is shuffle-free
+
+    df = ahash_dup_pairs(media)
     plan = formatted_plan(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    assert "MapInPandas" in plan
