@@ -94,7 +94,14 @@ def _drop_stale_bucketed_tables(spark: SparkSession) -> None:
     it to bracket the kernel control — ADVICE r7), so without this sweep a
     persisted metastore accumulates one table pair per bench run.  Tables
     whose pid is still alive belong to a concurrent run and are left
-    alone."""
+    alone.
+
+    SINGLE-HOST assumption (ADVICE r8): liveness is os.kill(pid, 0) on
+    THIS machine, so a metastore shared across hosts would mis-reap a
+    remote run's live tables (its pid doesn't exist locally).  Fine here —
+    the driver's warehouse is a per-checkout ./spark-warehouse — but a
+    multi-host deployment must key tables by (hostname, pid) and reap only
+    entries matching the local hostname."""
     import os
     import re
 
@@ -6860,6 +6867,19 @@ _SPAN_ANCHORS_SQL = """p AS (
     w AS (SELECT DISTINCT doc_id, h FROM p
           WHERE ('0x' || substr(h, 1, 4))::BIGINT % 8 = 0)"""
 
+# Pair-forming span oracles must replay the Spark path's hot-bucket cap
+# (dedup._drop_hot_buckets, DEFAULT_MAX_BUCKET=100000) exactly — otherwise
+# a pathological corpus with a >100k-doc fingerprint bucket would make
+# Spark silently drop pairs the oracle keeps (ADVICE r8).  w is distinct
+# (doc_id, h), so count(*) per h == count(DISTINCT doc_id).  Same pattern
+# as the ahash oracle's band_cap HAVING clause.
+_SPAN_CAPPED_SQL = (
+    _SPAN_ANCHORS_SQL
+    + """,
+    wcap AS (SELECT doc_id, h FROM w WHERE h IN (
+      SELECT h FROM w GROUP BY h HAVING count(*) <= 100000))"""
+)
+
 
 @_q(
     "text_substring_dedup",
@@ -6887,10 +6907,10 @@ def text_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q(
     "dedup_span_pairs",
     f"""
-    WITH {_SPAN_ANCHORS_SQL}
+    WITH {_SPAN_CAPPED_SQL}
     SELECT doc_a, doc_b, n_shared FROM (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS n_shared
-      FROM w a JOIN w b ON a.h = b.h AND a.doc_id < b.doc_id GROUP BY 1, 2)
+      FROM wcap a JOIN wcap b ON a.h = b.h AND a.doc_id < b.doc_id GROUP BY 1, 2)
     WHERE n_shared >= 2 ORDER BY doc_a, doc_b
     """,
 )
@@ -6907,11 +6927,11 @@ def dedup_span_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q(
     "dedup_span_clusters",
     f"""
-    WITH RECURSIVE {_SPAN_ANCHORS_SQL},
+    WITH RECURSIVE {_SPAN_CAPPED_SQL},
     pairs AS (
       SELECT doc_a, doc_b FROM (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
-        FROM w a JOIN w b ON a.h = b.h AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        FROM wcap a JOIN wcap b ON a.h = b.h AND a.doc_id < b.doc_id GROUP BY 1, 2)
       WHERE n_shared >= 2),
     edges AS (SELECT doc_a AS node, doc_b AS neigh FROM pairs
               UNION ALL

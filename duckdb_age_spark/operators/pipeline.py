@@ -174,9 +174,11 @@ def unigram_logprob(docs: DataFrame) -> DataFrame:
         .crossJoin(F.broadcast(total))
         .select("doc_id", lp_nano.alias("lp"))
         .groupBy("doc_id")
-        # log-probs are <= 0, so negate into positive ints for DIV (integer
-        # division of negatives truncates toward zero in Spark but floors in
-        # DuckDB — keep every divided quantity positive)
+        # log-probs are <= 0, so negate into positive ints for DIV.  Both
+        # engines truncate negative dividends toward zero (pinned by
+        # tests/test_kernels.py::test_negative_dividend_integer_division_parity);
+        # positivity is kept as defense-in-depth since truncation and
+        # flooring agree on positive operands.
         .agg((-F.sum("lp")).alias("s_pos"), F.count("*").alias("cnt"))
         .select(
             "doc_id",

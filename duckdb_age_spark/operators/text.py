@@ -690,8 +690,14 @@ def zipf_slope(docs: DataFrame, top_n: int = 100) -> DataFrame:
     nano-int BEFORE any arithmetic — a 1-ulp libm divergence is ~10⁶×
     below the rounding granularity (the benford log10 argument).  The
     OLS normal equations then run in DECIMAL(38,0) (Σxy ~ 10²¹ overflows
-    int64), with every divided quantity kept positive because integer
-    division floors in DuckDB but truncates toward zero in Spark.
+    int64), with every divided quantity kept positive.  Positivity is
+    defense-in-depth, not a semantic necessity: Spark DIV and DuckDB
+    integer `//` BOTH truncate toward zero (-7→-3; pinned by
+    tests/test_kernels.py::test_negative_dividend_integer_division_parity),
+    but positive operands make the result identical under truncation AND
+    flooring, so the query survives an engine whose division floors —
+    and sidesteps DuckDB's DECIMAL `//`, which silently becomes DOUBLE
+    true-division (the oracle uses HUGEINT instead).
 
     Scale shape: one map-side-combined token count (the only corpus-scale
     shuffle), a top-n rank that WindowGroupLimit prunes, and a 1-row
@@ -727,8 +733,8 @@ def zipf_slope(docs: DataFrame, top_n: int = 100) -> DataFrame:
     # stays positive, so both DIVs agree across engines.
     return sums.select(
         F.col("n").cast("long").alias("n_terms"),
-        # parens around the DIV, then negate: -pos DIV den would divide a
-        # NEGATIVE dividend, where Spark truncates but DuckDB floors
+        # parens around the DIV, then negate: keeps the dividend positive
+        # (see docstring — truncation/flooring agree on positives)
         F.expr(
             "CAST(-(((sx * sy - CAST(n AS DECIMAL(38,0)) * sxy) * 1000000)"
             " DIV (CAST(n AS DECIMAL(38,0)) * sxx - sx * sx)) AS BIGINT)"

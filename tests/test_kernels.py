@@ -358,3 +358,29 @@ def test_every_rounded_sum_oracle_is_audited():
     # the r5 flake class itself stays pinned in the sweep
     for pinned in ("tpch_q9", "tpch_q14"):
         assert f'"{pinned}"' in fam_src
+
+
+def test_negative_dividend_integer_division_parity(spark):
+    """Pin the semantics every DIV-based oracle depends on: Spark `DIV`
+    and DuckDB integer `//` BOTH truncate toward zero on negative
+    dividends (-7 → -3, not -4).  theil_sen_trend divides a negative
+    dividend and relies on this outright; zipf/importance-weights keep
+    dividends positive only as defense-in-depth (see their docstrings).
+    If either engine ever switches to floored division this fails loudly
+    at the exact operator family affected (ADVICE r8)."""
+    import duckdb
+
+    cases = [(-7, 2), (7, -2), (-7, -2), (-1, 3), (-999999999999, 7), (5, 3)]
+    duck = duckdb.sql(
+        "SELECT " + ", ".join(f"({a}) // ({b})" for a, b in cases)
+    ).fetchone()
+    spk = spark.sql(
+        "SELECT " + ", ".join(f"({a}) DIV ({b})" for a, b in cases)
+    ).first()
+    py_trunc = [int(a / b) for a, b in cases]  # Python int() truncates toward 0
+    assert list(duck) == py_trunc, "DuckDB // no longer truncates toward zero"
+    assert list(spk) == py_trunc, "Spark DIV no longer truncates toward zero"
+    # and HUGEINT `//` (what the zipf oracle actually uses) agrees too;
+    # DECIMAL `//` does NOT (it silently becomes DOUBLE true-division) —
+    # which is why no oracle uses DECIMAL with `//`
+    assert duckdb.sql("SELECT (-7)::HUGEINT // 2::HUGEINT").fetchone()[0] == -3
