@@ -186,6 +186,7 @@ BENCH_QUERIES = [
     "events_burstiness",
     "stats_mann_whitney",
     "sink_encrypted_partitioned",
+    "sink_encrypted_blobs",
     "relational_share_of_parent",
     "stats_spearman",
     "dedup_threshold_sweep",
@@ -290,7 +291,7 @@ def main() -> None:
 
     from pyspark.sql import SparkSession, functions as F
 
-    spark = (
+    builder = (
         SparkSession.builder.master(f"local[{CPUS}]")
         .appName("duckdb-age-spark-bench")
         .config("spark.sql.shuffle.partitions", str(CPUS))
@@ -299,9 +300,34 @@ def main() -> None:
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
-        .getOrCreate()
     )
+    # JVM crypto path on the classpath so size-based routing (SCALING.md,
+    # sources/encrypted.py) can engage for the large-payload sink queries
+    # (VERDICT r8 item 7).  Must happen BEFORE the JVM launches; absence of
+    # a JDK degrades to the Python path and the bench still runs.
+    jvm_jar = None
+    try:
+        from duckdb_age_spark.jvm import ensure_jar
+
+        jvm_jar = ensure_jar()
+        builder = (
+            builder.config("spark.jars", jvm_jar)
+            .config("spark.driver.extraClassPath", jvm_jar)
+            .config("spark.executor.extraClassPath", jvm_jar)
+        )
+    except Exception:
+        pass
+    spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    jvm_registered = False
+    if jvm_jar is not None:
+        try:
+            from duckdb_age_spark.jvm import register_jvm_crypto
+
+            register_jvm_crypto(spark)
+            jvm_registered = True
+        except Exception:
+            pass
 
     import __spark_entry__ as entry_mod
 
@@ -310,6 +336,7 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     extra: dict[str, float] = {}
+    extra["jvm_crypto_registered"] = jvm_registered
 
     # Warm the Python worker pool once (first pandas-UDF stage pays ~100ms
     # per worker spawn across all cores; that's session setup, not a query).
@@ -377,6 +404,36 @@ def main() -> None:
     extra["encrypt_bulk_mb_per_s"] = round(total_mb / dt, 1)
     extra["encrypt_bulk_mb_per_s_per_core"] = round(total_mb / dt / CPUS, 1)
     bulk.unpersist()
+
+    # -- size-based crypto routing evidence (VERDICT r8 item 7) ------------
+    # The encrypted sink routes per column by probed median payload size
+    # (sources/encrypted.py): ≥64 KiB → executor-JVM cipher when
+    # registered, below → Arrow-batched Python.  Record the route each
+    # fixture actually took so BENCH_r*.json is the routing's evidence,
+    # not just SCALING.md's prose.
+    import shutil
+    import tempfile
+
+    from duckdb_age_spark.sources.encrypted import write_encrypted
+
+    sink_dir = tempfile.mkdtemp(prefix="age_route_")
+    try:
+        big = spark.range(2 * CPUS).select(
+            "id", F.expr("repeat('b', 262144)").alias("payload")  # 256 KiB
+        )
+        small = spark.range(2 * CPUS).select(
+            "id", F.expr("repeat('s', 2048)").alias("payload")  # 2 KiB
+        )
+        t0 = time.time()
+        r_big = write_encrypted(big, f"{sink_dir}/big", ["payload"], KP1.public_key)
+        extra["route_256KiB"] = r_big["payload"]
+        extra["route_256KiB_sec"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        r_small = write_encrypted(small, f"{sink_dir}/small", ["payload"], KP1.public_key)
+        extra["route_2KiB"] = r_small["payload"]
+        extra["route_2KiB_sec"] = round(time.time() - t0, 3)
+    finally:
+        shutil.rmtree(sink_dir, ignore_errors=True)
 
     # per-row: encrypt+decrypt round-trip over real documents
     # repartition: the sf0.1 parquet is a single split, which would serialize

@@ -245,6 +245,61 @@ spark.stop()
 """
 
 
+_ROUTING_SCRIPT = r"""
+import sys, tempfile
+sys.path.insert(0, {repo!r})
+from pyspark.sql import SparkSession, functions as F
+import duckdb_age_spark as age
+from duckdb_age_spark.jvm import register_jvm_crypto
+from duckdb_age_spark.sources.encrypted import read_encrypted, write_encrypted
+
+jar = {jar!r}
+spark = (SparkSession.builder.master("local[2]")
+         .config("spark.jars", jar)
+         .config("spark.driver.extraClassPath", jar)
+         .config("spark.executor.extraClassPath", jar)
+         .config("spark.sql.shuffle.partitions", "2")
+         .config("spark.ui.enabled", "false").getOrCreate())
+age.register(spark)
+register_jvm_crypto(spark)
+PUB, PRIV = {pub!r}, {priv!r}
+
+base = tempfile.mkdtemp(prefix="age_route_test_")
+big = spark.range(6).select("id", F.concat(F.lit("B"), F.expr("repeat('x', 70000)"),
+                                           F.col("id").cast("string")).alias("payload"))
+small = spark.range(6).select("id", F.concat(F.lit("S"), F.col("id").cast("string")).alias("payload"))
+
+r_big = write_encrypted(big, base + "/big", ["payload"], PUB)
+r_small = write_encrypted(small, base + "/small", ["payload"], PUB)
+assert r_big == {{"payload": "jvm"}}, r_big
+assert r_small == {{"payload": "python"}}, r_small
+print("ROUTE-BIG-JVM-OK"); print("ROUTE-SMALL-PY-OK")
+
+# cross-path readability: the JVM-encrypted file decrypts on the forced
+# Python path and vice versa — routing is throughput-only, never format
+exp_big = {{r.id: r.payload for r in big.collect()}}
+back_py = read_encrypted(spark, base + "/big", ["payload"], PRIV, crypto_path="python")
+assert {{r.id: r.payload for r in back_py.collect()}} == exp_big
+back_jvm = read_encrypted(spark, base + "/small", ["payload"], PRIV, crypto_path="jvm")
+assert {{r.id: r.payload for r in back_jvm.collect()}} == {{r.id: r.payload for r in small.collect()}}
+print("ROUTE-CROSS-READ-OK")
+spark.stop()
+"""
+
+
+def test_encrypted_sink_size_based_routing(jar):
+    """End-to-end auto-routing with the jar present: 70 KB payloads route
+    to the JVM cipher, tiny ones stay on Python, and either file decrypts
+    under the OTHER path (same wire format)."""
+    script = _ROUTING_SCRIPT.format(repo=REPO, jar=jar, pub=PUB, priv=PRIV)
+    proc = subprocess.run(
+        [sys.executable, "-c", script], capture_output=True, text=True, cwd=REPO, timeout=600
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    for marker in ("ROUTE-BIG-JVM-OK", "ROUTE-SMALL-PY-OK", "ROUTE-CROSS-READ-OK"):
+        assert marker in proc.stdout
+
+
 def test_spark_registered_jvm_udfs_cross_path(jar):
     script = _SPARK_SCRIPT.format(
         repo=REPO, jar=jar, pub=PUB, priv=PRIV, pub2=PUB2, priv2=PRIV2

@@ -138,7 +138,8 @@ def test_priority_50_covers_every_operator_family():
         "upsert": ["upsert_merge", "upsert_cdc_merge", "upsert_incremental_agg"],
         "sinks": ["sink_csv_roundtrip", "sink_schema_evolution", "sink_bucketed_join",
                   "sink_encrypted_partitioned", "sink_json_roundtrip",
-                  "sink_orc_roundtrip", "sink_partitioned_roundtrip"],
+                  "sink_orc_roundtrip", "sink_partitioned_roundtrip",
+                  "sink_encrypted_blobs"],
         "setops": ["setops_customer_cohorts", "setops_full_outer_reconcile"],
         "streaming": [
             "streaming_windowed", "streaming_dedup", "streaming_join",

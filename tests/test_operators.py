@@ -463,6 +463,42 @@ def test_encrypted_sink_roundtrip(spark, tmp_path, manager, docs):
     assert got == orig
 
 
+def test_crypto_routing_rule():
+    """Pure routing decision (sources/encrypted.py): explicit request
+    wins; auto takes the JVM path iff registered AND median payload is at
+    or above the measured 64 KiB crossover; asking for an unregistered
+    JVM path is a loud error, never a silent fallback."""
+    import pytest as _pytest
+
+    from duckdb_age_spark.sources.encrypted import JVM_CROSSOVER_BYTES, choose_crypto_path
+
+    assert choose_crypto_path("auto", True, JVM_CROSSOVER_BYTES) == "jvm"
+    assert choose_crypto_path("auto", True, JVM_CROSSOVER_BYTES - 1) == "python"
+    assert choose_crypto_path("auto", False, 10 * JVM_CROSSOVER_BYTES) == "python"
+    assert choose_crypto_path("python", True, 10 * JVM_CROSSOVER_BYTES) == "python"
+    assert choose_crypto_path("jvm", True, 0) == "jvm"
+    with _pytest.raises(RuntimeError, match="not registered"):
+        choose_crypto_path("jvm", False, 10 * JVM_CROSSOVER_BYTES)
+    with _pytest.raises(ValueError):
+        choose_crypto_path("fast", True, 0)
+
+
+def test_encrypted_sink_routes_python_without_jvm(spark, tmp_path, manager, docs):
+    """In a session without the JVM functions, auto-routing must pick the
+    Python path for every payload size and skip the probe (no extra job
+    beyond the write itself is required for correctness here — just the
+    route)."""
+    from duckdb_age_spark.contract import KP1
+    from duckdb_age_spark.sources import write_encrypted
+
+    manager.create_secret("route_key", public_key=KP1.public_key, replace=True)
+    from pyspark.sql import functions as F
+
+    big = docs.limit(4).select("doc_id", F.rpad("text", 70000, "x").alias("text"))
+    routes = write_encrypted(big, str(tmp_path / "enc_route"), ["text"], recipient="route_key")
+    assert routes == {"text": "python"}
+
+
 def test_hash_sample_is_stable_and_stratified(docs):
     from duckdb_age_spark.operators.pipeline import hash_sample_split
 
