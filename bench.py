@@ -289,6 +289,32 @@ def main() -> None:
         load_start = []
     kernel = _kernel_bench()
 
+    # Contention guard (VERDICT r9 item 1): BENCH_r09 was taken at
+    # load_avg 5.46 with a 632 MB/s/core start bracket — five queries
+    # "regressed" >30% with zero code changes.  A dirty snapshot must
+    # never silently become the round's number again: tag the JSON with
+    # the specific contention signals, and under SPARK_GRAFT_BENCH_STRICT=1
+    # refuse outright (exit 3) so an interactive re-measure can't be
+    # fooled.  Thresholds are this box's observed healthy envelope
+    # (pre-JVM bracket ≥900 across r6-r9 clean runs) and env-overridable
+    # for other hardware.
+    max_load = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_LOAD", "2.0"))
+    min_kernel = float(os.environ.get("SPARK_GRAFT_BENCH_MIN_KERNEL", "850"))
+    contended_reasons = []
+    if load_start and load_start[0] > max_load:
+        contended_reasons.append(f"load_avg_1m={load_start[0]}>{max_load}")
+    _start_mbps = kernel.get("kernel_encrypt_mb_per_s_per_core", float("inf"))
+    if _start_mbps < min_kernel:
+        contended_reasons.append(f"start_kernel_mbps={_start_mbps}<{min_kernel}")
+    if contended_reasons:
+        msg = "BENCH BOX CONTENDED: " + "; ".join(contended_reasons)
+        print(msg, file=sys.stderr)
+        if os.environ.get("SPARK_GRAFT_BENCH_STRICT") == "1":
+            print(json.dumps({"metric": "bench_refused_contended",
+                              "value": -1, "unit": "sec",
+                              "contended": contended_reasons}))
+            sys.exit(3)
+
     from pyspark.sql import SparkSession, functions as F
 
     builder = (
@@ -493,6 +519,14 @@ def main() -> None:
         pass  # best-effort: bench numbers must not depend on catalog state
     spark.stop()
     kernel_end = _kernel_bench()
+    _end_mbps = kernel_end.get("kernel_encrypt_mb_per_s_per_core", float("inf"))
+    if _end_mbps < min_kernel:
+        contended_reasons.append(f"end_kernel_mbps={_end_mbps}<{min_kernel}")
+    if load_end and load_end[0] > max_load + CPUS * 0.5:
+        # end load includes our own just-stopped executor threads; only a
+        # figure far above what this process accounts for flags external load
+        contended_reasons.append(f"load_avg_1m_end={load_end[0]}")
+    extra["contended"] = contended_reasons
     extra["load_avg_start"] = load_start
     extra["load_avg_end"] = load_end
     extra.update(kernel)
@@ -537,6 +571,9 @@ def main() -> None:
         # against the bracket, not either endpoint
         "kernel_end": kernel_end,
         "load_avg": {"start": load_start, "end": load_end},
+        # non-empty list = this snapshot was taken on a contended box and
+        # must not be read as a round-over-round regression signal
+        "contended": contended_reasons,
     }
     line = json.dumps(headline)
     # The driver captures only the LAST ~2000 chars of stdout and parses the

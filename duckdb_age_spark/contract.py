@@ -7633,63 +7633,66 @@ _PRIORITY_50 = [
     "age_secrets_listing",
     "age_version",
     "age_secret_files",
-    # tpch_q14 re-attests the LAST member of the float-sum hazard family
-    # now that it sums exact integer units (VERDICT r6 item 2)
-    "tpch_q14",
-    # family-representative slots for families whose every member is
-    # already attested (the first-50 must keep one driver gate per family
-    # — tests/test_kernels.py::test_priority_50_covers_every_operator_family)
-    "dq_report",
-    "upsert_incremental_agg",
-    "setops_full_outer_reconcile",
+    # Round-10 rotation (VERDICT r9 item 2): with union attestation closed
+    # at 228/228 in r9, every non-crypto slot now chases RECENCY debt —
+    # the 41 rotating slots take the longest-unattested queries outright.
+    # Attestation ages going in: r1×4, r2×2, r4×38, r5×35 (79 queries at
+    # ≤r5 — more than one round's slots, so the oldest 39 go now and the
+    # remaining 40 are exactly next round's rotation).  Three slots are
+    # forced by the family gate (test_kernels.py::
+    # test_priority_50_covers_every_operator_family) on families whose
+    # members are all recently attested: grouped_map_zscore (the family's
+    # only member, r9), stats_benford (dq, r5 — oldest of its family
+    # anyway), sketch_hll_distinct (sketches, r6).
+    #
+    # last attested r1:
+    "sink_json_roundtrip",
+    "events_sliding",
+    "tpch_q5",
+    "top_customers",
+    # last attested r2:
+    "text_lang_id",
+    "dedup_simhash_pairs",
+    # last attested r4 (32 of 38; the 6 deferred to r11 all come from
+    # families keeping >=3 other r4 representatives this round:
+    # tpch_q6, tpch_q13, dedup_embedding_pairs, pipeline_quality_topk,
+    # events_props, streaming_join):
+    "upsert_merge",
+    "sink_csv_roundtrip",
+    "setops_customer_cohorts",
+    "streaming_windowed",
+    "streaming_dedup",
+    "text_doc_stats",
+    "text_bm25_topk",
+    "pipeline_decontaminate",
+    "pipeline_sample_split",
+    "pipeline_pack",
+    "layout_zorder_stats",
+    "graph_pagerank",
+    "dedup_exact",
+    "dedup_minhash_pairs",
+    "dedup_clusters",
+    "sim_topk_bruteforce",
+    "sim_topk_lsh",
+    "sim_topk_kmeans",
+    "events_tumbling",
+    "events_sessions",
+    "order_gaps",
+    "tpch_q1",
+    "tpch_q3",
+    "skew_salted_join",
+    "quantiles_exact",
+    "pivot_priority_by_flag",
+    "sketch_approx_distinct",
+    "range_join",
+    "rollup_timebuckets",
+    "udtf_chunks",
+    "multimodal_features",
+    "multimodal_frames",
+    # family-gate slots (see note above):
     "grouped_map_zscore",
-    "window_balance_analytics",
-    "udaf_geomean",
-    "skew_bloom_prefilter",
-    # Round-9 rotation (VERDICT r8 item 2): the 20 round-8 widening
-    # queries that have never appeared in any CORRECTNESS_r* file — a
-    # green driver run this round closes union attestation at 227/227.
-    # Ordered by family so the driver log groups related shapes.
-    "dedup_span_pairs",
-    "dedup_span_clusters",
-    "text_substring_dedup",
-    "text_zipf_slope",
-    "sim_topk_mips",
-    "graph_hits",
-    "graph_harmonic_closeness",
-    "events_rfm_segments",
-    "events_attribution",
-    "events_cusum_shift",
-    "streaming_ewma_hourly",
-    "streaming_hll_users",
-    "sketch_kmv_intersection",
-    "stats_theil_sen",
-    "pipeline_ngram_novelty",
-    "pipeline_importance_weights",
-    "relational_cube_revenue",
-    "relational_pivot_priority",
-    "multimodal_ahash_pairs",
-    "multimodal_audio_blocks",
-    # The remaining 13 slots re-attest the longest-unattested veterans
-    # (last driver row = CORRECTNESS_r01, except asof_join r04 which holds
-    # the temporal family's mandatory representative), shrinking recency
-    # debt; the r1 veterans that did not fit (events_sliding,
-    # top_customers, tpch_q5) rotate in next round.
-    "asof_join",
-    "cube_priority_status",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "events_funnel",
-    "events_hourly",
-    "order_priority",
-    "sim_topk_ivf",
-    # round-9 widening rides its own slot so attestation debt stays zero
-    # (sink_json_roundtrip yields; the sinks family keeps two veterans)
-    "sink_encrypted_blobs",
-    "sink_orc_roundtrip",
-    "sink_partitioned_roundtrip",
-    "text_fingerprints",
-    "text_lang_stats",
+    "stats_benford",
+    "sketch_hll_distinct",
 ]
 
 

@@ -36,8 +36,10 @@ Caveat vs the Python path: ``registerJavaFunction`` offers no
 nondeterminism flag, so Catalyst MAY collapse two syntactically identical
 ``age_encrypt_jvm`` calls into one (same ciphertext where the Python path —
 marked ``asNondeterministic()`` — would produce two).  Decryption treats
-both as valid, but pipelines relying on distinct ciphertexts per call
-should keep the Python path for encrypt or add a distinguishing column.
+both as valid.  Pipelines relying on distinct ciphertexts per call pass
+``fresh=True`` to ``encrypt_col`` / ``encrypt_multi_col``, which splices a
+zero-length slice of ``uuid()`` into the key expression — value-identical,
+but nondeterministic, so Catalyst cannot deduplicate the call.
 """
 
 from __future__ import annotations
@@ -93,10 +95,27 @@ def ensure_jar() -> str:
     return JAR_PATH
 
 
+# Matches any bech32 age identity literal.  Used for plan-text redaction:
+# decrypt_col embeds the RESOLVED private key as a plan literal (the JVM UDF
+# can't reach the driver-side secrets snapshot), which would otherwise show
+# verbatim in df.explain(), the Spark UI SQL tab, and event logs (ADVICE r9).
+_IDENTITY_REDACTION_REGEX = "AGE-SECRET-KEY-1[0-9A-Z]+"
+
+
 def register_jvm_crypto(spark) -> None:
     """Register age_encrypt_jvm / age_decrypt_jvm / age_encrypt_multi_jvm
     SQL functions.  The jar must already be on the driver classpath (see
-    module docstring)."""
+    module docstring).
+
+    Also installs ``spark.sql.redaction.string.regex`` covering
+    ``AGE-SECRET-KEY-1...`` literals: QueryExecution wraps every explain
+    string (and the UI SQL tab's plan description) in ``withRedaction``, so
+    an identity literal embedded by :func:`decrypt_col` renders as
+    ``*********(redacted)`` instead of the raw key.  An existing user regex
+    is preserved by alternation.  Event-log plan nodes go through the same
+    explainString path; executor-side values are of course still the real
+    key (that is the point), so treat cluster logs accordingly (PARITY.md
+    "JVM path: identity literals")."""
     from pyspark.sql.types import BinaryType
 
     spark.udf.registerJavaFunction("age_encrypt_jvm", "agespark.AgeEncryptUDF", BinaryType())
@@ -104,6 +123,17 @@ def register_jvm_crypto(spark) -> None:
     spark.udf.registerJavaFunction(
         "age_encrypt_multi_jvm", "agespark.AgeEncryptMultiUDF", BinaryType()
     )
+    conf_key = "spark.sql.redaction.string.regex"
+    try:
+        existing = spark.conf.get(conf_key, None)
+        if not existing:
+            spark.conf.set(conf_key, _IDENTITY_REDACTION_REGEX)
+        elif _IDENTITY_REDACTION_REGEX not in existing:
+            spark.conf.set(conf_key, f"{existing}|{_IDENTITY_REDACTION_REGEX}")
+    except Exception:
+        # redaction is defense-in-depth for DISPLAY only; never fail
+        # registration over a conf the deployment may have locked down
+        pass
 
 
 # ---------------------------------------------------------------------------
@@ -126,20 +156,51 @@ def _snapshot(manager=None):
     return (manager or default_manager).snapshot()
 
 
-def encrypt_col(data, key: str, manager=None):
+def _cse_salt(key_col):
+    """Make a key expression CSE-proof without changing its value.
+
+    ``registerJavaFunction`` can't mark a UDF nondeterministic, so Catalyst
+    collapses two syntactically identical ``age_encrypt_jvm`` calls into one
+    ciphertext (pinned: tests/test_jvm_crypto.py CSE-JVM-COLLAPSED).  To
+    restore the Python path's per-call-fresh-file-key semantics, append a
+    zero-length slice of ``uuid()`` to the key string: ``uuid()`` is
+    nondeterministic, so the whole call is ineligible for both common
+    subexpression elimination and constant folding, yet
+    ``substring(uuid(), 1, 0)`` is always the empty string — the key bytes
+    the JVM parses are unchanged (VERDICT r9 item 5)."""
+    from pyspark.sql import functions as F
+
+    return F.concat(key_col, F.expr("substring(uuid(), 1, 0)"))
+
+
+def encrypt_col(data, key: str, manager=None, fresh: bool = False):
     """Column: JVM-side encrypt with secret-name dispatch.
     ``encrypt_col(F.col("payload"), "prod_key")`` resolves ``prod_key``
     against the driver-side snapshot and hands the literal to
-    ``age_encrypt_jvm``."""
+    ``age_encrypt_jvm``.  ``fresh=True`` guarantees a fresh file key per
+    call even when two calls are syntactically identical (see
+    :func:`_cse_salt`); leave it off when one ciphertext per input row is
+    acceptable and you want Catalyst free to deduplicate work."""
     from pyspark.sql import functions as F
 
     from .functions import resolve_recipient
 
-    return F.call_udf("age_encrypt_jvm", data, F.lit(resolve_recipient(key, _snapshot(manager))))
+    key_col = F.lit(resolve_recipient(key, _snapshot(manager)))
+    if fresh:
+        key_col = _cse_salt(key_col)
+    return F.call_udf("age_encrypt_jvm", data, key_col)
 
 
 def decrypt_col(data, key: str, manager=None):
-    """Column: JVM-side decrypt with secret-name dispatch."""
+    """Column: JVM-side decrypt with secret-name dispatch.
+
+    Exposure note (ADVICE r9): the secret NAME resolves driver-side and the
+    raw ``AGE-SECRET-KEY-1...`` literal is embedded in the plan — unlike the
+    Python path, where the name itself is the literal and resolution happens
+    inside the UDF.  :func:`register_jvm_crypto` installs a string-redaction
+    regex so the literal renders redacted in explain output, the UI SQL tab,
+    and event-log plan text; deployments that disable that conf should treat
+    JVM-path decrypt plans as secret-bearing (documented in PARITY.md)."""
     from pyspark.sql import functions as F
 
     from .functions import resolve_identity
@@ -147,7 +208,7 @@ def decrypt_col(data, key: str, manager=None):
     return F.call_udf("age_decrypt_jvm", data, F.lit(resolve_identity(key, _snapshot(manager))))
 
 
-def encrypt_multi_col(data, keys: list[str], manager=None):
+def encrypt_multi_col(data, keys: list[str], manager=None, fresh: bool = False):
     """Column: JVM-side multi-recipient encrypt (one file key, N stanzas).
     Per-element dispatch matches functions.py::encrypt_multi_kernel —
     ``age1``-prefixed elements are literals, the rest resolve as names,
@@ -172,6 +233,8 @@ def encrypt_multi_col(data, keys: list[str], manager=None):
         if entry is None or entry.get("public_key") is None:
             raise errors.AgeError(errors.invalid_recipient(r))
         resolved.append(entry["public_key"])
-    return F.call_udf(
-        "age_encrypt_multi_jvm", data, F.array(*[F.lit(k) for k in resolved])
-    )
+    key_cols = [F.lit(k) for k in resolved]
+    if fresh:
+        # salting one element is enough to defeat CSE for the whole call
+        key_cols[0] = _cse_salt(key_cols[0])
+    return F.call_udf("age_encrypt_multi_jvm", data, F.array(*key_cols))

@@ -80,6 +80,39 @@ def choose_crypto_path(
     return "jvm" if (jvm_available and median_bytes >= crossover) else "python"
 
 
+def _effective_manager(spark: SparkSession, manager):
+    """The SecretManager the routed paths must resolve names against.
+
+    The Python path's registered UDFs resolve names against whatever
+    manager was passed to ``register(spark, manager)`` — so the JVM route
+    has to use the SAME one, or a named-secret write that works below the
+    size crossover silently changes meaning above it (ADVICE r9: with a
+    custom manager it would raise AgeError, or worse encrypt to a
+    different recipient if the name collides in default_manager).
+    Explicit ``manager`` wins; otherwise the session's registered manager;
+    otherwise ``None`` (downstream helpers fall back to default_manager,
+    matching an unregistered session's only sensible interpretation)."""
+    if manager is not None:
+        return manager
+    from ..register import _REGISTERED
+
+    return _REGISTERED.get(id(spark))
+
+
+def _python_crypto_expr(fn: str, data, key: str, manager):
+    """Python-path expression for one column.  With no explicit manager the
+    registered UDF resolves the name itself (keeps identities out of plan
+    text); with an explicit manager, resolve driver-side so the caller's
+    manager — not the session's — defines the name (same eager-vs-lazy
+    error-timing note as jvm.py's dispatch helpers)."""
+    if manager is None:
+        return F.call_function(fn, data, F.lit(key))
+    from ..functions import resolve_identity, resolve_recipient
+
+    resolve = resolve_recipient if fn == "age_encrypt" else resolve_identity
+    return F.call_function(fn, data, F.lit(resolve(key, manager.snapshot())))
+
+
 def _route(
     df: DataFrame, columns: list[str], crypto_path: str, fn: str
 ) -> dict[str, str]:
@@ -104,11 +137,16 @@ def write_encrypted(
     mode: str = "overwrite",
     partition_by: list[str] | None = None,
     crypto_path: str = "auto",
+    manager=None,
 ) -> dict[str, str]:
     """Write ``df`` to parquet with ``columns`` age-encrypted for
     ``recipient`` (raw ``age1...`` key or secret name).  ``crypto_path``
     routes per column (module docstring); returns the chosen path per
-    column so callers/benches can assert the routing."""
+    column so callers/benches can assert the routing.  ``manager``
+    overrides which SecretManager resolves a secret-name ``recipient``
+    (default: the one registered for this session — see
+    :func:`_effective_manager`)."""
+    mgr = _effective_manager(df.sparkSession, manager)
     routes = _route(df, columns, crypto_path, "age_encrypt_jvm")
     out = df
     for c in columns:
@@ -116,9 +154,9 @@ def write_encrypted(
         if routes[c] == "jvm":
             from ..jvm import encrypt_col
 
-            out = out.withColumn(c, encrypt_col(data, recipient))
+            out = out.withColumn(c, encrypt_col(data, recipient, manager=mgr))
         else:
-            out = out.withColumn(c, F.call_function("age_encrypt", data, F.lit(recipient)))
+            out = out.withColumn(c, _python_crypto_expr("age_encrypt", data, recipient, manager))
     writer = out.write.mode(mode)
     if partition_by:
         writer = writer.partitionBy(*partition_by)
@@ -133,19 +171,22 @@ def read_encrypted(
     identity: str,
     as_string: bool = True,
     crypto_path: str = "auto",
+    manager=None,
 ) -> DataFrame:
     """Read an encrypted parquet written by :func:`write_encrypted`,
     decrypting ``columns`` with ``identity`` (raw key or secret name).
     ``crypto_path='auto'`` probes the CIPHERTEXT sizes (header overhead is
-    a few hundred bytes — irrelevant at the 64 KiB crossover)."""
+    a few hundred bytes — irrelevant at the 64 KiB crossover).  ``manager``
+    as in :func:`write_encrypted`."""
+    mgr = _effective_manager(spark, manager)
     df = spark.read.parquet(path)
     routes = _route(df, columns, crypto_path, "age_decrypt_jvm")
     for c in columns:
         if routes[c] == "jvm":
             from ..jvm import decrypt_col
 
-            dec = decrypt_col(F.col(c), identity)
+            dec = decrypt_col(F.col(c), identity, manager=mgr)
         else:
-            dec = F.call_function("age_decrypt", F.col(c), F.lit(identity))
+            dec = _python_crypto_expr("age_decrypt", F.col(c), identity, manager)
         df = df.withColumn(c, dec.cast("string") if as_string else dec)
     return df

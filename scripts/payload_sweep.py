@@ -63,8 +63,12 @@ def main() -> int:
     )
     age.register(spark)  # python path + the measured arrow batch tuning
     from duckdb_age_spark.jvm import register_jvm_crypto
+    from duckdb_age_spark.secrets import default_manager
 
     register_jvm_crypto(spark)
+    default_manager.create_secret(
+        "sweepkey", public_key=PUB, private_key=PRIV, replace=True
+    )
 
     results: dict[str, dict] = {}
     for label, size in SIZES:
@@ -114,6 +118,27 @@ def main() -> int:
                 "roundtrip_sec": round(rt_s, 3),
             }
             print(f"{label} {path}: {per_path[path]}", file=sys.stderr)
+
+        if label == "1MiB":
+            # Secret-NAME dispatch on the JVM path (VERDICT r8 item 4's
+            # done-criterion, measured r10): resolution happens driver-side
+            # at plan-build time, so this should match the literal-key jvm
+            # cell — this cell turns "should" into a recorded number.
+            from duckdb_age_spark.jvm import decrypt_col, encrypt_col
+
+            enc_named = encrypt_col(F.col("pt"), "sweepkey")
+            rt_named = decrypt_col(enc_named, "sweepkey")
+            enc_s = timed(enc_named)
+            rt_s = timed(rt_named)
+            per_path["jvm_named_secret"] = {
+                "encrypt_mb_per_s": round(mb / enc_s, 1),
+                "encrypt_mb_per_s_per_core": round(mb / enc_s / CPUS, 1),
+                "roundtrip_mb_per_s": round(mb / rt_s, 1),
+                "roundtrip_mb_per_s_per_core": round(mb / rt_s / CPUS, 1),
+                "encrypt_sec": round(enc_s, 3),
+                "roundtrip_sec": round(rt_s, 3),
+            }
+            print(f"{label} jvm_named_secret: {per_path['jvm_named_secret']}", file=sys.stderr)
         df.unpersist()
         results[label] = {"rows": n_rows, "mb": round(mb, 1), **per_path}
 

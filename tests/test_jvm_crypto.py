@@ -241,6 +241,42 @@ ppair = df.select(
 assert bytes(ppair.a) != bytes(ppair.b), "Python path must stay per-call-fresh"
 print("CSE-JVM-COLLAPSED" if jvm_collapsed else "CSE-JVM-DISTINCT")
 print("CSE-PYTHON-OK")
+
+# --- fresh=True restores per-call freshness on the JVM path (VERDICT r9
+# item 5): two syntactically identical fresh calls must yield DISTINCT
+# ciphertexts, and both must still decrypt (the uuid() salt is a
+# zero-length slice — key bytes unchanged).
+fr = df.select(
+    encrypt_col(F.col("pt"), PUB, fresh=True).alias("a"),
+    encrypt_col(F.col("pt"), PUB, fresh=True).alias("b"),
+).first()
+assert bytes(fr.a) != bytes(fr.b), "fresh=True must defeat CSE"
+dfr = df.select(
+    age.age_decrypt(encrypt_col(F.col("pt"), "jvmkey", fresh=True), F.lit(PRIV)).alias("d"),
+).first()
+assert bytes(dfr.d) == b"named", dfr.d
+mfr = df.select(
+    encrypt_multi_col(F.col("pt"), ["jvmkey", PUB2], fresh=True).alias("a"),
+    encrypt_multi_col(F.col("pt"), ["jvmkey", PUB2], fresh=True).alias("b"),
+).first()
+assert bytes(mfr.a) != bytes(mfr.b), "multi fresh=True must defeat CSE"
+assert bytes(df.select(age.age_decrypt(encrypt_multi_col(
+    F.col("pt"), ["jvmkey", PUB2], fresh=True), F.lit(PRIV2)).alias("d")).first().d) == b"named"
+print("FRESH-OK")
+
+# --- identity-literal redaction (ADVICE r9): decrypt_col embeds the raw
+# private key in the plan; register_jvm_crypto's redaction regex must keep
+# it out of every explain mode's text.
+import io, contextlib
+dfq = df.select(decrypt_col(age.age_encrypt(F.col("pt"), F.lit(PUB)), "jvmkey").alias("d"))
+for mode in ("simple", "extended", "formatted"):
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        dfq.explain(mode=mode)
+    text = buf.getvalue()
+    assert "AGE-SECRET-KEY-1" not in text, f"identity leaked in explain({{mode}})"
+    assert "redacted" in text, f"expected redaction marker in explain({{mode}})"
+print("REDACTION-OK")
 spark.stop()
 """
 
@@ -283,6 +319,29 @@ assert {{r.id: r.payload for r in back_py.collect()}} == exp_big
 back_jvm = read_encrypted(spark, base + "/small", ["payload"], PRIV, crypto_path="jvm")
 assert {{r.id: r.payload for r in back_jvm.collect()}} == {{r.id: r.payload for r in small.collect()}}
 print("ROUTE-CROSS-READ-OK")
+
+# --- named-secret routing under a NON-DEFAULT manager (ADVICE r9): the
+# JVM route must resolve names against the manager registered for this
+# session, not default_manager.  Poison default_manager with the SAME
+# name bound to a DIFFERENT keypair — before the fix the big (JVM-routed)
+# write would silently encrypt to the wrong recipient.
+from duckdb_age_spark.secrets import SecretManager, default_manager
+custom = SecretManager()
+custom.create_secret("routekey", public_key=PUB, private_key=PRIV)
+wrong_pub = "age1egzm9f262exff3k0vwxjkvcd389y5r9n606zuxhelpqh5x9etgwqkvdpkw"
+default_manager.create_secret("routekey", public_key=wrong_pub)
+age.register(spark, custom)
+r_named = write_encrypted(big, base + "/named", ["payload"], "routekey")
+assert r_named == {{"payload": "jvm"}}, r_named
+back_named = read_encrypted(spark, base + "/named", ["payload"], "routekey")
+assert {{r.id: r.payload for r in back_named.collect()}} == exp_big
+# explicit manager= wins over the registered one, on the python route too
+r_exp = write_encrypted(small, base + "/explicit", ["payload"], "routekey", manager=custom)
+assert r_exp == {{"payload": "python"}}, r_exp
+back_exp = read_encrypted(spark, base + "/explicit", ["payload"], "routekey",
+                          manager=custom, crypto_path="python")
+assert {{r.id: r.payload for r in back_exp.collect()}} == {{r.id: r.payload for r in small.collect()}}
+print("ROUTE-MANAGER-OK")
 spark.stop()
 """
 
@@ -296,7 +355,12 @@ def test_encrypted_sink_size_based_routing(jar):
         [sys.executable, "-c", script], capture_output=True, text=True, cwd=REPO, timeout=600
     )
     assert proc.returncode == 0, proc.stderr[-3000:]
-    for marker in ("ROUTE-BIG-JVM-OK", "ROUTE-SMALL-PY-OK", "ROUTE-CROSS-READ-OK"):
+    for marker in (
+        "ROUTE-BIG-JVM-OK",
+        "ROUTE-SMALL-PY-OK",
+        "ROUTE-CROSS-READ-OK",
+        "ROUTE-MANAGER-OK",
+    ):
         assert marker in proc.stdout
 
 
@@ -314,7 +378,20 @@ def test_spark_registered_jvm_udfs_cross_path(jar):
     assert "MULTI-OK" in proc.stdout
     assert "MULTI-EMPTY-OK" in proc.stdout
     assert "MULTI-ERRMSG-OK" in proc.stdout
-    # the CSE caveat pin: Python per-call freshness must hold; the JVM
-    # path's collapse-or-not is recorded either way (see script comment)
+    # the CSE caveat pin: Python per-call freshness must hold, and on the
+    # pinned Spark version Catalyst DOES collapse the unsalted JVM calls —
+    # assert the SPECIFIC marker, so a Spark upgrade changing CSE behavior
+    # fails this test loudly instead of recording the flip silently
+    # (ADVICE r9 low: an either-or assertion is a recorder, not a pin).
+    # If a future Spark stops collapsing, the documented caveat in jvm.py /
+    # PARITY.md is obsolete — update both alongside this marker.
     assert "CSE-PYTHON-OK" in proc.stdout
-    assert ("CSE-JVM-COLLAPSED" in proc.stdout) or ("CSE-JVM-DISTINCT" in proc.stdout)
+    assert "CSE-JVM-COLLAPSED" in proc.stdout, (
+        "Catalyst no longer CSE-collapses registerJavaFunction calls — "
+        "update the caveat in jvm.py and PARITY.md, then re-pin this marker:\n"
+        + proc.stdout[-2000:]
+    )
+    # fresh=True restores per-call freshness; identity literals are
+    # redacted from every explain mode (VERDICT r9 item 5 + ADVICE r9)
+    assert "FRESH-OK" in proc.stdout
+    assert "REDACTION-OK" in proc.stdout
