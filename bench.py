@@ -280,6 +280,24 @@ def _kernel_bench() -> dict[str, float]:
     return out
 
 
+def contention_reasons(
+    load_avg: list[float], kernel: dict[str, float], max_load: float, min_kernel: float
+) -> list[str]:
+    """Pure contention rule (unit-tested without running the bench): a
+    snapshot is tainted when the 1-minute load average exceeds
+    ``max_load`` at start, or the pre-JVM single-core kernel bracket sits
+    below ``min_kernel`` MB/s/core (this box's healthy envelope is
+    >=900 across every clean r6-r10 run; the tainted BENCH_r09 started at
+    load 5.46 / 632 MB/s/core)."""
+    reasons = []
+    if load_avg and load_avg[0] > max_load:
+        reasons.append(f"load_avg_1m={load_avg[0]}>{max_load}")
+    mbps = kernel.get("kernel_encrypt_mb_per_s_per_core", float("inf"))
+    if mbps < min_kernel:
+        reasons.append(f"start_kernel_mbps={mbps}<{min_kernel}")
+    return reasons
+
+
 def main() -> None:
     # Kernel microbench first: pre-JVM is the quietest this process gets,
     # and the load average brackets make any residual noise self-documenting.
@@ -300,12 +318,7 @@ def main() -> None:
     # for other hardware.
     max_load = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_LOAD", "2.0"))
     min_kernel = float(os.environ.get("SPARK_GRAFT_BENCH_MIN_KERNEL", "850"))
-    contended_reasons = []
-    if load_start and load_start[0] > max_load:
-        contended_reasons.append(f"load_avg_1m={load_start[0]}>{max_load}")
-    _start_mbps = kernel.get("kernel_encrypt_mb_per_s_per_core", float("inf"))
-    if _start_mbps < min_kernel:
-        contended_reasons.append(f"start_kernel_mbps={_start_mbps}<{min_kernel}")
+    contended_reasons = contention_reasons(load_start, kernel, max_load, min_kernel)
     if contended_reasons:
         msg = "BENCH BOX CONTENDED: " + "; ".join(contended_reasons)
         print(msg, file=sys.stderr)

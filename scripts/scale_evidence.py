@@ -82,7 +82,7 @@ def main() -> int:
         sw_recs = sum(st.get("shuffleWriteRecords", 0) for st in new)
         sr_bytes = sum(st.get("shuffleReadBytes", 0) for st in new)
         # task skew of the heaviest-shuffle stage
-        skew_max = skew_med = None
+        skew_max = skew_med = rec_med = rec_max = None
         heavy = max(new, key=lambda st: st.get("shuffleWriteBytes", 0), default=None)
         if heavy and heavy.get("shuffleWriteBytes", 0) > 0:
             try:
@@ -92,6 +92,14 @@ def main() -> int:
                 )
                 med, mx = summ["executorRunTime"]
                 skew_med, skew_max = med / 1000.0, mx / 1000.0
+                # Per-task RECORD skew separates data imbalance (a plan
+                # problem that compounds at 100 TB) from run-time noise
+                # (JIT warmup / GC on seconds-long tasks, which does not):
+                # records max/med ~1 with time max/med ~2 means the keys
+                # distribute evenly and the ratio is environmental.
+                sw = summ.get("shuffleWriteMetrics", {}).get("writeRecords")
+                if sw:
+                    rec_med, rec_max = sw
             except Exception:
                 pass
         rec = {
@@ -105,6 +113,8 @@ def main() -> int:
             "shuffle_read_bytes": sr_bytes,
             "heavy_stage_task_med_s": skew_med,
             "heavy_stage_task_max_s": skew_max,
+            "heavy_stage_task_med_records": rec_med,
+            "heavy_stage_task_max_records": rec_max,
         }
         results.append(rec)
         print(json.dumps(rec), flush=True)

@@ -245,6 +245,32 @@ def test_priority_50_covers_every_operator_family():
     assert all(n in contract.ORACLE_SQL for n in contract._PRIORITY_50)
 
 
+# --- bench contention guard (VERDICT r9 item 1) -------------------------------
+
+
+def test_bench_contention_reasons():
+    """The rule that decides whether a bench snapshot is tainted: BENCH_r09
+    was taken at load 5.46 / 632 MB/s/core and its five phantom regressions
+    cost a round — pin that exact shape as contended, a clean-box shape as
+    not, and each signal independently."""
+    import bench
+
+    healthy = {"kernel_encrypt_mb_per_s_per_core": 945.7}
+    tainted = {"kernel_encrypt_mb_per_s_per_core": 632.5}
+    assert bench.contention_reasons([0.02, 0.01, 0.3], healthy, 2.0, 850) == []
+    # the BENCH_r09 shape: both signals fire
+    r9 = bench.contention_reasons([5.46, 4.03, 2.57], tainted, 2.0, 850)
+    assert len(r9) == 2 and "load_avg_1m=5.46>2.0" in r9[0] and "632.5" in r9[1]
+    # each signal alone
+    assert bench.contention_reasons([3.0, 0, 0], healthy, 2.0, 850) == ["load_avg_1m=3.0>2.0"]
+    assert bench.contention_reasons([0.1, 0, 0], tainted, 2.0, 850) == [
+        "start_kernel_mbps=632.5<850"
+    ]
+    # missing signals never false-positive (getloadavg can raise; a kernel
+    # dict without the key means the microbench was skipped)
+    assert bench.contention_reasons([], {}, 2.0, 850) == []
+
+
 # --- float-sum determinism guard (VERDICT r6 item 2) --------------------------
 
 
