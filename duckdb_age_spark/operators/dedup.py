@@ -558,10 +558,16 @@ def fuzzy_name_pairs(records: DataFrame, probes: DataFrame, max_dist: int = 1) -
         .drop("blen")
     )
 
+    # Dedupe CANDIDATES (the same record row reached through several band
+    # keys), not record identities: two distinct record rows may share a
+    # match_key (the sf1 scale corpus does exactly this — replica key
+    # offsets collide with the planted-variant offsets), and each is its
+    # own linkage match.  Keying the dedupe on match_key alone silently
+    # dropped one of them (caught by the round-10 full sf1 oracle run).
     cand = (
         a.join(b, a["bk"] == b["bk"])
         .where(F.col("probe_key") != F.col("match_key"))
-        .dropDuplicates(["probe_key", "match_key"])
+        .dropDuplicates(["probe_key", "match_key", "match_name"])
     )
     return (
         cand.withColumn("dist", F.levenshtein("probe_name", "match_name"))

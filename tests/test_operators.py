@@ -770,6 +770,26 @@ def test_fuzzy_name_pairs_insert_delete_and_d2_recall(spark):
     assert d2 == {(1, 2): 1, (1, 3): 1, (1, 4): 1, (1, 5): 2, (1, 6): 2}
 
 
+def test_fuzzy_name_pairs_shared_match_key_keeps_both_rows(spark):
+    """Two DISTINCT record rows sharing a match_key are two matches, not
+    one: the round-10 full sf1 oracle run caught the candidate dedupe
+    collapsing them (replica key offsets collide with the planted-variant
+    offsets at that scale).  Both rows sit within dist 1 of the probe, so
+    losing either changes the row count."""
+    from duckdb_age_spark.operators.dedup import fuzzy_name_pairs
+
+    base = "ABCDEFGHIJKLMNOPQR"
+    probes = spark.createDataFrame([(1, base)], "probe_key long, name string")
+    records = spark.createDataFrame(
+        [(2, "X" + base[1:]), (2, base[:-1] + "X"), (3, base)],
+        "match_key long, name string",
+    )
+    got = sorted(
+        (r.probe_key, r.match_key, r.dist) for r in fuzzy_name_pairs(records, probes).collect()
+    )
+    assert got == [(1, 2, 1), (1, 2, 1), (1, 3, 0)]
+
+
 def test_gapfill_hourly_zero_rows_are_real(spark, events):
     from duckdb_age_spark.operators.rollup import gapfill_hourly
 
