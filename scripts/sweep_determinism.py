@@ -8,7 +8,9 @@ hash NEVER changes.  With the exact integer-unit sums of
 operators/exact.py the hash is invariant by construction; this sweep is
 the regression gate that proves it (the r5 tpch_q9 driver flake class).
 
-Usage: python scripts/sweep_determinism.py [sf_dir] [iters]
+Usage: python scripts/sweep_determinism.py [sf_dir] [iters] [query ...]
+(query names override the default hazard FAMILY — used to sweep the
+queries a round's code changes touched)
 """
 
 from __future__ import annotations
@@ -52,6 +54,7 @@ CONFIGS = [
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 and os.path.isdir(sys.argv[1]) else "/root/testdata/sf0.01"
     iters = int(sys.argv[2]) if len(sys.argv) > 2 else 20
+    family = sys.argv[3:] or FAMILY
 
     from pyspark.sql import SparkSession
 
@@ -77,7 +80,7 @@ def main() -> int:
         sp, mpb = CONFIGS[i % len(CONFIGS)]
         spark.conf.set("spark.sql.shuffle.partitions", sp)
         spark.conf.set("spark.sql.files.maxPartitionBytes", mpb)
-        for name in FAMILY:
+        for name in family:
             df = canon(qs[name](spark, sf_dir).toPandas())
             h = hashlib.md5(df.to_csv(index=False).encode()).hexdigest()
             if name not in baseline:
@@ -86,7 +89,7 @@ def main() -> int:
                 print(f"HASH MISS {name} iter={i} conf=({sp},{mpb}): {h} != {baseline[name]}")
                 misses += 1
         print(f"iter {i + 1}/{iters} conf=({sp},{mpb}) ok ({time.time() - t0:.0f}s)")
-    print(f"\n{misses} hash misses over {iters} iters x {len(FAMILY)} queries")
+    print(f"\n{misses} hash misses over {iters} iters x {len(family)} queries")
     return 1 if misses else 0
 
 
