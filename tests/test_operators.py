@@ -483,6 +483,48 @@ def test_crypto_routing_rule():
         choose_crypto_path("fast", True, 0)
 
 
+def test_effective_manager_resolution_order():
+    """Manager dispatch for the routed sink (ADVICE r9): explicit wins,
+    then the session's registered manager, then None (-> downstream
+    default).  Uses plain objects — id()-keyed lookup needs no session."""
+    from duckdb_age_spark.register import _REGISTERED
+    from duckdb_age_spark.sources.encrypted import _effective_manager
+
+    fake_spark, explicit, registered = object(), object(), object()
+    assert _effective_manager(fake_spark, explicit) is explicit
+    assert _effective_manager(fake_spark, None) is None
+    _REGISTERED[id(fake_spark)] = registered
+    try:
+        assert _effective_manager(fake_spark, None) is registered
+        assert _effective_manager(fake_spark, explicit) is explicit
+    finally:
+        del _REGISTERED[id(fake_spark)]
+
+
+def test_python_crypto_expr_resolves_only_with_explicit_manager(spark, manager):
+    """Python-route expression building: without an explicit manager the
+    secret NAME rides the plan (the registered UDF resolves it — keeps
+    identities out of plan text); with one, resolution happens driver-side
+    against THAT manager's snapshot."""
+    from duckdb_age_spark.contract import KP1
+    from duckdb_age_spark.secrets import SecretManager
+    from duckdb_age_spark.sources.encrypted import _python_crypto_expr
+    from pyspark.sql import functions as F
+
+    own = SecretManager()
+    own.create_secret("pxkey", public_key=KP1.public_key, private_key=KP1.private_key)
+    data = F.lit(b"x")
+    # name preserved when manager is None
+    assert "pxkey" in str(_python_crypto_expr("age_encrypt", data, "pxkey", None))
+    # resolved against the explicit manager otherwise (encrypt -> public,
+    # decrypt -> private)
+    assert KP1.public_key in str(_python_crypto_expr("age_encrypt", data, "pxkey", own))
+    assert KP1.private_key in str(_python_crypto_expr("age_decrypt", data, "pxkey", own))
+    # raw keys pass through under either mode
+    raw = str(_python_crypto_expr("age_encrypt", data, KP1.public_key, own))
+    assert KP1.public_key in raw
+
+
 def test_encrypted_sink_routes_python_without_jvm(spark, tmp_path, manager, docs):
     """In a session without the JVM functions, auto-routing must pick the
     Python path for every payload size and skip the probe (no extra job
