@@ -21,6 +21,17 @@ import pandas as pd
 
 def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
+    # In-memory connections have no temp_directory, so out-of-core
+    # operators (big sorts/aggs in the heavier oracles at sf1/sf10)
+    # cannot spill and die at the allocator limit instead.  Give the
+    # oracle a spill dir and a bounded budget so it behaves like the
+    # disk-backed engine it is (caught by the round-10 sf10 sweep).
+    con.execute(
+        f"SET temp_directory='{os.environ.get('DUCKDB_TEMP_DIR', '/tmp/duckdb_oracle_spill')}'"
+    )
+    mem = os.environ.get("DUCKDB_MEMORY_LIMIT")
+    if mem:
+        con.execute(f"SET memory_limit='{mem}'")
     for t in (
         "region nation customer supplier part orders lineitem events documents embeddings".split()
     ):
