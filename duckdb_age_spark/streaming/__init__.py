@@ -355,7 +355,12 @@ def dedup_stream(events: DataFrame, watermark: str = "2 hours", keys: list[str] 
     Scale shape: the state store holds one entry per key seen inside the
     horizon and evicts it once the watermark passes its event time — state
     is bounded by (arrival rate × horizon), not by stream length, which is
-    what makes this safe on an unbounded 100 TB/day feed."""
+    what makes this safe on an unbounded 100 TB/day feed.  Backfill caveat
+    (measured, sf10 oracle run r10): an availableNow drain replays history
+    faster than event time advances, so "rate × horizon" degenerates to
+    every key in the replayed corpus — 20 M entries OOM'd an 8 GB heap and
+    completed at 28 GB.  For large backfills, replay in event-time-ordered
+    slices (or use RocksDB state store) so eviction keeps pace."""
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys or ["event_id"])
 
 
