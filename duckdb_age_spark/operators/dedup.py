@@ -511,14 +511,23 @@ def fuzzy_name_pairs(records: DataFrame, probes: DataFrame, max_dist: int = 1) -
     L_rec = F.length("match_name")
     r_start, r_blen = _bounds(L_rec, F.col("bi"))
     b = (
-        records.select(
+        # _rid tags each RECORD ROW before banding: the candidate dedupe
+        # below must collapse only the same physical row reached through
+        # several band keys — never two fully identical rows (same
+        # match_key AND name), which the per-row quadratic oracle counts
+        # twice (ADVICE r10; monotonically_increasing_id is
+        # partition-id-prefixed, so no shuffle and no driver bottleneck)
+        records.withColumn("_rid", F.monotonically_increasing_id())
+        .select(
             F.col("match_key"),
             F.col("name").alias("match_name"),
+            F.col("_rid"),
             F.explode(rec_idx).alias("bi"),
         )
         .select(
             "match_key",
             "match_name",
+            "_rid",
             F.struct(
                 L_rec.cast("int").alias("L"),
                 F.col("bi").alias("b"),
@@ -558,16 +567,17 @@ def fuzzy_name_pairs(records: DataFrame, probes: DataFrame, max_dist: int = 1) -
         .drop("blen")
     )
 
-    # Dedupe CANDIDATES (the same record row reached through several band
-    # keys), not record identities: two distinct record rows may share a
-    # match_key (the sf1 scale corpus does exactly this — replica key
-    # offsets collide with the planted-variant offsets), and each is its
-    # own linkage match.  Keying the dedupe on match_key alone silently
-    # dropped one of them (caught by the round-10 full sf1 oracle run).
+    # Dedupe CANDIDATES (the same record ROW reached through several band
+    # keys), keyed on the pre-banding row id — never on record identity:
+    # two distinct record rows may share a match_key (the sf1 scale corpus
+    # does exactly this — replica key offsets collide with the
+    # planted-variant offsets, caught by the round-10 full sf1 oracle run),
+    # and even two FULLY identical rows (same key AND name) are each their
+    # own linkage match under the per-row quadratic oracle (ADVICE r10).
     cand = (
         a.join(b, a["bk"] == b["bk"])
         .where(F.col("probe_key") != F.col("match_key"))
-        .dropDuplicates(["probe_key", "match_key", "match_name"])
+        .dropDuplicates(["probe_key", "_rid"])
     )
     return (
         cand.withColumn("dist", F.levenshtein("probe_name", "match_name"))

@@ -832,6 +832,27 @@ def test_fuzzy_name_pairs_shared_match_key_keeps_both_rows(spark):
     assert got == [(1, 2, 1), (1, 2, 1), (1, 3, 0)]
 
 
+def test_fuzzy_name_pairs_fully_identical_rows_keep_both(spark):
+    """Two FULLY identical record rows (same match_key AND same name) are
+    still two matches under the per-row quadratic oracle (ADVICE r10: the
+    r10 fix keyed the candidate dedupe on (probe_key, match_key,
+    match_name), which collapsed this case).  The dedupe now keys on a
+    pre-banding row id, so only multi-band duplicates of the SAME physical
+    row collapse."""
+    from duckdb_age_spark.operators.dedup import fuzzy_name_pairs
+
+    base = "ABCDEFGHIJKLMNOPQR"
+    probes = spark.createDataFrame([(1, base)], "probe_key long, name string")
+    dup = "X" + base[1:]
+    records = spark.createDataFrame(
+        [(2, dup), (2, dup), (3, base)], "match_key long, name string"
+    )
+    got = sorted(
+        (r.probe_key, r.match_key, r.dist) for r in fuzzy_name_pairs(records, probes).collect()
+    )
+    assert got == [(1, 2, 1), (1, 2, 1), (1, 3, 0)]
+
+
 def test_gapfill_hourly_zero_rows_are_real(spark, events):
     from duckdb_age_spark.operators.rollup import gapfill_hourly
 
