@@ -761,3 +761,94 @@ def test_streaming_hll_timeout_evicts_window_state(spark, tmp_path):
         assert fresh, spark.sql("SELECT * FROM hll_evict").collect()
     finally:
         q.stop()
+
+
+# ---------------------------------------------------------------------------
+# backfill-safe dedup (VERDICT r10 item 4)
+# ---------------------------------------------------------------------------
+
+
+def _state_tail_bound(ev, slice_interval: str, watermark_hours: int) -> int:
+    """Batch-computed ceiling on per-drain dedup state: keys in the slice
+    plus the still-resident tail of the PREVIOUS slice.  Eviction in drain k
+    uses the watermark carried from drain k-1 (max event ts of slice k-1,
+    minus the delay) and a key expires at first-arrival + delay, so the
+    resident tail is every key within 2 x watermark of the previous slice's
+    MAX ts (not its nominal end — the anchors differ when the slice has a
+    trailing event-time gap)."""
+    tail = F.expr(f"INTERVAL {2 * watermark_hours} HOURS")
+    per = (
+        ev.withColumn("s", F.window("ts", slice_interval)["start"])
+        .groupBy("s")
+        .agg(F.countDistinct("event_id").alias("k"), F.max("ts").alias("mx"))
+        .orderBy("s")
+        .collect()
+    )
+    sliced = ev.withColumn("s", F.window("ts", slice_interval)["start"])
+    tails = {
+        r.s: t.t
+        for r, t in zip(
+            per,
+            (
+                sliced.join(
+                    sliced.groupBy("s").agg((F.max("ts")).alias("mx")), "s"
+                )
+                .where(F.col("ts") + tail >= F.col("mx"))
+                .groupBy("s")
+                .agg(F.countDistinct("event_id").alias("t"))
+                .orderBy("s")
+                .collect()
+            ),
+        )
+    }
+    return max(r.k + (tails[per[i - 1].s] if i else 0) for i, r in enumerate(per))
+
+
+def test_backfill_dedup_sliced_exact_and_bounded(spark, tmp_path):
+    """Event-time-sliced replay of an at-least-once history (every event
+    delivered twice): output is exactly-once, and peak dedup state stays
+    within keys-per-(slice + 2x-watermark tail) — NOT the whole-corpus
+    state a single availableNow drain pins (the r10-measured degenerate
+    case this helper exists to avoid)."""
+    from duckdb_age_spark.sources import read_table
+    from duckdb_age_spark.streaming import backfill_dedup_sliced
+
+    sf = "/root/testdata/sf0.1"
+    if not os.path.isdir(sf):
+        pytest.skip("sf0.1 fixture not present")
+    ev = read_table(spark, sf, "events")
+    n = ev.count()
+    res = backfill_dedup_sliced(
+        ev.unionByName(ev), str(tmp_path / "wd"), slice_interval="7 days", watermark="2 hours"
+    )
+    out = spark.read.parquet(res["out_path"])
+    assert out.count() == n == out.select("event_id").distinct().count()
+    assert res["slices"] >= 4
+    bound = _state_tail_bound(ev, "7 days", 2)
+    assert 0 < res["peak_state_rows"] <= bound
+    # the whole point: a one-shot drain would have pinned ~n keys
+    assert res["peak_state_rows"] < 0.35 * n
+
+
+@pytest.mark.skipif(
+    not os.path.isdir("/root/repo/.scale/sf1"),
+    reason="sf1 scale replica not generated (scripts/make_scale_data.py 10 sf1)",
+)
+def test_backfill_dedup_sliced_sf1_scale(spark, tmp_path):
+    """The r10 verdict's done-criterion: replay the sf1 events corpus (1 M
+    events, delivered twice) in 2-day slices — peak state must stay at the
+    keys-per-(slice + tail) bound (~7% of the corpus here), not the 100%
+    a single drain degenerates to."""
+    from duckdb_age_spark.sources import read_table
+    from duckdb_age_spark.streaming import backfill_dedup_sliced
+
+    ev = read_table(spark, "/root/repo/.scale/sf1", "events")
+    n = ev.count()
+    res = backfill_dedup_sliced(
+        ev.unionByName(ev), str(tmp_path / "wd"), slice_interval="2 days", watermark="2 hours"
+    )
+    out = spark.read.parquet(res["out_path"])
+    assert out.count() == n == out.select("event_id").distinct().count()
+    bound = _state_tail_bound(ev, "2 days", 2)
+    assert 0 < res["peak_state_rows"] <= bound
+    assert res["peak_state_rows"] < 0.1 * n
