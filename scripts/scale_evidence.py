@@ -53,7 +53,7 @@ def main() -> int:
 
     from pyspark.sql import SparkSession
 
-    spark = (
+    builder = (
         SparkSession.builder.master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]")
         .appName("scale-evidence")
         .config("spark.sql.shuffle.partitions", "32")
@@ -62,8 +62,14 @@ def main() -> int:
         .config("spark.ui.enabled", "true")
         .config("spark.ui.port", str(UI_PORT))
         .config("spark.ui.retainedStages", "5000")
-        .getOrCreate()
     )
+    # probe variants (VERDICT r10 item 6): comma-separated k=v pairs, e.g.
+    # SPARK_GRAFT_EXTRA_CONF=spark.sql.files.maxPartitionBytes=16m to force
+    # splits-per-core >> 1 and show scan-split quantization averaging out
+    for kv in filter(None, os.environ.get("SPARK_GRAFT_EXTRA_CONF", "").split(",")):
+        k, _, v = kv.partition("=")
+        builder = builder.config(k.strip(), v.strip())
+    spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     app = spark.sparkContext.applicationId
 
