@@ -7188,6 +7188,45 @@ def streaming_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "streaming_backfill_dedup",
+    """
+    SELECT event_type, count(*)::BIGINT AS n_events,
+           count(DISTINCT user_id)::BIGINT AS n_users,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_value
+    FROM events GROUP BY 1 ORDER BY 1
+    """,
+)
+def streaming_backfill_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backfill-safe streaming dedup (round 11): the whole events history,
+    delivered at-least-once (every row twice), replayed through
+    streaming.backfill_dedup_sliced — event-time-ordered 7-day slices over
+    ONE checkpoint, so the watermark advances between drains and dedup
+    state stays at keys-per-(slice + horizon) instead of the whole corpus
+    (the r10-measured 28 GB degenerate case).  The per-type aggregate of
+    the deduped output must equal the batch aggregate of the single-copy
+    oracle: a dedup miss double-counts, a slice lost in the replay
+    under-counts, and both fail the hash."""
+    from .streaming import backfill_dedup_sliced
+
+    _prep(spark)
+    ev = load(spark, sf_dir, "events")
+    wd = _scratch("backfill_dedup", sf_dir)
+    res = backfill_dedup_sliced(
+        ev.unionByName(ev), wd, slice_interval="7 days", watermark="2 hours"
+    )
+    out = spark.read.parquet(res["out_path"])
+    return (
+        out.groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+            exact_sum(units("value"), 100.0, "total_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@_q(
     "pipeline_ngram_novelty",
     f"""
     WITH dg AS (

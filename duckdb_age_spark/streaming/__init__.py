@@ -387,6 +387,7 @@ def backfill_dedup_sliced(
     watermark: str = "2 hours",
     keys: list[str] | None = None,
     ts_col: str = "ts",
+    shuffle_partitions: int | str | None = "auto",
 ) -> dict:
     """Backfill-safe streaming dedup (VERDICT r10 item 4): replay a bounded
     HISTORY through :func:`dedup_stream` in event-time-ordered slices so the
@@ -424,11 +425,29 @@ def backfill_dedup_sliced(
     "out_path"}``.  Driver-side footprint: one listing of slice partition
     DIRS (|history span| / ``slice_interval`` entries) — never rows.
     For state that must exceed heap even per-slice, combine with
-    :func:`use_rocksdb_state`."""
+    :func:`use_rocksdb_state`.  ``shuffle_partitions`` sizes state-store
+    parallelism for the drains exactly like :func:`run_available_now`
+    (``"auto"`` → ``SPARK_GRAFT_STREAM_PARTITIONS`` or 8; per-store commit
+    latency dominates small drains; the session conf is restored after)."""
     import os
     import urllib.parse
 
     spark = history.sparkSession
+    if shuffle_partitions == "auto":
+        import warnings
+
+        raw = os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS", "8")
+        try:
+            shuffle_partitions = int(raw)
+            if shuffle_partitions <= 0:
+                raise ValueError(raw)
+        except ValueError:
+            warnings.warn(
+                f"SPARK_GRAFT_STREAM_PARTITIONS={raw!r} is not a positive "
+                "integer; falling back to 8",
+                stacklevel=2,
+            )
+            shuffle_partitions = 8
     staged = os.path.join(work_dir, "staged")
     feed = os.path.join(work_dir, "feed")
     out = os.path.join(work_dir, "out")
@@ -450,27 +469,34 @@ def backfill_dedup_sliced(
     schema = history.schema
     state_rows: list[int] = []
     n_out = 0
-    for i, (_val, d) in enumerate(slice_dirs):
-        src = os.path.join(staged, d)
-        for f in os.listdir(src):
-            if f.endswith(".parquet"):
-                os.rename(os.path.join(src, f), os.path.join(feed, f"slice{i:06d}_{f}"))
-        stream = spark.readStream.schema(schema).parquet(feed)
-        q = (
-            dedup_stream(stream, watermark=watermark, keys=keys)
-            .writeStream.format("parquet")
-            .option("path", out)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-        peak = 0
-        for p in q.recentProgress:
-            for op in p.get("stateOperators") or []:
-                peak = max(peak, int(op.get("numRowsTotal") or 0))
-            n_out += int(p.get("sink", {}).get("numOutputRows") or 0)
-        state_rows.append(peak)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if shuffle_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        for i, (_val, d) in enumerate(slice_dirs):
+            src = os.path.join(staged, d)
+            for f in os.listdir(src):
+                if f.endswith(".parquet"):
+                    os.rename(os.path.join(src, f), os.path.join(feed, f"slice{i:06d}_{f}"))
+            stream = spark.readStream.schema(schema).parquet(feed)
+            q = (
+                dedup_stream(stream, watermark=watermark, keys=keys)
+                .writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            peak = 0
+            for p in q.recentProgress:
+                for op in p.get("stateOperators") or []:
+                    peak = max(peak, int(op.get("numRowsTotal") or 0))
+                n_out += int(p.get("sink", {}).get("numOutputRows") or 0)
+            state_rows.append(peak)
+    finally:
+        if shuffle_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
 
     return {
         "slices": len(slice_dirs),

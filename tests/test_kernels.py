@@ -146,6 +146,7 @@ def test_priority_50_covers_every_operator_family():
             "streaming_distinct_users", "streaming_cms_topusers",
             "streaming_ohlc", "streaming_topk_users", "streaming_tvd_drift",
             "streaming_ewma_hourly", "streaming_hll_users",
+            "streaming_backfill_dedup",
         ],
         "text": [
             "text_doc_stats", "text_bm25_topk", "text_tfidf_keywords",
