@@ -319,6 +319,31 @@ def main() -> None:
     max_load = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_LOAD", "2.0"))
     min_kernel = float(os.environ.get("SPARK_GRAFT_BENCH_MIN_KERNEL", "850"))
     contended_reasons = contention_reasons(load_start, kernel, max_load, min_kernel)
+    # Wait-for-clean-window (VERDICT r10 item 1): rather than immediately
+    # stamping a tainted snapshot, re-probe for up to
+    # SPARK_GRAFT_BENCH_WAIT_S seconds (default 300; 0 disables) until the
+    # box passes BOTH signals.  The r9/r10 taints were transient external
+    # load — a bounded wait converts "tagged contended" into "clean, a few
+    # minutes later" without changing the refusal/tagging semantics when
+    # the window never opens.
+    wait_budget = float(os.environ.get("SPARK_GRAFT_BENCH_WAIT_S", "300"))
+    waited = 0.0
+    while contended_reasons and waited < wait_budget:
+        step = min(30.0, wait_budget - waited)
+        print(
+            f"bench: contended ({'; '.join(contended_reasons)}); "
+            f"waiting {step:.0f}s for a clean window "
+            f"({waited:.0f}/{wait_budget:.0f}s used)",
+            file=sys.stderr,
+        )
+        time.sleep(step)
+        waited += step
+        try:
+            load_start = [round(x, 2) for x in os.getloadavg()]
+        except OSError:
+            load_start = []
+        kernel = _kernel_bench()
+        contended_reasons = contention_reasons(load_start, kernel, max_load, min_kernel)
     if contended_reasons:
         msg = "BENCH BOX CONTENDED: " + "; ".join(contended_reasons)
         print(msg, file=sys.stderr)
