@@ -153,8 +153,28 @@ def register_jvm_crypto(spark, manager=None) -> None:
     _stage_and_register(spark, manager)
     key = id(spark)
     if _JVM_REGISTERED.get(key) is not manager:
-        manager.add_listener(lambda: _stage_and_register(spark, manager))
         _JVM_REGISTERED[key] = manager
+
+        def _resync(mgr=manager):
+            # Guarded listener (code-review r11): (a) if the session has
+            # since been re-bound to a DIFFERENT manager, this manager's
+            # mutations must not clobber the registry — no-op instead of
+            # re-staging a stale snapshot; (b) never raise out of
+            # SecretManager._notify (a stopped session would otherwise
+            # break create/drop for listeners queued after this one).
+            if _JVM_REGISTERED.get(key) is not mgr:
+                return
+            try:
+                _stage_and_register(spark, mgr)
+            except Exception as exc:  # stopped/broken session
+                import warnings
+
+                warnings.warn(
+                    f"JVM crypto re-registration skipped (session unusable?): {exc}",
+                    stacklevel=2,
+                )
+
+        manager.add_listener(_resync)
     install_identity_redaction(spark)
 
 
@@ -176,24 +196,57 @@ def register_jvm_crypto(spark, manager=None) -> None:
 # shared redaction regex still covers.
 
 
-def _snapshot(manager=None):
-    from .secrets import default_manager
-
-    return (manager or default_manager).snapshot()
-
-
-def _named_passthrough_ok(manager=None) -> bool:
-    """True iff a secret NAME can be sent through the plan as-is: the
-    active session's JVM registry was staged from exactly the manager this
-    call resolves against (the listener keeps that staging current)."""
+def _effective_manager(manager=None):
+    """The manager a col-helper call resolves against: an explicit one
+    wins; otherwise the manager the ACTIVE session's JVM registry was
+    staged from (so the helpers agree with the SQL surface —
+    ``age_encrypt_jvm(col, 'name')`` resolves executor-side against that
+    same staging; code-review r11); otherwise the process default.
+    Thread caveat: PySpark's active session is thread-local — a plan built
+    from a thread with no active session falls back to default_manager."""
+    if manager is not None:
+        return manager
     from pyspark.sql import SparkSession
 
     from .secrets import default_manager
 
     spark = SparkSession.getActiveSession()
+    if spark is not None:
+        registered = _JVM_REGISTERED.get(id(spark))
+        if registered is not None:
+            return registered
+    return default_manager
+
+
+def _snapshot(manager=None):
+    return _effective_manager(manager).snapshot()
+
+
+def _named_passthrough_ok(manager=None) -> bool:
+    """True iff a secret NAME can be sent through the plan as-is: the
+    active session's JVM registry was staged from exactly the manager this
+    call resolves against (the listener keeps that staging current).
+    When this returns False for a NAME, the caller embeds the resolved
+    literal instead — a documented, redaction-covered degradation that
+    :func:`_warn_literal_fallback` makes loud."""
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
     if spark is None:
         return False
-    return _JVM_REGISTERED.get(id(spark)) is (manager or default_manager)
+    return _JVM_REGISTERED.get(id(spark)) is _effective_manager(manager)
+
+
+def _warn_literal_fallback(name: str) -> None:
+    import warnings
+
+    warnings.warn(
+        f"secret name {name!r} resolved driver-side into a plan literal "
+        "(the active session's JVM registry is not staged from this "
+        "manager — call register_jvm_crypto(spark, manager) to keep key "
+        "material out of plan text); display redaction still applies",
+        stacklevel=3,
+    )
 
 
 def _cse_salt(key_col):
@@ -232,7 +285,10 @@ def encrypt_col(data, key: str, manager=None, fresh: bool = False):
     from .functions import resolve_recipient
 
     resolved = resolve_recipient(key, _snapshot(manager))
-    key_col = F.lit(key if (resolved != key and _named_passthrough_ok(manager)) else resolved)
+    if resolved != key and not _named_passthrough_ok(manager):
+        _warn_literal_fallback(key)
+        key = resolved
+    key_col = F.lit(key)
     if fresh:
         key_col = _cse_salt(key_col)
     return F.call_udf("age_encrypt_jvm", data, key_col)
@@ -256,11 +312,10 @@ def decrypt_col(data, key: str, manager=None):
     from .functions import resolve_identity
 
     resolved = resolve_identity(key, _snapshot(manager))
-    return F.call_udf(
-        "age_decrypt_jvm",
-        data,
-        F.lit(key if (resolved != key and _named_passthrough_ok(manager)) else resolved),
-    )
+    if resolved != key and not _named_passthrough_ok(manager):
+        _warn_literal_fallback(key)
+        key = resolved
+    return F.call_udf("age_decrypt_jvm", data, F.lit(key))
 
 
 def encrypt_multi_col(data, keys: list[str], manager=None, fresh: bool = False):
@@ -291,6 +346,8 @@ def encrypt_multi_col(data, keys: list[str], manager=None, fresh: bool = False):
         entry = snapshot.get(r)
         if entry is None or entry.get("public_key") is None:
             raise errors.AgeError(errors.invalid_recipient(r))
+        if not passthrough:
+            _warn_literal_fallback(r)
         resolved.append(r if passthrough else entry["public_key"])
     key_cols = [F.lit(k) for k in resolved]
     if fresh:

@@ -366,6 +366,31 @@ def dedup_stream(events: DataFrame, watermark: str = "2 hours", keys: list[str] 
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys or ["event_id"])
 
 
+def _resolve_stream_partitions(shuffle_partitions):
+    """Shared ``"auto"`` policy for drain entry points (run_available_now,
+    backfill_dedup_sliced): ``SPARK_GRAFT_STREAM_PARTITIONS`` or 8, the
+    measured local optimum — per-store commit latency dominates small
+    drains.  Ints pass through; ``None`` means leave the session setting."""
+    import os
+    import warnings
+
+    if shuffle_partitions != "auto":
+        return shuffle_partitions
+    raw = os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS", "8")
+    try:
+        val = int(raw)
+        if val <= 0:
+            raise ValueError(raw)
+        return val
+    except ValueError:
+        warnings.warn(
+            f"SPARK_GRAFT_STREAM_PARTITIONS={raw!r} is not a positive "
+            "integer; falling back to 8",
+            stacklevel=3,
+        )
+        return 8
+
+
 def use_rocksdb_state(spark: SparkSession) -> None:
     """Switch this session's streaming state store to RocksDB (bundled with
     Spark 4 — no external deps): state spills to local disk instead of
@@ -422,37 +447,34 @@ def backfill_dedup_sliced(
          telemetry is collected from the query progress.
 
     Returns ``{"slices", "peak_state_rows", "state_rows_per_slice",
-    "out_path"}``.  Driver-side footprint: one listing of slice partition
-    DIRS (|history span| / ``slice_interval`` entries) — never rows.
-    For state that must exceed heap even per-slice, combine with
-    :func:`use_rocksdb_state`.  ``shuffle_partitions`` sizes state-store
-    parallelism for the drains exactly like :func:`run_available_now`
-    (``"auto"`` → ``SPARK_GRAFT_STREAM_PARTITIONS`` or 8; per-store commit
-    latency dominates small drains; the session conf is restored after)."""
-    import os
+    "rows_emitted", "out_path"}`` (``rows_emitted`` is None when the file
+    sink reports only -1/"unknown" output counts — read ``out_path`` for
+    the exact number).  Driver-side footprint: one listing of
+    slice partition DIRS (|history span| / ``slice_interval`` entries) —
+    never rows — through the Hadoop FileSystem API, so ``work_dir`` may be
+    any Spark-writable URI (hdfs://, s3a://, file:///, a bare local path);
+    the per-slice "move into the feed dir" is ``FileSystem.rename``, a
+    metadata-only op on HDFS-like stores (on S3 a copy — still one op per
+    FILE, never per row).  For state that must exceed heap even per-slice,
+    combine with :func:`use_rocksdb_state`.  ``shuffle_partitions`` sizes
+    state-store parallelism for the drains exactly like
+    :func:`run_available_now` (``"auto"`` → ``SPARK_GRAFT_STREAM_PARTITIONS``
+    or 8; per-store commit latency dominates small drains; the session
+    conf is restored after)."""
     import urllib.parse
 
     spark = history.sparkSession
-    if shuffle_partitions == "auto":
-        import warnings
-
-        raw = os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS", "8")
-        try:
-            shuffle_partitions = int(raw)
-            if shuffle_partitions <= 0:
-                raise ValueError(raw)
-        except ValueError:
-            warnings.warn(
-                f"SPARK_GRAFT_STREAM_PARTITIONS={raw!r} is not a positive "
-                "integer; falling back to 8",
-                stacklevel=2,
-            )
-            shuffle_partitions = 8
-    staged = os.path.join(work_dir, "staged")
-    feed = os.path.join(work_dir, "feed")
-    out = os.path.join(work_dir, "out")
-    ckpt = os.path.join(work_dir, "ckpt")
-    os.makedirs(feed, exist_ok=True)
+    shuffle_partitions = _resolve_stream_partitions(shuffle_partitions)
+    staged = work_dir.rstrip("/") + "/staged"
+    feed = work_dir.rstrip("/") + "/feed"
+    out = work_dir.rstrip("/") + "/out"
+    ckpt = work_dir.rstrip("/") + "/ckpt"
+    # Hadoop FS handle for the work_dir's scheme (code-review r11: driver
+    # os.* calls only work when the driver shares a local filesystem with
+    # the storage — a real cluster writes to a DFS)
+    hpath = spark._jvm.org.apache.hadoop.fs.Path
+    fs = hpath(work_dir).getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.mkdirs(hpath(feed))
 
     (
         history.withColumn("_slice", F.window(ts_col, slice_interval)["start"])
@@ -461,23 +483,29 @@ def backfill_dedup_sliced(
         .parquet(staged)
     )
     slice_dirs = sorted(
-        (urllib.parse.unquote(d.split("=", 1)[1]), d)
-        for d in os.listdir(staged)
-        if d.startswith("_slice=")
+        (urllib.parse.unquote(name.split("=", 1)[1]), name)
+        for name in (
+            st.getPath().getName() for st in fs.listStatus(hpath(staged))
+        )
+        if name.startswith("_slice=")
     )
 
     schema = history.schema
     state_rows: list[int] = []
-    n_out = 0
+    n_out = None  # None = sink never reported a meaningful count
+    if not slice_dirs:
+        # empty history (or all-null ts): still honor the contract that
+        # out_path reads back as an empty DataFrame of the input schema
+        history.limit(0).write.mode("overwrite").parquet(out)
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     if shuffle_partitions is not None:
         spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
     try:
         for i, (_val, d) in enumerate(slice_dirs):
-            src = os.path.join(staged, d)
-            for f in os.listdir(src):
-                if f.endswith(".parquet"):
-                    os.rename(os.path.join(src, f), os.path.join(feed, f"slice{i:06d}_{f}"))
+            for st in fs.listStatus(hpath(f"{staged}/{d}")):
+                fname = st.getPath().getName()
+                if fname.endswith(".parquet"):
+                    fs.rename(st.getPath(), hpath(f"{feed}/slice{i:06d}_{fname}"))
             stream = spark.readStream.schema(schema).parquet(feed)
             q = (
                 dedup_stream(stream, watermark=watermark, keys=keys)
@@ -492,7 +520,11 @@ def backfill_dedup_sliced(
             for p in q.recentProgress:
                 for op in p.get("stateOperators") or []:
                     peak = max(peak, int(op.get("numRowsTotal") or 0))
-                n_out += int(p.get("sink", {}).get("numOutputRows") or 0)
+                # FileStreamSink reports -1 ("unknown") for numOutputRows
+                # on some batches — only meaningful counts accumulate
+                sunk = int(p.get("sink", {}).get("numOutputRows") or 0)
+                if sunk >= 0:
+                    n_out = (n_out or 0) + sunk
             state_rows.append(peak)
     finally:
         if shuffle_partitions is not None:
@@ -502,6 +534,7 @@ def backfill_dedup_sliced(
         "slices": len(slice_dirs),
         "peak_state_rows": max(state_rows) if state_rows else 0,
         "state_rows_per_slice": state_rows,
+        "rows_emitted": n_out if n_out is not None else (0 if not slice_dirs else None),
         "out_path": out,
     }
 
@@ -616,22 +649,7 @@ def run_available_now(
     ``None`` (leave the session setting).  External callers who relied on
     that must now pass ``shuffle_partitions=None`` explicitly.
     """
-    import os
-    import warnings
-
-    if shuffle_partitions == "auto":
-        raw = os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS", "8")
-        try:
-            shuffle_partitions = int(raw)
-            if shuffle_partitions <= 0:
-                raise ValueError(raw)
-        except ValueError:
-            warnings.warn(
-                f"SPARK_GRAFT_STREAM_PARTITIONS={raw!r} is not a positive "
-                "integer; falling back to 8",
-                stacklevel=2,
-            )
-            shuffle_partitions = 8
+    shuffle_partitions = _resolve_stream_partitions(shuffle_partitions)
     spark = stream_df.sparkSession
     name = query_name or f"mem_{uuid.uuid4().hex[:8]}"
     prev = spark.conf.get("spark.sql.shuffle.partitions")

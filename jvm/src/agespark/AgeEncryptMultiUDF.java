@@ -35,8 +35,11 @@ public class AgeEncryptMultiUDF implements UDF2<byte[], scala.collection.Seq<Str
         if (keys.isEmpty()) {
             throw new IllegalArgumentException("Recipients list cannot be empty");
         }
-        byte[][] raws = new byte[keys.size()][];
-        PublicKey[] pubs = new PublicKey[keys.size()];
+        // TWO passes to match functions.py::encrypt_multi_kernel's error
+        // precedence exactly (code-review r11): the Python kernel resolves
+        // EVERY name before parsing ANY element, so a bad literal at
+        // position 0 must not mask an unknown name at position 1.
+        String[] lits = new String[keys.size()];
         for (int i = 0; i < keys.size(); i++) {
             String k = keys.get(i);
             if (k == null) {
@@ -53,6 +56,12 @@ public class AgeEncryptMultiUDF implements UDF2<byte[], scala.collection.Seq<Str
                 }
                 k = resolved;
             }
+            lits[i] = k;
+        }
+        byte[][] raws = new byte[keys.size()][];
+        PublicKey[] pubs = new PublicKey[keys.size()];
+        for (int i = 0; i < keys.size(); i++) {
+            String k = lits[i];
             Parsed p = CACHE.get(k);
             if (p == null) {
                 try {

@@ -51,24 +51,6 @@ public final class AgeSecretRegistry {
         }
     }
 
-    /** Fingerprint of the staged state so the Python side can cheaply test
-     *  whether a re-push + re-register is needed (order-independent). */
-    public static long fingerprint() {
-        long h = 1469598103934665603L;
-        h ^= mapHash(RECIPIENTS);
-        h *= 1099511628211L;
-        h ^= mapHash(IDENTITIES);
-        return h;
-    }
-
-    private static long mapHash(java.util.Map<String, String> m) {
-        long acc = 0;
-        for (java.util.Map.Entry<String, String> e : m.entrySet()) {
-            acc += (long) e.getKey().hashCode() * 31 + e.getValue().hashCode();
-        }
-        return acc;
-    }
-
     static java.util.HashMap<String, String> recipientsSnapshot() {
         return new java.util.HashMap<>(RECIPIENTS);
     }

@@ -220,6 +220,22 @@ try:
 except Exception as e:
     assert "Encryption failed: Invalid recipient at position 0: age1notakey" in str(e)
     print("MULTI-ERRMSG-OK")
+# error PRECEDENCE parity (code-review r11): the Python kernel resolves
+# every NAME before parsing any element, so an unknown name at position 1
+# must win over an unparseable literal at position 0 — on both paths
+try:
+    df.select(F.call_udf("age_encrypt_multi_jvm", F.col("pt"),
+                         F.array(F.lit("age1notakey"), F.lit("no_such_name")))).collect()
+    print("NO-PRECEDENCE-ERROR")
+except Exception as e:
+    assert "Invalid recipient: no_such_name" in str(e), str(e)[-500:]
+try:
+    df.select(age.age_encrypt_multi(F.col("pt"),
+                                    F.array(F.lit("age1notakey"), F.lit("no_such_name")))).collect()
+    print("NO-PY-PRECEDENCE-ERROR")
+except Exception as e:
+    assert "Invalid recipient: no_such_name" in str(e), str(e)[-500:]
+    print("MULTI-PRECEDENCE-OK")
 
 # --- CSE caveat pin (VERDICT r8 item 3) -----------------------------------
 # registerJavaFunction offers no nondeterminism flag, so Catalyst is FREE to
@@ -435,6 +451,7 @@ def test_spark_registered_jvm_udfs_cross_path(jar):
     assert "MULTI-OK" in proc.stdout
     assert "MULTI-EMPTY-OK" in proc.stdout
     assert "MULTI-ERRMSG-OK" in proc.stdout
+    assert "MULTI-PRECEDENCE-OK" in proc.stdout
     # the CSE caveat pin: Python per-call freshness must hold, and on the
     # pinned Spark version Catalyst DOES collapse the unsalted JVM calls —
     # assert the SPECIFIC marker, so a Spark upgrade changing CSE behavior

@@ -852,3 +852,17 @@ def test_backfill_dedup_sliced_sf1_scale(spark, tmp_path):
     bound = _state_tail_bound(ev, "2 days", 2)
     assert 0 < res["peak_state_rows"] <= bound
     assert res["peak_state_rows"] < 0.1 * n
+
+
+def test_backfill_dedup_sliced_empty_history(spark, tmp_path):
+    """No slices (empty history): out_path must still read back as an
+    empty DataFrame of the input schema instead of raising path-not-found
+    (code-review r11)."""
+    from duckdb_age_spark.streaming import backfill_dedup_sliced
+
+    empty = spark.createDataFrame([], "event_id long, ts timestamp, user_id long")
+    res = backfill_dedup_sliced(empty, str(tmp_path / "wd"))
+    assert res["slices"] == 0 and res["peak_state_rows"] == 0
+    out = spark.read.parquet(res["out_path"])
+    assert out.count() == 0
+    assert set(out.columns) == {"event_id", "ts", "user_id"}
