@@ -1869,8 +1869,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(corpus, pairs)
 
 
+# 16-dim sign bucket, matching operators/dedup.py::embedding_near_dup_pairs
+# (2^16 buckets; 2^8 capped parallelism and went quadratic at 100× replica
+# scale — see the operator docstring)
 _EMB_BUCKET_SQL = " + ".join(
-    f"(CASE WHEN embedding[{i + 1}] >= 0 THEN {1 << i} ELSE 0 END)" for i in range(8)
+    f"(CASE WHEN embedding[{i + 1}] >= 0 THEN {1 << i} ELSE 0 END)" for i in range(16)
 )
 _EMB_DOT_SQL = "list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]))"
 _EMB_NORM_SQL = "sqrt(list_sum(list_transform({x}.v, e -> e * e)))"

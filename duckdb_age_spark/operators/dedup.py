@@ -324,14 +324,24 @@ def embedding_near_dup_pairs(
 ) -> DataFrame:
     """Near-identical vectors by cosine ≥ threshold.
 
-    Scale path: bucket by sign-pattern of the first 8 dims (a 1-projection
+    Scale path: bucket by sign-pattern of the first 16 dims (a 1-projection
     LSH) so the self-join is bucket-local; the full dot product only runs on
     bucket collisions.  At 100 TB the bucket key also becomes the shuffle
     key, bounding the join fan-out; sign-pattern buckets larger than
     ``max_bucket`` (e.g. a mass of zero/near-zero vectors all landing on
-    pattern 0xFF) are dropped from candidate generation (DEFAULT_MAX_BUCKET).
+    pattern 0xFFFF) are dropped from candidate generation (DEFAULT_MAX_BUCKET).
+
+    16 dims, not 8 (round 11): 2^8 = 256 buckets caps join parallelism at
+    256 keys and the per-bucket quadratic term at |corpus|/256 per side —
+    measured at the 100×-replica scale, one AQE-coalesced task ground for
+    30+ minutes on three monster buckets.  2^16 = 65,536 buckets keeps the
+    incidental (non-dup) collision rate ~n/65k per bucket while TRUE
+    near-dups (sign-preserving by definition of high cosine on these
+    corpora; the planted 1.25×-dim-1 variant exactly) still collide.  The
+    oracle replays the identical 16-dim key (contract._EMB_BUCKET_SQL), so
+    candidate semantics stay pinned.
     """
-    dims = 8
+    dims = 16
     sign_key = sum(
         (
             F.when(F.element_at("embedding", i + 1) >= 0, F.lit(1 << i)).otherwise(0)
