@@ -292,6 +292,12 @@ def contention_reasons(
     reasons = []
     if load_avg and load_avg[0] > max_load:
         reasons.append(f"load_avg_1m={load_avg[0]}>{max_load}")
+    # 5-minute average too (round 11): a run started seconds after heavy
+    # jobs finish can pass the 1-minute check while page-cache churn and
+    # scheduler backlog still inflate medians — measured +7.7% median /
+    # 31 queries >20% on a run at 1m=0.57, 5m=3.11.
+    if len(load_avg) > 1 and load_avg[1] > max_load:
+        reasons.append(f"load_avg_5m={load_avg[1]}>{max_load}")
     mbps = kernel.get("kernel_encrypt_mb_per_s_per_core", float("inf"))
     if mbps < min_kernel:
         reasons.append(f"start_kernel_mbps={mbps}<{min_kernel}")
