@@ -7675,67 +7675,69 @@ _PRIORITY_50 = [
     "age_secrets_listing",
     "age_version",
     "age_secret_files",
-    # Round-11 rotation (VERDICT r10 item 2, final recency tranche): the
-    # 41 rotating slots take the 33 longest-unattested queries (6 at r4,
-    # 27 at r5) plus 8 family-gate slots forced by test_kernels.py::
-    # test_priority_50_covers_every_operator_family on families whose
-    # members would otherwise all sit outside the first 50 this round
-    # (dq, extension_points, grouped_map, setops, sinks, sketches,
-    # upsert, window_cube); each gate takes its family's OLDEST-attested
-    # member, and the upsert gate (upsert_cdc_merge, r5) is itself part
-    # of the recency debt, so only SIX ≤r5 queries defer to round 12:
-    # text_tfidf_keywords, tpch_q17, tpch_q18, tpch_q2, tpch_q21,
-    # tpch_q4.  After the r12 rotation every contract query will be ≤5
-    # rounds stale and the steady-state rotation holds it there.
-    # Recomputed from CORRECTNESS_r01..r10 by the same greedy:
-    # oldest-first fill, then iterate family gates against the CHOSEN
-    # set (not the candidate set — upsert's only old member is also its
-    # gate), evicting the newest-attested overflow.
+    # Round-12 rotation (VERDICT r11 item 2), recomputed from
+    # CORRECTNESS_r01..r11 by the documented greedy (oldest-first fill,
+    # then family gates iterated against the CHOSEN set, evicting the
+    # newest-attested overflow).  Forced slots first: the r11 widening's
+    # first-ever attestation (streaming_backfill_dedup), the six ≤r5
+    # recency veterans, and re-attestation of the two queries whose
+    # implementation changed this round (dedup_fuzzy_names/_d2 moved from
+    # PassJoin banding to the deletion-neighborhood join — the r11 sf10
+    # scale fix).  Then 9 family-gate slots (dq, extension_points,
+    # grouped_map, setops, sinks, sketches, skew, upsert, window_cube —
+    # each the family's oldest-attested member) and 23 of the 31
+    # r6-attested queries, alphabetical.  The 8 evictions are all TPC-H
+    # (tpch_q7/q8/q9/q15/q16/q19/q20/q22, r6): they defer to r13 at 7
+    # rounds stale — the honest steady state, since 41 rotating slots
+    # over 220 non-crypto queries is a ~5.4-round cycle, so "≤5 rounds
+    # stale" relaxes to ≤6 typical / 7 on gate-heavy rounds from here.
     #
-    # last attested r4:
-    "dedup_embedding_pairs",
-    "events_props",
-    "pipeline_quality_topk",
-    "streaming_join",
-    "tpch_q13",
-    "tpch_q6",
-    # last attested r5 (27 of 33; the 6 deferrals listed above):
+    # never driver-attested (r11 widening):
+    "streaming_backfill_dedup",
+    # last attested r5 (the final recency-debt veterans):
+    "text_tfidf_keywords",
+    "tpch_q17",
+    "tpch_q18",
+    "tpch_q2",
+    "tpch_q21",
+    "tpch_q4",
+    # implementation changed this round (re-attest):
+    "dedup_fuzzy_names",
     "dedup_fuzzy_names_d2",
-    "dedup_keep_canonical",
-    "events_gapfill",
-    "events_session_window",
-    "graph_bfs_hops",
-    "graph_edge_jaccard",
-    "graph_triangles",
-    "graph_weighted_pagerank",
-    "multimodal_decode",
-    "pipeline_balanced_sample",
-    "pipeline_mixture_sample",
-    "pipeline_vocab_topk",
-    "relational_cohort_retention",
-    "rollup_time_weighted_avg",
-    "scd2_priority_history",
-    "sim_knn_label_vote",
-    "sim_lsh_recall",
-    "sim_topk_int8",
-    "sketch_approx_percentile",
-    "skew_salted_agg",
-    "stats_chi_square",
-    "stats_entropy",
-    "stats_linreg",
-    "stats_mad_outliers",
-    "streaming_cms_topusers",
-    "streaming_distinct_users",
-    "text_pii_scrub",
-    # family-gate slots (see note above; ordered by family name):
-    "dq_report",
-    "udaf_geomean",
+    # family-gate slots (oldest-attested member of each uncovered family):
+    "stats_benford",
+    "udtf_chunks",
     "grouped_map_zscore",
-    "setops_full_outer_reconcile",
-    "sink_schema_evolution",
-    "sketch_kmv_distinct",
-    "upsert_cdc_merge",
-    "cube_priority_status",
+    "setops_customer_cohorts",
+    "sink_bucketed_join",
+    "sketch_hll_merge",
+    "skew_bloom_prefilter",
+    "upsert_incremental_agg",
+    "window_balance_analytics",
+    # last attested r6 (23 of 31; the 8 TPC-H deferrals listed above):
+    "asof_forward_tolerance",
+    "dedup_ngram_verify",
+    "events_ohlc",
+    "graph_assortativity",
+    "graph_kcore",
+    "graph_label_propagation",
+    "multimodal_audio_stats",
+    "pipeline_dedup_report",
+    "pipeline_weighted_sample",
+    "relational_revenue_share",
+    "relational_transition_matrix",
+    "rollup_grouping_sets",
+    "sim_int8_quantize",
+    "stats_ks_test",
+    "stats_psi_drift",
+    "stats_welch_ttest",
+    "streaming_ohlc",
+    "text_hashing_vec",
+    "text_langid_confusion",
+    "text_quality_screen",
+    "tpch_q10",
+    "tpch_q11",
+    "tpch_q12",
 ]
 
 

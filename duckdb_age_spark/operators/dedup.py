@@ -474,118 +474,118 @@ def keep_canonical(clusters: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# fuzzy record linkage (edit-distance matching with pigeonhole banding)
+# fuzzy record linkage (edit-distance matching via deletion neighborhoods)
 # ---------------------------------------------------------------------------
+
+
+def _deletion_variants(name, d: int):
+    """``array<string>`` of every string obtainable from ``name`` by deleting
+    between 0 and ``d`` single characters (the FastSS deletion neighborhood;
+    Bocek/Hunt/Stiller, "Fast Similarity Search in Large Dictionaries",
+    U. Zurich TR ifi-2007.02).  Built layer-by-layer with ``transform``
+    lambdas so the expression tree stays O(d) deep regardless of string
+    length — the per-row work is |Sigma C(len,k)| string builds at runtime,
+    not a generated literal per variant (the codegen-blowup pitfall the old
+    banding code documented)."""
+    layer = F.array(name)
+    acc = layer
+    for _ in range(d):
+        layer = F.array_distinct(
+            F.flatten(
+                F.transform(
+                    layer,
+                    lambda v: F.when(
+                        F.length(v) >= 1,
+                        F.transform(
+                            # 1-based deletion position; sequence(1, 0) would
+                            # DESCEND in Spark, so guard empty strings above
+                            F.sequence(F.lit(1), F.length(v)),
+                            lambda i: F.concat(
+                                v.substr(F.lit(1), i - 1),
+                                v.substr(i + 1, F.length(v)),
+                            ),
+                        ),
+                    ).otherwise(F.array().cast("array<string>")),
+                )
+            )
+        )
+        acc = F.concat(acc, layer)
+    return F.array_distinct(acc)
 
 
 def fuzzy_name_pairs(records: DataFrame, probes: DataFrame, max_dist: int = 1) -> DataFrame:
     """Edit-distance record linkage: for every probe, find records whose
     ``name`` is within levenshtein ``max_dist`` (default 1), excluding self.
 
-    Candidate generation is partition-based pigeonhole banding (the PassJoin
-    scheme: Li/Deng/Feng, "PASS-JOIN: a partition-based method for similarity
-    joins", VLDB 2012), not a cross join.  Each record partitions its name
-    into ``max_dist+1`` contiguous blocks sized by its OWN length; if
-    ed(record, probe) <= max_dist, at least one block survives the edits
-    untouched and appears verbatim in the probe at a start position shifted
-    by at most max_dist, with the record length within max_dist of the probe
-    length.  The probe side therefore emits, for every candidate record
-    length L in [len(p)-d, len(p)+d], every block index, and every start
-    shift in [-d, +d], the matching substring — O((2d+1)^2 * (d+1)) short
-    keys per probe, constant per record.  Exact levenshtein verifies
-    candidates.  Complete for any mix of substitutions, insertions, and
-    deletions on names longer than ``max_dist`` characters (a shorter
-    record's surviving block can be empty, which emits no key — irrelevant
-    for fixed-format keys like the customer names here; the quadratic-join
-    oracle would catch it).
+    Candidate generation is a deletion-neighborhood join (FastSS: each side
+    emits every variant reachable by deleting 0..d characters; candidates
+    are pairs sharing a variant verbatim), replacing the r3-r11 PassJoin
+    positional banding.  Recall proof: fix an optimal edit script for a
+    pair with ed <= d; delete from BOTH strings the two characters of every
+    substitution, from the record the character of every record-side
+    deletion, and from the probe the character of every insertion.  What
+    survives on each side is exactly the aligned matching characters, in
+    order — the same string, reached with <= d deletions per side.  Exact
+    levenshtein then restores precision (sharing a variant only bounds the
+    distance by 2d).
 
-    Scale shape: the corpus shuffles once on the (length, block, substring)
-    band key and emits only d+1 short keys per record — no quadratic blow-up;
-    probes are tiny and fan out constant-fold keys.
+    Why not banding: positional-block keys degenerate on corpora whose keys
+    share a constant region (the round-11 sf10 finding, SCALE_EVIDENCE.md
+    r11 finding 2 — every TPC-H name starts 'Customer#', so one band bucket
+    held the whole 1.5M-row corpus and candidate generation went quadratic).
+    The designed two-level fix (ROADMAP round-12) was checked on paper first
+    and REJECTED: at d=2 (blocks of 6, complement sub-blocks of 4 on the
+    18-char names) the composite key for block 0 is ('Custom', 'er#0') —
+    both components inside the 9-char constant prefix, so the degeneracy
+    reproduces one level down, and pairs with both edits in the trailing
+    digits match ONLY via that bucket (it cannot be dropped without losing
+    recall).  Deletion-neighborhood keys are the FULL variant string, so a
+    constant region can never create a hot bucket — two rows collide only
+    when they agree everywhere outside <= 2d deleted positions, i.e. only
+    genuine near-duplicates, which the full-recall quadratic oracle demands
+    as candidates anyway.
+
+    Scale shape: the corpus side emits Sigma_{k<=d} C(len,k) variants per
+    row (19 at len=18/d=1, 172 at d=2), NEVER shuffles — the (small) probe
+    side's variants are broadcast, so the whole candidate stage is a single
+    map-side pass over the corpus; only the verified-candidate-sized dedupe
+    shuffles.  Cost is content-independent; the explicit repartition guards
+    the AQE byte-light/compute-heavy pitfall (a 40 MB parquet scan would
+    otherwise explode 172x on 2-3 scan splits).  Intended regime is
+    name-like keys (len <~ 64, d <= 2: <= ~2k variants/row); C(len,d) makes
+    long-document use the wrong tool — use dedup_ngram_pairs there.
     Returns (probe_key, match_key, dist) with dist <= max_dist.
     """
     d = max_dist
-    nb = d + 1
-
-    # Explode SMALL literal index tuples first and compute the substring once
-    # per exploded row: inlining the substr expression into every array
-    # element (the obvious formulation) builds a Generate node with
-    # O((2d+1)^2*(d+1)) full expression trees whose whole-stage-codegen
-    # compile time dominates small runs (measured 3.7s -> sub-second at d=2).
-    def _bounds(L, i):
-        start = F.floor(i * L / nb).cast("int")
-        blen = F.floor((i + 1) * L / nb).cast("int") - start
-        return start, blen
-
-    rec_idx = F.array(*[F.lit(i) for i in range(nb)])
-    L_rec = F.length("match_name")
-    r_start, r_blen = _bounds(L_rec, F.col("bi"))
+    nparts = records.sparkSession.sparkContext.defaultParallelism
     b = (
-        # _rid tags each RECORD ROW before banding: the candidate dedupe
-        # below must collapse only the same physical row reached through
-        # several band keys — never two fully identical rows (same
-        # match_key AND name), which the per-row quadratic oracle counts
-        # twice (ADVICE r10; monotonically_increasing_id is
+        # _rid tags each RECORD ROW before variant fan-out: the candidate
+        # dedupe below must collapse only the same physical row reached
+        # through several shared variants — never two fully identical rows
+        # (same match_key AND name), which the per-row quadratic oracle
+        # counts twice (ADVICE r10; monotonically_increasing_id is
         # partition-id-prefixed, so no shuffle and no driver bottleneck)
-        records.withColumn("_rid", F.monotonically_increasing_id())
-        .select(
-            F.col("match_key"),
-            F.col("name").alias("match_name"),
-            F.col("_rid"),
-            F.explode(rec_idx).alias("bi"),
-        )
+        records.repartition(nparts)
+        .withColumn("_rid", F.monotonically_increasing_id())
         .select(
             "match_key",
-            "match_name",
+            F.col("name").alias("match_name"),
             "_rid",
-            F.struct(
-                L_rec.cast("int").alias("L"),
-                F.col("bi").alias("b"),
-                F.col("match_name").substr(r_start + 1, r_blen).alias("k"),
-            ).alias("bk"),
+            F.explode(_deletion_variants(F.col("name"), d)).alias("vk"),
         )
-        .where(F.col("bk.k") != "")
+    )
+    a = probes.select(
+        "probe_key",
+        F.col("name").alias("probe_name"),
+        F.explode(_deletion_variants(F.col("name"), d)).alias("vk"),
     )
 
-    combos = F.array(
-        *[
-            F.struct(F.lit(delta).alias("dl"), F.lit(i).alias("b"), F.lit(s).alias("s"))
-            for delta in range(-d, d + 1)
-            for i in range(nb)
-            for s in range(-d, d + 1)
-        ]
-    )
-    Lr = F.length("probe_name") + F.col("c.dl")  # candidate record length
-    p_start, p_blen = _bounds(Lr, F.col("c.b"))
-    pos = p_start + 1 + F.col("c.s")
-    k = F.when(pos >= 1, F.col("probe_name").substr(pos, p_blen))
-    a = (
-        probes.select(
-            F.col("probe_key"),
-            F.col("name").alias("probe_name"),
-            F.explode(combos).alias("c"),
-        )
-        .select(
-            "probe_key",
-            "probe_name",
-            F.struct(Lr.cast("int").alias("L"), F.col("c.b").alias("b"), k.alias("k")).alias("bk"),
-            p_blen.alias("blen"),
-        )
-        .where(F.col("bk.k").isNotNull() & (F.col("bk.k") != ""))
-        # a substring cut short by the end of the probe cannot equal a full block
-        .where(F.length("bk.k") == F.col("blen"))
-        .drop("blen")
-    )
-
-    # Dedupe CANDIDATES (the same record ROW reached through several band
-    # keys), keyed on the pre-banding row id — never on record identity:
-    # two distinct record rows may share a match_key (the sf1 scale corpus
-    # does exactly this — replica key offsets collide with the
-    # planted-variant offsets, caught by the round-10 full sf1 oracle run),
-    # and even two FULLY identical rows (same key AND name) are each their
-    # own linkage match under the per-row quadratic oracle (ADVICE r10).
+    # Dedupe CANDIDATES keyed on the pre-banding row id — never on record
+    # identity: two distinct record rows may share a match_key (the sf1
+    # scale corpus does exactly this — replica key offsets collide with the
+    # planted-variant offsets, caught by the round-10 full sf1 oracle run).
     cand = (
-        a.join(b, a["bk"] == b["bk"])
+        b.join(F.broadcast(a), "vk")
         .where(F.col("probe_key") != F.col("match_key"))
         .dropDuplicates(["probe_key", "_rid"])
     )

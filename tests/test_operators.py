@@ -853,6 +853,56 @@ def test_fuzzy_name_pairs_fully_identical_rows_keep_both(spark):
     assert got == [(1, 2, 1), (1, 2, 1), (1, 3, 0)]
 
 
+def _levenshtein(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_fuzzy_name_pairs_constant_prefix_brute_force(spark):
+    """The round-11 sf10 scale finding's corpus shape, checked for exact
+    recall against an in-test quadratic brute force: fixed-format keys
+    ('Customer#NNNNN'-style) whose 9-char constant prefix degenerated every
+    positional-banding bucket.  The deletion-neighborhood scheme must find
+    exactly the brute-force pair set at BOTH d=1 and d=2, with edits planted
+    in the constant region, the discriminative region, straddling the
+    boundary, and in both shifted-alignment directions (insert and
+    delete)."""
+    from duckdb_age_spark.operators.dedup import fuzzy_name_pairs
+
+    names = [f"Customer#{k:09d}" for k in range(1, 21)]
+    base = names[0]
+    names += [
+        "Xustomer#" + base[9:],          # sub in the constant region
+        base[:17] + "X",                 # sub in the discriminative region
+        "CustomerX" + "X" + base[10:],   # double sub straddling the boundary
+        base[1:],                        # front deletion (shifted alignment)
+        "Q" + base,                      # front insertion (shifted alignment)
+        base[:9] + base[10:],            # digit deletion
+        base[:13] + "77" + base[15:],    # double sub, trailing digits only
+    ]
+    rows = [(i + 1, n) for i, n in enumerate(names)]
+    df = spark.createDataFrame(rows, "k long, name string")
+    probes = df.where("k <= 3").selectExpr("k AS probe_key", "name")
+    records = df.selectExpr("k AS match_key", "name")
+    for d in (1, 2):
+        want = {
+            (pk, rk): _levenshtein(pn, rn)
+            for pk, pn in rows[:3]
+            for rk, rn in rows
+            if pk != rk and _levenshtein(pn, rn) <= d
+        }
+        got = {
+            (r.probe_key, r.match_key): r.dist
+            for r in fuzzy_name_pairs(records, probes, max_dist=d).collect()
+        }
+        assert got == want, f"d={d}: missing={want.keys() - got.keys()} extra={got.keys() - want.keys()}"
+
+
 def test_gapfill_hourly_zero_rows_are_real(spark, events):
     from duckdb_age_spark.operators.rollup import gapfill_hourly
 
