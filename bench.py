@@ -281,14 +281,22 @@ def _kernel_bench() -> dict[str, float]:
 
 
 def contention_reasons(
-    load_avg: list[float], kernel: dict[str, float], max_load: float, min_kernel: float
+    load_avg: list[float],
+    kernel: dict[str, float],
+    max_load: float,
+    min_kernel: float,
+    max_us_row: float = float("inf"),
 ) -> list[str]:
     """Pure contention rule (unit-tested without running the bench): a
     snapshot is tainted when the 1-minute load average exceeds
-    ``max_load`` at start, or the pre-JVM single-core kernel bracket sits
-    below ``min_kernel`` MB/s/core (this box's healthy envelope is
-    >=900 across every clean r6-r10 run; the tainted BENCH_r09 started at
-    load 5.46 / 632 MB/s/core)."""
+    ``max_load`` at start, the pre-JVM single-core kernel bracket sits
+    below ``min_kernel`` MB/s/core, or the per-row encrypt kernel costs
+    more than ``max_us_row`` us/row.  This box's healthy envelope is
+    >=950 MB/s/core at ~110-125 us/row across every clean r6-r11 run; the
+    tainted BENCH_r09 started at load 5.46 / 632 MB/s/core, and the r12
+    floor raise exists because the r11 driver snapshot scraped through the
+    old 850 floor at 851 MB/s/core / 191 us/row while ~30% degraded on its
+    own yardstick (VERDICT r11 item 3)."""
     reasons = []
     if load_avg and load_avg[0] > max_load:
         reasons.append(f"load_avg_1m={load_avg[0]}>{max_load}")
@@ -301,6 +309,12 @@ def contention_reasons(
     mbps = kernel.get("kernel_encrypt_mb_per_s_per_core", float("inf"))
     if mbps < min_kernel:
         reasons.append(f"start_kernel_mbps={mbps}<{min_kernel}")
+    # The two kernel signals probe different shapes (1 MiB bulk vs 2 KiB
+    # per-row) and a degraded box can pass one while failing the other —
+    # the r11 driver window was exactly such a split at the old floors.
+    us_row = kernel.get("kernel_encrypt_us_per_row", 0.0)
+    if us_row > max_us_row:
+        reasons.append(f"start_kernel_us_row={us_row}>{max_us_row}")
     return reasons
 
 
@@ -322,9 +336,14 @@ def main() -> None:
     # fooled.  Thresholds are this box's observed healthy envelope
     # (pre-JVM bracket ≥900 across r6-r9 clean runs) and env-overridable
     # for other hardware.
+    # Floors raised r12 (VERDICT r11 item 3): the driver's r11 snapshot
+    # passed the old >=850 bracket floor at 851 MB/s/core while its per-row
+    # kernel ran 191 us/row vs the clean 112 — ~30% degraded end to end.
+    # 950/150 refuse that window; both remain env-overridable.
     max_load = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_LOAD", "2.0"))
-    min_kernel = float(os.environ.get("SPARK_GRAFT_BENCH_MIN_KERNEL", "850"))
-    contended_reasons = contention_reasons(load_start, kernel, max_load, min_kernel)
+    min_kernel = float(os.environ.get("SPARK_GRAFT_BENCH_MIN_KERNEL", "950"))
+    max_us_row = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_US_ROW", "150"))
+    contended_reasons = contention_reasons(load_start, kernel, max_load, min_kernel, max_us_row)
     # Wait-for-clean-window (VERDICT r10 item 1): rather than immediately
     # stamping a tainted snapshot, re-probe for up to
     # SPARK_GRAFT_BENCH_WAIT_S seconds (default 300; 0 disables) until the
@@ -349,7 +368,7 @@ def main() -> None:
         except OSError:
             load_start = []
         kernel = _kernel_bench()
-        contended_reasons = contention_reasons(load_start, kernel, max_load, min_kernel)
+        contended_reasons = contention_reasons(load_start, kernel, max_load, min_kernel, max_us_row)
     if contended_reasons:
         msg = "BENCH BOX CONTENDED: " + "; ".join(contended_reasons)
         print(msg, file=sys.stderr)
@@ -587,6 +606,31 @@ def main() -> None:
         pass
 
     total = round(sum(timings.values()), 3)
+    # Bracket-normalized times (VERDICT r11 item 3): scale every wall time
+    # to a reference box speed so cross-round diffs stop misfiring on box
+    # drift.  The yardstick is the mean of the pre-JVM and post-stop
+    # single-core encrypt brackets (min-of-reps, so contention only ever
+    # lowers it); REF=1000 MB/s/core is this box's clean-run envelope.  A
+    # degraded box (bracket < REF) has inflated raw times, so normalized =
+    # raw * bracket/REF deflates them to clean-box-equivalent.  This is a
+    # linear model of CPU-bound drift — good enough to separate
+    # "environment" from "code regression" (the r11 driver snapshot's 20
+    # phantom regressions all vanish under it), not a substitute for the
+    # contention gate, which still refuses badly degraded windows outright.
+    bracket_ref = float(os.environ.get("SPARK_GRAFT_BENCH_BRACKET_REF", "1000"))
+    brackets = [
+        kernel.get("kernel_encrypt_mb_per_s_per_core"),
+        kernel_end.get("kernel_encrypt_mb_per_s_per_core"),
+    ]
+    brackets = [x for x in brackets if x]
+    bracket_mean = round(sum(brackets) / len(brackets), 1) if brackets else None
+    norm_factor = round(bracket_mean / bracket_ref, 4) if bracket_mean else None
+    if norm_factor:
+        extra["bracket_normalized"] = {
+            k: round(v * norm_factor, 3) for k, v in timings.items()
+        }
+        extra["bracket_norm_factor"] = norm_factor
+    total_normalized = round(total * norm_factor, 3) if norm_factor else None
     # The driver tail-captures stdout and parses the LAST line as JSON: keep
     # that line small (headline only — no per-query row counts).  The full
     # detail (row counts, MB/s figures) goes to stderr and BENCH_extra.json
@@ -602,6 +646,12 @@ def main() -> None:
         "metric": "bench_total",
         "value": total,
         "unit": "sec",
+        # the same total deflated to the REF-bracket box (see
+        # bracket_normalized in BENCH_extra.json for per-query values):
+        # compare THIS field round-over-round, not the raw one
+        "value_normalized": total_normalized,
+        "bracket_mean": bracket_mean,
+        "bracket_ref": bracket_ref,
         "queries": timings,
         "sf": sf,
         # Idle single-core kernel figures as first-class fields: the

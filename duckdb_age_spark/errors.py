@@ -66,3 +66,14 @@ def key_file_missing(path: str) -> str:
 
 def key_file_too_large(path: str) -> str:
     return f"Key file too large (max 1MB): {path}"
+
+
+# Engine-specific (no reference twin): the JVM path's multi-session guard
+# (ADVICE r11).  Mirrored verbatim in jvm/src/agespark/AgeSecretRegistry.java.
+def secret_manager_mismatch(name: str) -> str:
+    return (
+        f"Secret name '{name}' was resolved against a different SecretManager "
+        "than the one this session's JVM crypto is registered with; call "
+        "register_jvm_crypto(spark, manager) on the session that executes "
+        "this plan"
+    )

@@ -111,16 +111,48 @@ def ensure_jar() -> str:
 # (any other manager falls back to literal resolution, else the executor
 # snapshot would answer for the wrong manager).
 _JVM_REGISTERED: dict[int, object] = {}
+# per-session listener handle, so re-binding a session to a different (or a
+# previously used) manager REMOVES the old listener instead of accumulating
+# guarded no-ops that pin stopped sessions in memory (ADVICE r11)
+_JVM_LISTENERS: dict[int, tuple[object, object]] = {}
+
+
+def _manager_fingerprint(manager) -> str:
+    """Stable random fingerprint per SecretManager instance, assigned
+    lazily.  Staged into the JVM registry alongside the snapshot and
+    embedded in passthrough-name envelopes so a plan built against one
+    manager FAILS at execution on a session staged from another, instead of
+    silently resolving the name with the wrong manager's key (ADVICE r11:
+    the passthrough decision keys off the thread-ACTIVE session, which need
+    not own the DataFrame the column is applied to)."""
+    import uuid
+
+    fp = getattr(manager, "_age_jvm_fingerprint", None)
+    if fp is None:
+        fp = uuid.uuid4().hex
+        manager._age_jvm_fingerprint = fp
+    return fp
+
+
+# Must match agespark.AgeSecretRegistry.NAME_MARKER: NUL-delimited so no
+# legal bech32 key (and no sane secret name) collides with the envelope.
+_NAME_MARKER = "\x00age\x00"
+
+
+def _wrap_name(name: str, manager) -> str:
+    return f"{_NAME_MARKER}{_manager_fingerprint(manager)}\x00{name}"
 
 
 def _stage_and_register(spark, manager) -> None:
     """Stage ``manager``'s snapshot into agespark.AgeSecretRegistry, then
     (re-)register the three UDFs.  Order matters: the UDF constructors
-    snapshot the registry, so staging must precede registration."""
+    snapshot the registry (map AND staging fingerprint), so staging must
+    precede registration."""
     from pyspark.sql.types import BinaryType
 
     reg = spark._jvm.agespark.AgeSecretRegistry
     reg.clear()
+    reg.setToken(_manager_fingerprint(manager))
     for name, entry in manager.snapshot().items():
         reg.put(name, entry.get("public_key"), entry.get("private_key"))
     spark.udf.registerJavaFunction("age_encrypt_jvm", "agespark.AgeEncryptUDF", BinaryType())
@@ -153,6 +185,15 @@ def register_jvm_crypto(spark, manager=None) -> None:
     _stage_and_register(spark, manager)
     key = id(spark)
     if _JVM_REGISTERED.get(key) is not manager:
+        # Drop the previous binding's listener first (ADVICE r11): without
+        # this, re-binding a session A->B->A would leave a dead guarded
+        # listener on each manager per re-bind — duplicated re-stage work
+        # per mutation and stopped sessions pinned through the listener
+        # list of a long-lived (e.g. process-default) manager.
+        stale = _JVM_LISTENERS.pop(key, None)
+        if stale is not None:
+            old_mgr, old_fn = stale
+            old_mgr.remove_listener(old_fn)
         _JVM_REGISTERED[key] = manager
 
         def _resync(mgr=manager):
@@ -175,6 +216,7 @@ def register_jvm_crypto(spark, manager=None) -> None:
                 )
 
         manager.add_listener(_resync)
+        _JVM_LISTENERS[key] = (manager, _resync)
     install_identity_redaction(spark)
 
 
@@ -284,10 +326,17 @@ def encrypt_col(data, key: str, manager=None, fresh: bool = False):
 
     from .functions import resolve_recipient
 
-    resolved = resolve_recipient(key, _snapshot(manager))
-    if resolved != key and not _named_passthrough_ok(manager):
-        _warn_literal_fallback(key)
-        key = resolved
+    mgr = _effective_manager(manager)
+    resolved = resolve_recipient(key, mgr.snapshot())
+    if resolved != key:  # a NAME (literals resolve to themselves)
+        if _named_passthrough_ok(manager):
+            # fingerprint envelope: executes only against a session staged
+            # from THIS manager; any other staging fails loudly instead of
+            # resolving the name with the wrong key (ADVICE r11)
+            key = _wrap_name(key, mgr)
+        else:
+            _warn_literal_fallback(key)
+            key = resolved
     key_col = F.lit(key)
     if fresh:
         key_col = _cse_salt(key_col)
@@ -311,10 +360,14 @@ def decrypt_col(data, key: str, manager=None):
 
     from .functions import resolve_identity
 
-    resolved = resolve_identity(key, _snapshot(manager))
-    if resolved != key and not _named_passthrough_ok(manager):
-        _warn_literal_fallback(key)
-        key = resolved
+    mgr = _effective_manager(manager)
+    resolved = resolve_identity(key, mgr.snapshot())
+    if resolved != key:  # a NAME (literals resolve to themselves)
+        if _named_passthrough_ok(manager):
+            key = _wrap_name(key, mgr)  # see encrypt_col (ADVICE r11)
+        else:
+            _warn_literal_fallback(key)
+            key = resolved
     return F.call_udf("age_decrypt_jvm", data, F.lit(key))
 
 
@@ -336,7 +389,8 @@ def encrypt_multi_col(data, keys: list[str], manager=None, fresh: bool = False):
         # eager twin of the JVM-side check: F.array() of zero columns has
         # no element type, so the empty case cannot be deferred to the UDF
         raise errors.AgeError(errors.RECIPIENTS_EMPTY)
-    snapshot = _snapshot(manager)
+    mgr = _effective_manager(manager)
+    snapshot = mgr.snapshot()
     passthrough = _named_passthrough_ok(manager)
     resolved: list[str] = []
     for r in keys:
@@ -348,7 +402,7 @@ def encrypt_multi_col(data, keys: list[str], manager=None, fresh: bool = False):
             raise errors.AgeError(errors.invalid_recipient(r))
         if not passthrough:
             _warn_literal_fallback(r)
-        resolved.append(r if passthrough else entry["public_key"])
+        resolved.append(_wrap_name(r, mgr) if passthrough else entry["public_key"])
     key_cols = [F.lit(k) for k in resolved]
     if fresh:
         # salting one element is enough to defeat CSE for the whole call

@@ -176,6 +176,16 @@ class SecretManager:
     def add_listener(self, fn: Callable[[], None]) -> None:
         self._listeners.append(fn)
 
+    def remove_listener(self, fn: Callable[[], None]) -> None:
+        """Discard semantics: unknown listeners are a no-op, so callers can
+        unconditionally drop a stale handle (ADVICE r11 — re-binding a
+        session to a previously used manager must not accumulate dead
+        listeners that pin stopped sessions and duplicate re-stage work)."""
+        try:
+            self._listeners.remove(fn)
+        except ValueError:
+            pass
+
     def _notify(self) -> None:
         for fn in self._listeners:
             fn()

@@ -31,9 +31,15 @@ public class AgeDecryptUDF implements UDF2<byte[], String, byte[]> {
     private final java.util.HashMap<String, String> named =
             AgeSecretRegistry.identitiesSnapshot();
 
+    // staging fingerprint snapshotted with the map: fingerprint-enveloped
+    // passthrough names from another manager's staging fail loudly instead
+    // of silently resolving against this snapshot (ADVICE r11)
+    private final String token = AgeSecretRegistry.tokenSnapshot();
+
     @Override
     public byte[] call(byte[] data, String keyOrName) throws Exception {
         if (data == null || keyOrName == null) return null;
+        keyOrName = AgeSecretRegistry.unwrapName(keyOrName, token);
         String identity = keyOrName;
         if (!keyOrName.startsWith("AGE-SECRET-KEY-1")) {
             identity = named.get(keyOrName);

@@ -28,6 +28,10 @@ public class AgeEncryptMultiUDF implements UDF2<byte[], scala.collection.Seq<Str
     private final java.util.HashMap<String, String> named =
             AgeSecretRegistry.recipientsSnapshot();
 
+    // staging fingerprint snapshotted with the map (ADVICE r11): see
+    // AgeSecretRegistry.unwrapName
+    private final String token = AgeSecretRegistry.tokenSnapshot();
+
     @Override
     public byte[] call(byte[] data, scala.collection.Seq<String> recipients) throws Exception {
         if (data == null || recipients == null) return null;
@@ -41,7 +45,7 @@ public class AgeEncryptMultiUDF implements UDF2<byte[], scala.collection.Seq<Str
         // position 0 must not mask an unknown name at position 1.
         String[] lits = new String[keys.size()];
         for (int i = 0; i < keys.size(); i++) {
-            String k = keys.get(i);
+            String k = AgeSecretRegistry.unwrapName(keys.get(i), token);
             if (k == null) {
                 // NULL element: the Python path's resolver treats it as an
                 // unresolvable recipient (errors.invalid_recipient)

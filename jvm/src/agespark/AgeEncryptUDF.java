@@ -28,9 +28,14 @@ public class AgeEncryptUDF implements UDF2<byte[], String, byte[]> {
     private final java.util.HashMap<String, String> named =
             AgeSecretRegistry.recipientsSnapshot();
 
+    // staging fingerprint snapshotted with the map (ADVICE r11): see
+    // AgeSecretRegistry.unwrapName
+    private final String token = AgeSecretRegistry.tokenSnapshot();
+
     @Override
     public byte[] call(byte[] data, String keyOrName) throws Exception {
         if (data == null || keyOrName == null) return null;
+        keyOrName = AgeSecretRegistry.unwrapName(keyOrName, token);
         String recipient = keyOrName;
         if (!keyOrName.startsWith("age1")) {
             recipient = named.get(keyOrName);

@@ -30,6 +30,59 @@ public final class AgeSecretRegistry {
     private static final java.util.concurrent.ConcurrentHashMap<String, String> IDENTITIES =
             new java.util.concurrent.ConcurrentHashMap<>();
 
+    /**
+     * Fingerprint of the SecretManager this staging came from (ADVICE r11,
+     * multi-session hazard): the Python col helpers decide name-passthrough
+     * against the ACTIVE session's manager, but a Column can be applied to a
+     * DataFrame owned by a DIFFERENT session whose registry was staged from
+     * another manager — without a check the name would silently resolve
+     * against the wrong manager's key.  The helpers therefore wrap
+     * passthrough names as NAME_MARKER + fingerprint + NUL + name, and
+     * {@link #unwrapName} fails loudly at execution when the fingerprint
+     * does not match the snapshot the executing UDF instance carries.
+     * Bare names (users calling age_*_jvm(col, 'name') in SQL directly)
+     * skip the check — they bind to the executing session's own staging by
+     * construction.
+     */
+    private static volatile String TOKEN = "";
+
+    /** Leading NUL keeps the marker disjoint from every legal key/name. */
+    public static final String NAME_MARKER = "\0age\0";
+
+    public static void setToken(String t) {
+        TOKEN = (t == null) ? "" : t;
+    }
+
+    static String tokenSnapshot() {
+        return TOKEN;
+    }
+
+    /**
+     * Strip the fingerprint envelope from a passthrough name, verifying it
+     * against {@code token} (the registration-time snapshot of the staging
+     * fingerprint).  Non-enveloped inputs pass through unchanged.
+     */
+    static String unwrapName(String keyOrName, String token) {
+        if (keyOrName == null || !keyOrName.startsWith(NAME_MARKER)) {
+            return keyOrName;
+        }
+        int sep = keyOrName.indexOf('\0', NAME_MARKER.length());
+        if (sep < 0) {
+            return keyOrName; // malformed envelope: fall through to dispatch
+        }
+        String fp = keyOrName.substring(NAME_MARKER.length(), sep);
+        String name = keyOrName.substring(sep + 1);
+        if (!fp.equals(token)) {
+            // mirrors duckdb_age_spark.errors.secret_manager_mismatch
+            throw new IllegalArgumentException(
+                    "Secret name '" + name + "' was resolved against a different "
+                            + "SecretManager than the one this session's JVM crypto "
+                            + "is registered with; call register_jvm_crypto(spark, "
+                            + "manager) on the session that executes this plan");
+        }
+        return name;
+    }
+
     /** Replace-all staging: called over py4j before (re-)registration. */
     public static void clear() {
         RECIPIENTS.clear();

@@ -350,6 +350,50 @@ out = df.select(
 assert bytes(out.n) == b"named"
 assert bytes(out.o) == b"named"
 print("ROTATION-OK")
+
+# --- multi-session passthrough guard (ADVICE r11 medium): a Column built
+# while session 1 (staged from default_manager) is active carries a
+# fingerprint-enveloped name; executing it on a SECOND session staged from
+# a DIFFERENT manager that binds the SAME name to another key must fail
+# loudly — before the guard it silently encrypted with the other manager's
+# key.  Build the column FIRST (active session = session 1), then register
+# the second session.
+from duckdb_age_spark.secrets import SecretManager
+col_s1 = encrypt_col(F.col("pt"), "jvmkey")
+s2 = spark.newSession()
+m2 = SecretManager()
+m2.create_secret("jvmkey", public_key=PUB2, private_key=PRIV2)
+register_jvm_crypto(s2, m2)
+df2 = s2.range(1).select(F.encode(F.lit("named"), "UTF-8").alias("pt"))
+try:
+    df2.select(col_s1.alias("ct")).collect()
+    print("NO-MISMATCH-ERROR")
+except Exception as e:
+    assert "was resolved against a different SecretManager" in str(e), str(e)[-500:]
+    assert "jvmkey" in str(e)
+    print("MISMATCH-GUARD-OK")
+# same name through s2's OWN helpers still works (envelope — or literal
+# fallback, depending on which session is thread-active — matches s2's
+# staging either way; only the Python-path UDFs are unregistered on s2)
+out2 = df2.select(decrypt_col(encrypt_col(F.col("pt"), "jvmkey", manager=m2),
+                              "jvmkey", manager=m2).alias("d")).first()
+assert bytes(out2.d) == b"named", out2.d
+print("MISMATCH-OWN-SESSION-OK")
+
+# --- listener hygiene (ADVICE r11): re-registering the same binding adds
+# no listener; re-binding a session removes the old manager's listener
+from duckdb_age_spark.secrets import default_manager as _dm2
+n0 = len(_dm2._listeners)
+register_jvm_crypto(spark)           # same (session, manager): no-op add
+assert len(_dm2._listeners) == n0, (n0, len(_dm2._listeners))
+m3 = SecretManager()
+register_jvm_crypto(spark, m3)       # rebind: default loses its listener...
+assert len(_dm2._listeners) == n0 - 1
+assert len(m3._listeners) == 1       # ...m3 gains exactly one
+register_jvm_crypto(spark)           # rebind back
+assert len(_dm2._listeners) == n0
+assert len(m3._listeners) == 0
+print("LISTENER-DEDUP-OK")
 spark.stop()
 """
 
@@ -474,3 +518,20 @@ def test_spark_registered_jvm_udfs_cross_path(jar):
     assert "REDACTION-OK" in proc.stdout
     assert "SQL-NAMED-OK" in proc.stdout
     assert "ROTATION-OK" in proc.stdout
+    # the multi-session fingerprint guard and listener hygiene (ADVICE r11)
+    assert "MISMATCH-GUARD-OK" in proc.stdout
+    assert "MISMATCH-OWN-SESSION-OK" in proc.stdout
+    assert "LISTENER-DEDUP-OK" in proc.stdout
+    # no-raise regressions must FAIL, not silently print-and-continue
+    # (ADVICE r11 low: each expected-error probe prints a NO-* marker on
+    # the no-raise path, and only the positive markers were asserted)
+    for bad in (
+        "NO-ERROR",  # also matches NO-*-ERROR variants below, kept explicit:
+        "NO-EMPTY-ERROR",
+        "NO-MULTI-ERROR",
+        "NO-PRECEDENCE-ERROR",
+        "NO-PY-PRECEDENCE-ERROR",
+        "NO-NAME-ERROR",
+        "NO-MISMATCH-ERROR",
+    ):
+        assert bad not in proc.stdout, f"expected-error probe did not raise: {bad}"

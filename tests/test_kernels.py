@@ -256,27 +256,44 @@ def test_bench_contention_reasons():
     not, and each signal independently."""
     import bench
 
-    healthy = {"kernel_encrypt_mb_per_s_per_core": 945.7}
-    tainted = {"kernel_encrypt_mb_per_s_per_core": 632.5}
-    assert bench.contention_reasons([0.02, 0.01, 0.3], healthy, 2.0, 850) == []
-    # the BENCH_r09 shape: all three signals fire (1m, 5m, kernel)
-    r9 = bench.contention_reasons([5.46, 4.03, 2.57], tainted, 2.0, 850)
-    assert len(r9) == 3 and "load_avg_1m=5.46>2.0" in r9[0] and "632.5" in r9[2]
+    healthy = {"kernel_encrypt_mb_per_s_per_core": 1008.2, "kernel_encrypt_us_per_row": 112.0}
+    tainted = {"kernel_encrypt_mb_per_s_per_core": 632.5, "kernel_encrypt_us_per_row": 240.0}
+    assert bench.contention_reasons([0.02, 0.01, 0.3], healthy, 2.0, 950, 150) == []
+    # the BENCH_r09 shape: all four signals fire (1m, 5m, bulk kernel, per-row)
+    r9 = bench.contention_reasons([5.46, 4.03, 2.57], tainted, 2.0, 950, 150)
+    assert len(r9) == 4 and "load_avg_1m=5.46>2.0" in r9[0] and "632.5" in r9[2]
     assert "load_avg_5m=4.03>2.0" in r9[1]
+    assert "start_kernel_us_row=240.0>150" in r9[3]
     # the round-11 shape the 5m signal exists for: 1m decayed below the
     # threshold seconds after heavy jobs finished, but the box was NOT
     # quiet (measured +7.7% median across 193 queries)
-    assert bench.contention_reasons([0.57, 3.11, 5.69], healthy, 2.0, 850) == [
+    assert bench.contention_reasons([0.57, 3.11, 5.69], healthy, 2.0, 950, 150) == [
         "load_avg_5m=3.11>2.0"
     ]
-    # each signal alone
-    assert bench.contention_reasons([3.0, 0, 0], healthy, 2.0, 850) == ["load_avg_1m=3.0>2.0"]
-    assert bench.contention_reasons([0.1, 0, 0], tainted, 2.0, 850) == [
-        "start_kernel_mbps=632.5<850"
+    # THE r12 floor-raise case (VERDICT r11 item 3): the r11 driver window
+    # — quiet load, bracket 851.1 MB/s/core at 191.4 us/row — scraped the
+    # old >=850 floor by 0.1% while ~30% degraded and inflated the round's
+    # committed totals.  The raised floors must refuse it on BOTH kernel
+    # signals, and must have refused it at the old floor too via us/row.
+    r11_window = {
+        "kernel_encrypt_mb_per_s_per_core": 851.1,
+        "kernel_encrypt_us_per_row": 191.4,
+    }
+    got = bench.contention_reasons([0.3, 0.4, 0.5], r11_window, 2.0, 950, 150)
+    assert got == [
+        "start_kernel_mbps=851.1<950",
+        "start_kernel_us_row=191.4>150",
     ]
+    # each signal alone
+    assert bench.contention_reasons([3.0, 0, 0], healthy, 2.0, 950, 150) == [
+        "load_avg_1m=3.0>2.0"
+    ]
+    assert bench.contention_reasons([0.1, 0, 0], tainted, 2.0, 600, 300) == []
     # missing signals never false-positive (getloadavg can raise; a kernel
-    # dict without the key means the microbench was skipped)
-    assert bench.contention_reasons([], {}, 2.0, 850) == []
+    # dict without the key means the microbench was skipped); max_us_row
+    # also defaults open for callers that pass only the original four args
+    assert bench.contention_reasons([], {}, 2.0, 950, 150) == []
+    assert bench.contention_reasons([0.1], healthy, 2.0, 950) == []
 
 
 # --- float-sum determinism guard (VERDICT r6 item 2) --------------------------

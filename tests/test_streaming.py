@@ -3,6 +3,7 @@ operators on the same bounded input (availableNow drain)."""
 
 from __future__ import annotations
 
+import datetime
 import os
 
 import pytest
@@ -823,6 +824,9 @@ def test_backfill_dedup_sliced_exact_and_bounded(spark, tmp_path):
     )
     out = spark.read.parquet(res["out_path"])
     assert out.count() == n == out.select("event_id").distinct().count()
+    # exact under FileStreamSink (VERDICT r11 item 4): the observe() metric
+    # reports real counts where the sink itself only says -1 "unknown"
+    assert res["rows_emitted"] == n
     assert res["slices"] >= 4
     bound = _state_tail_bound(ev, "7 days", 2)
     assert 0 < res["peak_state_rows"] <= bound
@@ -852,6 +856,38 @@ def test_backfill_dedup_sliced_sf1_scale(spark, tmp_path):
     bound = _state_tail_bound(ev, "2 days", 2)
     assert 0 < res["peak_state_rows"] <= bound
     assert res["peak_state_rows"] < 0.1 * n
+
+
+def test_backfill_dedup_sliced_refuses_reused_work_dir(spark, tmp_path):
+    """A work_dir from a completed run keeps its out/ and ckpt/; a second
+    run would APPEND its drains to the old parquet output and read back
+    both runs' rows (ADVICE r11).  The helper must refuse up front."""
+    from duckdb_age_spark.streaming import backfill_dedup_sliced
+
+    ev = spark.createDataFrame(
+        [(1, datetime.datetime(2024, 1, 1, 0, 0, 0), 10)],
+        "event_id long, ts timestamp, user_id long",
+    )
+    wd = str(tmp_path / "wd")
+    first = backfill_dedup_sliced(ev, wd)
+    assert first["rows_emitted"] == 1
+    with pytest.raises(ValueError, match="previous run"):
+        backfill_dedup_sliced(ev, wd)
+
+
+def test_backfill_dedup_sliced_rejects_null_ts(spark, tmp_path):
+    """Null event times silently vanish on this path (F.window() plants an
+    implicit isnotnull filter, so they never reach the staged write; a live
+    dropDuplicatesWithinWatermark drops them too) — fail fast instead
+    (ADVICE r11)."""
+    from duckdb_age_spark.streaming import backfill_dedup_sliced
+
+    ev = spark.createDataFrame(
+        [(1, datetime.datetime(2024, 1, 1), 10), (2, None, 11)],
+        "event_id long, ts timestamp, user_id long",
+    )
+    with pytest.raises(ValueError, match="null 'ts'"):
+        backfill_dedup_sliced(ev, str(tmp_path / "wd"))
 
 
 def test_backfill_dedup_sliced_empty_history(spark, tmp_path):
