@@ -951,3 +951,30 @@ def test_ahash_pairs_banded_join_not_allpairs(t):
     plan = formatted_plan(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_fuzzy_deletion_join_broadcasts_probes_no_corpus_shuffle(t):
+    """The r12 fuzzy-linkage rewrite's scale contract: the corpus side's
+    deletion variants feed a BroadcastHashJoin (probe variants are the
+    broadcast side), so the Sigma C(len,k)-fanned corpus NEVER shuffles —
+    the only exchanges are the cheap pre-explode repartition of the raw
+    records and the candidate-sized dedupe after the join.  A
+    SortMergeJoin here would shuffle ~172x the corpus at d=2."""
+    from duckdb_age_spark.operators.dedup import fuzzy_name_pairs
+
+    cust = t["customer"]
+    probes = cust.where(F.col("c_custkey") % 500 == 0).select(
+        F.col("c_custkey").alias("probe_key"), F.col("c_name").alias("name")
+    )
+    records = cust.select(
+        F.col("c_custkey").alias("match_key"), F.col("c_name").alias("name")
+    )
+    for d in (1, 2):
+        df = fuzzy_name_pairs(records, probes, max_dist=d)
+        plan = formatted_plan(df)
+        assert has_broadcast_join(df), plan[:2000]
+        assert "SortMergeJoin" not in plan, plan[:2000]
+        assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+        # pre-explode repartition + post-join dedupe (+ the broadcast
+        # exchange); anything more means the corpus variants are shuffling
+        assert count_exchanges(df) <= 3, plan[:2000]
