@@ -889,10 +889,43 @@ def test_fuzzy_name_pairs_constant_prefix_brute_force(spark):
     df = spark.createDataFrame(rows, "k long, name string")
     probes = df.where("k <= 3").selectExpr("k AS probe_key", "name")
     records = df.selectExpr("k AS match_key", "name")
-    for d in (1, 2):
+    # d=3 included to pin the generic-d variant generator (the contract
+    # queries only exercise d=1/2)
+    for d in (1, 2, 3):
         want = {
             (pk, rk): _levenshtein(pn, rn)
             for pk, pn in rows[:3]
+            for rk, rn in rows
+            if pk != rk and _levenshtein(pn, rn) <= d
+        }
+        got = {
+            (r.probe_key, r.match_key): r.dist
+            for r in fuzzy_name_pairs(records, probes, max_dist=d).collect()
+        }
+        assert got == want, f"d={d}: missing={want.keys() - got.keys()} extra={got.keys() - got.keys() & want.keys()}"
+
+
+def test_fuzzy_name_pairs_dense_random_corpus_brute_force(spark):
+    """Adversarial recall sweep on a SEEDED random corpus over a two-letter
+    alphabet with mixed lengths 0..8 — the densest edit-space collisions a
+    name corpus can have (every pair is within a few edits, empty and
+    near-empty strings included).  Every (probe, record) pair the quadratic
+    brute force finds at d=1 and d=2 must come back, with no extras and
+    exact distances."""
+    import random
+
+    from duckdb_age_spark.operators.dedup import fuzzy_name_pairs
+
+    rng = random.Random(0xA6E)
+    names = ["".join(rng.choice("ab") for _ in range(rng.randint(0, 8))) for _ in range(40)]
+    rows = [(i + 1, n) for i, n in enumerate(names)]
+    df = spark.createDataFrame(rows, "k long, name string")
+    probes = df.where("k <= 5").selectExpr("k AS probe_key", "name")
+    records = df.selectExpr("k AS match_key", "name")
+    for d in (1, 2):
+        want = {
+            (pk, rk): _levenshtein(pn, rn)
+            for pk, pn in rows[:5]
             for rk, rn in rows
             if pk != rk and _levenshtein(pn, rn) <= d
         }
