@@ -545,32 +545,38 @@ def fuzzy_name_pairs(records: DataFrame, probes: DataFrame, max_dist: int = 1) -
     genuine near-duplicates, which the full-recall quadratic oracle demands
     as candidates anyway.
 
-    Scale shape: the corpus side emits Sigma_{k<=d} C(len,k) variants per
-    row (19 at len=18/d=1, 172 at d=2), NEVER shuffles — the (small) probe
-    side's variants are broadcast, so the whole candidate stage is a single
-    map-side pass over the corpus; only the verified-candidate-sized dedupe
-    shuffles.  Cost is content-independent; the explicit repartition guards
-    the AQE byte-light/compute-heavy pitfall (a 40 MB parquet scan would
-    otherwise explode 172x on 2-3 scan splits).  Intended regime is
-    name-like keys (len <~ 64, d <= 2: <= ~2k variants/row); C(len,d) makes
-    long-document use the wrong tool — use dedup_ngram_pairs there.
+    Scale shape: candidate generation runs at DISTINCT-NAME level — the
+    corpus's distinct names emit Sigma_{k<=d} C(len,k) variants each (19 at
+    len=18/d=1, 172 at d=2), join the broadcast probe variants, dedupe and
+    levenshtein-verify per (probe, name), and only then expand back to
+    physical rows with one corpus-sized equi-join on name.  Real linkage
+    corpora are duplicate-heavy (the sf10 scale fixture replicates each
+    name ~100x), and every stage before the expansion shrinks by that
+    factor: measured at sf10 d=2, the row-level formulation shuffled a
+    433 M-row candidate dedupe (208 s); name-level cuts the variant-join
+    output ~100x while the expansion join just streams out the final
+    answer.  On a unique-name corpus the name distinct is a no-op in rows
+    and costs two small shuffles of the UNEXPLODED corpus — noise next to
+    the 172x variant fan-out it moves behind the distinct.  Identity
+    semantics are preserved exactly by the expansion: two record rows
+    sharing a name (even fully identical rows — same key AND name, which
+    the per-row quadratic oracle counts twice, ADVICE r10) each join back
+    and emit their own output row.  The explicit repartition before the
+    explode guards the AQE byte-light/compute-heavy pitfall (a post-
+    distinct coalesce would serialize the 172x fan-out onto 1-2 tasks).
+    Intended regime is name-like keys (len <~ 64, d <= 2: <= ~2k
+    variants/row); C(len,d) makes long-document use the wrong tool — use
+    dedup_ngram_pairs there.
     Returns (probe_key, match_key, dist) with dist <= max_dist.
     """
     d = max_dist
     nparts = records.sparkSession.sparkContext.defaultParallelism
     b = (
-        # _rid tags each RECORD ROW before variant fan-out: the candidate
-        # dedupe below must collapse only the same physical row reached
-        # through several shared variants — never two fully identical rows
-        # (same match_key AND name), which the per-row quadratic oracle
-        # counts twice (ADVICE r10; monotonically_increasing_id is
-        # partition-id-prefixed, so no shuffle and no driver bottleneck)
-        records.repartition(nparts)
-        .withColumn("_rid", F.monotonically_increasing_id())
+        records.select("name")
+        .distinct()
+        .repartition(nparts)
         .select(
-            "match_key",
             F.col("name").alias("match_name"),
-            "_rid",
             F.explode(_deletion_variants(F.col("name"), d)).alias("vk"),
         )
     )
@@ -579,19 +585,23 @@ def fuzzy_name_pairs(records: DataFrame, probes: DataFrame, max_dist: int = 1) -
         F.col("name").alias("probe_name"),
         F.explode(_deletion_variants(F.col("name"), d)).alias("vk"),
     )
-
-    # Dedupe CANDIDATES keyed on the pre-banding row id — never on record
-    # identity: two distinct record rows may share a match_key (the sf1
-    # scale corpus does exactly this — replica key offsets collide with the
-    # planted-variant offsets, caught by the round-10 full sf1 oracle run).
     cand = (
         b.join(F.broadcast(a), "vk")
-        .where(F.col("probe_key") != F.col("match_key"))
-        .dropDuplicates(["probe_key", "_rid"])
+        # a (probe, name) pair is reached through every variant the two
+        # sides share (a dist-0 pair shares ALL of them) — collapse before
+        # the verify, keyed on the name, not any record identity
+        .dropDuplicates(["probe_key", "match_name"])
+        .withColumn("dist", F.levenshtein("probe_name", "match_name"))
+        .where(F.col("dist") <= max_dist)
+        .select("probe_key", "match_name", "dist")
     )
     return (
-        cand.withColumn("dist", F.levenshtein("probe_name", "match_name"))
-        .where(F.col("dist") <= max_dist)
+        # expansion: every physical record ROW carrying a matched name is
+        # its own linkage match (the self-pair exclusion is by KEY, so it
+        # must happen here, where keys exist — a record sharing the
+        # probe's name under a different key stays)
+        cand.join(records, cand["match_name"] == records["name"])
+        .where(F.col("probe_key") != F.col("match_key"))
         .select("probe_key", "match_key", F.col("dist").cast("bigint").alias("dist"))
     )
 

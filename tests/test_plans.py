@@ -954,12 +954,14 @@ def test_ahash_pairs_banded_join_not_allpairs(t):
 
 
 def test_fuzzy_deletion_join_broadcasts_probes_no_corpus_shuffle(t):
-    """The r12 fuzzy-linkage rewrite's scale contract: the corpus side's
-    deletion variants feed a BroadcastHashJoin (probe variants are the
-    broadcast side), so the Sigma C(len,k)-fanned corpus NEVER shuffles —
-    the only exchanges are the cheap pre-explode repartition of the raw
-    records and the candidate-sized dedupe after the join.  A
-    SortMergeJoin here would shuffle ~172x the corpus at d=2."""
+    """The r12 fuzzy-linkage rewrite's scale contract: deletion variants
+    are generated for DISTINCT names only, feed a BroadcastHashJoin (probe
+    variants are the broadcast side), and the Sigma C(len,k) fan-out never
+    shuffles — the only exchanges are the name distinct, the pre-explode
+    repartition (AQE-coalesce guard), and the (probe, name)-level dedupe;
+    physical rows come back via the expansion join on name (broadcast at
+    this scale).  A SortMergeJoin on the VARIANT join would shuffle ~172x
+    the distinct names at d=2."""
     from duckdb_age_spark.operators.dedup import fuzzy_name_pairs
 
     cust = t["customer"]
