@@ -277,7 +277,55 @@ def _kernel_bench() -> dict[str, float]:
         dec_best = min(dec_best, time.perf_counter() - t0)
     out["kernel_encrypt_mb_per_s_per_core"] = round(n_blocks / enc_best, 1)
     out["kernel_decrypt_mb_per_s_per_core"] = round(n_blocks / dec_best, 1)
+
+    # All-cores control (r12 finding, REPORT-ONLY — not a gate signal yet):
+    # one run this round passed load + single-core bracket + µs/row and
+    # still swept uniformly ~17% slow — the single-core probe is blind to
+    # multicore-throughput degradation (shared-tenant steal, turbo/thermal
+    # budgets that only bite with all cores busy).  Record the same 2 KiB
+    # encrypt loop fanned across CPUS processes (multiprocessing, NOT
+    # threads — the GIL serializes the Python kernel) so future rounds can
+    # calibrate a floor before gating on it.
+    try:
+        out["kernel_encrypt_us_per_row_all_cores"] = _multicore_control()
+    except Exception:
+        pass  # control is advisory; never block the bench on it
     return out
+
+
+def _mc_worker(n_rows: int) -> float:
+    """Encrypt ``n_rows`` 2 KiB payloads; return elapsed seconds.  Module
+    scope so multiprocessing can pickle it (spawn-safe)."""
+    import time as _t
+
+    from duckdb_age_spark.contract import KP1
+    from duckdb_age_spark.crypto import format as _fmt
+    from duckdb_age_spark.crypto import keys as _keys
+
+    pub = _keys.parse_recipient(KP1.public_key)
+    pt = b"x" * 2048
+    _fmt.encrypt(pt, [pub])  # warm key cache
+    t0 = _t.perf_counter()
+    for _ in range(n_rows):
+        _fmt.encrypt(pt, [pub])
+    return _t.perf_counter() - t0
+
+
+def _multicore_control(n_rows: int = 60) -> float:
+    """us/row/core with EVERY core busy: CPUS processes each encrypt
+    ``n_rows`` 2 KiB payloads; the figure is total wall over total rows x
+    CPUS.  On a healthy box this sits near the single-core us/row; a gap
+    means multicore-only degradation the single-core bracket cannot see."""
+    import concurrent.futures as cf
+
+    with cf.ProcessPoolExecutor(max_workers=CPUS) as pool:
+        # warm the pool (interpreter + import cost must not pollute the
+        # measurement; a 1-row task per worker forces full spin-up)
+        list(pool.map(_mc_worker, [1] * CPUS))
+        t0 = time.perf_counter()
+        list(pool.map(_mc_worker, [n_rows] * CPUS))
+        wall = time.perf_counter() - t0
+    return round(wall / n_rows * 1e6, 1)
 
 
 def contention_reasons(
