@@ -317,8 +317,14 @@ def _multicore_control(n_rows: int = 60) -> float:
     CPUS.  On a healthy box this sits near the single-core us/row; a gap
     means multicore-only degradation the single-core bracket cannot see."""
     import concurrent.futures as cf
+    import multiprocessing as mp
 
-    with cf.ProcessPoolExecutor(max_workers=CPUS) as pool:
+    # spawn, not fork: the END bracket runs after spark.stop(), and forking
+    # a process that hosted a JVM can inherit held locks from leftover py4j
+    # threads — a child hang there would stall the whole bench (the
+    # try/except above catches exceptions, not deadlocks).  Spawn starts
+    # clean interpreters; bench.py's __main__ guard keeps re-import safe.
+    with cf.ProcessPoolExecutor(max_workers=CPUS, mp_context=mp.get_context("spawn")) as pool:
         # warm the pool (interpreter + import cost must not pollute the
         # measurement; a 1-row task per worker forces full spin-up)
         list(pool.map(_mc_worker, [1] * CPUS))
