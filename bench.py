@@ -222,7 +222,7 @@ BENCH_QUERIES = [
 ]
 
 
-def _kernel_bench() -> dict[str, float]:
+def _kernel_bench(all_cores: bool = True) -> dict[str, float]:
     """Single-core crypto kernel throughput, measured in-process with no
     Spark/Arrow/JVM in the loop.
 
@@ -278,18 +278,22 @@ def _kernel_bench() -> dict[str, float]:
     out["kernel_encrypt_mb_per_s_per_core"] = round(n_blocks / enc_best, 1)
     out["kernel_decrypt_mb_per_s_per_core"] = round(n_blocks / dec_best, 1)
 
-    # All-cores control (r12 finding, REPORT-ONLY — not a gate signal yet):
-    # one run this round passed load + single-core bracket + µs/row and
-    # still swept uniformly ~17% slow — the single-core probe is blind to
-    # multicore-throughput degradation (shared-tenant steal, turbo/thermal
-    # budgets that only bite with all cores busy).  Record the same 2 KiB
-    # encrypt loop fanned across CPUS processes (multiprocessing, NOT
-    # threads — the GIL serializes the Python kernel) so future rounds can
-    # calibrate a floor before gating on it.
-    try:
-        out["kernel_encrypt_us_per_row_all_cores"] = _multicore_control()
-    except Exception:
-        pass  # control is advisory; never block the bench on it
+    # All-cores control (r12 finding): one r12 run passed load +
+    # single-core bracket + µs/row and still swept uniformly ~17% slow —
+    # the single-core probe is blind to multicore-throughput degradation
+    # (shared-tenant steal, turbo/thermal budgets that only bite with all
+    # cores busy).  The same 2 KiB encrypt loop fanned across CPUS
+    # processes (multiprocessing, NOT threads — the GIL serializes the
+    # Python kernel); gated since r13 via SPARK_GRAFT_BENCH_MAX_US_ROW_MC.
+    # ``all_cores=False`` skips it: the wait-for-clean loop probes the
+    # cheap signals first because this control IS a 32-process load burst
+    # — probing it every 30 s would inflate the very load average the
+    # loop is waiting to decay (self-contention).
+    if all_cores:
+        try:
+            out["kernel_encrypt_us_per_row_all_cores"] = _multicore_control()
+        except Exception:
+            pass  # control must never crash the bench
     return out
 
 
@@ -311,10 +315,15 @@ def _mc_worker(n_rows: int) -> float:
     return _t.perf_counter() - t0
 
 
-def _multicore_control(n_rows: int = 60) -> float:
-    """us/row/core with EVERY core busy: CPUS processes each encrypt
-    ``n_rows`` 2 KiB payloads; the figure is total wall over total rows x
-    CPUS.  On a healthy box this sits near the single-core us/row; a gap
+def _multicore_control(n_rows: int = 900) -> float:
+    """us/row on the SLOWEST worker with EVERY core busy: CPUS processes
+    each encrypt ``n_rows`` 2 KiB payloads and time only their own loop;
+    the figure is max(worker elapsed)/n_rows.  Worker-side timing excludes
+    ProcessPoolExecutor dispatch/IPC stagger (at the old 60-row size ~7 ms
+    of work sat inside a wall clock dominated by scheduler overhead —
+    ADVICE r12), and 900 rows x ~115 us ≈ 100 ms per worker keeps timer
+    noise <1%.  On this SMT box (32 threads / 16 physical cores) healthy is
+    ~2x the single-core us/row because pairs share a core; a larger gap
     means multicore-only degradation the single-core bracket cannot see."""
     import concurrent.futures as cf
     import multiprocessing as mp
@@ -328,10 +337,8 @@ def _multicore_control(n_rows: int = 60) -> float:
         # warm the pool (interpreter + import cost must not pollute the
         # measurement; a 1-row task per worker forces full spin-up)
         list(pool.map(_mc_worker, [1] * CPUS))
-        t0 = time.perf_counter()
-        list(pool.map(_mc_worker, [n_rows] * CPUS))
-        wall = time.perf_counter() - t0
-    return round(wall / n_rows * 1e6, 1)
+        elapsed = list(pool.map(_mc_worker, [n_rows] * CPUS))
+    return round(max(elapsed) / n_rows * 1e6, 1)
 
 
 def contention_reasons(
@@ -340,6 +347,7 @@ def contention_reasons(
     max_load: float,
     min_kernel: float,
     max_us_row: float = float("inf"),
+    max_us_row_mc: float = float("inf"),
 ) -> list[str]:
     """Pure contention rule (unit-tested without running the bench): a
     snapshot is tainted when the 1-minute load average exceeds
@@ -369,6 +377,15 @@ def contention_reasons(
     us_row = kernel.get("kernel_encrypt_us_per_row", 0.0)
     if us_row > max_us_row:
         reasons.append(f"start_kernel_us_row={us_row}>{max_us_row}")
+    # All-cores signal (r13, closes the r12 blind spot): a run can pass
+    # every signal above yet sweep uniformly slow when degradation only
+    # bites with all cores busy (the r12 180.4 s window: load 0.0,
+    # bracket 953, 120 us/row — +17% median across 182 untouched
+    # queries).  The key is absent when the probe skipped the control
+    # (cheap-signals-first wait loop) — no check fires then.
+    us_row_mc = kernel.get("kernel_encrypt_us_per_row_all_cores", 0.0)
+    if us_row_mc > max_us_row_mc:
+        reasons.append(f"start_kernel_us_row_all_cores={us_row_mc}>{max_us_row_mc}")
     return reasons
 
 
@@ -397,7 +414,15 @@ def main() -> None:
     max_load = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_LOAD", "2.0"))
     min_kernel = float(os.environ.get("SPARK_GRAFT_BENCH_MIN_KERNEL", "950"))
     max_us_row = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_US_ROW", "150"))
-    contended_reasons = contention_reasons(load_start, kernel, max_load, min_kernel, max_us_row)
+    # All-cores floor (r13, VERDICT r12 item 2): calibrated from 12
+    # clean-window samples of the max-of-workers measurement (see ROADMAP
+    # r13) — healthy reads ~2x the single-core us/row on this SMT box
+    # (32 threads / 16 physical cores); the r12 degraded windows read
+    # 330-445 on the old noisier wall-clock metric.
+    max_us_row_mc = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_US_ROW_MC", "280"))
+    contended_reasons = contention_reasons(
+        load_start, kernel, max_load, min_kernel, max_us_row, max_us_row_mc
+    )
     # Wait-for-clean-window (VERDICT r10 item 1): rather than immediately
     # stamping a tainted snapshot, re-probe for up to
     # SPARK_GRAFT_BENCH_WAIT_S seconds (default 300; 0 disables) until the
@@ -421,8 +446,19 @@ def main() -> None:
             load_start = [round(x, 2) for x in os.getloadavg()]
         except OSError:
             load_start = []
-        kernel = _kernel_bench()
-        contended_reasons = contention_reasons(load_start, kernel, max_load, min_kernel, max_us_row)
+        # cheap signals first: the all-cores control is itself a
+        # 32-process burst, so probing it every 30 s would keep inflating
+        # the load average this loop is waiting to decay.  Only when the
+        # cheap signals pass does the full bracket (with the control) run.
+        kernel = _kernel_bench(all_cores=False)
+        contended_reasons = contention_reasons(
+            load_start, kernel, max_load, min_kernel, max_us_row, max_us_row_mc
+        )
+        if not contended_reasons:
+            kernel = _kernel_bench()
+            contended_reasons = contention_reasons(
+                load_start, kernel, max_load, min_kernel, max_us_row, max_us_row_mc
+            )
     if contended_reasons:
         msg = "BENCH BOX CONTENDED: " + "; ".join(contended_reasons)
         print(msg, file=sys.stderr)

@@ -7675,69 +7675,67 @@ _PRIORITY_50 = [
     "age_secrets_listing",
     "age_version",
     "age_secret_files",
-    # Round-12 rotation (VERDICT r11 item 2), recomputed from
-    # CORRECTNESS_r01..r11 by the documented greedy (oldest-first fill,
-    # then family gates iterated against the CHOSEN set, evicting the
-    # newest-attested overflow).  Forced slots first: the r11 widening's
-    # first-ever attestation (streaming_backfill_dedup), the six ≤r5
-    # recency veterans, and re-attestation of the two queries whose
-    # implementation changed this round (dedup_fuzzy_names/_d2 moved from
-    # PassJoin banding to the deletion-neighborhood join — the r11 sf10
-    # scale fix).  Then 9 family-gate slots (dq, extension_points,
-    # grouped_map, setops, sinks, sketches, skew, upsert, window_cube —
-    # each the family's oldest-attested member) and 23 of the 31
-    # r6-attested queries, alphabetical.  The 8 evictions are all TPC-H
-    # (tpch_q7/q8/q9/q15/q16/q19/q20/q22, r6): they defer to r13 at 7
-    # rounds stale — the honest steady state, since 41 rotating slots
-    # over 220 non-crypto queries is a ~5.4-round cycle, so "≤5 rounds
-    # stale" relaxes to ≤6 typical / 7 on gate-heavy rounds from here.
+    # Round-13 rotation (VERDICT r12 next-round item 1), computed by
+    # scripts/rotation.py — the documented greedy is now executable code:
+    # oldest-first fill from CORRECTNESS_r01..r12, then family gates
+    # (duckdb_age_spark/families.py) iterated against the CHOSEN set,
+    # evicting the newest-attested non-pinned choice whose own family
+    # keeps another representative.  No forced slots this round (no
+    # widening, no implementation changes at rotation time).  Result, as
+    # the r12 verdict predicted: the 8 deferred r6 TPC-H + 24 of the 31
+    # r7-attested queries fill the plain slots, and 9 family-gate swaps
+    # pin dq, upsert, sinks, setops, window_cube, skew, extension_points,
+    # sketches, grouped_map (each the family's oldest-attested member,
+    # evicting r7-attested queries whose families stay covered:
+    # events_dow_seasonality, events_burstiness, dedup_threshold_sweep,
+    # text_unigram_logprob, text_sentence_stats, text_repetition,
+    # text_boilerplate_screen, stats_price_histogram, stats_gini → r14).
+    # After this round no query is staler than 6 rounds (r7 floor).
     #
-    # never driver-attested (r11 widening):
-    "streaming_backfill_dedup",
-    # last attested r5 (the final recency-debt veterans):
-    "text_tfidf_keywords",
-    "tpch_q17",
-    "tpch_q18",
-    "tpch_q2",
-    "tpch_q21",
-    "tpch_q4",
-    # implementation changed this round (re-attest):
-    "dedup_fuzzy_names",
-    "dedup_fuzzy_names_d2",
+    # last attested r6 (the 8 TPC-H deferred by the r12 rotation):
+    "tpch_q15",
+    "tpch_q16",
+    "tpch_q19",
+    "tpch_q20",
+    "tpch_q22",
+    "tpch_q7",
+    "tpch_q8",
+    "tpch_q9",
+    # last attested r7 (24 of 31, alphabetical):
+    "dedup_containment",
+    "events_decayed_revenue",
+    "events_pareto_share",
+    "events_rolling_1h",
+    "events_stickiness",
+    "events_time_to_convert",
+    "graph_clustering_coeff",
+    "graph_copurchase",
+    "graph_link_prediction",
+    "graph_topk_similar",
+    "multimodal_image_histogram",
+    "multimodal_resize",
+    "multimodal_wav_resample",
+    "pipeline_bpe_pairs",
+    "pipeline_doc_chunking",
+    "pipeline_pack_efficiency",
+    "rollup_anomaly_z",
+    "rollup_autocorr",
+    "rollup_order_concurrency",
+    "sim_range_search",
+    "stats_bootstrap_ci",
+    "stats_corr_exact",
+    "streaming_topk_users",
+    "text_bigram_logprob",
     # family-gate slots (oldest-attested member of each uncovered family):
-    "stats_benford",
-    "udtf_chunks",
+    "sink_encrypted_partitioned",
+    "sketch_kmv_union",
+    "order_gaps",
+    "skew_salted_join",
+    "upsert_merge",
+    "dq_report",
+    "setops_full_outer_reconcile",
+    "udaf_geomean",
     "grouped_map_zscore",
-    "setops_customer_cohorts",
-    "sink_bucketed_join",
-    "sketch_hll_merge",
-    "skew_bloom_prefilter",
-    "upsert_incremental_agg",
-    "window_balance_analytics",
-    # last attested r6 (23 of 31; the 8 TPC-H deferrals listed above):
-    "asof_forward_tolerance",
-    "dedup_ngram_verify",
-    "events_ohlc",
-    "graph_assortativity",
-    "graph_kcore",
-    "graph_label_propagation",
-    "multimodal_audio_stats",
-    "pipeline_dedup_report",
-    "pipeline_weighted_sample",
-    "relational_revenue_share",
-    "relational_transition_matrix",
-    "rollup_grouping_sets",
-    "sim_int8_quantize",
-    "stats_ks_test",
-    "stats_psi_drift",
-    "stats_welch_ttest",
-    "streaming_ohlc",
-    "text_hashing_vec",
-    "text_langid_confusion",
-    "text_quality_screen",
-    "tpch_q10",
-    "tpch_q11",
-    "tpch_q12",
 ]
 
 

@@ -457,7 +457,9 @@ def backfill_dedup_sliced(
     any Spark-writable URI (hdfs://, s3a://, file:///, a bare local path);
     the per-slice "move into the feed dir" is ``FileSystem.rename``, a
     metadata-only op on HDFS-like stores (on S3 a copy — still one op per
-    FILE, never per row).  For state that must exceed heap even per-slice,
+    FILE, never per row).  On success the ``staged``/``feed`` intermediates
+    are deleted (only ``out`` + ``ckpt`` remain); a reused ``work_dir`` —
+    including a failed run's leftovers — is refused up front.  For state that must exceed heap even per-slice,
     combine with :func:`use_rocksdb_state`.  ``shuffle_partitions`` sizes
     state-store parallelism for the drains exactly like
     :func:`run_available_now` (``"auto"`` → ``SPARK_GRAFT_STREAM_PARTITIONS``
@@ -479,13 +481,16 @@ def backfill_dedup_sliced(
     # Refuse a reused work_dir (ADVICE r11): staged/ is overwritten below,
     # but a prior run's out/ and ckpt/ would survive — the new drains would
     # APPEND to the old parquet output and read back both runs' rows.
+    # feed/ is refused too (ADVICE r12): a prior run's renamed slice files
+    # live there, so a caller who deleted only out/ and ckpt/ would replay
+    # the old history into the new output under a fresh checkpoint.
     # Failing beats wiping: out/ may be the caller's only copy.
-    for stale in (out, ckpt):
+    for stale in (out, ckpt, feed):
         if fs.exists(hpath(stale)):
             raise ValueError(
                 f"backfill_dedup_sliced: work_dir already holds {stale!r} from a "
-                "previous run; reusing it would append to the old output. "
-                "Pass a fresh work_dir (or delete out/ and ckpt/ first)."
+                "previous run; reusing it would replay or append the old run. "
+                "Pass a fresh work_dir (or delete the whole work_dir first)."
             )
     fs.mkdirs(hpath(feed))
 
@@ -528,6 +533,18 @@ def backfill_dedup_sliced(
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     if shuffle_partitions is not None:
         spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    # rows_emitted/peak_state_rows are summed from q.recentProgress, whose
+    # retention defaults to 100 batches — a drain splitting into more
+    # micro-batches than that would silently undercount (ADVICE r12).
+    # Raise the retention for the drains (each query reads the conf at
+    # start) and guard the cap loudly after each drain.
+    _PROGRESS_RETENTION = 10_000
+    prev_retention = spark.conf.get(
+        "spark.sql.streaming.numRecentProgressUpdates", "100"
+    )
+    spark.conf.set(
+        "spark.sql.streaming.numRecentProgressUpdates", str(_PROGRESS_RETENTION)
+    )
     try:
         for i, (_val, d) in enumerate(slice_dirs):
             for st in fs.listStatus(hpath(f"{staged}/{d}")):
@@ -551,8 +568,16 @@ def backfill_dedup_sliced(
                 .start()
             )
             q.awaitTermination()
+            progress = q.recentProgress
+            if len(progress) >= _PROGRESS_RETENTION:
+                raise RuntimeError(
+                    f"backfill_dedup_sliced: drain {i} produced "
+                    f">={_PROGRESS_RETENTION} micro-batches, hitting the "
+                    "progress-retention cap — rows_emitted would undercount. "
+                    "Use a larger slice_interval (fewer files per drain)."
+                )
             peak = 0
-            for p in q.recentProgress:
+            for p in progress:
                 for op in p.get("stateOperators") or []:
                     peak = max(peak, int(op.get("numRowsTotal") or 0))
                 observed = (p.get("observedMetrics") or {}).get("backfill_emitted")
@@ -569,6 +594,16 @@ def backfill_dedup_sliced(
     finally:
         if shuffle_partitions is not None:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
+        spark.conf.set(
+            "spark.sql.streaming.numRecentProgressUpdates", prev_retention
+        )
+
+    # A successful run's feed/ and staged/ are pure intermediates (the
+    # output lives in out/); delete them so work_dir does not retain the
+    # whole history a second time (ADVICE r12 — they also made the reuse
+    # guard's old "delete out/ and ckpt/" advice a replay trap).
+    fs.delete(hpath(feed), True)
+    fs.delete(hpath(staged), True)
 
     return {
         "slices": len(slice_dirs),

@@ -131,113 +131,18 @@ def test_priority_50_covers_every_operator_family():
     # Membership is the FULL roster per family (not just the current
     # priority picks) so the first-50 list can rotate between rounds —
     # VERDICT r4 item 1 — while this gate still proves every family keeps
-    # a driver-attested representative.
-    families = {
-        "crypto": ["age_roundtrip", "age_version", "age_error_dispatch"],
-        "dq": ["dq_report", "stats_benford"],
-        "upsert": ["upsert_merge", "upsert_cdc_merge", "upsert_incremental_agg"],
-        "sinks": ["sink_csv_roundtrip", "sink_schema_evolution", "sink_bucketed_join",
-                  "sink_encrypted_partitioned", "sink_json_roundtrip",
-                  "sink_orc_roundtrip", "sink_partitioned_roundtrip",
-                  "sink_encrypted_blobs"],
-        "setops": ["setops_customer_cohorts", "setops_full_outer_reconcile"],
-        "streaming": [
-            "streaming_windowed", "streaming_dedup", "streaming_join",
-            "streaming_distinct_users", "streaming_cms_topusers",
-            "streaming_ohlc", "streaming_topk_users", "streaming_tvd_drift",
-            "streaming_ewma_hourly", "streaming_hll_users",
-            "streaming_backfill_dedup",
-        ],
-        "text": [
-            "text_doc_stats", "text_bm25_topk", "text_tfidf_keywords",
-            "text_pii_scrub", "text_repetition", "text_unigram_logprob",
-            "text_bigram_logprob", "text_quality_screen", "text_hashing_vec",
-            "text_sentence_stats", "text_langid_confusion",
-            "text_readability", "text_boilerplate_screen", "text_source_tv_distance",
-            "text_substring_dedup", "text_zipf_slope", "text_fingerprints",
-            "text_lang_stats", "text_lang_id",
-        ],
-        "pipeline": [
-            "pipeline_sample_split", "pipeline_pack", "pipeline_quality_topk",
-            "pipeline_decontaminate", "pipeline_mixture_sample",
-            "pipeline_vocab_topk", "pipeline_balanced_sample",
-            "pipeline_weighted_sample", "pipeline_dedup_report",
-            "pipeline_pack_efficiency", "pipeline_doc_chunking",
-            "pipeline_kfold_split", "pipeline_bigram_lift",
-            "pipeline_ngram_novelty", "pipeline_importance_weights",
-        ],
-        "dedup": [
-            "dedup_exact", "dedup_minhash_pairs", "dedup_embedding_pairs",
-            "dedup_fuzzy_names_d2", "dedup_keep_canonical", "dedup_clusters",
-            "dedup_ngram_verify", "dedup_containment", "dedup_threshold_sweep",
-            "dedup_span_pairs", "dedup_span_clusters", "dedup_simhash",
-            "dedup_ngram_jaccard",
-        ],
-        "similarity": [
-            "sim_topk_bruteforce", "sim_topk_lsh", "sim_topk_kmeans",
-            "sim_topk_int8", "sim_knn_label_vote", "sim_lsh_recall",
-            "sim_embedding_zscore", "sim_int8_quantize", "sim_range_search",
-            "sim_pq_codebook", "sim_topk_mips", "sim_topk_ivf",
-        ],
-        "grouped_map": ["grouped_map_zscore"],
-        "events": [
-            "events_tumbling", "events_sessions", "events_props",
-            "events_gapfill", "events_session_window", "events_rolling_1h",
-            "events_ohlc", "events_uptime", "events_time_to_convert",
-            "events_stickiness", "events_pareto_share",
-            "events_decayed_revenue", "events_dow_seasonality", "events_burstiness",
-            "events_funnel_conversion", "events_rfm_segments",
-            "events_attribution", "events_cusum_shift", "events_funnel",
-            "events_hourly",
-        ],
-        "window_cube": ["order_gaps", "window_balance_analytics",
-                        "cube_priority_status"],
-        "graph_layout": [
-            "graph_pagerank", "layout_zorder_stats", "graph_bfs_hops",
-            "graph_triangles", "graph_triangles_degree",
-            "graph_weighted_pagerank", "graph_edge_jaccard", "graph_kcore",
-            "graph_label_propagation", "graph_topk_similar",
-            "graph_degree_distribution", "graph_assortativity",
-            "graph_clustering_coeff", "graph_weighted_sssp", "graph_modularity",
-            "graph_link_prediction", "graph_hits", "graph_harmonic_closeness",
-        ],
-        "relational": [
-            "tpch_q1", "tpch_q3", "tpch_q6", "tpch_q13", "tpch_q2",
-            "tpch_q4", "tpch_q9", "tpch_q14", "tpch_q17", "tpch_q18", "tpch_q21",
-            "relational_cohort_retention", "scd2_priority_history",
-            "scd2_asof_lookup", "scd2_apply_changes", "relational_revenue_share",
-            "relational_share_of_parent",
-            "relational_transition_matrix", "relational_markov_steady",
-            "relational_cube_revenue", "relational_pivot_priority",
-            "order_priority", "top_customers", "tpch_q5",
-        ],
-        "skew": ["skew_salted_join", "skew_salted_agg", "skew_bloom_prefilter"],
-        "stats": [
-            "quantiles_exact", "pivot_priority_by_flag",
-            "sketch_approx_distinct", "stats_chi_square", "stats_mad_outliers",
-            "stats_entropy", "stats_linreg", "sketch_approx_percentile",
-            "stats_quantile_binning", "stats_ks_test", "stats_gini",
-            "stats_psi_drift", "stats_welch_ttest",
-            "stats_quantile_interp", "stats_bootstrap_ci", "stats_mann_whitney",
-            "stats_spearman", "stats_grouped_trend", "stats_theil_sen",
-        ],
-        "temporal": [
-            "asof_join", "range_join", "rollup_timebuckets",
-            "rollup_time_weighted_avg", "asof_forward_tolerance",
-            "rollup_order_concurrency", "rollup_autocorr", "rollup_anomaly_z",
-            "rollup_acf_multi_lag",
-        ],
-        "extension_points": ["udaf_geomean", "udtf_chunks"],
-        "multimodal": [
-            "multimodal_features", "multimodal_frames", "multimodal_decode",
-            "multimodal_resize", "multimodal_audio_stats",
-            "multimodal_image_histogram", "multimodal_wav_resample",
-            "multimodal_flip", "multimodal_ahash_pairs", "multimodal_audio_blocks",
-        ],
-        "sketches": [
-            "sketch_hll_distinct", "sketch_kmv_distinct", "sketch_kmv_union",
-            "sketch_hll_merge", "sketch_kmv_intersection",
-        ],
+    # a driver-attested representative.  The roster moved to
+    # duckdb_age_spark/families.py in r13 so scripts/rotation.py (the
+    # per-round recompute) and this gate share one source; the inline
+    # copy below pins the EXPECTED family keys so a silent roster edit
+    # cannot weaken the gate.
+    from duckdb_age_spark.families import FAMILIES as families
+
+    assert set(families) == {
+        "crypto", "dq", "upsert", "sinks", "setops", "streaming", "text",
+        "pipeline", "dedup", "similarity", "grouped_map", "events",
+        "window_cube", "graph_layout", "relational", "skew", "stats",
+        "temporal", "extension_points", "multimodal", "sketches",
     }
     for family, members in families.items():
         assert first50 & set(members), f"family {family} has no query in the first 50"
@@ -294,6 +199,25 @@ def test_bench_contention_reasons():
     # also defaults open for callers that pass only the original four args
     assert bench.contention_reasons([], {}, 2.0, 950, 150) == []
     assert bench.contention_reasons([0.1], healthy, 2.0, 950) == []
+    # THE r13 gate addition (VERDICT r12 item 2): the r12 180.4 s window —
+    # load 0.0, bracket 953, 120 us/row — passed every signal above while
+    # sweeping a uniform +17% median across 182 untouched queries; only
+    # the all-cores control saw it (multicore-only degradation).  A
+    # synthetic bracket of that shape must now be refused on exactly the
+    # all-cores signal, and a healthy all-cores reading must pass.
+    r12_blindspot = {
+        "kernel_encrypt_mb_per_s_per_core": 953.0,
+        "kernel_encrypt_us_per_row": 120.0,
+        "kernel_encrypt_us_per_row_all_cores": 367.0,
+    }
+    assert bench.contention_reasons([0.0, 0.1, 0.2], r12_blindspot, 2.0, 950, 150, 280) == [
+        "start_kernel_us_row_all_cores=367.0>280"
+    ]
+    mc_healthy = dict(healthy, kernel_encrypt_us_per_row_all_cores=224.5)
+    assert bench.contention_reasons([0.1, 0.1, 0.1], mc_healthy, 2.0, 950, 150, 280) == []
+    # a kernel dict WITHOUT the all-cores key (the wait loop's cheap
+    # probe skips the 32-process burst) must not fire the new signal
+    assert bench.contention_reasons([0.1, 0.1, 0.1], healthy, 2.0, 950, 150, 280) == []
 
 
 # --- float-sum determinism guard (VERDICT r6 item 2) --------------------------

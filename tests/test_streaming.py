@@ -861,7 +861,14 @@ def test_backfill_dedup_sliced_sf1_scale(spark, tmp_path):
 def test_backfill_dedup_sliced_refuses_reused_work_dir(spark, tmp_path):
     """A work_dir from a completed run keeps its out/ and ckpt/; a second
     run would APPEND its drains to the old parquet output and read back
-    both runs' rows (ADVICE r11).  The helper must refuse up front."""
+    both runs' rows (ADVICE r11).  The helper must refuse up front.
+    ADVICE r12 extension: a leftover feed/ alone must ALSO refuse — under
+    the old 'delete out/ and ckpt/' advice a rerun re-processed the prior
+    run's renamed slice files under a fresh checkpoint and silently
+    appended stale rows — and a successful run must delete its feed/ and
+    staged/ intermediates (out/ + ckpt/ are all that remain)."""
+    import os as _os
+
     from duckdb_age_spark.streaming import backfill_dedup_sliced
 
     ev = spark.createDataFrame(
@@ -871,8 +878,17 @@ def test_backfill_dedup_sliced_refuses_reused_work_dir(spark, tmp_path):
     wd = str(tmp_path / "wd")
     first = backfill_dedup_sliced(ev, wd)
     assert first["rows_emitted"] == 1
+    # intermediates cleaned on success; the real artifacts remain
+    assert sorted(_os.listdir(wd)) == ["ckpt", "out"]
     with pytest.raises(ValueError, match="previous run"):
         backfill_dedup_sliced(ev, wd)
+    # an interrupted run's feed/ alone (caller followed the old advice and
+    # deleted out/ + ckpt/) is still a replay trap — refuse it too
+    wd2 = tmp_path / "wd2"
+    (wd2 / "feed").mkdir(parents=True)
+    (wd2 / "feed" / "slice000000_part-0.parquet").write_bytes(b"stale")
+    with pytest.raises(ValueError, match="feed"):
+        backfill_dedup_sliced(ev, str(wd2))
 
 
 def test_backfill_dedup_sliced_rejects_null_ts(spark, tmp_path):
