@@ -7680,18 +7680,25 @@ _PRIORITY_50 = [
     # oldest-first fill from CORRECTNESS_r01..r12, then family gates
     # (duckdb_age_spark/families.py) iterated against the CHOSEN set,
     # evicting the newest-attested non-pinned choice whose own family
-    # keeps another representative.  No forced slots this round (no
-    # widening, no implementation changes at rotation time).  Result, as
-    # the r12 verdict predicted: the 8 deferred r6 TPC-H + 24 of the 31
-    # r7-attested queries fill the plain slots, and 9 family-gate swaps
-    # pin dq, upsert, sinks, setops, window_cube, skew, extension_points,
-    # sketches, grouped_map (each the family's oldest-attested member,
-    # evicting r7-attested queries whose families stay covered:
-    # events_dow_seasonality, events_burstiness, dedup_threshold_sweep,
-    # text_unigram_logprob, text_sentence_stats, text_repetition,
-    # text_boilerplate_screen, stats_price_histogram, stats_gini → r14).
-    # After this round no query is staler than 6 rounds (r7 floor).
+    # keeps another representative.  Two forced slots: the fuzzy pair
+    # re-attests because fuzzy_name_pairs changed this round (probe-side
+    # regime auto-fallback, VERDICT r12 item 4 — plan-identical for the
+    # tiny contract probes, but changed code re-attests by policy).
+    # Result otherwise as the r12 verdict predicted: the 8 deferred r6
+    # TPC-H + 22 of the 31 r7-attested queries fill the plain slots, and
+    # 9 family-gate swaps pin dq, upsert, sinks, setops, window_cube,
+    # skew, extension_points, sketches, grouped_map (each the family's
+    # oldest-attested member, evicting r7-attested queries whose
+    # families stay covered: dedup_threshold_sweep, text_unigram_logprob,
+    # text_sentence_stats, text_repetition, text_boilerplate_screen,
+    # stats_price_histogram, stats_gini, stats_corr_exact,
+    # rollup_order_concurrency → r14, joining events_dow_seasonality and
+    # events_burstiness displaced by the forced fuzzy slots).  After
+    # this round no query is staler than 6 rounds (r7 floor).
     #
+    # forced re-attestation (implementation changed this round):
+    "dedup_fuzzy_names",
+    "dedup_fuzzy_names_d2",
     # last attested r6 (the 8 TPC-H deferred by the r12 rotation):
     "tpch_q15",
     "tpch_q16",
@@ -7720,10 +7727,8 @@ _PRIORITY_50 = [
     "pipeline_pack_efficiency",
     "rollup_anomaly_z",
     "rollup_autocorr",
-    "rollup_order_concurrency",
     "sim_range_search",
     "stats_bootstrap_ci",
-    "stats_corr_exact",
     "streaming_topk_users",
     "text_bigram_logprob",
     # family-gate slots (oldest-attested member of each uncovered family):

@@ -513,7 +513,13 @@ def _deletion_variants(name, d: int):
     return F.array_distinct(acc)
 
 
-def fuzzy_name_pairs(records: DataFrame, probes: DataFrame, max_dist: int = 1) -> DataFrame:
+def fuzzy_name_pairs(
+    records: DataFrame,
+    probes: DataFrame,
+    max_dist: int = 1,
+    probe_regime: str = "auto",
+    broadcast_cap_bytes: int = 128 << 20,
+) -> DataFrame:
     """Edit-distance record linkage: for every probe, find records whose
     ``name`` is within levenshtein ``max_dist`` (default 1), excluding self.
 
@@ -567,9 +573,43 @@ def fuzzy_name_pairs(records: DataFrame, probes: DataFrame, max_dist: int = 1) -
     Intended regime is name-like keys (len <~ 64, d <= 2: <= ~2k
     variants/row); C(len,d) makes long-document use the wrong tool — use
     dedup_ngram_pairs there.
+
+    Probe-side regime (VERDICT r12 item 4): the probes x variants side is
+    broadcast when small (the linkage-probe use case — corpus never
+    shuffles), but a LARGE probe set's variant fan-out (172x at d=2) can
+    exceed what a driver/executor can hold.  ``probe_regime``:
+
+    - ``"auto"`` (default): one count+max(length) aggregate over the
+      UNEXPLODED probe side (cheap by regime definition — probes are the
+      small side; pass an explicit regime to skip even that) estimates the
+      serialized variant bytes as n_probes x Sigma_{k<=d} C(maxlen,k) x
+      (2*maxlen + 48); above ``broadcast_cap_bytes`` (default 128 MiB) it
+      falls back to ``"shuffle"``.
+    - ``"broadcast"``: force the original plan (corpus never shuffles).
+    - ``"shuffle"``: a shuffle-hash join on ``vk`` with the probe side as
+      build — BOTH sides shuffle on the variant key (the price of a big
+      probe set), but no single node ever holds the full probe fan-out;
+      variant keys are full strings, so the vk shuffle cannot hot-bucket
+      on corpus-constant regions (same argument as candidate generation).
+
     Returns (probe_key, match_key, dist) with dist <= max_dist.
     """
+    import math
+
+    if probe_regime not in ("auto", "broadcast", "shuffle"):
+        raise ValueError(
+            f"fuzzy_name_pairs: unknown probe_regime {probe_regime!r} "
+            "(expected 'auto', 'broadcast', or 'shuffle')"
+        )
     d = max_dist
+    if probe_regime == "auto":
+        stats = probes.agg(
+            F.count(F.lit(1)).alias("n"), F.max(F.length("name")).alias("maxlen")
+        ).first()
+        n_probes, maxlen = stats["n"], stats["maxlen"] or 0
+        n_variants = n_probes * sum(math.comb(maxlen, k) for k in range(d + 1))
+        est_bytes = n_variants * (2 * maxlen + 48)
+        probe_regime = "broadcast" if est_bytes <= broadcast_cap_bytes else "shuffle"
     nparts = records.sparkSession.sparkContext.defaultParallelism
     b = (
         records.select("name")
@@ -585,8 +625,14 @@ def fuzzy_name_pairs(records: DataFrame, probes: DataFrame, max_dist: int = 1) -
         F.col("name").alias("probe_name"),
         F.explode(_deletion_variants(F.col("name"), d)).alias("vk"),
     )
-    cand = (
+    joined = (
         b.join(F.broadcast(a), "vk")
+        if probe_regime == "broadcast"
+        # build side = probes (hinted); both sides shuffle on vk
+        else b.join(a.hint("shuffle_hash"), "vk")
+    )
+    cand = (
+        joined
         # a (probe, name) pair is reached through every variant the two
         # sides share (a dist-0 pair shares ALL of them) — collapse before
         # the verify, keyed on the name, not any record identity

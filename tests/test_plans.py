@@ -980,3 +980,34 @@ def test_fuzzy_deletion_join_broadcasts_probes_no_corpus_shuffle(t):
         # pre-explode repartition + post-join dedupe (+ the broadcast
         # exchange); anything more means the corpus variants are shuffling
         assert count_exchanges(df) <= 3, plan[:2000]
+
+
+def test_fuzzy_large_probe_regime_shuffles_instead_of_broadcasting(t):
+    """VERDICT r12 item 4: above the broadcast cap the probe x variants
+    side must NOT be broadcast — auto falls back to a shuffle-hash join on
+    vk (both sides exchange on the full-string variant key; no node holds
+    the whole probe fan-out).  A 1-byte cap forces the large-probe path on
+    the test fixture; the variant join must show as ShuffledHashJoin with
+    no broadcast of the probe side, and an explicit bogus regime raises."""
+    import pytest as _pytest
+
+    from duckdb_age_spark.operators.dedup import fuzzy_name_pairs
+
+    cust = t["customer"]
+    probes = cust.where(F.col("c_custkey") % 500 == 0).select(
+        F.col("c_custkey").alias("probe_key"), F.col("c_name").alias("name")
+    )
+    records = cust.select(
+        F.col("c_custkey").alias("match_key"), F.col("c_name").alias("name")
+    )
+    df = fuzzy_name_pairs(records, probes, max_dist=1, broadcast_cap_bytes=1)
+    plan = formatted_plan(df)
+    assert "ShuffledHashJoin" in plan, plan[:2000]
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    # same answer on both regimes (the fallback is a plan change only)
+    bc = fuzzy_name_pairs(records, probes, max_dist=1, probe_regime="broadcast")
+    sh_rows = {tuple(r) for r in df.collect()}
+    bc_rows = {tuple(r) for r in bc.collect()}
+    assert sh_rows == bc_rows and sh_rows
+    with _pytest.raises(ValueError, match="probe_regime"):
+        fuzzy_name_pairs(records, probes, probe_regime="bogus")
