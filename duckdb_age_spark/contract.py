@@ -7680,25 +7680,30 @@ _PRIORITY_50 = [
     # oldest-first fill from CORRECTNESS_r01..r12, then family gates
     # (duckdb_age_spark/families.py) iterated against the CHOSEN set,
     # evicting the newest-attested non-pinned choice whose own family
-    # keeps another representative.  Two forced slots: the fuzzy pair
-    # re-attests because fuzzy_name_pairs changed this round (probe-side
-    # regime auto-fallback, VERDICT r12 item 4 — plan-identical for the
-    # tiny contract probes, but changed code re-attests by policy).
-    # Result otherwise as the r12 verdict predicted: the 8 deferred r6
-    # TPC-H + 22 of the 31 r7-attested queries fill the plain slots, and
-    # 9 family-gate swaps pin dq, upsert, sinks, setops, window_cube,
-    # skew, extension_points, sketches, grouped_map (each the family's
-    # oldest-attested member, evicting r7-attested queries whose
-    # families stay covered: dedup_threshold_sweep, text_unigram_logprob,
-    # text_sentence_stats, text_repetition, text_boilerplate_screen,
-    # stats_price_histogram, stats_gini, stats_corr_exact,
-    # rollup_order_concurrency → r14, joining events_dow_seasonality and
-    # events_burstiness displaced by the forced fuzzy slots).  After
-    # this round no query is staler than 6 rounds (r7 floor).
+    # keeps another representative.  Four forced slots re-attest the
+    # queries whose implementation changed this round: the fuzzy pair
+    # (probe-side regime auto-fallback, VERDICT r12 item 4 —
+    # plan-identical for the tiny contract probes, but changed code
+    # re-attests by policy) and the embedding pair (explicit bucket
+    # repartition so AQE cannot coalesce the candidate join — the sf10
+    # 174 s → 24 s fix).  Result otherwise as the r12 verdict predicted:
+    # the 8 deferred r6 TPC-H + 20 of the 31 r7-attested queries fill
+    # the plain slots, and 9 family-gate swaps pin dq, upsert, sinks,
+    # setops, window_cube, skew, extension_points, sketches, grouped_map
+    # (each the family's oldest-attested member).  Displaced to r14 at 7
+    # rounds stale: text_unigram_logprob, text_sentence_stats,
+    # text_repetition, text_boilerplate_screen, stats_price_histogram,
+    # stats_gini, stats_corr_exact, rollup_order_concurrency,
+    # rollup_autocorr, pipeline_pack_efficiency, events_dow_seasonality,
+    # events_burstiness, dedup_threshold_sweep's r7 slot (it re-enters
+    # forced).  After this round no rotating query is staler than 7
+    # rounds, and the r14 oldest-first fill starts at those r7 evictees.
     #
     # forced re-attestation (implementation changed this round):
     "dedup_fuzzy_names",
     "dedup_fuzzy_names_d2",
+    "dedup_embedding_pairs",
+    "dedup_threshold_sweep",
     # last attested r6 (the 8 TPC-H deferred by the r12 rotation):
     "tpch_q15",
     "tpch_q16",
@@ -7724,9 +7729,7 @@ _PRIORITY_50 = [
     "multimodal_wav_resample",
     "pipeline_bpe_pairs",
     "pipeline_doc_chunking",
-    "pipeline_pack_efficiency",
     "rollup_anomaly_z",
-    "rollup_autocorr",
     "sim_range_search",
     "stats_bootstrap_ci",
     "streaming_topk_users",

@@ -340,8 +340,21 @@ def embedding_near_dup_pairs(
     corpora; the planted 1.25×-dim-1 variant exactly) still collide.  The
     oracle replays the identical 16-dim key (contract._EMB_BUCKET_SQL), so
     candidate semantics stay pinned.
+
+    The explicit hash repartition on the bucket key (round 13) exists for
+    AQE, not correctness: the bucket shuffle is byte-light (ids + key) but
+    the join's OUTPUT work — a 64-dim interpreted-HOF dot product per
+    candidate pair — is what needs the cores, and AQE's size heuristic
+    coalesced the 12.9 M-pair sf10 join onto 2 tasks (174 s; the same
+    byte-light/compute-heavy trap as the r8 text explodes).  A
+    user-specified repartition with an explicit partition count is exempt
+    from AQE coalescing, and both self-join sides inherit it, so the join
+    runs at defaultParallelism with no extra exchange.  Per-partition
+    values are untouched (the dot product is row-local), so oracle hashes
+    are placement-independent.
     """
     dims = 16
+    nparts = embeddings.sparkSession.sparkContext.defaultParallelism
     sign_key = sum(
         (
             F.when(F.element_at("embedding", i + 1) >= 0, F.lit(1 << i)).otherwise(0)
@@ -355,6 +368,9 @@ def embedding_near_dup_pairs(
         sign_key.alias("bucket"),
     )
     e = _drop_hot_buckets(e, "bucket", max_bucket)
+    # explicit count ⇒ AQE-coalesce-exempt (see docstring); both join
+    # sides inherit the bucket partitioning, so no extra exchange
+    e = e.repartition(nparts, "bucket")
     e = e.persist()  # self-join below (see minhash_lsh_pairs)
     a = e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), "bucket")
     b = e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), "bucket")

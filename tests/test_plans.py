@@ -482,6 +482,27 @@ def test_hot_bucket_cap_broadcasts_hot_keys(t):
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
 
 
+def test_embedding_near_dup_join_parallelism_is_aqe_exempt(spark, sf_dir):
+    """r13: the sign-bucket self-join's shuffle is byte-light but its
+    output work (a 64-dim interpreted-HOF dot per candidate pair) is the
+    cost — AQE's size heuristic coalesced the sf10 join to 2 tasks
+    (174 s; 24 s after the fix).  The operator now repartitions on the
+    bucket key with an EXPLICIT count, which AQE may not coalesce — pin
+    that the REPARTITION_BY_NUM marker survives into the optimized plan
+    (join TYPE is scale-dependent: AQE broadcasts the tiny side at test
+    scale, shuffle-joins at sf10 — both fine; what must not regress is
+    the explicit partitioning of the cached bucket table feeding it)."""
+    from duckdb_age_spark.operators.dedup import (
+        embedding_near_dup_pairs,
+        planted_near_dup_embeddings,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    df = embedding_near_dup_pairs(planted_near_dup_embeddings(emb), threshold=0.9)
+    plan = formatted_plan(df)
+    assert "REPARTITION_BY_NUM" in plan, plan[:2000]
+
+
 def test_embedding_zscore_broadcasts_dim_stats(t, spark, sf_dir):
     from duckdb_age_spark.operators.similarity import embedding_zscore_digest
 
