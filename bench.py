@@ -414,11 +414,13 @@ def main() -> None:
     max_load = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_LOAD", "2.0"))
     min_kernel = float(os.environ.get("SPARK_GRAFT_BENCH_MIN_KERNEL", "950"))
     max_us_row = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_US_ROW", "150"))
-    # All-cores floor (r13, VERDICT r12 item 2): calibrated from 12
-    # clean-window samples of the max-of-workers measurement (see ROADMAP
-    # r13) — healthy reads ~2x the single-core us/row on this SMT box
-    # (32 threads / 16 physical cores); the r12 degraded windows read
-    # 330-445 on the old noisier wall-clock metric.
+    # All-cores floor (r13, VERDICT r12 item 2): calibrated from repeated
+    # clean-window samples of the max-of-workers measurement (ROADMAP r13
+    # records the runs) — healthy reads ~2x the single-core us/row on
+    # this SMT box (32 threads / 16 physical cores; observed 213-229),
+    # while the r12 degraded windows read 330-445 on the old noisier
+    # wall-clock metric.  280 = healthy envelope + ~25%, refusing every
+    # observed degraded window while clearing every observed clean one.
     max_us_row_mc = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_US_ROW_MC", "280"))
     contended_reasons = contention_reasons(
         load_start, kernel, max_load, min_kernel, max_us_row, max_us_row_mc
