@@ -7686,7 +7686,13 @@ _PRIORITY_50 = [
     # plan-identical for the tiny contract probes, but changed code
     # re-attests by policy) and the embedding pair (explicit bucket
     # repartition so AQE cannot coalesce the candidate join — the sf10
-    # 174 s → 24 s fix).  Result otherwise as the r12 verdict predicted:
+    # 174 s → 24 s fix); a fifth forced slot re-attests
+    # pipeline_dedup_report (census fusion closing VERDICT r12 item 3:
+    # one digest pass carries n_docs, one cluster-size aggregate carries
+    # n_multi_clusters + n_kept — 29 → 23 Spark jobs, one fewer corpus
+    # pass; evicts pipeline_doc_chunking to r14, its family still gated
+    # by pipeline_bpe_pairs + the report).
+    # Result otherwise as the r12 verdict predicted:
     # the 8 deferred r6 TPC-H + 20 of the 31 r7-attested queries fill
     # the plain slots, and 9 family-gate swaps pin dq, upsert, sinks,
     # setops, window_cube, skew, extension_points, sketches, grouped_map
@@ -7704,6 +7710,7 @@ _PRIORITY_50 = [
     "dedup_fuzzy_names_d2",
     "dedup_embedding_pairs",
     "dedup_threshold_sweep",
+    "pipeline_dedup_report",
     # last attested r6 (the 8 TPC-H deferred by the r12 rotation):
     "tpch_q15",
     "tpch_q16",
@@ -7728,7 +7735,6 @@ _PRIORITY_50 = [
     "multimodal_resize",
     "multimodal_wav_resample",
     "pipeline_bpe_pairs",
-    "pipeline_doc_chunking",
     "rollup_anomaly_z",
     "sim_range_search",
     "stats_bootstrap_ci",
