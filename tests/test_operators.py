@@ -3489,3 +3489,39 @@ def test_ahash_hot_band_cap_drops_degenerate_bucket(spark):
     )
     pairs = {(r.a, r.b) for r in ahash_dup_pairs(media, max_hamming=4, band_cap=5).collect()}
     assert pairs == {(100, 101)}   # the 10-image flood paired nothing
+
+
+def test_word_ngrams_zip_formulation_matches_slice_join(spark):
+    """The r13 zip_with shingling rewrite (5.6x faster at sf10) must emit
+    byte-identical n-gram strings to the original transform+slice+array_join
+    formulation — the oracle SQL still constructs shingles the literal way,
+    so any divergence here becomes a hash mismatch in six dedup oracles.
+    Pins the short-row edge cases: < n words yields ONE truncated shingle
+    (zip_with null-pads, concat_ws skips nulls)."""
+    from pyspark.sql import functions as F
+
+    from duckdb_age_spark.operators.dedup import _word_ngrams
+
+    def slice_join(col, n):
+        words = F.split(F.trim(col), r"\s+")
+        return F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
+            lambda i: F.array_join(F.slice(words, i + 1, n), " "),
+        )
+
+    cases = [
+        "", "a", "a b", "a b c", "a b c d",
+        "  padded   spaces  x ", "one two three four five six",
+        "tab\tand\nnewline mix", "x " * 200,
+    ]
+    df = spark.createDataFrame([(c,) for c in cases], ["text"])
+    for n in (2, 3, 5):
+        bad = (
+            df.select(
+                _word_ngrams(F.col("text"), n).alias("new"),
+                slice_join(F.col("text"), n).alias("old"),
+            )
+            .where(F.col("new") != F.col("old"))
+            .count()
+        )
+        assert bad == 0, f"n={n}: zip formulation diverges from slice+join"
