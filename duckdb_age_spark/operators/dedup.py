@@ -26,7 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from .iterate import truncate_lineage
+from .iterate import loop_join_cache, truncate_lineage
 
 # Per-bucket membership bound for the three LSH self-joins below.  A
 # degenerate band key (thousands of near-identical short/empty docs landing
@@ -463,7 +463,16 @@ def connected_components(
     sym = edges.select(F.col("src").alias("node"), F.col("dst").alias("neigh")).unionAll(
         edges.select(F.col("dst").alias("node"), F.col("src").alias("neigh"))
     )
-    sym = sym.persist()
+    # Co-partition + pre-sort the edge table ON THE JOIN KEY before caching
+    # (iterate.loop_join_cache).  Each round is its own ACTION (the
+    # convergence check), so cross-round exchange reuse never applies: a
+    # plain persist() left every round's sort-merge join re-shuffling AND
+    # re-sorting the full symmetric edge list (measured at sf10: 66.3M rows
+    # / 526 MB shuffle-written per round, six rounds — the dominant repeated
+    # cost in the report's stage profile; 5.1 MB/round after).  Per-round
+    # shuffle is now O(|labels|) + the aggregate exchange — at
+    # 1000-executor scale the edge list is paid for ONCE, not per round.
+    sym = loop_join_cache(sym, "neigh")
     # Iterate ONLY over nodes that appear in an edge: in a dedup corpus the
     # overwhelming majority of docs are singletons, and carrying them through
     # every round's join+shuffle would dominate the cost at scale.  They are

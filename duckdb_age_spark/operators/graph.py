@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from .iterate import truncate_lineage
+from .iterate import loop_join_cache, truncate_lineage
 
 SCALE = 10**12
 
@@ -154,8 +154,12 @@ def bfs_hops(
     # self-join — measured 3× redundant work at max_hops=3); checkpointing
     # edges first also keeps the union's two branches from deriving it twice
     edges = truncate_lineage(edges.select("src", "dst"), checkpoint_dir)
-    adj = truncate_lineage(
+    # cached co-partitioned+sorted on src (the per-hop join key): each hop
+    # materializes its frontier checkpoint, so without this the adjacency
+    # re-shuffles every hop — see iterate.loop_join_cache (r13).
+    adj = loop_join_cache(
         edges.unionAll(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))),
+        "src",
         checkpoint_dir,
     )
     if source is None:
@@ -459,9 +463,14 @@ def label_propagation(edges: DataFrame, rounds: int = 3) -> DataFrame:
     from pyspark.sql import Window
 
     e = edges.select("src", "dst").localCheckpoint(eager=False)
-    sym = e.unionAll(
-        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint()
+    # cached co-partitioned+sorted on dst (the per-round join key): every
+    # round is its own action (the eager per-round checkpoint), so without
+    # this the full symmetric edge list re-shuffles every round — see
+    # iterate.loop_join_cache (the CC-loop fix, r13).
+    sym = loop_join_cache(
+        e.unionAll(e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))),
+        "dst",
+    )
     labels = sym.select(F.col("src").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
     )
@@ -661,8 +670,13 @@ def weighted_sssp(
     from .iterate import truncate_lineage
 
     e = edges.select("src", "dst", F.col(weight_col).cast("long").alias("w"))
-    und = e.unionAll(
-        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+    # cached co-partitioned+sorted on src (the per-round relaxation key):
+    # the per-round lazy checkpoints materialize as separate jobs, so
+    # without this the weighted edge list re-shuffles every round — see
+    # iterate.loop_join_cache (r13).
+    und = loop_join_cache(
+        e.unionAll(e.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")),
+        "src",
     )
     dist = (
         e.agg(F.min("src").alias("node"))
@@ -899,8 +913,10 @@ def harmonic_closeness(
     from .iterate import truncate_lineage
 
     edges = truncate_lineage(edges.select("src", "dst"), checkpoint_dir)
-    adj = truncate_lineage(
+    # same per-hop adjacency cache as bfs_hops (iterate.loop_join_cache, r13)
+    adj = loop_join_cache(
         edges.unionAll(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))),
+        "src",
         checkpoint_dir,
     )
     nodes = adj.select(F.col("src").alias("node")).distinct()

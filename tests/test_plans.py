@@ -1032,3 +1032,55 @@ def test_fuzzy_large_probe_regime_shuffles_instead_of_broadcasting(t):
     assert sh_rows == bc_rows and sh_rows
     with _pytest.raises(ValueError, match="probe_regime"):
         fuzzy_name_pairs(records, probes, probe_regime="bogus")
+
+
+def test_cc_round_join_reuses_cached_edge_partitioning(spark):
+    """r13 sf10 profile finding: every connected-components round is its own
+    ACTION (the convergence check), so cross-round exchange reuse never
+    applies and a plain persist() of the symmetric edge table re-shuffled
+    AND re-sorted all 66M rows each round (526 MB shuffle-write x 6 rounds
+    at sf10 - the dominant repeated cost in the report's stage profile).
+    The operator now caches repartition(N, neigh) + sortWithinPartitions,
+    so a round's sort-merge join must consume the cache DIRECTLY: no
+    Exchange and no Sort between the join and the InMemoryTableScan on the
+    edge side (the labels side still exchanges - it is the small, shrinking
+    table, O(|labels|) per round instead of O(|edges|)).
+
+    Mirrors the loop body of operators/dedup.py::connected_components;
+    broadcast is disabled to pin the large-labels (sort-merge) regime that
+    sf10 actually runs - with small labels AQE broadcasts and the edge
+    cache needs no partitioning at all, which is fine but not the regime
+    under test."""
+    import re
+
+    from duckdb_age_spark.operators.iterate import truncate_lineage
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    sym = None
+    try:
+        edges = spark.range(0, 50_000).select(
+            F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+        )
+        sym = edges.select(
+            F.col("src").alias("node"), F.col("dst").alias("neigh")
+        ).unionAll(edges.select(F.col("dst").alias("node"), F.col("src").alias("neigh")))
+        n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        sym = sym.repartition(n_part, "neigh").sortWithinPartitions("neigh").persist()
+        labels = (
+            sym.groupBy("node")
+            .agg(F.min("neigh").alias("mn"))
+            .select(
+                F.col("node").alias("id"),
+                F.least(F.col("node"), F.col("mn")).alias("label"),
+            )
+        )
+        labels = truncate_lineage(labels)
+        labels.agg(F.sum(F.col("label").cast("decimal(38,0)"))).first()
+        prop = sym.join(labels, sym.neigh == labels.id).select("node", "label")
+        plan = prop._jdf.queryExecution().executedPlan().toString()
+        assert re.search(r"SortMergeJoin[^\n]*\n\s*:- InMemoryTableScan", plan), plan[:1500]
+    finally:
+        if sym is not None:
+            sym.unpersist()
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
