@@ -7681,44 +7681,22 @@ _PRIORITY_50 = [
     "age_version",
     "age_secret_files",
     # Round-13 rotation (VERDICT r12 next-round item 1), computed by
-    # scripts/rotation.py — the documented greedy is now executable code:
-    # oldest-first fill from CORRECTNESS_r01..r12, then family gates
-    # (duckdb_age_spark/families.py) iterated against the CHOSEN set,
-    # evicting the newest-attested non-pinned choice whose own family
-    # keeps another representative.  Four forced slots re-attest the
-    # queries whose implementation changed this round: the fuzzy pair
-    # (probe-side regime auto-fallback, VERDICT r12 item 4 —
-    # plan-identical for the tiny contract probes, but changed code
-    # re-attests by policy) and the embedding pair (explicit bucket
-    # repartition so AQE cannot coalesce the candidate join — the sf10
-    # 174 s → 24 s fix); pipeline_dedup_report re-attests for the census
-    # fusion closing VERDICT r12 item 3 (one digest pass carries n_docs,
-    # one cluster-size aggregate carries n_multi_clusters + n_kept —
-    # 29 → 23 Spark jobs, one fewer corpus pass), and the five other
-    # minhash-family queries re-attest for the md5-slicing hash family +
-    # zip_with shingling + ids-only candidate join (sf10: report
-    # 488 → 251 s, clusters 302 → 189 s, shuffle bytes 3-4× down).
-    # Result otherwise as the r12 verdict predicted:
-    # the 8 deferred r6 TPC-H + 15 of the 31 r7-attested queries fill
-    # the plain slots, and 9 family-gate swaps pin dq, upsert, sinks,
-    # setops, window_cube, skew, extension_points, sketches, grouped_map
-    # (each the family's oldest-attested member).  Displaced to r14 at 7
-    # rounds stale: text_unigram_logprob, text_sentence_stats,
-    # text_repetition, text_boilerplate_screen, stats_price_histogram,
-    # stats_gini, stats_corr_exact, rollup_order_concurrency,
-    # rollup_autocorr, pipeline_pack_efficiency, events_dow_seasonality,
-    # events_burstiness, pipeline_doc_chunking, pipeline_bpe_pairs,
-    # graph_topk_similar, multimodal_resize, multimodal_wav_resample,
-    # dedup_threshold_sweep's r7 slot (it re-enters forced).  After this
-    # round no rotating query is staler than 7 rounds, and the r14
-    # oldest-first fill starts at those r7 evictees.
+    # scripts/rotation.py (oldest-first fill from CORRECTNESS_r01..r12 +
+    # iterated family gates; --force pins re-attestation slots).  This
+    # round's exact invocation is recorded in ROADMAP.md.
     #
-    # forced re-attestation (implementation changed this round) — the
-    # fuzzy/embedding four, plus the six minhash-family queries whose
-    # results changed with the r13 hash-family slicing (two md5 calls per
-    # shingle sliced into eight 32-bit minwise values) and whose plans
-    # changed with the ids-only candidate join + zip_with shingling
-    # (dedup_containment already held an oldest-first slot below):
+    # FORCED re-attestation — implementation changed this round, in three
+    # groups: (1) the fuzzy pair (probe-side regime auto-fallback, VERDICT
+    # r12 item 4) and the embedding pair (explicit bucket repartition so
+    # AQE cannot coalesce the candidate join — the sf10 174 s → 24 s fix);
+    # (2) the six minhash-family queries whose RESULTS changed with the
+    # md5-sliced hash family and whose plans changed with zip_with
+    # shingling + the ids-only candidate join (sf10: report 488 → 251 s,
+    # clusters 302 → 189 s; dedup_containment holds an oldest-first slot
+    # below); (3) the five CC/frontier-loop queries whose plans changed
+    # with iterate.loop_join_cache (the co-partitioned loop cache — the
+    # per-round O(|edges|) re-shuffle fix; outputs unchanged, oracle-green
+    # at sf0.01 and sf1, but changed code re-attests by policy):
     "dedup_fuzzy_names",
     "dedup_fuzzy_names_d2",
     "dedup_embedding_pairs",
@@ -7728,7 +7706,11 @@ _PRIORITY_50 = [
     "dedup_clusters",
     "dedup_keep_canonical",
     "dedup_ngram_verify",
-    "dedup_containment",
+    "dedup_span_clusters",
+    "graph_label_propagation",
+    "graph_bfs_hops",
+    "graph_weighted_sssp",
+    "graph_harmonic_closeness",
     # last attested r6 (the 8 TPC-H deferred by the r12 rotation):
     "tpch_q15",
     "tpch_q16",
@@ -7738,15 +7720,16 @@ _PRIORITY_50 = [
     "tpch_q7",
     "tpch_q8",
     "tpch_q9",
-    # last attested r7 (24 of 31, alphabetical):
+    # last attested r7 (oldest-first, alphabetical; the loop-cache forcing
+    # displaced events_stickiness, events_time_to_convert,
+    # graph_clustering_coeff, graph_copurchase, graph_link_prediction to
+    # r14 at 7 rounds stale — the documented trade for re-attesting every
+    # plan the loop-cache change touched; the r14 oldest-first fill starts
+    # at those evictees plus the r13 minhash-trade five):
+    "dedup_containment",
     "events_decayed_revenue",
     "events_pareto_share",
     "events_rolling_1h",
-    "events_stickiness",
-    "events_time_to_convert",
-    "graph_clustering_coeff",
-    "graph_copurchase",
-    "graph_link_prediction",
     "multimodal_image_histogram",
     "rollup_anomaly_z",
     "sim_range_search",
