@@ -297,6 +297,42 @@ def _kernel_bench(all_cores: bool = True) -> dict[str, float]:
     return out
 
 
+def _membw_probe() -> float:
+    """Single-threaded large-array triad bandwidth in GB/s — REPORT-ONLY.
+
+    r13 finding (the gate arms race, next blind spot): a run can pass
+    EVERY CPU-bound control — load 0.03, single-core bracket 960→1084,
+    all-cores 194-212 µs/row (best calibration values ever recorded) —
+    and still sweep a uniform +16-19% slow across 193 queries vs both the
+    r12 clean run and a same-code run hours earlier.  The crypto kernel is
+    compute-bound and cache-resident, so co-tenant MEMORY-BANDWIDTH / LLC
+    pressure is invisible to every existing control, while the Spark sweep
+    (scan/shuffle/hash heavy) pays full price.  This probe moves 3×256 MB
+    per rep through a numpy triad (read a, write b, read b — LLC-busting
+    working set), i.e. exactly the resource the crypto controls never
+    touch.  Min-of-reps like the brackets (contention only inflates).
+    Report-only in BENCH_extra (membw_gb_per_s_start/_end) until enough
+    clean/degraded windows calibrate a floor — the same introduce-then-
+    gate playbook as the r12→r13 all-cores control.  NOT in the headline:
+    that line sits at its 1800-byte driver-capture cap.
+    """
+    try:
+        import numpy as np
+    except Exception:
+        return -1.0
+    n = 32 * 1024 * 1024  # 256 MB of float64
+    a = np.ones(n)
+    b = np.empty_like(a)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        np.multiply(a, 1.0000001, out=b)
+        _ = b.sum()
+        best = min(best, time.perf_counter() - t0)
+    del a, b
+    return round(3 * n * 8 / best / 1e9, 2)
+
+
 def _mc_worker(n_rows: int) -> float:
     """Encrypt ``n_rows`` 2 KiB payloads; return elapsed seconds.  Module
     scope so multiprocessing can pickle it (spawn-safe)."""
@@ -469,6 +505,9 @@ def main() -> None:
                               "value": -1, "unit": "sec",
                               "contended": contended_reasons}))
             sys.exit(3)
+
+    membw_start = _membw_probe()
+    print(f"bench: membw_gb_per_s_start={membw_start}", file=sys.stderr)
 
     from pyspark.sql import SparkSession, functions as F
 
@@ -681,6 +720,10 @@ def main() -> None:
         # end load includes our own just-stopped executor threads; only a
         # figure far above what this process accounts for flags external load
         contended_reasons.append(f"load_avg_1m_end={load_end[0]}")
+    membw_end = _membw_probe()
+    print(f"bench: membw_gb_per_s_end={membw_end}", file=sys.stderr)
+    extra["membw_gb_per_s_start"] = membw_start
+    extra["membw_gb_per_s_end"] = membw_end
     extra["contended"] = contended_reasons
     extra["load_avg_start"] = load_start
     extra["load_avg_end"] = load_end
