@@ -223,6 +223,27 @@ def test_bench_contention_reasons():
 # --- float-sum determinism guard (VERDICT r6 item 2) --------------------------
 
 
+def test_bench_membw_probe_reports_positive_bandwidth():
+    """r13 gate finding: two clean-gate runs (best bracket/all-cores values
+    ever recorded) still swept uniformly ~1.1-1.2x slower than r12-clean -
+    every gate control is CPU-bound and cache-resident, blind to co-tenant
+    memory-bandwidth/LLC pressure that the scan/shuffle-heavy suite pays
+    for.  bench._membw_probe() is the report-only instrument for that
+    resource (BENCH_extra membw_gb_per_s_start/_end); pin its contract: a
+    positive, plausibly-bounded GB/s figure (a broken probe returning 0/
+    negative/absurd values would silently poison the r14 calibration that
+    is supposed to set the floor)."""
+    import bench
+
+    gbps = bench._membw_probe()
+    # numpy is baked into this environment, so the -1.0 import-guard path
+    # must NOT be what we exercise here
+    assert gbps > 0.5, gbps
+    # single-thread triad on any hardware this could run on sits well
+    # under 1 TB/s; catches unit mistakes (bytes vs GB, per-rep vs total)
+    assert gbps < 1000, gbps
+
+
 def test_every_rounded_sum_oracle_is_audited():
     """Every oracle whose SQL rounds a sum() is a member of the IEEE
     reduction-order hazard class that flaked ``tpch_q9`` in round 5: if the
