@@ -294,6 +294,15 @@ def _kernel_bench(all_cores: bool = True) -> dict[str, float]:
             out["kernel_encrypt_us_per_row_all_cores"] = _multicore_control()
         except Exception:
             pass  # control must never crash the bench
+        # membw control rides the same all_cores flag: it too is a
+        # deliberate full-box load burst (one triad thread per hardware
+        # thread), so the wait-for-clean loop must not fire it every 30 s
+        try:
+            mc = _membw_probe_mc()
+            if mc > 0:
+                out["membw_mc_gb_per_s"] = mc
+        except Exception:
+            pass
     return out
 
 
@@ -311,9 +320,13 @@ def _membw_probe() -> float:
     per rep through a numpy triad (read a, write b, read b — LLC-busting
     working set), i.e. exactly the resource the crypto controls never
     touch.  Min-of-reps like the brackets (contention only inflates).
-    Report-only in BENCH_extra (membw_gb_per_s_start/_end) until enough
-    clean/degraded windows calibrate a floor — the same introduce-then-
-    gate playbook as the r12→r13 all-cores control.  NOT in the headline:
+    STAYS REPORT-ONLY (membw_gb_per_s_start/_end in BENCH_extra): r14
+    calibration showed this single-thread shape cannot discriminate — one
+    core is latency-bound at ~9 GB/s on a >110 GB/s controller, so samples
+    from gate-degraded and calm windows overlap (8.2-9.8 across both).
+    The GATED membw signal is :func:`_membw_probe_mc` (all-threads
+    aggregate), which sees controller-level steal directly.  Kept for
+    round-over-round continuity of the r13 numbers.  NOT in the headline:
     that line sits at its 1800-byte driver-capture cap.
     """
     try:
@@ -331,6 +344,76 @@ def _membw_probe() -> float:
         best = min(best, time.perf_counter() - t0)
     del a, b
     return round(3 * n * 8 / best / 1e9, 2)
+
+
+def _membw_probe_mc(
+    nthreads: int | None = None,
+    n: int = 4 * 1024 * 1024,
+    reps: int = 8,
+    invocations: int = 4,
+) -> float:
+    """ALL-THREADS triad aggregate bandwidth in GB/s — the gated membw
+    signal (r14, VERDICT r13 item 1).
+
+    Why a second membw probe: the single-thread triad above is
+    latency/prefetch-bound, not controller-bound — one core moves ~9 GB/s
+    on a controller this box drives at >110 GB/s aggregate (measured r14),
+    so a co-tenant stealing 20-30% of DRAM bandwidth barely moves the
+    single-thread figure (r13's degraded-day samples, 8.3-8.6 idle, overlap
+    r14 samples taken minutes apart across regimes).  Saturating the
+    controller with one triad worker per hardware thread makes the steal
+    directly visible as a lower aggregate.
+
+    Mechanics: ``nthreads`` numpy triad workers (threads, not processes —
+    numpy releases the GIL inside multiply/sum, and threads share a start
+    barrier tightly), each over its own 3×32 MB arrays (LLC-busting),
+    barrier-released together; aggregate = total bytes / overlapped wall.
+    Best-of-``invocations`` — contention only ever DEFLATES bandwidth, so
+    max is the contention-robust estimator (the dual of the time brackets'
+    min-of-reps).
+
+    Calibration (r14, recorded in ROADMAP): on a window the existing CPU
+    gate itself called degraded (bracket 753-814 MB/s/core) the best-of-4
+    read 88.7; on the calmest window of the same day (load 0.03, minutes
+    before a run that still swept slow) it read 114.3.  Floor default 90
+    (SPARK_GRAFT_BENCH_MIN_MEMBW_MC) — refuses the observed degraded
+    window, clears the best observed window; PROVISIONAL until a
+    certified-clean day (sweep at r12-clean pace) widens the contrast set.
+    """
+    try:
+        import numpy as np
+    except Exception:
+        return -1.0
+    import threading
+
+    if nthreads is None:
+        nthreads = CPUS
+    arrs = [(np.ones(n), np.empty(n)) for _ in range(nthreads)]
+    best = 0.0
+    for _ in range(invocations):
+        barrier = threading.Barrier(nthreads)
+        spans: list[tuple[float, float]] = [None] * nthreads  # type: ignore[list-item]
+
+        def worker(i: int) -> None:
+            a, b = arrs[i]
+            np.multiply(a, 1.0000001, out=b)  # warm/fault the pages
+            barrier.wait()
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                np.multiply(a, 1.0000001, out=b)
+                _ = b.sum()
+            spans[i] = (t0, time.perf_counter())
+
+        threads = [threading.Thread(target=worker, args=(i,)) for i in range(nthreads)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        wall = max(s[1] for s in spans) - min(s[0] for s in spans)
+        # bytes per rep per worker: read a + write b + read b = 24n
+        best = max(best, 24.0 * n * reps * nthreads / wall / 1e9)
+    del arrs
+    return round(best, 2)
 
 
 def _mc_worker(n_rows: int) -> float:
@@ -384,6 +467,7 @@ def contention_reasons(
     min_kernel: float,
     max_us_row: float = float("inf"),
     max_us_row_mc: float = float("inf"),
+    min_membw_mc: float = 0.0,
 ) -> list[str]:
     """Pure contention rule (unit-tested without running the bench): a
     snapshot is tainted when the 1-minute load average exceeds
@@ -422,6 +506,17 @@ def contention_reasons(
     us_row_mc = kernel.get("kernel_encrypt_us_per_row_all_cores", 0.0)
     if us_row_mc > max_us_row_mc:
         reasons.append(f"start_kernel_us_row_all_cores={us_row_mc}>{max_us_row_mc}")
+    # Memory-bandwidth signal (r14, closes the r13 blind spot): the 171.95 s
+    # r13 window passed EVERY CPU-bound control (load 0.0, bracket 960-1084,
+    # all-cores 194-212 — best values ever) yet swept a uniform 1.10-1.19x
+    # slow across 193 queries — co-tenant DRAM/LLC pressure is invisible to
+    # cache-resident crypto kernels while the scan/shuffle-heavy Spark path
+    # pays full price.  The all-threads triad aggregate sees it directly.
+    # Key absent ⇒ probe skipped (cheap-signals-first wait loop) or numpy
+    # missing — no check fires, mirroring the all-cores control.
+    membw_mc = kernel.get("membw_mc_gb_per_s", float("inf"))
+    if membw_mc < min_membw_mc:
+        reasons.append(f"start_membw_mc_gbps={membw_mc}<{min_membw_mc}")
     return reasons
 
 
@@ -458,8 +553,13 @@ def main() -> None:
     # wall-clock metric.  280 = healthy envelope + ~25%, refusing every
     # observed degraded window while clearing every observed clean one.
     max_us_row_mc = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_US_ROW_MC", "280"))
+    # Membw floor (r14, VERDICT r13 item 1): calibration points in the
+    # _membw_probe_mc docstring — 88.7 on a CPU-gate-degraded window vs
+    # 114.3 on the same day's calmest window.  90 refuses the former,
+    # clears the latter; provisional until a certified-clean-day contrast.
+    min_membw_mc = float(os.environ.get("SPARK_GRAFT_BENCH_MIN_MEMBW_MC", "90"))
     contended_reasons = contention_reasons(
-        load_start, kernel, max_load, min_kernel, max_us_row, max_us_row_mc
+        load_start, kernel, max_load, min_kernel, max_us_row, max_us_row_mc, min_membw_mc
     )
     # Wait-for-clean-window (VERDICT r10 item 1): rather than immediately
     # stamping a tainted snapshot, re-probe for up to
@@ -490,12 +590,12 @@ def main() -> None:
         # cheap signals pass does the full bracket (with the control) run.
         kernel = _kernel_bench(all_cores=False)
         contended_reasons = contention_reasons(
-            load_start, kernel, max_load, min_kernel, max_us_row, max_us_row_mc
+            load_start, kernel, max_load, min_kernel, max_us_row, max_us_row_mc, min_membw_mc
         )
         if not contended_reasons:
             kernel = _kernel_bench()
             contended_reasons = contention_reasons(
-                load_start, kernel, max_load, min_kernel, max_us_row, max_us_row_mc
+                load_start, kernel, max_load, min_kernel, max_us_row, max_us_row_mc, min_membw_mc
             )
     if contended_reasons:
         msg = "BENCH BOX CONTENDED: " + "; ".join(contended_reasons)
@@ -716,6 +816,9 @@ def main() -> None:
     _end_mbps = kernel_end.get("kernel_encrypt_mb_per_s_per_core", float("inf"))
     if _end_mbps < min_kernel:
         contended_reasons.append(f"end_kernel_mbps={_end_mbps}<{min_kernel}")
+    _end_membw_mc = kernel_end.get("membw_mc_gb_per_s", float("inf"))
+    if _end_membw_mc < min_membw_mc:
+        contended_reasons.append(f"end_membw_mc_gbps={_end_membw_mc}<{min_membw_mc}")
     if load_end and load_end[0] > max_load + CPUS * 0.5:
         # end load includes our own just-stopped executor threads; only a
         # figure far above what this process accounts for flags external load
@@ -794,11 +897,13 @@ def main() -> None:
         # box (BENCH_r02's phantom crypto regression); these are measured
         # pre-JVM with min-of-reps and are the stable round-over-round
         # crypto signal.  load_avg documents how noisy the run was.
-        "kernel": kernel,
+        # membw_mc_gb_per_s lives in BENCH_extra only — the headline sits
+        # at its 1800-byte driver-capture cap (VERDICT r13 item 1)
+        "kernel": {k: v for k, v in kernel.items() if k != "membw_mc_gb_per_s"},
         # the same control re-measured after the sweep: start ≈ end means a
         # quiet box; a gap means drift, and query medians should be read
         # against the bracket, not either endpoint
-        "kernel_end": kernel_end,
+        "kernel_end": {k: v for k, v in kernel_end.items() if k != "membw_mc_gb_per_s"},
         "load_avg": {"start": load_start, "end": load_end},
         # non-empty list = this snapshot was taken on a contended box and
         # must not be read as a round-over-round regression signal

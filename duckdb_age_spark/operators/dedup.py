@@ -26,7 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from .iterate import loop_join_cache, truncate_lineage
+from .iterate import loop_join_cache, materialize_and_release, truncate_lineage
 
 # Per-bucket membership bound for the three LSH self-joins below.  A
 # degenerate band key (thousands of near-identical short/empty docs landing
@@ -179,6 +179,7 @@ def minhash_lsh_pairs(
     bands: int = 4,
     ngram: int = 3,
     max_bucket: int = DEFAULT_MAX_BUCKET,
+    materialize: bool = True,
 ) -> DataFrame:
     """Candidate near-dup pairs via LSH banding + exact signature-overlap
     estimate.
@@ -188,6 +189,13 @@ def minhash_lsh_pairs(
     are scored by fraction of matching signature elements.  Buckets larger
     than ``max_bucket`` are excluded from candidate generation (see
     DEFAULT_MAX_BUCKET — bounds the quadratic per-bucket term).
+
+    ``materialize`` (default True): run the pipeline now and release the
+    internal signature cache before returning
+    (iterate.materialize_and_release — VERDICT r13 item 4: the pinned
+    CacheManager entry otherwise leaks for the session lifetime).  Pass
+    False only to inspect/compose the unexecuted plan; that path leaves the
+    signature cache pinned until the caller's action + manual unpersist.
 
     Returns (doc_a, doc_b, est_jaccard) with doc_a < doc_b, est ≥ 0.5.
     """
@@ -228,13 +236,16 @@ def minhash_lsh_pairs(
         F.col("doc_id").alias("doc_b"), *[F.col(f"mh_{i}").alias(f"b_{i}") for i in range(n_hashes)]
     )
     matches = sum(F.when(F.col(f"a_{i}") == F.col(f"b_{i}"), 1).otherwise(0) for i in range(n_hashes))
-    return (
+    out = (
         cand.join(sig_a, "doc_a")
         .join(sig_b, "doc_b")
         .withColumn("est_jaccard", F.round(matches / F.lit(float(n_hashes)), 4))
         .where(F.col("est_jaccard") >= 0.5)
         .select("doc_a", "doc_b", "est_jaccard")
     )
+    if not materialize:
+        return out
+    return materialize_and_release(out, sig)
 
 
 # ---------------------------------------------------------------------------
@@ -308,12 +319,14 @@ def simhash_near_pairs(
     max_hamming: int = 3,
     bits: int = SIMHASH_BITS,
     max_bucket: int = DEFAULT_MAX_BUCKET,
+    materialize: bool = True,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ 3, bucketed by the four
     4-bit quarters (pigeonhole: ≤3 flipped bits across 4 quarters ⇒ at least
     one quarter matches exactly — LOSSLESS banding) so the join is
     band-local, not all-pairs.  Quarters holding more than ``max_bucket``
-    docs are dropped from candidate generation (DEFAULT_MAX_BUCKET)."""
+    docs are dropped from candidate generation (DEFAULT_MAX_BUCKET).
+    ``materialize``: cache-hygiene switch, see :func:`minhash_lsh_pairs`."""
     sh = simhash(corpus, bits=bits).persist()  # self-join below (see minhash_lsh_pairs)
     quarter = bits // 4
     mask = (1 << quarter) - 1
@@ -331,7 +344,7 @@ def simhash_near_pairs(
     a = banded.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"), "bk")
     b = banded.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"), "bk")
     hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
-    return (
+    out = (
         a.join(b, on=["bk"])
         .where(F.col("doc_a") < F.col("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
@@ -339,6 +352,9 @@ def simhash_near_pairs(
         .where(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+    if not materialize:
+        return out
+    return materialize_and_release(out, sh)
 
 
 # ---------------------------------------------------------------------------
@@ -362,8 +378,10 @@ def embedding_near_dup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.95,
     max_bucket: int = DEFAULT_MAX_BUCKET,
+    materialize: bool = True,
 ) -> DataFrame:
     """Near-identical vectors by cosine ≥ threshold.
+    ``materialize``: cache-hygiene switch, see :func:`minhash_lsh_pairs`.
 
     Scale path: bucket by sign-pattern of the first 16 dims (a 1-projection
     LSH) so the self-join is bucket-local; the full dot product only runs on
@@ -417,13 +435,16 @@ def embedding_near_dup_pairs(
     b = e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), "bucket")
     dot = F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
     norm = lambda c: F.sqrt(F.aggregate(F.transform(F.col(c), lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))  # noqa: E731
-    return (
+    out = (
         a.join(b, "bucket")
         .where(F.col("vec_a") < F.col("vec_b"))
         .withColumn("cosine", F.round(dot / (norm("va") * norm("vb")), 4))
         .where(F.col("cosine") >= threshold)
         .select("vec_a", "vec_b", "cosine")
     )
+    if not materialize:
+        return out
+    return materialize_and_release(out, e)
 
 
 # ---------------------------------------------------------------------------
@@ -488,33 +509,39 @@ def connected_components(
     # checkpoint, with no change-flag join.  One fewer shuffle per round at
     # any scale, ~40% less fixed cost per round at toy scale (VERDICT r4
     # item 6).
-    labels = (
-        sym.groupBy("node")
-        .agg(F.min("neigh").alias("mn"))
-        .select(F.col("node").alias("id"), F.least(F.col("node"), F.col("mn")).alias("label"))
-    )
-    labels = truncate_lineage(labels, checkpoint_dir)
-    label_sum = F.sum(F.col("label").cast("decimal(38,0)"))
-    prev = labels.agg(label_sum).first()[0]
-    if prev is not None:  # empty graph: skip the loop, labels is 0-row
-        for _ in range(max_iter - 1):
-            prop = sym.join(labels, sym.neigh == labels.id).select("node", "label")
-            labels = (
-                prop.unionByName(labels.select(F.col("id").alias("node"), "label"))
-                .groupBy("node")
-                .agg(F.min("label").alias("label"))
-                .select(F.col("node").alias("id"), "label")
-            )
-            labels = truncate_lineage(labels, checkpoint_dir)
-            cur = labels.agg(label_sum).first()[0]
-            if cur == prev:  # equal sum of non-increasing labels ⇒ fixpoint
-                break
-            prev = cur
-    singletons = nodes.join(labels.select("id"), "id", "left_anti").select(
-        "id", F.col("id").alias("label")
-    )
-    out = labels.unionByName(singletons)
-    sym.unpersist()
+    try:
+        labels = (
+            sym.groupBy("node")
+            .agg(F.min("neigh").alias("mn"))
+            .select(F.col("node").alias("id"), F.least(F.col("node"), F.col("mn")).alias("label"))
+        )
+        labels = truncate_lineage(labels, checkpoint_dir)
+        label_sum = F.sum(F.col("label").cast("decimal(38,0)"))
+        prev = labels.agg(label_sum).first()[0]
+        if prev is not None:  # empty graph: skip the loop, labels is 0-row
+            for _ in range(max_iter - 1):
+                prop = sym.join(labels, sym.neigh == labels.id).select("node", "label")
+                labels = (
+                    prop.unionByName(labels.select(F.col("id").alias("node"), "label"))
+                    .groupBy("node")
+                    .agg(F.min("label").alias("label"))
+                    .select(F.col("node").alias("id"), "label")
+                )
+                labels = truncate_lineage(labels, checkpoint_dir)
+                cur = labels.agg(label_sum).first()[0]
+                if cur == prev:  # equal sum of non-increasing labels ⇒ fixpoint
+                    break
+                prev = cur
+        singletons = nodes.join(labels.select("id"), "id", "left_anti").select(
+            "id", F.col("id").alias("label")
+        )
+        out = labels.unionByName(singletons)
+    finally:
+        # the per-round convergence actions have already materialized the
+        # final labels checkpoint, so the result never re-reads sym —
+        # release it even if a round raises (cache hygiene, VERDICT r13
+        # item 4)
+        sym.unpersist()
     return out.select("id", F.col("label").alias("cluster_id"))
 
 
@@ -778,11 +805,11 @@ def dedup_retention_report(docs: DataFrame, every: int = 10) -> DataFrame:
     )
     # ONE pair computation feeds both the census and the clustering (the
     # naive compose ran the whole shingle→LSH pipeline twice — measured 2×).
-    # persist, not localCheckpoint: measured identical at sf10 (493.6 vs
-    # 486.7 s — the cached-plan/AQE interaction is NOT the cost here; the
-    # LSH compute itself is), and persist keeps lineage so a real cluster
-    # recomputes lost blocks instead of failing the job.
-    pairs = minhash_lsh_pairs(corpus).persist()
+    # minhash_lsh_pairs materializes its result (executor-local checkpoint
+    # blocks) and releases its own signature cache, so no extra persist
+    # here — the r13 persist was a second, session-pinned copy of the same
+    # rows (VERDICT r13 item 4).  Blocks are ContextCleaner-managed.
+    pairs = minhash_lsh_pairs(corpus)
     n_pairs = pairs.agg(F.count("*").alias("n_near_pairs"))
     clusters = connected_components(
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")),

@@ -162,35 +162,42 @@ def bfs_hops(
         "src",
         checkpoint_dir,
     )
-    if source is None:
-        # default source = smallest node id; computed from the CHECKPOINTED
-        # adjacency so the (possibly expensive) edge derivation runs once,
-        # not once for the scalar and again for the rounds
-        source = adj.agg(F.min("src")).collect()[0][0]
-        if source is None:  # empty graph: 0-row result, not a TypeError
-            return edges.sparkSession.createDataFrame([], "node bigint, hops bigint")
-    visited = edges.sparkSession.createDataFrame([(int(source), 0)], "node long, hops int")
-    frontier = visited
-    for hop in range(1, max_hops + 1):
-        # distinct on node ONLY (not (node, hops)): the dedup then hash-
-        # partitions by exactly the anti-join key, so the frontier side of
-        # the anti-join reuses the distinct's exchange instead of
-        # re-shuffling — one fewer exchange per round (the hops literal is
-        # attached after the join, where it costs nothing).
-        nxt = (
-            frontier.join(adj, frontier.node == adj.src)
-            .select(F.col("dst").alias("node"))
-            .distinct()
-            .join(visited.select("node"), "node", "left_anti")
-            .select("node", F.lit(hop).alias("hops"))
-        )
-        # checkpoint the NEW frontier (it is consumed twice: unioned into
-        # visited and joined next round) so it computes once and the loop's
-        # lineage stays a flat union of checkpointed rounds
-        nxt = truncate_lineage(nxt, checkpoint_dir)
-        visited = visited.unionAll(nxt)
-        frontier = nxt
-    return visited.select("node", F.col("hops").cast("bigint").alias("hops"))
+    try:
+        if source is None:
+            # default source = smallest node id; computed from the CHECKPOINTED
+            # adjacency so the (possibly expensive) edge derivation runs once,
+            # not once for the scalar and again for the rounds
+            source = adj.agg(F.min("src")).collect()[0][0]
+            if source is None:  # empty graph: 0-row result, not a TypeError
+                return edges.sparkSession.createDataFrame([], "node bigint, hops bigint")
+        visited = edges.sparkSession.createDataFrame([(int(source), 0)], "node long, hops int")
+        frontier = visited
+        for hop in range(1, max_hops + 1):
+            # distinct on node ONLY (not (node, hops)): the dedup then hash-
+            # partitions by exactly the anti-join key, so the frontier side of
+            # the anti-join reuses the distinct's exchange instead of
+            # re-shuffling — one fewer exchange per round (the hops literal is
+            # attached after the join, where it costs nothing).
+            nxt = (
+                frontier.join(adj, frontier.node == adj.src)
+                .select(F.col("dst").alias("node"))
+                .distinct()
+                .join(visited.select("node"), "node", "left_anti")
+                .select("node", F.lit(hop).alias("hops"))
+            )
+            # EAGERLY checkpoint the NEW frontier (it is consumed twice:
+            # unioned into visited and joined next round) so it computes
+            # once, the loop's lineage stays a flat union of checkpointed
+            # rounds, and — eager since r14 — the returned frame references
+            # only checkpoint blocks, so the adjacency cache can be
+            # released on return instead of leaking a session-pinned
+            # CacheManager entry per invocation (ADVICE r13 medium).
+            nxt = truncate_lineage(nxt, checkpoint_dir, eager=True)
+            visited = visited.unionAll(nxt)
+            frontier = nxt
+        return visited.select("node", F.col("hops").cast("bigint").alias("hops"))
+    finally:
+        adj.unpersist()
 
 
 def edge_jaccard_similarity(edges: DataFrame) -> DataFrame:
@@ -471,22 +478,29 @@ def label_propagation(edges: DataFrame, rounds: int = 3) -> DataFrame:
         e.unionAll(e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))),
         "dst",
     )
-    labels = sym.select(F.col("src").alias("node")).distinct().select(
-        "node", F.col("node").alias("label")
-    )
-    w = Window.partitionBy("node").orderBy(F.desc("cnt"), F.asc("label"))
-    for _ in range(rounds):
-        neigh = sym.join(labels, sym.dst == labels.node).select(
-            F.col("src").alias("node"), "label"
+    try:
+        labels = sym.select(F.col("src").alias("node")).distinct().select(
+            "node", F.col("node").alias("label")
         )
-        counted = neigh.groupBy("node", "label").agg(F.count("*").alias("cnt"))
-        labels = (
-            counted.withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") == 1)
-            .select("node", "label")
-            .localCheckpoint()
-        )
-    return labels.select(F.col("node").cast("bigint"), F.col("label").cast("bigint"))
+        if rounds <= 0:  # degenerate call: still return a sym-independent frame
+            labels = labels.localCheckpoint()
+        w = Window.partitionBy("node").orderBy(F.desc("cnt"), F.asc("label"))
+        for _ in range(rounds):
+            neigh = sym.join(labels, sym.dst == labels.node).select(
+                F.col("src").alias("node"), "label"
+            )
+            counted = neigh.groupBy("node", "label").agg(F.count("*").alias("cnt"))
+            labels = (
+                counted.withColumn("rn", F.row_number().over(w))
+                .where(F.col("rn") == 1)
+                .select("node", "label")
+                .localCheckpoint()
+            )
+        return labels.select(F.col("node").cast("bigint"), F.col("label").cast("bigint"))
+    finally:
+        # the last round's eager checkpoint already materialized the result,
+        # so the returned frame never re-reads the cache (ADVICE r13 medium)
+        sym.unpersist()
 
 
 def topk_similar_customers(edges: DataFrame, k: int = 3) -> DataFrame:
@@ -678,25 +692,31 @@ def weighted_sssp(
         e.unionAll(e.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")),
         "src",
     )
-    dist = (
-        e.agg(F.min("src").alias("node"))
-        .select("node", F.lit(0).cast("long").alias("dist"))
-    )
-    for _ in range(rounds):
-        # name-based USING join: dist and und share lineage (both derive
-        # from e), so attribute-based conditions are ambiguous
-        relaxed = (
-            dist.select(F.col("node").alias("src"), "dist")
-            .join(und, "src")
-            .select(F.col("dst").alias("node"), (F.col("dist") + F.col("w")).alias("dist"))
-        )
+    try:
         dist = (
-            dist.unionByName(relaxed)
-            .groupBy("node")
-            .agg(F.min("dist").alias("dist"))
+            e.agg(F.min("src").alias("node"))
+            .select("node", F.lit(0).cast("long").alias("dist"))
         )
-        dist = truncate_lineage(dist, checkpoint_dir)
-    return dist.select(F.col("node").cast("long"), F.col("dist").cast("long")).orderBy("node")
+        for _ in range(rounds):
+            # name-based USING join: dist and und share lineage (both derive
+            # from e), so attribute-based conditions are ambiguous
+            relaxed = (
+                dist.select(F.col("node").alias("src"), "dist")
+                .join(und, "src")
+                .select(F.col("dst").alias("node"), (F.col("dist") + F.col("w")).alias("dist"))
+            )
+            dist = (
+                dist.unionByName(relaxed)
+                .groupBy("node")
+                .agg(F.min("dist").alias("dist"))
+            )
+            # eager since r14: the final round's checkpoint blocks back the
+            # returned frame, so the edge cache releases on return (ADVICE
+            # r13 medium) instead of pinning 2|E| cached rows per call
+            dist = truncate_lineage(dist, checkpoint_dir, eager=True)
+        return dist.select(F.col("node").cast("long"), F.col("dist").cast("long")).orderBy("node")
+    finally:
+        und.unpersist()
 
 
 def community_modularity(edges: DataFrame, labels: DataFrame, k: int = 10) -> DataFrame:
@@ -919,29 +939,38 @@ def harmonic_closeness(
         "src",
         checkpoint_dir,
     )
-    nodes = adj.select(F.col("src").alias("node")).distinct()
-    seeds = F.broadcast(
-        nodes.orderBy("node").limit(n_seeds).select(F.col("node").alias("seed"))
-    )
-    visited = seeds.select("seed", F.col("seed").alias("node"), F.lit(0).alias("hops"))
-    frontier = visited
-    for hop in range(1, max_hops + 1):
-        nxt = (
-            frontier.join(adj, frontier.node == adj.src)
-            .select("seed", F.col("dst").alias("node"))
-            .distinct()
-            .join(visited.select("seed", "node"), ["seed", "node"], "left_anti")
-            .select("seed", "node", F.lit(hop).alias("hops"))
+    try:
+        nodes = adj.select(F.col("src").alias("node")).distinct()
+        seeds = nodes.orderBy("node").limit(n_seeds).select(F.col("node").alias("seed"))
+        # the seed frame derives from the cached adjacency — eagerly
+        # checkpoint it (n_seeds rows) so the returned plan is independent
+        # of the cache; it re-broadcasts into round 1 via AQE (tiny side)
+        visited = truncate_lineage(
+            seeds.select("seed", F.col("seed").alias("node"), F.lit(0).alias("hops")),
+            checkpoint_dir,
+            eager=True,
         )
-        nxt = truncate_lineage(nxt, checkpoint_dir)
-        visited = visited.unionAll(nxt)
-        frontier = nxt
-    return (
-        visited.where(F.col("hops") > 0)
-        .groupBy("node")
-        .agg(
-            F.count("*").cast("long").alias("n_seeds_reaching"),
-            F.sum(F.expr("1000000 DIV hops")).cast("long").alias("harmonic_micro"),
+        frontier = visited
+        for hop in range(1, max_hops + 1):
+            nxt = (
+                frontier.join(adj, frontier.node == adj.src)
+                .select("seed", F.col("dst").alias("node"))
+                .distinct()
+                .join(visited.select("seed", "node"), ["seed", "node"], "left_anti")
+                .select("seed", "node", F.lit(hop).alias("hops"))
+            )
+            # eager since r14 — same cache-release argument as bfs_hops
+            nxt = truncate_lineage(nxt, checkpoint_dir, eager=True)
+            visited = visited.unionAll(nxt)
+            frontier = nxt
+        return (
+            visited.where(F.col("hops") > 0)
+            .groupBy("node")
+            .agg(
+                F.count("*").cast("long").alias("n_seeds_reaching"),
+                F.sum(F.expr("1000000 DIV hops")).cast("long").alias("harmonic_micro"),
+            )
+            .orderBy("node")
         )
-        .orderBy("node")
-    )
+    finally:
+        adj.unpersist()

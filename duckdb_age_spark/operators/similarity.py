@@ -318,9 +318,13 @@ def knn_label_vote(embeddings: DataFrame, query_ids: list[int], k: int = 5) -> D
     )
 
 
-def label_centroid_cosines(embeddings: DataFrame, scale: int = 1_000_000) -> DataFrame:
+def label_centroid_cosines(
+    embeddings: DataFrame, scale: int = 1_000_000, materialize: bool = True
+) -> DataFrame:
     """Pairwise cosine similarity between per-label centroid embeddings —
     the class-separability matrix of a labeled embedding table.
+    ``materialize``: cache-hygiene switch (release the internal
+    (label, dim) cell cache on return), see dedup.minhash_lsh_pairs.
 
     Cross-engine-exact per the stats.py discipline: each component is
     fixed-pointed to an integer (round(x * scale) — identical IEEE steps in
@@ -366,12 +370,17 @@ def label_centroid_cosines(embeddings: DataFrame, scale: int = 1_000_000) -> Dat
     cos = F.col("dot").cast("double") / (
         F.sqrt(F.col("n2a").cast("double")) * F.sqrt(F.col("n2b").cast("double"))
     )
-    return (
+    out = (
         dots.join(F.broadcast(na), "label_a")
         .join(F.broadcast(nb), "label_b")
         .select("label_a", "label_b", F.round(cos, 6).alias("centroid_cosine"))
         .orderBy("label_a", "label_b")
     )
+    if not materialize:
+        return out
+    from .iterate import materialize_and_release
+
+    return materialize_and_release(out, comp)
 
 
 def lsh_recall_at_k(embeddings: DataFrame, query_ids: list[int], k: int = 5, n_planes: int = 4) -> DataFrame:

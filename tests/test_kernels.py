@@ -218,6 +218,34 @@ def test_bench_contention_reasons():
     # a kernel dict WITHOUT the all-cores key (the wait loop's cheap
     # probe skips the 32-process burst) must not fire the new signal
     assert bench.contention_reasons([0.1, 0.1, 0.1], healthy, 2.0, 950, 150, 280) == []
+    # THE r14 gate addition (VERDICT r13 item 1): the r13 171.95 s window —
+    # load 0.0, bracket 960-1084, all-cores 194-212, the best CPU control
+    # values ever recorded — still swept a uniform 1.10-1.19x slow across
+    # 193 queries: co-tenant MEMORY-BANDWIDTH pressure is invisible to
+    # every cache-resident CPU control.  A synthetic bracket of exactly
+    # that shape with a degraded all-threads membw aggregate must be
+    # refused on exactly the membw signal; the same shape at the calm
+    # calibration value (114.3, r14) must pass.
+    r13_blindspot = {
+        "kernel_encrypt_mb_per_s_per_core": 1084.4,
+        "kernel_encrypt_us_per_row": 120.0,
+        "kernel_encrypt_us_per_row_all_cores": 211.7,
+        "membw_mc_gb_per_s": 62.0,
+    }
+    assert bench.contention_reasons([0.0, 0.1, 0.2], r13_blindspot, 2.0, 950, 150, 280, 90) == [
+        "start_membw_mc_gbps=62.0<90"
+    ]
+    membw_healthy = dict(r13_blindspot, membw_mc_gb_per_s=114.3)
+    assert bench.contention_reasons([0.0, 0.1, 0.2], membw_healthy, 2.0, 950, 150, 280, 90) == []
+    # the observed r14 degraded-window value (88.7, sampled while the CPU
+    # gate itself read the box as degraded) sits under the 90 floor
+    membw_degraded = dict(membw_healthy, membw_mc_gb_per_s=88.7)
+    assert bench.contention_reasons([0.0, 0.1, 0.2], membw_degraded, 2.0, 950, 150, 280, 90) == [
+        "start_membw_mc_gbps=88.7<90"
+    ]
+    # key absent (cheap-signals-first wait loop skipped the burst, or
+    # numpy import failed) ⇒ no membw check fires
+    assert bench.contention_reasons([0.1, 0.1, 0.1], mc_healthy, 2.0, 950, 150, 280, 90) == []
 
 
 # --- float-sum determinism guard (VERDICT r6 item 2) --------------------------
@@ -242,6 +270,13 @@ def test_bench_membw_probe_reports_positive_bandwidth():
     # single-thread triad on any hardware this could run on sits well
     # under 1 TB/s; catches unit mistakes (bytes vs GB, per-rep vs total)
     assert gbps < 1000, gbps
+    # the GATED instrument (r14): all-threads aggregate — same plausibility
+    # contract, and it must exceed the single-thread figure (it saturates
+    # the controller the single-thread probe cannot).  Small shape to keep
+    # the test cheap; the bench runs the full CPUS-thread version.
+    agg = bench._membw_probe_mc(nthreads=4, n=1024 * 1024, reps=4, invocations=2)
+    assert agg > gbps, (agg, gbps)
+    assert agg < 10000, agg
 
 
 def test_every_rounded_sum_oracle_is_audited():

@@ -349,12 +349,13 @@ def test_label_centroids_bounded_shuffles(t, spark, sf_dir):
     from duckdb_age_spark.operators.similarity import label_centroid_cosines
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    df = label_centroid_cosines(emb)
+    df = label_centroid_cosines(emb, materialize=False)
     # corpus -> (label, dim) cells: one map-side-combined shuffle; the
     # pairwise-dot join runs on the tiny cell table via broadcast
     assert has_partial_aggregate(df)
     assert has_broadcast_join(df)
     assert count_exchanges(df) <= 6, formatted_plan(df)
+    spark.catalog.clearCache()  # materialize=False leaves the cell cache registered
 
 
 def test_chi_square_marginals_broadcast(t):
@@ -472,14 +473,17 @@ def test_order_concurrency_delta_shape(t):
     assert plan.count("Generate") <= 1, plan
 
 
-def test_hot_bucket_cap_broadcasts_hot_keys(t):
+def test_hot_bucket_cap_broadcasts_hot_keys(t, spark):
     from duckdb_age_spark.operators.dedup import minhash_lsh_pairs, planted_near_dup_corpus
 
-    df = minhash_lsh_pairs(planted_near_dup_corpus(t["documents"]))
+    # materialize=False exposes the unexecuted plan — the exact plan the
+    # materialize=True default executes before checkpointing (r14)
+    df = minhash_lsh_pairs(planted_near_dup_corpus(t["documents"]), materialize=False)
     # the hot-key list joins as a broadcast anti-join — the cap must never
     # introduce a wide shuffle of the banded rows
     plan = formatted_plan(df)
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+    spark.catalog.clearCache()  # materialize=False leaves the sig cache registered
 
 
 def test_embedding_near_dup_join_parallelism_is_aqe_exempt(spark, sf_dir):
@@ -498,9 +502,12 @@ def test_embedding_near_dup_join_parallelism_is_aqe_exempt(spark, sf_dir):
     )
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    df = embedding_near_dup_pairs(planted_near_dup_embeddings(emb), threshold=0.9)
+    df = embedding_near_dup_pairs(
+        planted_near_dup_embeddings(emb), threshold=0.9, materialize=False
+    )
     plan = formatted_plan(df)
     assert "REPARTITION_BY_NUM" in plan, plan[:2000]
+    spark.catalog.clearCache()  # materialize=False leaves the bucket cache registered
 
 
 def test_embedding_zscore_broadcasts_dim_stats(t, spark, sf_dir):
@@ -1034,7 +1041,7 @@ def test_fuzzy_large_probe_regime_shuffles_instead_of_broadcasting(t):
         fuzzy_name_pairs(records, probes, probe_regime="bogus")
 
 
-def test_cc_round_join_reuses_cached_edge_partitioning(spark):
+def test_cc_round_join_reuses_cached_edge_partitioning(spark, monkeypatch):
     """r13 sf10 profile finding: every connected-components round is its own
     ACTION (the convergence check), so cross-round exchange reuse never
     applies and a plain persist() of the symmetric edge table re-shuffled
@@ -1046,41 +1053,56 @@ def test_cc_round_join_reuses_cached_edge_partitioning(spark):
     edge side (the labels side still exchanges - it is the small, shrinking
     table, O(|labels|) per round instead of O(|edges|)).
 
-    Mirrors the loop body of operators/dedup.py::connected_components;
-    broadcast is disabled to pin the large-labels (sort-merge) regime that
-    sf10 actually runs - with small labels AQE broadcasts and the edge
-    cache needs no partitioning at all, which is fine but not the regime
-    under test."""
+    ADVICE r13: the r13 version of this test hand-copied the loop body, so
+    reverting the operator would not have failed it.  Now it drives
+    connected_components ITSELF with a recording wrapper around
+    loop_join_cache: the assertion plan is built from the very cached frame
+    the operator used (reverting the cache, or changing its key, fails
+    here).  Broadcast is disabled to pin the large-labels (sort-merge)
+    regime that sf10 actually runs - with small labels AQE broadcasts and
+    the edge cache needs no partitioning at all, which is fine but not the
+    regime under test."""
     import re
 
-    from duckdb_age_spark.operators.iterate import truncate_lineage
+    from duckdb_age_spark.operators import dedup as dedup_mod
+    from duckdb_age_spark.operators.iterate import loop_join_cache
 
+    calls: list[tuple] = []
+    real = loop_join_cache
+
+    def recording(df, key, checkpoint_dir=None, n_partitions=None):
+        out = real(df, key, checkpoint_dir, n_partitions)
+        calls.append((key, out))
+        return out
+
+    monkeypatch.setattr(dedup_mod, "loop_join_cache", recording)
     prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    sym = None
     try:
         edges = spark.range(0, 50_000).select(
             F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
         )
-        sym = edges.select(
-            F.col("src").alias("node"), F.col("dst").alias("neigh")
-        ).unionAll(edges.select(F.col("dst").alias("node"), F.col("src").alias("neigh")))
-        n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
-        sym = sym.repartition(n_part, "neigh").sortWithinPartitions("neigh").persist()
-        labels = (
-            sym.groupBy("node")
-            .agg(F.min("neigh").alias("mn"))
-            .select(
-                F.col("node").alias("id"),
-                F.least(F.col("node"), F.col("mn")).alias("label"),
-            )
-        )
-        labels = truncate_lineage(labels)
-        labels.agg(F.sum(F.col("label").cast("decimal(38,0)"))).first()
-        prop = sym.join(labels, sym.neigh == labels.id).select("node", "label")
-        plan = prop._jdf.queryExecution().executedPlan().toString()
-        assert re.search(r"SortMergeJoin[^\n]*\n\s*:- InMemoryTableScan", plan), plan[:1500]
-    finally:
-        if sym is not None:
+        nodes = spark.range(0, 50_001).select(F.col("id"))
+        result = dedup_mod.connected_components(edges, nodes, max_iter=2)
+        # the operator must route its loop table through loop_join_cache
+        # keyed on the per-round join column
+        assert [k for k, _ in calls] == ["neigh"], calls
+        sym = calls[0][1]
+        # the operator unpersists on exit (cache hygiene, r14) — re-persist
+        # the SAME frame to reconstruct the round-join physical plan the
+        # loop executed, then assert the cache side joins with no Exchange
+        # and no Sort (InMemoryTableScan feeds SortMergeJoin directly)
+        sym = sym.persist()
+        try:
+            # materialize the re-registered cache first — exactly what the
+            # operator's round-1 convergence action does; an unmaterialized
+            # AQE cached plan does not expose outputPartitioning yet
+            sym.count()
+            labels = result.select("id", F.col("cluster_id").alias("label"))
+            prop = sym.join(labels, sym.neigh == labels.id).select("node", "label")
+            plan = prop._jdf.queryExecution().executedPlan().toString()
+            assert re.search(r"SortMergeJoin[^\n]*\n\s*:- InMemoryTableScan", plan), plan[:1500]
+        finally:
             sym.unpersist()
+    finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
