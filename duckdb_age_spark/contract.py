@@ -7680,71 +7680,69 @@ _PRIORITY_50 = [
     "age_secrets_listing",
     "age_version",
     "age_secret_files",
-    # Round-13 rotation (VERDICT r12 next-round item 1), computed by
-    # scripts/rotation.py (oldest-first fill from CORRECTNESS_r01..r12 +
-    # iterated family gates; --force pins re-attestation slots).  This
-    # round's exact invocation is recorded in ROADMAP.md.
+    # Round-14 rotation (VERDICT r13 next-round item 2), computed by
+    # scripts/rotation.py (oldest-first fill from CORRECTNESS_r01..r13 +
+    # iterated family gates; --force pins re-attestation slots).  Exact
+    # invocation recorded in ROADMAP.md.
     #
-    # FORCED re-attestation — implementation changed this round, in three
-    # groups: (1) the fuzzy pair (probe-side regime auto-fallback, VERDICT
-    # r12 item 4) and the embedding pair (explicit bucket repartition so
-    # AQE cannot coalesce the candidate join — the sf10 174 s → 24 s fix);
-    # (2) the six minhash-family queries whose RESULTS changed with the
-    # md5-sliced hash family and whose plans changed with zip_with
-    # shingling + the ids-only candidate join (sf10: report 488 → 251 s,
-    # clusters 302 → 189 s; dedup_containment holds an oldest-first slot
-    # below); (3) the five CC/frontier-loop queries whose plans changed
-    # with iterate.loop_join_cache (the co-partitioned loop cache — the
-    # per-round O(|edges|) re-shuffle fix; outputs unchanged, oracle-green
-    # at sf0.01 and sf1, but changed code re-attests by policy):
-    "dedup_fuzzy_names",
-    "dedup_fuzzy_names_d2",
-    "dedup_embedding_pairs",
-    "dedup_threshold_sweep",
-    "pipeline_dedup_report",
+    # FORCED re-attestation — implementation changed this round (cache
+    # hygiene, VERDICT r13 item 4 / ADVICE r13 medium): the three pairs
+    # operators + label centroids now eagerly materialize their result and
+    # release the internal self-join cache (iterate.materialize_and_release
+    # — values unchanged, execution shape changed), the four frontier/CC
+    # loops checkpoint rounds eagerly and unpersist their loop cache in a
+    # try/finally, and loop_join_cache's partition count became
+    # max(shuffle.partitions, defaultParallelism) (VERDICT r13 item 5).
+    # Every query whose plan or execution shape those changes touch
+    # re-attests; oracle-green at sf0.01 pre-commit (16/16):
     "dedup_minhash_pairs",
     "dedup_clusters",
     "dedup_keep_canonical",
+    "dedup_simhash_pairs",
+    "dedup_embedding_pairs",
+    "dedup_threshold_sweep",
     "dedup_ngram_verify",
+    "dedup_containment",
+    "pipeline_dedup_report",
     "dedup_span_clusters",
-    "graph_label_propagation",
+    "stats_label_centroids",
     "graph_bfs_hops",
+    "graph_label_propagation",
+    "graph_modularity",
     "graph_weighted_sssp",
     "graph_harmonic_closeness",
-    # last attested r6 (the 8 TPC-H deferred by the r12 rotation):
-    "tpch_q15",
-    "tpch_q16",
-    "tpch_q19",
-    "tpch_q20",
-    "tpch_q22",
-    "tpch_q7",
-    "tpch_q8",
-    "tpch_q9",
-    # last attested r7 (oldest-first, alphabetical; the loop-cache forcing
-    # displaced events_stickiness, events_time_to_convert,
-    # graph_clustering_coeff, graph_copurchase, graph_link_prediction to
-    # r14 at 7 rounds stale — the documented trade for re-attesting every
-    # plan the loop-cache change touched; the r14 oldest-first fill starts
-    # at those evictees plus the r13 minhash-trade five):
-    "dedup_containment",
-    "events_decayed_revenue",
-    "events_pareto_share",
-    "events_rolling_1h",
-    "multimodal_image_histogram",
-    "rollup_anomaly_z",
-    "sim_range_search",
-    "stats_bootstrap_ci",
-    "streaming_topk_users",
-    "text_bigram_logprob",
-    # family-gate slots (oldest-attested member of each uncovered family):
-    "sink_encrypted_partitioned",
-    "sketch_kmv_union",
-    "order_gaps",
-    "skew_salted_join",
-    "upsert_merge",
-    "dq_report",
-    "setops_full_outer_reconcile",
-    "udaf_geomean",
+    # last attested r7 (oldest-first, alphabetical — the cohort the r13
+    # verdict predicted: the five displaced by the r13 loop-cache forcing
+    # plus the r7 veterans, all at 7 rounds stale):
+    "events_stickiness",
+    "events_time_to_convert",
+    "graph_clustering_coeff",
+    "graph_copurchase",
+    "graph_link_prediction",
+    "graph_topk_similar",
+    "multimodal_resize",
+    "multimodal_wav_resample",
+    "pipeline_bpe_pairs",
+    "pipeline_doc_chunking",
+    "rollup_autocorr",
+    "stats_gini",
+    "text_boilerplate_screen",
+    # last attested r8:
+    "relational_markov_steady",
+    "sim_embedding_zscore",
+    "streaming_tvd_drift",
+    # last attested r9:
+    "sink_encrypted_blobs",
+    "sketch_kmv_intersection",
+    # last attested r11:
+    "cube_priority_status",
+    "skew_salted_agg",
+    "upsert_cdc_merge",
+    # last attested r12:
+    "setops_customer_cohorts",
+    "stats_benford",
+    "udtf_chunks",
+    # family-gate slot (grouped-map family keeps a representative):
     "grouped_map_zscore",
 ]
 
