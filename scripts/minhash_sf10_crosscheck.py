@@ -103,6 +103,24 @@ def detection_probability(s: float) -> float:
     return p
 
 
+def comonotone_tolerance(ps_by_cluster: list[list[float]], sigmas: float = 6.0) -> float:
+    """Tolerance for |observed - expected| over dependent planted pairs.
+
+    Upper-bounds Var(sum X_i) assuming full positive correlation WITHIN each
+    cluster (Cov(X_i, X_j) <= sigma_i * sigma_j by Cauchy-Schwarz, equality
+    at comonotonicity) and independence ACROSS clusters:
+    Var <= sum_c (sum_{i in c} sqrt(p_i (1-p_i)))^2.  With singleton
+    clusters this reduces to the plain binomial variance.  The +2 absorbs
+    integer-count granularity at tiny variances."""
+    var = sum(sum(math.sqrt(p * (1.0 - p)) for p in ps) ** 2 for ps in ps_by_cluster)
+    return sigmas * math.sqrt(var) + 2.0
+
+
+def binomial_tolerance(ps: list[float], sigmas: float = 6.0) -> float:
+    """Exact-iid tolerance: 6 sigma of sum of independent Bernoulli(p_i)."""
+    return sigmas * math.sqrt(sum(p * (1.0 - p) for p in ps)) + 2.0
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/.scale/sf10"
 
@@ -210,26 +228,27 @@ def main() -> int:
         ps = [detection_probability(round(s, 6)) for s in r.ss]
         ps0 = [detection_probability(round(s, 6)) for s in r.ss0]
         a = agg.setdefault(
-            r.bkt, {"n": 0, "obs": 0, "exp": 0.0, "var": 0.0, "n0": 0, "obs0": 0, "exp0": 0.0, "var0": 0.0}
+            r.bkt,
+            {"n": 0, "obs": 0, "clusters": [], "n0": 0, "obs0": 0, "ps0": []},
         )
         a["n"] += r.n
         a["obs"] += r.observed
-        a["exp"] += sum(ps)
-        # gate (a): within-cluster full-correlation upper bound
-        a["var"] += sum(math.sqrt(p * (1 - p)) for p in ps) ** 2
-        # gate (b): replica-0 pairs are iid across clusters
-        a["n0"] += len(ps0)
+        a["clusters"].append(ps)  # gate (a): one comonotone cluster per base doc
+        a["n0"] += len(ps0)  # gate (b): replica-0 pairs are iid across clusters
         a["obs0"] += r.obs0
-        a["exp0"] += sum(ps0)
-        a["var0"] += sum(p * (1 - p) for p in ps0)
+        a["ps0"].extend(ps0)
 
     buckets = []
-    tot = {"n": 0, "obs": 0, "exp": 0.0, "var": 0.0, "n0": 0, "obs0": 0, "exp0": 0.0, "var0": 0.0}
+    tot = {"n": 0, "obs": 0, "exp": 0.0, "n0": 0, "obs0": 0, "exp0": 0.0}
+    tot_clusters: list[list[float]] = []
+    tot_ps0: list[float] = []
     ok = True
     for bkt in sorted(agg):
         a = agg[bkt]
-        tol = 6.0 * math.sqrt(a["var"]) + 2.0  # 6-sigma + integer slack
-        tol0 = 6.0 * math.sqrt(a["var0"]) + 2.0
+        a["exp"] = sum(sum(ps) for ps in a["clusters"])
+        a["exp0"] = sum(a["ps0"])
+        tol = comonotone_tolerance(a["clusters"])
+        tol0 = binomial_tolerance(a["ps0"])
         b_ok = abs(a["obs"] - a["exp"]) <= tol
         b_ok0 = abs(a["obs0"] - a["exp0"]) <= tol0
         # only buckets with meaningful expected mass can fail the run —
@@ -255,16 +274,18 @@ def main() -> int:
         )
         for k in tot:
             tot[k] += a[k]
+        tot_clusters.extend(a["clusters"])
+        tot_ps0.extend(a["ps0"])
     out["buckets"] = buckets
     out["total_pairs"] = tot["n"]
     out["total_observed"] = tot["obs"]
     out["total_expected"] = round(tot["exp"], 1)
-    tot_tol = 6.0 * math.sqrt(tot["var"]) + 2.0
+    tot_tol = comonotone_tolerance(tot_clusters)
     out["total_tol_6sigma_clustered"] = round(tot_tol, 1)
     out["rep0_total_pairs"] = tot["n0"]
     out["rep0_total_observed"] = tot["obs0"]
     out["rep0_total_expected"] = round(tot["exp0"], 1)
-    tot_tol0 = 6.0 * math.sqrt(tot["var0"]) + 2.0
+    tot_tol0 = binomial_tolerance(tot_ps0)
     out["rep0_total_tol_6sigma"] = round(tot_tol0, 1)
     ok = (
         ok
