@@ -301,8 +301,14 @@ def _kernel_bench(all_cores: bool = True) -> dict[str, float]:
             mc = _membw_probe_mc()
             if mc > 0:
                 out["membw_mc_gb_per_s"] = mc
+            elif mc == -2.0:
+                # worker death inside the probe — make the vanished gate
+                # VISIBLE in the snapshot: membw_mc_gb_per_s stays absent
+                # (no check fires) but the failure is distinguishable from
+                # "probe skipped" (ADVICE r14)
+                out["membw_mc_probe_failed"] = 1.0
         except Exception:
-            pass
+            out["membw_mc_probe_failed"] = 1.0
     return out
 
 
@@ -409,6 +415,12 @@ def _membw_probe_mc(
             t.start()
         for t in threads:
             t.join()
+        if any(s is None for s in spans):
+            # a worker died (allocation failure, broken barrier) without
+            # recording its span — report PROBE FAILURE (-2.0) rather than
+            # raising, so the caller can record it in the snapshot instead
+            # of the gate silently vanishing (ADVICE r14)
+            return -2.0
         wall = max(s[1] for s in spans) - min(s[0] for s in spans)
         # bytes per rep per worker: read a + write b + read b = 24n
         best = max(best, 24.0 * n * reps * nthreads / wall / 1e9)

@@ -180,6 +180,7 @@ def minhash_lsh_pairs(
     ngram: int = 3,
     max_bucket: int = DEFAULT_MAX_BUCKET,
     materialize: bool = True,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs via LSH banding + exact signature-overlap
     estimate.
@@ -195,7 +196,14 @@ def minhash_lsh_pairs(
     (iterate.materialize_and_release — VERDICT r13 item 4: the pinned
     CacheManager entry otherwise leaks for the session lifetime).  Pass
     False only to inspect/compose the unexecuted plan; that path leaves the
-    signature cache pinned until the caller's action + manual unpersist.
+    signature cache pinned — it is exposed as ``result._internal_cache``
+    (ADVICE r14) so the caller can ``result._internal_cache.unpersist()``
+    after their action instead of a session-wide ``clearCache()``.
+
+    ``checkpoint_dir``: the default materialization is an executor-local
+    checkpoint (NOT executor-loss-safe on a real cluster); pass a durable
+    dir to make it a reliable checkpoint — see
+    :func:`iterate.materialize_and_release` (ADVICE r14 medium).
 
     Returns (doc_a, doc_b, est_jaccard) with doc_a < doc_b, est ≥ 0.5.
     """
@@ -244,8 +252,9 @@ def minhash_lsh_pairs(
         .select("doc_a", "doc_b", "est_jaccard")
     )
     if not materialize:
+        out._internal_cache = sig  # caller-releasable handle (ADVICE r14)
         return out
-    return materialize_and_release(out, sig)
+    return materialize_and_release(out, sig, checkpoint_dir=checkpoint_dir)
 
 
 # ---------------------------------------------------------------------------
@@ -320,13 +329,15 @@ def simhash_near_pairs(
     bits: int = SIMHASH_BITS,
     max_bucket: int = DEFAULT_MAX_BUCKET,
     materialize: bool = True,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ 3, bucketed by the four
     4-bit quarters (pigeonhole: ≤3 flipped bits across 4 quarters ⇒ at least
     one quarter matches exactly — LOSSLESS banding) so the join is
     band-local, not all-pairs.  Quarters holding more than ``max_bucket``
     docs are dropped from candidate generation (DEFAULT_MAX_BUCKET).
-    ``materialize``: cache-hygiene switch, see :func:`minhash_lsh_pairs`."""
+    ``materialize`` / ``checkpoint_dir``: cache-hygiene and
+    fault-tolerance switches, see :func:`minhash_lsh_pairs`."""
     sh = simhash(corpus, bits=bits).persist()  # self-join below (see minhash_lsh_pairs)
     quarter = bits // 4
     mask = (1 << quarter) - 1
@@ -353,8 +364,9 @@ def simhash_near_pairs(
         .select("doc_a", "doc_b", "hamming")
     )
     if not materialize:
+        out._internal_cache = sh  # caller-releasable handle (ADVICE r14)
         return out
-    return materialize_and_release(out, sh)
+    return materialize_and_release(out, sh, checkpoint_dir=checkpoint_dir)
 
 
 # ---------------------------------------------------------------------------
@@ -379,9 +391,11 @@ def embedding_near_dup_pairs(
     threshold: float = 0.95,
     max_bucket: int = DEFAULT_MAX_BUCKET,
     materialize: bool = True,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Near-identical vectors by cosine ≥ threshold.
-    ``materialize``: cache-hygiene switch, see :func:`minhash_lsh_pairs`.
+    ``materialize`` / ``checkpoint_dir``: cache-hygiene and
+    fault-tolerance switches, see :func:`minhash_lsh_pairs`.
 
     Scale path: bucket by sign-pattern of the first 16 dims (a 1-projection
     LSH) so the self-join is bucket-local; the full dot product only runs on
@@ -443,8 +457,9 @@ def embedding_near_dup_pairs(
         .select("vec_a", "vec_b", "cosine")
     )
     if not materialize:
+        out._internal_cache = e  # caller-releasable handle (ADVICE r14)
         return out
-    return materialize_and_release(out, e)
+    return materialize_and_release(out, e, checkpoint_dir=checkpoint_dir)
 
 
 # ---------------------------------------------------------------------------

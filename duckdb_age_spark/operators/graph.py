@@ -944,13 +944,19 @@ def harmonic_closeness(
         seeds = nodes.orderBy("node").limit(n_seeds).select(F.col("node").alias("seed"))
         # the seed frame derives from the cached adjacency — eagerly
         # checkpoint it (n_seeds rows) so the returned plan is independent
-        # of the cache; it re-broadcasts into round 1 via AQE (tiny side)
+        # of the cache
         visited = truncate_lineage(
             seeds.select("seed", F.col("seed").alias("node"), F.lit(0).alias("hops")),
             checkpoint_dir,
             eager=True,
         )
-        frontier = visited
+        # explicit broadcast hint (ADVICE r14): the checkpointed frame is a
+        # stats-less LogicalRDD whose sizeInBytes defaults huge, so with AQE
+        # off static planning would shuffle the full adjacency probe side in
+        # round 1; the hint costs nothing at n_seeds rows.  Later frontiers
+        # (seed x node pairs) can be large — they stay hint-free and let
+        # AQE decide from runtime sizes.
+        frontier = F.broadcast(visited)
         for hop in range(1, max_hops + 1):
             nxt = (
                 frontier.join(adj, frontier.node == adj.src)

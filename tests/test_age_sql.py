@@ -116,6 +116,33 @@ def test_decrypt_error_messages(spark):
     assert "Invalid age identity key:  (not a valid age key or secret name)" in _err(e)
 
 
+# reference dispatch rule: src/age_extension.cpp:228-256 (encrypt) and
+# :292-320 (decrypt) — the prefix check runs BEFORE any secret lookup, so a
+# secret literally NAMED with a key prefix is unreachable by name: raw-key
+# interpretation wins unconditionally (VERDICT r14 item 6).
+def test_dispatch_prefix_wins_over_adversarial_secret_names(spark, manager):
+    from pyspark.errors import PythonException
+
+    # a registered secret whose NAME starts with the recipient prefix
+    manager.create_secret("age1sneaky", public_key=PUB1, private_key=PRIV1)
+    with pytest.raises(PythonException) as e:
+        spark.sql("SELECT age_encrypt(CAST('x' AS BINARY), 'age1sneaky')").collect()
+    # raw-key parse error — and NOT the "(not a valid age key or secret
+    # name)" form, which would prove the secret catalog was consulted
+    assert "Invalid age recipient key: age1sneaky" in _err(e)
+    assert "not a valid age key or secret name" not in _err(e)
+
+    # and one whose NAME starts with the identity prefix: decrypt must try
+    # to PARSE it as a raw secret key (Decryption failed), never resolve
+    # the valid private_key stored under that name
+    manager.create_secret("AGE-SECRET-KEY-1SNEAKY", public_key=PUB1, private_key=PRIV1)
+    enc = f"age_encrypt(CAST('x' AS BINARY), '{PUB1}')"
+    with pytest.raises(PythonException) as e:
+        spark.sql(f"SELECT age_decrypt({enc}, 'AGE-SECRET-KEY-1SNEAKY')").collect()
+    assert "Decryption failed" in _err(e)
+    assert "Invalid age identity key" not in _err(e)
+
+
 # reference: test/sql/age.test:98-111
 def test_multi_recipient_sql(spark):
     spark.sql(

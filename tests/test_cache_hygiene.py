@@ -182,6 +182,54 @@ def test_loop_cache_partitions_rule(spark):
         spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
+def test_loop_cache_partitions_non_numeric_conf_falls_back(spark):
+    """ADVICE r14: runtimes where spark.sql.shuffle.partitions holds a
+    non-integer (e.g. 'auto' when adaptive coalescing owns it) must not
+    raise at cache-build time — fall back to defaultParallelism.  OSS
+    Spark 4 refuses to SET a non-int value through the session API, so the
+    Databricks-style conf is emulated with a stub session."""
+    from duckdb_age_spark.operators.iterate import loop_cache_partitions
+
+    class _AutoConf:
+        def get(self, key, default=None):
+            return "auto"
+
+    class _Stub:
+        conf = _AutoConf()
+        sparkContext = spark.sparkContext
+
+    assert loop_cache_partitions(_Stub()) == spark.sparkContext.defaultParallelism
+
+
+def test_materialize_false_exposes_releasable_cache_handle(clean_cache, docs):
+    """ADVICE r14 (low): the materialize=False escape hatch must hand the
+    caller the pinned internal cache — unpersisting the exposed handle
+    empties the CacheManager without a session-wide clearCache."""
+    from duckdb_age_spark.operators.dedup import minhash_lsh_pairs, planted_near_dup_corpus
+
+    out = minhash_lsh_pairs(planted_near_dup_corpus(docs), materialize=False)
+    assert out.count() > 0
+    assert not _cache_is_empty(clean_cache)  # the sig cache is pinned, by design
+    out._internal_cache.unpersist()
+    assert _cache_is_empty(clean_cache)
+
+
+def test_materialize_and_release_checkpoint_dir_identical_pairs(clean_cache, docs, tmp_path):
+    """VERDICT r14 item 5 / ADVICE r14 (medium): the pairs operators'
+    eager materialization accepts a reliable checkpoint_dir (executor-loss
+    safety on real clusters); results must be identical to the default
+    localCheckpoint path and the internal cache still released."""
+    from duckdb_age_spark.operators.dedup import minhash_lsh_pairs, planted_near_dup_corpus
+
+    corpus = planted_near_dup_corpus(docs)
+    local = sorted(map(tuple, minhash_lsh_pairs(corpus).collect()))
+    reliable = sorted(
+        map(tuple, minhash_lsh_pairs(corpus, checkpoint_dir=str(tmp_path)).collect())
+    )
+    assert local == reliable and len(local) > 0
+    assert _cache_is_empty(clean_cache)
+
+
 @pytest.mark.skipif(
     not os.environ.get("SPARK_GRAFT_FULL_HYGIENE"),
     reason="full-surface sweep (~7 min) — opt in with SPARK_GRAFT_FULL_HYGIENE=1",

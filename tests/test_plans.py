@@ -355,7 +355,9 @@ def test_label_centroids_bounded_shuffles(t, spark, sf_dir):
     assert has_partial_aggregate(df)
     assert has_broadcast_join(df)
     assert count_exchanges(df) <= 6, formatted_plan(df)
-    spark.catalog.clearCache()  # materialize=False leaves the cell cache registered
+    # materialize=False exposes the pinned cell cache as a handle (ADVICE
+    # r14) — release it directly instead of a session-wide clearCache
+    df._internal_cache.unpersist()
 
 
 def test_chi_square_marginals_broadcast(t):
@@ -483,7 +485,7 @@ def test_hot_bucket_cap_broadcasts_hot_keys(t, spark):
     # introduce a wide shuffle of the banded rows
     plan = formatted_plan(df)
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
-    spark.catalog.clearCache()  # materialize=False leaves the sig cache registered
+    df._internal_cache.unpersist()  # caller-releasable handle (ADVICE r14)
 
 
 def test_embedding_near_dup_join_parallelism_is_aqe_exempt(spark, sf_dir):
@@ -507,7 +509,7 @@ def test_embedding_near_dup_join_parallelism_is_aqe_exempt(spark, sf_dir):
     )
     plan = formatted_plan(df)
     assert "REPARTITION_BY_NUM" in plan, plan[:2000]
-    spark.catalog.clearCache()  # materialize=False leaves the bucket cache registered
+    df._internal_cache.unpersist()  # caller-releasable handle (ADVICE r14)
 
 
 def test_embedding_zscore_broadcasts_dim_stats(t, spark, sf_dir):
