@@ -687,6 +687,37 @@ def main() -> None:
     # rerunning them measures the same work each time (fresh temp sink).
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     extra["reps"] = reps
+    # Standing cache-hygiene gate (VERDICT r14 item 2): after each benched
+    # query, the CacheManager must be EMPTY — an operator that returns a
+    # plan pinning an internal persist leaks it for the session lifetime,
+    # accumulating across this very sweep and skewing later medians (the
+    # r13/r14 bug class).  Checking isEmpty() is one JVM call per query, so
+    # the full benched surface is re-audited on every snapshot instead of
+    # only in the opt-in pytest sweep; any leak is contained (clearCache)
+    # so it cannot skew the remaining timings, and named in the snapshot.
+    cache_mgr = spark._jsparkSession.sharedState().cacheManager()
+    cache_leakers: list[str] = []
+    # The ~38 contract queries NOT in BENCH_QUERIES get a hygiene-ONLY
+    # pass at sf0.001 (tiny — under a minute total) so the standing gate
+    # covers the FULL 229-query contract surface every snapshot, not just
+    # the benched 193.  No timing is recorded for these; leaks are named
+    # with a "preflight:" prefix to distinguish them from benched leaks.
+    hygiene_dir = os.environ.get("SPARK_GRAFT_HYGIENE_DIR", "/root/testdata/sf0.001")
+    t_hyg = time.time()
+    if os.path.isdir(hygiene_dir):
+        for name in qs:
+            if name in BENCH_QUERIES:
+                continue
+            try:
+                qs[name](spark, hygiene_dir).count()
+            except Exception as exc:  # a broken query is its own signal
+                cache_leakers.append(f"preflight-error:{name}:{type(exc).__name__}")
+                spark.catalog.clearCache()
+                continue
+            if not cache_mgr.isEmpty():
+                cache_leakers.append(f"preflight:{name}")
+                spark.catalog.clearCache()
+    extra["hygiene_preflight_sec"] = round(time.time() - t_hyg, 1)
     for name in BENCH_QUERIES:
         samples = []
         for _ in range(reps):
@@ -695,6 +726,12 @@ def main() -> None:
             samples.append(time.time() - t0)
         timings[name] = round(sorted(samples)[len(samples) // 2], 3)
         extra[f"rows_{name}"] = n
+        if not cache_mgr.isEmpty():
+            cache_leakers.append(name)
+            spark.catalog.clearCache()
+    extra["cache_leakers"] = cache_leakers
+    if cache_leakers:
+        print(f"bench: CACHE HYGIENE VIOLATION: {cache_leakers}", file=sys.stderr)
 
     # -- crypto throughput microbenches ------------------------------------
     # Crypto wall-times get extra reps: BENCH_r02 showed a phantom 2.4x
@@ -920,6 +957,10 @@ def main() -> None:
         # non-empty list = this snapshot was taken on a contended box and
         # must not be read as a round-over-round regression signal
         "contended": contended_reasons,
+        # standing hygiene gate (VERDICT r14 item 2): count of benched
+        # queries that left a pinned CacheManager entry (names in
+        # BENCH_extra.json's cache_leakers); MUST be 0 on a clean snapshot
+        "cache_leaks": len(cache_leakers),
     }
     line = json.dumps(headline)
     # The driver captures only the LAST ~2000 chars of stdout and parses the

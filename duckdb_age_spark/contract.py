@@ -7680,68 +7680,68 @@ _PRIORITY_50 = [
     "age_secrets_listing",
     "age_version",
     "age_secret_files",
-    # Round-14 rotation (VERDICT r13 next-round item 2), computed by
-    # scripts/rotation.py (oldest-first fill from CORRECTNESS_r01..r13 +
-    # iterated family gates; --force pins re-attestation slots).  Exact
-    # invocation recorded in ROADMAP.md.
+    # Round-15 rotation (VERDICT r14 next-round item 1), computed by
+    # scripts/rotation.py --force graph_harmonic_closeness (oldest-first
+    # fill from CORRECTNESS_r01..r14 + iterated family gates).  Exact
+    # invocation + diagnostics recorded in ROADMAP.md.
     #
-    # FORCED re-attestation — implementation changed this round (cache
-    # hygiene, VERDICT r13 item 4 / ADVICE r13 medium): the three pairs
-    # operators + label centroids now eagerly materialize their result and
-    # release the internal self-join cache (iterate.materialize_and_release
-    # — values unchanged, execution shape changed), the four frontier/CC
-    # loops checkpoint rounds eagerly and unpersist their loop cache in a
-    # try/finally, and loop_join_cache's partition count became
-    # max(shuffle.partitions, defaultParallelism) (VERDICT r13 item 5).
-    # Every query whose plan or execution shape those changes touch
-    # re-attests; oracle-green at sf0.01 pre-commit (16/16):
-    "dedup_minhash_pairs",
-    "dedup_clusters",
-    "dedup_keep_canonical",
-    "dedup_simhash_pairs",
-    "dedup_embedding_pairs",
-    "dedup_threshold_sweep",
-    "dedup_ngram_verify",
-    "dedup_containment",
-    "pipeline_dedup_report",
-    "dedup_span_clusters",
-    "stats_label_centroids",
-    "graph_bfs_hops",
-    "graph_label_propagation",
-    "graph_modularity",
-    "graph_weighted_sssp",
+    # FORCED re-attestation — implementation changed this round (ADVICE
+    # r14 low): harmonic_closeness's round-1 join regained an explicit
+    # F.broadcast hint on the checkpointed seeds frame (values unchanged,
+    # plan shape changed).  The other r15 code changes are plan-identical
+    # on the default paths (materialize_and_release's checkpoint_dir
+    # defaults to the same localCheckpoint; _internal_cache only attaches
+    # on materialize=False, which no contract query uses):
     "graph_harmonic_closeness",
-    # last attested r7 (oldest-first, alphabetical — the cohort the r13
-    # verdict predicted: the five displaced by the r13 loop-cache forcing
-    # plus the r7 veterans, all at 7 rounds stale):
-    "events_stickiness",
-    "events_time_to_convert",
-    "graph_clustering_coeff",
-    "graph_copurchase",
-    "graph_link_prediction",
-    "graph_topk_similar",
-    "multimodal_resize",
-    "multimodal_wav_resample",
-    "pipeline_bpe_pairs",
-    "pipeline_doc_chunking",
-    "rollup_autocorr",
-    "stats_gini",
-    "text_boilerplate_screen",
+    # last attested r7 (oldest-first, alphabetical — exactly the cohort
+    # the r14 verdict predicted: pipeline_pack_efficiency and
+    # rollup_order_concurrency displaced by r14's forced slots, plus the
+    # five r7 veterans):
+    "pipeline_pack_efficiency",
+    "rollup_order_concurrency",
+    "stats_corr_exact",
+    "stats_price_histogram",
+    "text_repetition",
+    "text_sentence_stats",
+    "text_unigram_logprob",
     # last attested r8:
-    "relational_markov_steady",
-    "sim_embedding_zscore",
-    "streaming_tvd_drift",
+    "events_burstiness",
+    "events_dow_seasonality",
+    "events_funnel_conversion",
+    "events_uptime",
+    "graph_degree_distribution",
+    "graph_triangles_degree",
+    "multimodal_flip",
+    "pipeline_bigram_lift",
+    "pipeline_kfold_split",
+    "relational_share_of_parent",
+    "rollup_acf_multi_lag",
+    "scd2_apply_changes",
+    "scd2_asof_lookup",
+    "sim_pq_codebook",
+    "sketch_cms_heavy_hitters",
+    "stats_grouped_trend",
+    "stats_mann_whitney",
+    "stats_quantile_binning",
+    "stats_quantile_interp",
+    "stats_spearman",
+    "stats_winsorized",
+    "text_readability",
     # last attested r9:
-    "sink_encrypted_blobs",
-    "sketch_kmv_intersection",
-    # last attested r11:
-    "cube_priority_status",
-    "skew_salted_agg",
-    "upsert_cdc_merge",
+    "dedup_ngram_jaccard",
+    "sink_orc_roundtrip",
+    "streaming_ewma_hourly",
+    # last attested r10:
+    "sketch_hll_distinct",
     # last attested r12:
-    "setops_customer_cohorts",
-    "stats_benford",
-    "udtf_chunks",
+    "skew_bloom_prefilter",
+    "upsert_incremental_agg",
+    "window_balance_analytics",
+    # last attested r13 (dq_report / setops / udaf are family-gate swaps —
+    # their families would otherwise lose their only representative):
+    "dq_report",
+    "setops_full_outer_reconcile",
+    "udaf_geomean",
     # family-gate slot (grouped-map family keeps a representative):
     "grouped_map_zscore",
 ]

@@ -279,6 +279,37 @@ def test_bench_membw_probe_reports_positive_bandwidth():
     assert agg < 10000, agg
 
 
+def test_kernel_bench_records_membw_probe_failure(monkeypatch):
+    """ADVICE r14 (low): if a probe worker dies (allocation failure, broken
+    barrier), the old code raised TypeError on the None span, _kernel_bench
+    swallowed it, and the membw gate silently vanished — a bandwidth-
+    degraded box would pass as clean with no trace.  Pin the fix: a probe
+    failure (-2.0 sentinel, or an exception) records membw_mc_probe_failed
+    in the kernel snapshot and never sets the gated key."""
+    import bench
+
+    monkeypatch.setattr(bench, "_multicore_control", lambda: 200.0)
+
+    monkeypatch.setattr(bench, "_membw_probe_mc", lambda: -2.0)
+    out = bench._kernel_bench()
+    assert "membw_mc_gb_per_s" not in out
+    assert out["membw_mc_probe_failed"] == 1.0
+
+    def _boom() -> float:
+        raise RuntimeError("worker vanished")
+
+    monkeypatch.setattr(bench, "_membw_probe_mc", _boom)
+    out = bench._kernel_bench()
+    assert "membw_mc_gb_per_s" not in out
+    assert out["membw_mc_probe_failed"] == 1.0
+
+    # the numpy-missing sentinel (-1.0) stays "probe skipped": neither key
+    monkeypatch.setattr(bench, "_membw_probe_mc", lambda: -1.0)
+    out = bench._kernel_bench()
+    assert "membw_mc_gb_per_s" not in out
+    assert "membw_mc_probe_failed" not in out
+
+
 def test_every_rounded_sum_oracle_is_audited():
     """Every oracle whose SQL rounds a sum() is a member of the IEEE
     reduction-order hazard class that flaked ``tpch_q9`` in round 5: if the
