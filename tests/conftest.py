@@ -32,6 +32,18 @@ def sf_dir() -> str:
     return SF_DIR
 
 
+@pytest.fixture(scope="session")
+def reliable_ckpt_dir(tmp_path_factory) -> str:
+    """ONE checkpoint dir for every reliable-checkpoint test: Spark keeps a
+    single GLOBAL checkpoint dir per SparkContext and truncate_lineage sets
+    it only when unset, so two tests each passing their own tmp_path would
+    race on test order — the first wins and the second's dir stays empty
+    (broke test_iterative_ops_reliable_checkpoint_mode when the r15
+    pairs-operator checkpoint test landed).  Sharing the fixture makes
+    "requested dir == effective dir" hold regardless of ordering."""
+    return str(tmp_path_factory.mktemp("reliable_ckpt"))
+
+
 @pytest.fixture()
 def manager(spark):
     """Fresh SecretManager registered into spark for each test."""

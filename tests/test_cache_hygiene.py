@@ -214,7 +214,9 @@ def test_materialize_false_exposes_releasable_cache_handle(clean_cache, docs):
     assert _cache_is_empty(clean_cache)
 
 
-def test_materialize_and_release_checkpoint_dir_identical_pairs(clean_cache, docs, tmp_path):
+def test_materialize_and_release_checkpoint_dir_identical_pairs(
+    clean_cache, docs, reliable_ckpt_dir
+):
     """VERDICT r14 item 5 / ADVICE r14 (medium): the pairs operators'
     eager materialization accepts a reliable checkpoint_dir (executor-loss
     safety on real clusters); results must be identical to the default
@@ -224,7 +226,7 @@ def test_materialize_and_release_checkpoint_dir_identical_pairs(clean_cache, doc
     corpus = planted_near_dup_corpus(docs)
     local = sorted(map(tuple, minhash_lsh_pairs(corpus).collect()))
     reliable = sorted(
-        map(tuple, minhash_lsh_pairs(corpus, checkpoint_dir=str(tmp_path)).collect())
+        map(tuple, minhash_lsh_pairs(corpus, checkpoint_dir=reliable_ckpt_dir).collect())
     )
     assert local == reliable and len(local) > 0
     assert _cache_is_empty(clean_cache)

@@ -2114,16 +2114,19 @@ def test_time_weighted_avg_burst_insensitive(spark):
     assert r.twap > 9.0  # 10 held for 100 of 101 seconds
 
 
-def test_iterative_ops_reliable_checkpoint_mode(spark, tmp_path):
+def test_iterative_ops_reliable_checkpoint_mode(spark, reliable_ckpt_dir):
     """VERDICT r5 item 7: connected_components and bfs_hops accept a
     reliable checkpoint_dir (cluster mode, survives executor loss) and
-    produce identical results to the localCheckpoint default."""
+    produce identical results to the localCheckpoint default.  Uses the
+    session-shared reliable_ckpt_dir: the SparkContext keeps ONE global
+    checkpoint dir, so a per-test tmp_path only takes effect for whichever
+    checkpoint test runs first (conftest fixture docstring)."""
     from duckdb_age_spark.operators.dedup import connected_components
     from duckdb_age_spark.operators.graph import bfs_hops
 
     edges = spark.createDataFrame([(1, 2), (2, 3), (5, 6)], "src long, dst long")
     nodes = spark.createDataFrame([(i,) for i in (1, 2, 3, 5, 6, 9)], "id long")
-    ckpt = str(tmp_path / "ckpt")
+    ckpt = reliable_ckpt_dir
 
     local_cc = {r.id: r.cluster_id for r in connected_components(edges, nodes).collect()}
     rel_cc = {
