@@ -343,40 +343,71 @@ def mad_outliers(lineitem: DataFrame, k: int = 3) -> DataFrame:
     (value at rank floor((n+1)/2) — the lower middle for even n), not
     interpolated: rank selection is engine-deterministic, interpolation
     arithmetic is not (the winsorized_stats rule).  The outlier test
-    |x − med| > k·mad is pure integer comparison.  Shape: two per-group
-    sorts (one per median — the unavoidable exact-percentile cost), two
-    broadcast threshold joins, one map-side-combined final aggregate.
-    Returns (l_returnflag, n_rows, median, mad, n_outliers).
+    |x − med| > k·mad is pure integer comparison.
+
+    Shape (r15): rank selection runs over a VALUE HISTOGRAM —
+    groupBy(flag, cents).count() with map-side partial aggregation, then a
+    cumulative-count window over the per-group DISTINCT values only — not a
+    row_number over every raw row.  The r14 shape sorted each flag's entire
+    row set inside one window task (3 distinct flags → 3 tasks carrying the
+    whole table; at 100 TB that is billions of rows through a single task)
+    and, with no reuse across the med/mad/final stages, executed that full
+    sort three times.  The histogram bounds the window input by the value
+    domain (cents cardinality, data-size-independent), so the single task
+    per group holds the domain, never the data; recomputation across the
+    three stages costs a columnar scan + partial agg each, not a full-row
+    sort.  The deviation median runs off a second histogram folded from the
+    first (never re-reading rows), and the final outlier count is a
+    weighted aggregate over the same histogram.  Medians are identical by
+    construction: value at rank r == smallest value whose cumulative count
+    reaches r.  Returns (l_returnflag, n_rows, median, mad, n_outliers).
     """
     from pyspark.sql import Window
 
     cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
     d = lineitem.select(F.col("l_returnflag").alias("flag"), cents.alias("cents"))
+    hist = d.groupBy("flag", "cents").agg(F.count("*").alias("cnt"))
 
-    def _group_median(df: DataFrame, col: str) -> DataFrame:
-        w = Window.partitionBy("flag").orderBy(col)
-        ranked = df.select(
+    def _hist_median(h: DataFrame, col: str) -> DataFrame:
+        # (flag, value, cnt) rows are distinct per group, so the rows-frame
+        # running sum is tie-free and deterministic; the rank-r value is the
+        # smallest value whose cumulative count reaches r = floor((n+1)/2).
+        cum_w = (
+            Window.partitionBy("flag")
+            .orderBy(col)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        c = h.select(
             "flag",
             F.col(col),
-            F.row_number().over(w).alias("rn"),
-            F.count("*").over(Window.partitionBy("flag")).alias("n"),
+            F.sum("cnt").over(cum_w).alias("cum"),
+            F.sum("cnt").over(Window.partitionBy("flag")).alias("n"),
         )
         return (
-            ranked.where(F.col("rn") == F.floor((F.col("n") + 1) / 2).cast("long"))
+            c.where(F.col("cum") >= F.floor((F.col("n") + 1) / 2).cast("long"))
             .groupBy("flag")
             .agg(F.min(col).alias("med"))
         )
-    med = _group_median(d, "cents")
-    devs = d.join(F.broadcast(med), "flag").select(
-        "flag", "cents", "med", F.abs(F.col("cents") - F.col("med")).alias("dev")
+
+    med = _hist_median(hist, "cents")
+    devhist = (
+        hist.join(F.broadcast(med), "flag")
+        .groupBy("flag", F.abs(F.col("cents") - F.col("med")).alias("dev"))
+        .agg(F.sum("cnt").alias("cnt"))
     )
-    mad = _group_median(devs.select("flag", "dev"), "dev").withColumnRenamed("med", "mad")
+    mad = _hist_median(devhist, "dev").withColumnRenamed("med", "mad")
     return (
-        devs.join(F.broadcast(mad), "flag")
+        hist.join(F.broadcast(med), "flag")
+        .join(F.broadcast(mad), "flag")
         .groupBy("flag", "med", "mad")
         .agg(
-            F.count("*").alias("n_rows"),
-            F.sum((F.col("dev") > F.lit(k) * F.col("mad")).cast("long")).alias("n_outliers"),
+            F.sum("cnt").alias("n_rows"),
+            F.sum(
+                F.when(
+                    F.abs(F.col("cents") - F.col("med")) > F.lit(k) * F.col("mad"),
+                    F.col("cnt"),
+                ).otherwise(F.lit(0))
+            ).alias("n_outliers"),
         )
         .select(
             F.col("flag").alias("l_returnflag"),
@@ -399,41 +430,55 @@ def winsorized_stats(
     integer cents is engine-deterministic, while interpolation arithmetic
     on doubles can differ in the last ulp.  Ties on cents don't matter —
     the VALUE at a rank is unique even when row numbering within equal keys
-    is not.  Shape: one per-group sort (the unavoidable cost of an exact
-    percentile; ``quantiles_exact`` makes the same call), one broadcast of
-    the 2-row-per-group thresholds, one map-side-combined aggregate.
+    is not.
+
+    Shape (r15): rank selection runs over a VALUE HISTOGRAM (the
+    mann_whitney / mad_outliers pattern) — groupBy(flag, cents).count()
+    with map-side partial aggregation, a cumulative-count window over the
+    per-group DISTINCT values, and the rank-r value read as the smallest
+    cents whose cumulative count reaches r.  The clip counts and the
+    winsorized mean are weighted aggregates over the same histogram, so no
+    stage ever carries raw rows through a window: the single task per flag
+    holds the value domain (data-size-independent), not the data.  The r14
+    shape row_numbered every raw row inside 3 window tasks — a
+    billions-of-rows-per-task sort at 100 TB.
     Returns per-flag thresholds, clip counts, and the winsorized mean.
     """
     from pyspark.sql import Window
 
     cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
     d = lineitem.select(F.col("l_returnflag").alias("flag"), cents.alias("cents"))
-    w = Window.partitionBy("flag").orderBy("cents")
-    ranked = d.select(
+    hist = d.groupBy("flag", "cents").agg(F.count("*").alias("cnt"))
+    cum_w = (
+        Window.partitionBy("flag")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = hist.select(
         "flag",
         "cents",
-        F.row_number().over(w).alias("rn"),
-        F.count("*").over(Window.partitionBy("flag")).alias("n"),
+        F.sum("cnt").over(cum_w).alias("cum"),
+        F.sum("cnt").over(Window.partitionBy("flag")).alias("n"),
     )
     lo_rank = F.floor(F.lit(lo) * (F.col("n") - 1)).cast("long") + 1
     hi_rank = F.floor(F.lit(hi) * (F.col("n") - 1)).cast("long") + 1
-    thresholds = (
-        ranked.where((F.col("rn") == lo_rank) | (F.col("rn") == hi_rank))
-        .groupBy("flag")
-        .agg(F.min("cents").alias("lo_c"), F.max("cents").alias("hi_c"))
+    thresholds = c.groupBy("flag").agg(
+        F.min(F.when(F.col("cum") >= lo_rank, F.col("cents"))).alias("lo_c"),
+        F.min(F.when(F.col("cum") >= hi_rank, F.col("cents"))).alias("hi_c"),
     )
-    clamped = d.join(F.broadcast(thresholds), "flag").select(
+    clamped = hist.join(F.broadcast(thresholds), "flag").select(
         "flag",
         "lo_c",
         "hi_c",
-        F.greatest(F.col("lo_c"), F.least(F.col("hi_c"), F.col("cents"))).alias("wc"),
-        (F.col("cents") < F.col("lo_c")).cast("long").alias("clip_lo"),
-        (F.col("cents") > F.col("hi_c")).cast("long").alias("clip_hi"),
+        "cnt",
+        (F.greatest(F.col("lo_c"), F.least(F.col("hi_c"), F.col("cents"))) * F.col("cnt")).alias("wc"),
+        F.when(F.col("cents") < F.col("lo_c"), F.col("cnt")).otherwise(F.lit(0)).alias("clip_lo"),
+        F.when(F.col("cents") > F.col("hi_c"), F.col("cnt")).otherwise(F.lit(0)).alias("clip_hi"),
     )
     return (
         clamped.groupBy("flag", "lo_c", "hi_c")
         .agg(
-            F.count("*").alias("n_rows"),
+            F.sum("cnt").alias("n_rows"),
             F.sum("clip_lo").alias("n_clipped_lo"),
             F.sum("clip_hi").alias("n_clipped_hi"),
             F.sum("wc").alias("sum_wc"),
@@ -486,28 +531,60 @@ def quantile_binning(orders: DataFrame, n_bins: int = 10) -> DataFrame:
     summary row per bin — the feature-binning step before WOE encoding /
     monotonic bucketing, exact flavor.
 
-    Determinism: binning runs on cents (exact longs) with a total
-    tie-broken order, so both engines assign identical bins; per-bin mean
-    divides an exact integer sum.  Scale note: exact ntile needs ONE
-    totally-ordered window (single-partition sort) — correct but
-    driver-bound at 100 TB; there the two-pass variant applies
-    (approx_percentile boundaries broadcast, then a narrow bucket map —
-    `sketch_approx_percentile` is the bound-checked sibling).
+    Determinism: binning runs on cents (exact longs), and every per-bin
+    statistic (count, min, max, integer sum) depends only on the sorted
+    MULTISET slice a bin receives — rows tied on cents across a bin
+    boundary contribute the same values whichever side the o_orderkey
+    tie-break would have placed them — so the histogram form below is
+    identical to exact ntile output by construction.
+
+    Shape (r15): ntile's bucket boundaries are pure rank arithmetic
+    (bucket b covers ranks [(b-1)·base + min(b-1, rem) + 1, b·base +
+    min(b, rem)] for base = n div n_bins, rem = n mod n_bins — Spark's
+    first-buckets-get-the-remainder rule), so per-bin stats are interval
+    overlaps between those rank ranges and a cumulative VALUE HISTOGRAM
+    (the mann_whitney / mad_outliers pattern): a value occupying global
+    ranks [cum−cnt+1, cum] contributes ov = min(cum, r1) − max(cum−cnt+1,
+    r0) + 1 rows to bin b.  The r14 shape ran exact ntile through ONE
+    totally-ordered window over every raw row — the single-task sort this
+    module's docstrings used to confess as "driver-bound at 100 TB"; the
+    window now orders the distinct-value histogram only (domain-bounded),
+    and the n_bins-row rank grid joins it broadcast.
     Returns (bin, n_orders, lo, hi, mean_price).
     """
     from pyspark.sql import Window
 
     cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
-    w = Window.orderBy("cents", "o_orderkey")
+    hist = (
+        orders.select(cents.alias("cents"))
+        .groupBy("cents")
+        .agg(F.count("*").alias("cnt"))
+    )
+    cum_w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    c = hist.select("cents", "cnt", F.sum("cnt").over(cum_w).alias("cum"))
+    totals = hist.agg(F.sum("cnt").alias("n"))
+    base = F.expr("n div %d" % n_bins)
+    rem = F.expr("n %% %d" % n_bins)
+    bins = totals.select(
+        F.explode(F.sequence(F.lit(1), F.lit(n_bins))).alias("bin"),
+        base.alias("base"),
+        rem.alias("rem"),
+    ).select(
+        "bin",
+        ((F.col("bin") - 1) * F.col("base") + F.least(F.col("bin") - 1, F.col("rem")) + 1).alias("r0"),
+        (F.col("bin") * F.col("base") + F.least(F.col("bin"), F.col("rem"))).alias("r1"),
+    )
+    ov = F.least(F.col("cum"), F.col("r1")) - F.greatest(F.col("cum") - F.col("cnt") + 1, F.col("r0")) + 1
     return (
-        orders.select(cents.alias("cents"), "o_orderkey")
-        .withColumn("bin", F.ntile(n_bins).over(w))
+        c.join(F.broadcast(bins))
+        .select("bin", "cents", ov.alias("ov"))
+        .where(F.col("ov") > 0)
         .groupBy("bin")
         .agg(
-            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum("ov").cast("bigint").alias("n_orders"),
             (F.min("cents") / 100.0).alias("lo"),
             (F.max("cents") / 100.0).alias("hi"),
-            F.round(F.sum("cents") / F.count("*") / 100.0, 4).alias("mean_price"),
+            F.round(F.sum(F.col("cents") * F.col("ov")) / F.sum("ov") / 100.0, 4).alias("mean_price"),
         )
         .select(F.col("bin").cast("bigint"), "n_orders", "lo", "hi", "mean_price")
         .orderBy("bin")
@@ -525,24 +602,33 @@ def ks_two_sample(orders: DataFrame, split_priority: str = "1-URGENT") -> DataFr
     max|c1·n2 − c2·n1| is exact integer arithmetic, and ONE terminal IEEE
     division by n1·n2 produces the engine-identical D (rounded 6 dp).
 
-    Scale note: the cumulative counts need one totally-ordered window
-    (same caveat as exact ntile — at 100 TB bucket the axis first and
-    bound the error, or sample); correct-but-driver-bound by design, with
-    `sketch_approx_percentile` as the sketch sibling.
-    Returns (n_a, n_b, d_stat).
+    Shape (r15): the per-side counts aggregate to the DISTINCT value axis
+    first (groupBy(v), map-side combined — the mann_whitney pattern), and
+    the cumulative window runs over that value histogram: under the
+    original RANGE frame every row tied at v carried identical (ca, cb),
+    so the per-value cumulative sums — and therefore the supremum — are
+    unchanged by construction.  The r14 shape ran the window over every
+    raw row (one total-order task holding the whole table at 100 TB); the
+    single window task now holds the value domain only, data-size-
+    independent.  `sketch_approx_percentile` remains the bounded-error
+    sketch sibling.  Returns (n_a, n_b, d_stat).
     """
     from pyspark.sql import Window
 
     cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
     is_a = (F.col("o_orderpriority") == split_priority).cast("long")
-    d = orders.select(cents.alias("v"), is_a.alias("a"), (1 - is_a).alias("b"))
-    w = Window.orderBy("v").rangeBetween(Window.unboundedPreceding, 0)
-    cum = d.select(
+    g = (
+        orders.select(cents.alias("v"), is_a.alias("a"), (1 - is_a).alias("b"))
+        .groupBy("v")
+        .agg(F.sum("a").alias("a"), F.sum("b").alias("b"))
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = g.select(
         "v",
         F.sum("a").over(w).alias("ca"),
         F.sum("b").over(w).alias("cb"),
     )
-    totals = d.agg(F.sum("a").alias("na"), F.sum("b").alias("nb"))
+    totals = g.agg(F.sum("a").alias("na"), F.sum("b").alias("nb"))
     return (
         cum.crossJoin(F.broadcast(totals))
         .agg(
@@ -566,28 +652,39 @@ def gini_coefficient(orders: DataFrame) -> DataFrame:
     integer/decimal sums (cents, rank·cents as decimal(38,0)) with one
     terminal IEEE division — engine-identical, rounded 6 dp.
 
-    Shape: one aggregate keyed by customer, one totally-ordered rank
-    window (same exact-order caveat as ks_two_sample), one scalar
-    aggregate.  Returns (n_customers, total_revenue, gini).
+    Shape (r15): the rank-weighted sum runs over a VALUE HISTOGRAM of
+    per-customer revenue (the mann_whitney / mad_outliers pattern).
+    Within a block of customers tied at revenue x, Σ i·x = x·Σ i and the
+    ranks i are consecutive whatever the o_custkey tie-break, so the
+    block contributes x·(P·cnt + cnt·(cnt+1)/2) exactly, where P is the
+    cumulative count before the block — integer arithmetic, identical to
+    the per-row rank sum by construction.  The cumulative window orders
+    the distinct revenue values only (domain-bounded), where the r14
+    shape row_numbered every customer inside ONE total-order window task
+    — customer-count-bounded, i.e. billions of rows through a single
+    task at 100 TB.  Returns (n_customers, total_revenue, gini).
     """
     from pyspark.sql import Window
 
     rev = orders.groupBy("o_custkey").agg(
         F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias("cents")
     )
-    ranked = rev.select(
-        "cents",
-        F.row_number().over(Window.orderBy("cents", "o_custkey")).alias("i"),
+    h = rev.groupBy("cents").agg(F.count("*").cast("long").alias("cnt"))
+    w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    c = h.select("cents", "cnt", F.sum("cnt").over(w).alias("cum"))
+    rank_sum = (
+        (F.col("cum") - F.col("cnt")).cast("decimal(38,0)") * F.col("cnt")
+        + F.expr("(cnt * (cnt + 1)) div 2").cast("decimal(38,0)")
     )
-    return ranked.agg(
-        F.count("*").cast("bigint").alias("n_customers"),
-        F.round(F.sum("cents") / 100.0, 2).alias("total_revenue"),
+    return c.agg(
+        F.sum("cnt").cast("bigint").alias("n_customers"),
+        F.round(F.sum(F.col("cents") * F.col("cnt")) / 100.0, 2).alias("total_revenue"),
         F.round(
             (
-                F.lit(2.0) * F.sum((F.col("i").cast("decimal(38,0)") * F.col("cents"))).cast("double")
-                - (F.count("*") + 1).cast("double") * F.sum("cents").cast("double")
+                F.lit(2.0) * F.sum(rank_sum * F.col("cents")).cast("double")
+                - (F.sum("cnt") + 1).cast("double") * F.sum(F.col("cents") * F.col("cnt")).cast("double")
             )
-            / (F.count("*").cast("double") * F.sum("cents").cast("double")),
+            / (F.sum("cnt").cast("double") * F.sum(F.col("cents") * F.col("cnt")).cast("double")),
             6,
         ).alias("gini"),
     )
@@ -602,6 +699,13 @@ def psi_drift(orders: DataFrame, split_date: str = "1995-06-01", n_bins: int = 1
     Bin edges are the reference's exact discrete-rank deciles (integer
     cents, floor(q·(n−1))+1 — no interpolation); both halves bin against
     the same edges via one broadcast 1-row edge array (no driver collect).
+    Edge lookup runs over a VALUE HISTOGRAM of the reference half (the
+    mann_whitney / mad_outliers pattern): the decile value at rank r is
+    the smallest v whose cumulative count reaches r — identical, ties
+    included, to the row_number selection it replaces (the o_orderkey
+    tie-break never changed WHICH VALUE sits at a rank).  The cumulative
+    window orders distinct cents only (domain-bounded); the r14 shape
+    row_numbered every pre-split row inside ONE total-order window task.
     PSI = Σ (pᵢ−qᵢ)·ln(pᵢ/qᵢ) over bins occupied on BOTH sides (bins empty
     on either side are excluded and counted — deterministic, no epsilon
     fudge).  Each term fixes to integer nano-units before the sum
@@ -612,20 +716,30 @@ def psi_drift(orders: DataFrame, split_date: str = "1995-06-01", n_bins: int = 1
     from pyspark.sql import Window
 
     cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
-    ref = orders.where(F.col("o_orderdate") < split_date).select(cents.alias("v"), "o_orderkey")
-    cur = orders.where(F.col("o_orderdate") >= split_date).select(cents.alias("v"), "o_orderkey")
-    w = Window.orderBy("v", "o_orderkey")
-    ranked = ref.select("v", F.row_number().over(w).alias("rn"))
-    nref = ranked.agg(F.count("*").alias("n"))
-    cut_ranks = F.array(
-        *[
-            (F.floor(F.lit(q / n_bins) * (F.col("n") - 1)) + 1).cast("long")
-            for q in range(1, n_bins)
-        ]
+    ref = orders.where(F.col("o_orderdate") < split_date).select(cents.alias("v"))
+    cur = orders.where(F.col("o_orderdate") >= split_date).select(cents.alias("v"))
+    h = ref.groupBy("v").agg(F.count("*").alias("cnt"))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    c = h.select("v", F.sum("cnt").over(w).alias("cum"))
+    nref = h.agg(F.sum("cnt").alias("n"))
+    # distinct ranks mirror array_contains row-matching: a rank collides
+    # with another only for tiny n, where the original matched one row once
+    ranks = nref.select(
+        F.explode(
+            F.array_distinct(
+                F.array(
+                    *[
+                        (F.floor(F.lit(q / n_bins) * (F.col("n") - 1)) + 1).cast("long")
+                        for q in range(1, n_bins)
+                    ]
+                )
+            )
+        ).alias("rk")
     )
     cuts = (
-        ranked.crossJoin(F.broadcast(nref))
-        .where(F.array_contains(cut_ranks, F.col("rn")))
+        c.join(F.broadcast(ranks), F.col("cum") >= F.col("rk"))
+        .groupBy("rk")
+        .agg(F.min("v").alias("v"))
         .agg(F.sort_array(F.collect_list("v")).alias("cuts"))
     )
 
@@ -731,17 +845,32 @@ def quantile_interp(events: DataFrame, col: str = "value") -> DataFrame:
     idx = (n-1)*q/4 splits into lo = 1 + (n-1)*q div 4 (1-based) and
     rem = (n-1)*q mod 4; hi is the next rank (clamped to n).
 
-    Scale note: exact mid-distribution quantiles require the full per-group
-    sort — the honest cost (row_number over the type partition).  At 100 TB
-    one switches to approx_percentile (GK sketch, bounded error — see
-    approx_percentile_check) or pre-bins to a histogram; this operator is
-    the exact reference those sketches are validated against.
+    Shape (r15): both rank lookups run over a VALUE HISTOGRAM (the
+    mann_whitney / mad_outliers pattern) — groupBy(event_type, cents) with
+    map-side partial aggregation, a cumulative-count window over the
+    per-type DISTINCT values, and the rank-r value read as the smallest
+    cents whose cumulative count reaches r (identical by construction to
+    the row_number selection this replaces, ties included).  The window
+    task per type holds the value domain, not the data — the r14 shape
+    sorted every raw row inside one window task per event type, which at
+    100 TB is billions of rows through a handful of tasks.  The 3-row-per-
+    type rank grid joins the histogram broadcast.  Exactness is unchanged;
+    `sketch_approx_percentile` remains the bounded-error sketch sibling
+    validated against this reference.
     """
     cents = F.round(F.col(col) * 100).cast("long")
-    ranked = events.select("event_type", cents.alias("cents")).withColumn(
-        "rn", F.row_number().over(Window.partitionBy("event_type").orderBy("cents"))
+    hist = (
+        events.select("event_type", cents.alias("cents"))
+        .groupBy("event_type", "cents")
+        .agg(F.count("*").alias("cnt"))
     )
-    counts = events.groupBy("event_type").agg(F.count("*").cast("long").alias("n"))
+    cum_w = (
+        Window.partitionBy("event_type")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = hist.select("event_type", "cents", F.sum("cnt").over(cum_w).alias("cum"))
+    counts = hist.groupBy("event_type").agg(F.sum("cnt").cast("long").alias("n"))
     grid = counts.select(
         "event_type",
         "n",
@@ -753,11 +882,13 @@ def quantile_interp(events: DataFrame, col: str = "value") -> DataFrame:
         (F.lit(1) + F.expr("((n - 1) * q) div 4")).alias("lo_rk"),
         F.expr("((n - 1) * q) % 4").alias("rem"),
     ).withColumn("hi_rk", F.least(F.col("lo_rk") + 1, F.col("n")))
-    lo = ranked.select("event_type", F.col("rn").alias("lo_rk"), F.col("cents").alias("lo_c"))
-    hi = ranked.select("event_type", F.col("rn").alias("hi_rk"), F.col("cents").alias("hi_c"))
     return (
-        grid.join(lo, ["event_type", "lo_rk"])
-        .join(hi, ["event_type", "hi_rk"])
+        c.join(F.broadcast(grid), "event_type")
+        .groupBy("event_type", "q", "n", "rem")
+        .agg(
+            F.min(F.when(F.col("cum") >= F.col("lo_rk"), F.col("cents"))).alias("lo_c"),
+            F.min(F.when(F.col("cum") >= F.col("hi_rk"), F.col("cents"))).alias("hi_c"),
+        )
         .select(
             "event_type",
             "q",

@@ -1251,6 +1251,32 @@ def test_quantile_binning_partitions_all_rows_contiguously(spark, sf_dir):
         assert prev.hi <= cur.lo
 
 
+def test_quantile_binning_ties_straddling_boundary(spark):
+    # sorted cents [100, 200, 200, 300] into 2 bins of 2: the two tied
+    # 200s straddle the boundary; whichever tie-order ntile would pick,
+    # the bin MULTISETS are {1.00, 2.00} and {2.00, 3.00} — the r15
+    # histogram form must reproduce exactly that
+    from duckdb_age_spark.operators.stats import quantile_binning
+
+    df = spark.createDataFrame(
+        [(1, 1.00), (2, 2.00), (3, 2.00), (4, 3.00)],
+        "o_orderkey long, o_totalprice double",
+    )
+    bins = quantile_binning(df, n_bins=2).orderBy("bin").collect()
+    assert [(r.bin, r.n_orders, r.lo, r.hi, r.mean_price) for r in bins] == [
+        (1, 2, 1.00, 2.00, 1.5),
+        (2, 2, 2.00, 3.00, 2.5),
+    ]
+    # remainder rule: 5 rows into 3 bins -> first 5 mod 3 = 2 bins get the
+    # extra row (sizes 2,2,1), all values tied
+    df5 = spark.createDataFrame(
+        [(i, 7.00) for i in range(5)], "o_orderkey long, o_totalprice double"
+    )
+    bins5 = quantile_binning(df5, n_bins=3).orderBy("bin").collect()
+    assert [(r.bin, r.n_orders) for r in bins5] == [(1, 2), (2, 2), (3, 1)]
+    assert all(r.lo == 7.00 and r.hi == 7.00 and r.mean_price == 7.0 for r in bins5)
+
+
 def test_kcore_peels_pendant_chain(spark):
     from duckdb_age_spark.operators.graph import kcore_peel
 

@@ -1108,3 +1108,38 @@ def test_cc_round_join_reuses_cached_edge_partitioning(spark, monkeypatch):
             sym.unpersist()
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_exact_rank_stats_use_value_histograms_not_row_windows(t):
+    """r15: the exact-rank stats family runs rank selection over VALUE
+    HISTOGRAMS (groupBy(value).count() + cumulative-count window over the
+    distinct values — the mann_whitney pattern), never a row_number/ntile
+    window over raw rows.  A raw-row rank window puts an entire group (or
+    for the global ones, the entire table) through ONE window task — the
+    single-task-sort scale defect this rewrite removed.  Pin: no
+    row_number/ntile anywhere in these plans, and every Window is fed by
+    an aggregate (partial_count visible upstream)."""
+    from duckdb_age_spark.operators.stats import (
+        gini_coefficient,
+        ks_two_sample,
+        mad_outliers,
+        psi_drift,
+        quantile_binning,
+        quantile_interp,
+        winsorized_stats,
+    )
+
+    frames = {
+        "mad": mad_outliers(t["lineitem"]),
+        "winsor": winsorized_stats(t["lineitem"]),
+        "binning": quantile_binning(t["orders"]),
+        "interp": quantile_interp(t["events"]),
+        "ks": ks_two_sample(t["orders"]),
+        "psi": psi_drift(t["orders"]),
+        "gini": gini_coefficient(t["orders"]),
+    }
+    for name, df in frames.items():
+        plan = formatted_plan(df)
+        assert "row_number" not in plan, f"{name}: raw-row rank window came back"
+        assert "ntile(" not in plan, f"{name}: ntile window came back"
+        assert has_partial_aggregate(df), f"{name}: histogram lost its map-side combine"
