@@ -7669,81 +7669,56 @@ def entry(spark: SparkSession) -> DataFrame:
 # local 130/130 oracle sweep and their CORRECTNESS_r01–r04 history.
 
 _PRIORITY_50 = [
-    # crypto core (SURVEY §2a — the reference's own surface; permanent
-    # slots so the core deliverable re-attests every round)
-    "age_roundtrip",
-    "age_multi_roundtrip",
-    "age_keygen_check",
-    "age_seeded_keygen",
-    "age_error_dispatch",
-    "age_secret_roundtrip",
-    "age_secrets_listing",
-    "age_version",
-    "age_secret_files",
-    # Round-15 rotation (VERDICT r14 next-round item 1), computed by
-    # scripts/rotation.py --force graph_harmonic_closeness (oldest-first
-    # fill from CORRECTNESS_r01..r14 + iterated family gates).  Exact
-    # invocation + diagnostics recorded in ROADMAP.md.
-    #
-    # FORCED re-attestation — implementation changed this round (ADVICE
-    # r14 low): harmonic_closeness's round-1 join regained an explicit
-    # F.broadcast hint on the checkpointed seeds frame (values unchanged,
-    # plan shape changed).  The other r15 code changes are plan-identical
-    # on the default paths (materialize_and_release's checkpoint_dir
-    # defaults to the same localCheckpoint; _internal_cache only attaches
-    # on materialize=False, which no contract query uses):
-    "graph_harmonic_closeness",
-    # last attested r7 (oldest-first, alphabetical — exactly the cohort
-    # the r14 verdict predicted: pipeline_pack_efficiency and
-    # rollup_order_concurrency displaced by r14's forced slots, plus the
-    # five r7 veterans):
-    "pipeline_pack_efficiency",
-    "rollup_order_concurrency",
-    "stats_corr_exact",
-    "stats_price_histogram",
-    "text_repetition",
-    "text_sentence_stats",
-    "text_unigram_logprob",
-    # last attested r8:
-    "events_burstiness",
-    "events_dow_seasonality",
-    "events_funnel_conversion",
-    "events_uptime",
-    "graph_degree_distribution",
-    "graph_triangles_degree",
-    "multimodal_flip",
-    "pipeline_bigram_lift",
-    "pipeline_kfold_split",
-    "relational_share_of_parent",
-    "rollup_acf_multi_lag",
-    "scd2_apply_changes",
-    "scd2_asof_lookup",
-    "sim_pq_codebook",
-    "sketch_cms_heavy_hitters",
-    "stats_grouped_trend",
-    "stats_mann_whitney",
-    "stats_quantile_binning",
-    "stats_quantile_interp",
-    "stats_spearman",
-    "stats_winsorized",
-    "text_readability",
-    # last attested r9:
-    "dedup_ngram_jaccard",
-    "sink_orc_roundtrip",
-    "streaming_ewma_hourly",
-    # last attested r10:
-    "sketch_hll_distinct",
-    # last attested r12:
-    "skew_bloom_prefilter",
-    "upsert_incremental_agg",
-    "window_balance_analytics",
-    # last attested r13 (dq_report / setops / udaf are family-gate swaps —
-    # their families would otherwise lose their only representative):
-    "dq_report",
-    "setops_full_outer_reconcile",
-    "udaf_geomean",
-    # family-gate slot (grouped-map family keeps a representative):
-    "grouped_map_zscore",
+    "age_roundtrip",  # last attested r14
+    "age_multi_roundtrip",  # last attested r14
+    "age_keygen_check",  # last attested r14
+    "age_seeded_keygen",  # last attested r14
+    "age_error_dispatch",  # last attested r14
+    "age_secret_roundtrip",  # last attested r14
+    "age_secrets_listing",  # last attested r14
+    "age_version",  # last attested r14
+    "age_secret_files",  # last attested r14
+    "graph_harmonic_closeness",  # last attested r14
+    "stats_mad_outliers",  # last attested r11
+    "stats_winsorized",  # last attested r8
+    "stats_quantile_binning",  # last attested r8
+    "stats_quantile_interp",  # last attested r8
+    "stats_ks_test",  # last attested r12
+    "stats_gini",  # last attested r14
+    "stats_psi_drift",  # last attested r12
+    "pipeline_pack_efficiency",  # last attested r7
+    "rollup_order_concurrency",  # last attested r7
+    "stats_corr_exact",  # last attested r7
+    "stats_price_histogram",  # last attested r7
+    "text_repetition",  # last attested r7
+    "text_sentence_stats",  # last attested r7
+    "text_unigram_logprob",  # last attested r7
+    "events_burstiness",  # last attested r8
+    "events_dow_seasonality",  # last attested r8
+    "events_funnel_conversion",  # last attested r8
+    "events_uptime",  # last attested r8
+    "graph_degree_distribution",  # last attested r8
+    "graph_triangles_degree",  # last attested r8
+    "multimodal_flip",  # last attested r8
+    "pipeline_bigram_lift",  # last attested r8
+    "pipeline_kfold_split",  # last attested r8
+    "relational_share_of_parent",  # last attested r8
+    "rollup_acf_multi_lag",  # last attested r8
+    "scd2_apply_changes",  # last attested r8
+    "scd2_asof_lookup",  # last attested r8
+    "sim_pq_codebook",  # last attested r8
+    "sketch_cms_heavy_hitters",  # last attested r8
+    "dedup_ngram_jaccard",  # last attested r9
+    "sink_orc_roundtrip",  # last attested r9
+    "streaming_ewma_hourly",  # last attested r9
+    "sketch_hll_distinct",  # last attested r10
+    "skew_bloom_prefilter",  # last attested r12
+    "upsert_incremental_agg",  # last attested r12
+    "window_balance_analytics",  # last attested r12
+    "dq_report",  # last attested r13
+    "setops_full_outer_reconcile",  # last attested r13
+    "udaf_geomean",  # last attested r13
+    "grouped_map_zscore",  # last attested r14
 ]
 
 
