@@ -3512,13 +3512,14 @@ def streaming_cms_topusers(spark: SparkSession, sf_dir: str) -> DataFrame:
         output_mode="complete",
     )
     ev = load(spark, sf_dir, "events")
-    top = (
-        ev.groupBy("user_id")
-        .agg(F.count("*").alias("exact_n"))
-        .withColumn(
-            "rk", F.row_number().over(Window.orderBy(F.desc("exact_n"), F.asc("user_id")))
-        )
-        .where(F.col("rk") <= 10)
+    # exact top-10 via orderBy+limit (TakeOrderedAndProject), not a
+    # partition-less rank window over the user table (operators/topk.py)
+    from .operators.topk import global_top_k
+
+    top = global_top_k(
+        ev.groupBy("user_id").agg(F.count("*").alias("exact_n")),
+        [F.desc("exact_n"), F.asc("user_id")],
+        10,
     )
 
     def bucket(j: int):
@@ -7686,31 +7687,31 @@ _PRIORITY_50 = [
     "stats_ks_test",  # last attested r12
     "stats_gini",  # last attested r14
     "stats_psi_drift",  # last attested r12
+    "pipeline_weighted_sample",  # last attested r12
+    "pipeline_vocab_topk",  # last attested r11
+    "pipeline_bpe_pairs",  # last attested r14
+    "pipeline_bigram_lift",  # last attested r8
+    "pipeline_mixture_sample",  # last attested r11
+    "text_bm25_topk",  # last attested r10
+    "text_boilerplate_screen",  # last attested r14
+    "sketch_cms_heavy_hitters",  # last attested r8
+    "streaming_cms_topusers",  # last attested r11
+    "graph_clustering_coeff",  # last attested r14
+    "graph_modularity",  # last attested r14
+    "graph_link_prediction",  # last attested r14
+    "events_pareto_share",  # last attested r13
+    "events_time_to_convert",  # last attested r14
     "pipeline_pack_efficiency",  # last attested r7
     "rollup_order_concurrency",  # last attested r7
     "stats_corr_exact",  # last attested r7
     "stats_price_histogram",  # last attested r7
     "text_repetition",  # last attested r7
     "text_sentence_stats",  # last attested r7
-    "text_unigram_logprob",  # last attested r7
-    "events_burstiness",  # last attested r8
-    "events_dow_seasonality",  # last attested r8
-    "events_funnel_conversion",  # last attested r8
-    "events_uptime",  # last attested r8
-    "graph_degree_distribution",  # last attested r8
-    "graph_triangles_degree",  # last attested r8
     "multimodal_flip",  # last attested r8
-    "pipeline_bigram_lift",  # last attested r8
-    "pipeline_kfold_split",  # last attested r8
     "relational_share_of_parent",  # last attested r8
-    "rollup_acf_multi_lag",  # last attested r8
-    "scd2_apply_changes",  # last attested r8
-    "scd2_asof_lookup",  # last attested r8
     "sim_pq_codebook",  # last attested r8
-    "sketch_cms_heavy_hitters",  # last attested r8
     "dedup_ngram_jaccard",  # last attested r9
     "sink_orc_roundtrip",  # last attested r9
-    "streaming_ewma_hourly",  # last attested r9
     "sketch_hll_distinct",  # last attested r10
     "skew_bloom_prefilter",  # last attested r12
     "upsert_incremental_agg",  # last attested r12

@@ -233,14 +233,23 @@ def time_to_convert(events: DataFrame) -> DataFrame:
     conv = firsts.where(
         F.col("v").isNotNull() & F.col("p").isNotNull() & (F.col("p") >= F.col("v"))
     ).select(((F.col("p") - F.col("v")) / F.lit(1_000_000)).cast("long").alias("delta_sec"), "user_id")
-    w = Window.orderBy("delta_sec", "user_id")
-    ranked = conv.select("delta_sec", F.row_number().over(w).alias("rn"))
-    totals = ranked.agg(F.count("*").alias("n"), F.sum("delta_sec").alias("s"))
+    # rank selection over a VALUE HISTOGRAM of delta_sec (the mann_whitney
+    # pattern): the converted-user set is corpus-proportional, so the
+    # row-level rank window this replaces put it through ONE window task;
+    # the distinct-seconds histogram is bounded by the observation window.
+    # The value at rank r == smallest value whose cumulative count reaches
+    # r (the user_id tie-break never changed WHICH VALUE sat at a rank).
+    h = conv.groupBy("delta_sec").agg(F.count("*").alias("cnt"))
+    w = Window.orderBy("delta_sec").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    c = h.select("delta_sec", "cnt", F.sum("cnt").over(w).alias("cum"))
+    totals = h.agg(
+        F.sum("cnt").alias("n"), F.sum(F.col("delta_sec") * F.col("cnt")).alias("s")
+    )
     return (
-        ranked.crossJoin(F.broadcast(totals))
+        c.crossJoin(F.broadcast(totals))
         .select(
             "delta_sec",
-            "rn",
+            "cum",
             "n",
             "s",
             (F.floor(F.lit(0.5) * (F.col("n") - 1)) + 1).alias("r50"),
@@ -248,8 +257,8 @@ def time_to_convert(events: DataFrame) -> DataFrame:
         )
         .groupBy("n", "s")
         .agg(
-            F.max(F.when(F.col("rn") == F.col("r50"), F.col("delta_sec"))).alias("median_sec"),
-            F.max(F.when(F.col("rn") == F.col("r90"), F.col("delta_sec"))).alias("p90_sec"),
+            F.min(F.when(F.col("cum") >= F.col("r50"), F.col("delta_sec"))).alias("median_sec"),
+            F.min(F.when(F.col("cum") >= F.col("r90"), F.col("delta_sec"))).alias("p90_sec"),
         )
         .select(
             F.col("n").cast("bigint").alias("n_converted"),
@@ -312,17 +321,29 @@ def pareto_share(events: DataFrame, pct: int = 10) -> DataFrame:
     """
     from pyspark.sql import Window
 
+    # top-p% sum over a VALUE HISTOGRAM of per-user activity: the cutoff k
+    # is PROPORTIONAL (pct% of users), so orderBy+limit doesn't apply and
+    # the row-level rank window this replaces put the whole user table
+    # through ONE window task.  Users tied at the same count are
+    # interchangeable for the SUM, so each count-block contributes
+    # c × clamp(k − users_above, 0, block_size) exactly, whichever tied
+    # users the user_id tie-break would have picked.
     per_user = events.groupBy("user_id").agg(F.count("*").alias("c"))
-    w = Window.orderBy(F.desc("c"), F.asc("user_id"))
-    ranked = per_user.select("c", F.row_number().over(w).alias("rn"))
-    totals = ranked.agg(F.count("*").alias("n"), F.sum("c").alias("total"))
+    h = per_user.groupBy("c").agg(F.count("*").alias("cnt"))
+    w = Window.orderBy(F.desc("c")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cdesc = h.select("c", "cnt", F.sum("cnt").over(w).alias("cum"))
+    totals = h.agg(
+        F.sum("cnt").alias("n"), F.sum(F.col("c") * F.col("cnt")).alias("total")
+    )
     k = F.floor((F.col("n") * pct + 99) / 100).cast("long")
+    take = F.greatest(
+        F.lit(0), F.least(F.col("cnt"), F.col("k") - (F.col("cum") - F.col("cnt")))
+    )
     return (
-        ranked.crossJoin(F.broadcast(totals))
-        .select("c", "rn", "n", "total", k.alias("k"))
-        .where(F.col("rn") <= F.col("k"))
+        cdesc.crossJoin(F.broadcast(totals))
+        .select("c", "cnt", "cum", "n", "total", k.alias("k"))
         .groupBy("n", "total", "k")
-        .agg(F.sum("c").alias("top_events"))
+        .agg(F.sum(F.col("c") * take).alias("top_events"))
         .select(
             F.col("n").cast("bigint").alias("n_users"),
             F.col("k").cast("bigint").alias("top_k"),

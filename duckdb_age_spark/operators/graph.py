@@ -650,12 +650,12 @@ def clustering_coefficient(edges: DataFrame, k: int = 20) -> DataFrame:
         .where(F.col("deg") >= 2)
         .withColumn("coeff_ppm", F.expr("(2 * n_tri * 1000000) div (deg * (deg - 1))"))
     )
-    from pyspark.sql import Window
+    from .topk import global_top_k
 
-    rk = F.row_number().over(Window.orderBy(F.desc("coeff_ppm"), F.asc("node")))
+    # orderBy+limit (TakeOrderedAndProject) — a partition-less rank window
+    # would sort the whole node table in one task (operators/topk.py)
     return (
-        scored.withColumn("rk", rk.cast("long"))
-        .where(F.col("rk") <= k)
+        global_top_k(scored, [F.desc("coeff_ppm"), F.asc("node")], k)
         .select("rk", "node", "deg", "n_tri", "coeff_ppm")
         .orderBy("rk")
     )
@@ -778,10 +778,13 @@ def community_modularity(edges: DataFrame, labels: DataFrame, k: int = 10) -> Da
             "q_total"
         )
     )
-    rk = F.row_number().over(Window.orderBy(F.desc("n_nodes"), F.asc("label")))
+    from .topk import global_top_k
+
+    # orderBy+limit (TakeOrderedAndProject) over the per-community frame —
+    # community count is corpus-dependent, so the partition-less rank
+    # window this replaces was a single-task sort (operators/topk.py)
     return (
-        per.withColumn("rk", rk.cast("long"))
-        .where(F.col("rk") <= k)
+        global_top_k(per, [F.desc("n_nodes"), F.asc("label")], k)
         .crossJoin(F.broadcast(total))
         .select("rk", "label", "n_nodes", "e_in", "deg_sum", "q_contrib_num", "q_total")
         .orderBy("rk")
@@ -827,12 +830,17 @@ def link_prediction(edges: DataFrame, k: int = 20) -> DataFrame:
             F.expr("(common * 1000000) div (deg_a + deg_b - common)"),
         )
     )
-    rk = F.row_number().over(
-        Window.orderBy(F.desc("common"), F.desc("jaccard_ppm"), F.asc("node_a"), F.asc("node_b"))
-    )
+    from .topk import global_top_k
+
+    # orderBy+limit (TakeOrderedAndProject) over the candidate-pair frame
+    # (neighborhood-join output, corpus-dependent) — the partition-less
+    # rank window this replaces was a single-task sort (operators/topk.py)
     return (
-        scored.withColumn("rk", rk.cast("long"))
-        .where(F.col("rk") <= k)
+        global_top_k(
+            scored,
+            [F.desc("common"), F.desc("jaccard_ppm"), F.asc("node_a"), F.asc("node_b")],
+            k,
+        )
         .select("rk", "node_a", "node_b", "common", "jaccard_ppm")
         .orderBy("rk")
     )

@@ -242,20 +242,21 @@ def bigram_logprob(docs: DataFrame) -> DataFrame:
 def vocab_topk(docs: DataFrame, k: int = 100) -> DataFrame:
     """Vocabulary construction: top-k tokens by corpus frequency (ties by
     token) — the first step of tokenizer training.  One map-side-combined
-    count shuffle; the top-k compiles to a rank pushdown, so executors ship
-    only their local top-k candidates."""
-    from pyspark.sql import Window
+    count shuffle; the top-k runs through ``global_top_k`` (orderBy+limit
+    → TakeOrderedAndProject), not a partition-less rank window — the "rank
+    pushdown" previously claimed here never fires for unpartitioned
+    windows (operators/topk.py), and the vocab table is corpus-dependent,
+    not constant-bounded."""
+    from .topk import global_top_k
 
     words = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
-    return (
+    counts = (
         docs.select(F.explode(words).alias("tok"))
         .groupBy("tok")
         .agg(F.count("*").alias("n"))
-        .withColumn(
-            "rk", F.row_number().over(Window.orderBy(F.desc("n"), F.asc("tok")))
-        )
-        .where(F.col("rk") <= k)
-        .select("tok", F.col("n").cast("bigint"), F.col("rk").cast("bigint"))
+    )
+    return global_top_k(counts, [F.desc("n"), F.asc("tok")], k).select(
+        "tok", F.col("n").cast("bigint"), F.col("rk").cast("bigint")
     )
 
 
@@ -265,12 +266,14 @@ def bpe_pair_stats(docs: DataFrame, k: int = 50) -> DataFrame:
 
     The pair list per doc is built with ``zip_with`` over the token array
     and its shifted self (JVM-side, no Python); one map-side-combined count
-    shuffle; rank pushdown for the top-k.  Iterating this (merge the top
-    pair, re-tokenize, repeat) is full BPE training — each round is this
-    same aggregate, which is why the single step is the representative
-    scale unit.
+    shuffle; the top-k via ``global_top_k`` (orderBy+limit →
+    TakeOrderedAndProject — the partition-less rank window it replaces
+    never got the group-limit optimization, operators/topk.py).  Iterating
+    this (merge the top pair, re-tokenize, repeat) is full BPE training —
+    each round is this same aggregate, which is why the single step is the
+    representative scale unit.
     """
-    from pyspark.sql import Window
+    from .topk import global_top_k
 
     words = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
     pairs = F.zip_with(
@@ -278,13 +281,13 @@ def bpe_pair_stats(docs: DataFrame, k: int = 50) -> DataFrame:
         F.slice(words, 2, F.greatest(F.size(words) - 1, F.lit(0))),
         lambda a, b: F.concat_ws(" ", a, b),
     )
-    return (
+    counts = (
         docs.select(F.explode(pairs).alias("pair"))
         .groupBy("pair")
         .agg(F.count("*").alias("n"))
-        .withColumn("rk", F.row_number().over(Window.orderBy(F.desc("n"), F.asc("pair"))))
-        .where(F.col("rk") <= k)
-        .select("pair", F.col("n").cast("bigint"), F.col("rk").cast("bigint"))
+    )
+    return global_top_k(counts, [F.desc("n"), F.asc("pair")], k).select(
+        "pair", F.col("n").cast("bigint"), F.col("rk").cast("bigint")
     )
 
 
@@ -312,21 +315,24 @@ def mixture_sample(docs: DataFrame, quotas: dict[str, int], stratum: str = "sour
     from its ratio spec once, and the operator stays float-free (no
     engine-specific rounding of w·N at the selection boundary).
 
-    Scale shape: the quota table is tiny and broadcast; one shuffle keyed
-    by the stratum; rank <= quota compiles to WindowGroupLimit only when
-    the bound is a literal, so with per-group quotas the guard is the
-    ordinary rank filter — still one shuffle, and each group's sort is
-    bounded by that group's size.
-    Returns (doc_id, stratum, rk) for the selected rows.
+    Scale shape (r15): the quota table is tiny and broadcast; one shuffle
+    keyed by the stratum.  rank <= quota alone cannot compile to
+    WindowGroupLimit (the optimizer needs a LITERAL bound), so a literal
+    ``rk <= max(quotas)`` conjunct is added — semantically redundant
+    (every per-stratum quota is <= the max), but it lets Spark plan the
+    per-map-task group limit: each map task forwards at most max-quota
+    rows per stratum instead of the stratum's whole row set flowing into
+    its single window task.  Returns (doc_id, stratum, rk).
     """
     spark = docs.sparkSession
     quota_df = spark.createDataFrame(
         sorted(quotas.items()), f"{stratum} string, quota int"
     )
+    max_quota = max(quotas.values()) if quotas else 0
     return (
         docs.join(F.broadcast(quota_df), stratum)
         .select("doc_id", stratum, "quota", _md5_rank(stratum).cast("bigint").alias("rk"))
-        .where(F.col("rk") <= F.col("quota"))
+        .where((F.col("rk") <= F.lit(max_quota)) & (F.col("rk") <= F.col("quota")))
         .select("doc_id", stratum, "rk")
     )
 
@@ -363,12 +369,15 @@ def weighted_sample(docs: DataFrame, k: int = 50) -> DataFrame:
     engines produce bit-identical doubles, so the ranking (tie-broken by
     doc_id) is reproducible anywhere, unlike ln(u)/w whose libm varies.
 
-    Scale shape: the key is a narrow map; top-k by a rank over a single
-    unpartitioned window compiles to WindowGroupLimit, so each executor
-    ships only its local k candidates to the one merge — no global sort of
-    the corpus.  Returns (doc_id, weight, rk).
+    Scale shape (r15): the key is a narrow map; the top-k runs through
+    ``global_top_k`` (orderBy+limit → TakeOrderedAndProject — bounded
+    per-task heaps), NOT a partition-less rank window: Spark's
+    WindowGroupLimit never fires for unpartitioned windows (this
+    docstring's previous claim was empirically wrong — see
+    operators/topk.py), so the old shape sorted the whole corpus in one
+    window task.  Returns (doc_id, weight, rk).
     """
-    from pyspark.sql import Window
+    from .topk import global_top_k
 
     w = F.greatest(F.size(F.split(F.trim("text"), r"\s+")), F.lit(1)).cast("long")
     u = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10).cast("bigint")
@@ -377,11 +386,8 @@ def weighted_sample(docs: DataFrame, k: int = 50) -> DataFrame:
         w.alias("weight"),
         (u.cast("double") / w.cast("double")).alias("_key"),
     )
-    rk = F.row_number().over(Window.orderBy("_key", "doc_id"))
-    return (
-        keyed.withColumn("rk", rk.cast("bigint"))
-        .where(F.col("rk") <= k)
-        .select("doc_id", "weight", "rk")
+    return global_top_k(keyed, [F.asc("_key"), F.asc("doc_id")], k).select(
+        "doc_id", "weight", "rk"
     )
 
 
@@ -566,10 +572,10 @@ def bigram_lift(docs: DataFrame, min_count: int = 5, k: int = 20) -> DataFrame:
             ),
         )
     )
-    rk = F.row_number().over(Window.orderBy(F.desc("lift_ppm"), F.desc("n_ab"), F.asc("pair")))
+    from .topk import global_top_k
+
     return (
-        scored.withColumn("rk", rk.cast("long"))
-        .where(F.col("rk") <= k)
+        global_top_k(scored, [F.desc("lift_ppm"), F.desc("n_ab"), F.asc("pair")], k)
         .select("rk", "pair", "n_ab", "n_a", "n_b", "lift_ppm")
         .orderBy("rk")
     )

@@ -120,12 +120,12 @@ def cms_heavy_hitters(
         .agg(F.count("*").alias("cell_n"))
     )
     exact = toks.groupBy("tok").agg(F.count("*").alias("exact_n"))
-    top = (
-        exact.withColumn(
-            "rk", F.row_number().over(Window.orderBy(F.desc("exact_n"), F.asc("tok")))
-        )
-        .where(F.col("rk") <= k)
-    )
+    # exact top-k via orderBy+limit (TakeOrderedAndProject) — the vocab
+    # table is corpus-dependent, so the partition-less rank window this
+    # replaces was a single-task sort (operators/topk.py)
+    from .topk import global_top_k
+
+    top = global_top_k(exact, [F.desc("exact_n"), F.asc("tok")], k)
     probes = top.select(
         "tok",
         "exact_n",

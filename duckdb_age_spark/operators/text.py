@@ -218,14 +218,15 @@ def bm25_topk(
         / (F.col(f"tf_{i}") + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl")))
     )
     score = sum((part(i) for i in range(len(terms))), F.lit(0.0))
-    ranked = (
-        scored.withColumn("bm25", F.round(score, 3))
-        .where(F.col("bm25") > 0)
-        .withColumn(
-            "rk",
-            F.row_number().over(Window.orderBy(F.col("bm25").desc(), F.col("doc_id"))),
-        )
-        .where(F.col("rk") <= k)
+    from .topk import global_top_k
+
+    # orderBy+limit (TakeOrderedAndProject) instead of a partition-less
+    # rank window — the latter sorts every scored doc in ONE window task
+    # (WindowGroupLimit never fires unpartitioned, operators/topk.py)
+    ranked = global_top_k(
+        scored.withColumn("bm25", F.round(score, 3)).where(F.col("bm25") > 0),
+        [F.col("bm25").desc(), F.col("doc_id").asc()],
+        k,
     )
     return ranked.select("doc_id", "bm25", F.col("rk").cast("bigint").alias("rk"))
 
@@ -616,12 +617,12 @@ def boilerplate_phrase_screen(
         )
         .withColumn("boiler_ppm", F.expr("n_boiler * 1000000 div greatest(n_grams, 1)"))
     )
-    from pyspark.sql import Window
+    from .topk import global_top_k
 
-    rk = F.row_number().over(Window.orderBy(F.desc("boiler_ppm"), F.asc("doc_id")))
+    # orderBy+limit (TakeOrderedAndProject), not a partition-less rank
+    # window over every scored doc (operators/topk.py)
     return (
-        scored.withColumn("rk", rk.cast("long"))
-        .where(F.col("rk") <= k)
+        global_top_k(scored, [F.desc("boiler_ppm"), F.asc("doc_id")], k)
         .select("rk", "doc_id", "n_grams", "n_boiler", "boiler_ppm")
         .orderBy("rk")
     )

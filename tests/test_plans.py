@@ -1143,3 +1143,48 @@ def test_exact_rank_stats_use_value_histograms_not_row_windows(t):
         assert "row_number" not in plan, f"{name}: raw-row rank window came back"
         assert "ntile(" not in plan, f"{name}: ntile window came back"
         assert has_partial_aggregate(df), f"{name}: histogram lost its map-side combine"
+
+
+def test_global_topk_sites_plan_take_ordered_not_single_task_windows(t):
+    """r15: every exact top-k over a data-proportional frame plans
+    TakeOrderedAndProject (bounded per-task heaps) via operators/topk.py,
+    never a partition-less rank window over the frame — Spark's
+    WindowGroupLimit does not fire for unpartitioned windows, so the old
+    row_number+filter shape was a single-task full sort.  The only Window
+    allowed in these plans is the k-row re-rank after the limit."""
+    from duckdb_age_spark.operators.graph import (
+        clustering_coefficient,
+        community_modularity,
+        copurchase_edges,
+        label_propagation,
+        link_prediction,
+    )
+    from duckdb_age_spark.operators.pipeline import (
+        bigram_lift,
+        bpe_pair_stats,
+        mixture_sample,
+        vocab_topk,
+        weighted_sample,
+    )
+    from duckdb_age_spark.operators.text import bm25_topk, boilerplate_phrase_screen
+
+    edges = copurchase_edges(t["orders"], t["lineitem"])
+    frames = {
+        "weighted_sample": weighted_sample(t["documents"]),
+        "vocab_topk": vocab_topk(t["documents"]),
+        "bpe_pairs": bpe_pair_stats(t["documents"]),
+        "bigram_lift": bigram_lift(t["documents"]),
+        "bm25": bm25_topk(t["documents"], ["data"]),
+        "boilerplate": boilerplate_phrase_screen(t["documents"]),
+        "clustering_coeff": clustering_coefficient(edges),
+        "modularity": community_modularity(edges, label_propagation(edges, rounds=1)),
+        "link_prediction": link_prediction(edges),
+    }
+    for name, df in frames.items():
+        plan = formatted_plan(df)
+        assert "TakeOrderedAndProject" in plan, f"{name}: top-k lost TakeOrderedAndProject"
+
+    # mixture_sample keeps a per-stratum rank window, but the literal
+    # max-quota conjunct must let Spark plan the per-map-task group limit
+    plan = formatted_plan(mixture_sample(t["documents"], {"web": 5, "wiki": 3}, "source"))
+    assert "WindowGroupLimit" in plan, "mixture_sample: literal bound stopped planning WindowGroupLimit"
