@@ -241,12 +241,20 @@ def time_to_convert(events: DataFrame) -> DataFrame:
     # r (the user_id tie-break never changed WHICH VALUE sat at a rank).
     h = conv.groupBy("delta_sec").agg(F.count("*").alias("cnt"))
     w = Window.orderBy("delta_sec").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    c = h.select("delta_sec", "cnt", F.sum("cnt").over(w).alias("cum"))
-    totals = h.agg(
-        F.sum("cnt").alias("n"), F.sum(F.col("delta_sec") * F.col("cnt")).alias("s")
+    # Totals ride the same window pass (unbounded frame, same single-task
+    # partition) instead of a second aggregation branch: the two-consumer
+    # DAG recomputed the whole conversion-delta pipeline twice per call
+    # (r15 optimization round; guide §2.4/§1.2).
+    all_w = Window.partitionBy()
+    c = h.select(
+        "delta_sec",
+        "cnt",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(all_w).alias("n"),
+        F.sum(F.col("delta_sec") * F.col("cnt")).over(all_w).alias("s"),
     )
     return (
-        c.crossJoin(F.broadcast(totals))
+        c
         .select(
             "delta_sec",
             "cum",
@@ -331,16 +339,24 @@ def pareto_share(events: DataFrame, pct: int = 10) -> DataFrame:
     per_user = events.groupBy("user_id").agg(F.count("*").alias("c"))
     h = per_user.groupBy("c").agg(F.count("*").alias("cnt"))
     w = Window.orderBy(F.desc("c")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    cdesc = h.select("c", "cnt", F.sum("cnt").over(w).alias("cum"))
-    totals = h.agg(
-        F.sum("cnt").alias("n"), F.sum(F.col("c") * F.col("cnt")).alias("total")
+    # Totals ride the same window pass (unbounded frame, same single-task
+    # partition) instead of a second aggregation branch: the two-consumer
+    # DAG recomputed the per-user activity aggregate twice per call (r15
+    # optimization round; guide §2.4/§1.2).
+    all_w = Window.partitionBy()
+    cdesc = h.select(
+        "c",
+        "cnt",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(all_w).alias("n"),
+        F.sum(F.col("c") * F.col("cnt")).over(all_w).alias("total"),
     )
     k = F.floor((F.col("n") * pct + 99) / 100).cast("long")
     take = F.greatest(
         F.lit(0), F.least(F.col("cnt"), F.col("k") - (F.col("cum") - F.col("cnt")))
     )
     return (
-        cdesc.crossJoin(F.broadcast(totals))
+        cdesc
         .select("c", "cnt", "cum", "n", "total", k.alias("k"))
         .groupBy("n", "total", "k")
         .agg(F.sum(F.col("c") * take).alias("top_events"))

@@ -354,13 +354,14 @@ def mad_outliers(lineitem: DataFrame, k: int = 3) -> DataFrame:
     and, with no reuse across the med/mad/final stages, executed that full
     sort three times.  The histogram bounds the window input by the value
     domain (cents cardinality, data-size-independent), so the single task
-    per group holds the domain, never the data; recomputation across the
-    three stages costs a columnar scan + partial agg each, not a full-row
-    sort.  The deviation median runs off a second histogram folded from the
-    first (never re-reading rows), and the final outlier count is a
-    weighted aggregate over the same histogram.  Medians are identical by
-    construction: value at rank r == smallest value whose cumulative count
-    reaches r.  Returns (l_returnflag, n_rows, median, mad, n_outliers).
+    per group holds the domain, never the data.  The chain is SINGLE-SCAN
+    (r15 optimization round): the median is attached inside the first
+    histogram's window pass, the deviation histogram folds off that pass,
+    the MAD off the deviation pass, and the outlier count is a weighted
+    aggregate over the deviation histogram — lineitem is read once per
+    call.  Medians are identical by construction: value at rank r ==
+    smallest value whose cumulative count reaches r.
+    Returns (l_returnflag, n_rows, median, mad, n_outliers).
     """
     from pyspark.sql import Window
 
@@ -368,45 +369,70 @@ def mad_outliers(lineitem: DataFrame, k: int = 3) -> DataFrame:
     d = lineitem.select(F.col("l_returnflag").alias("flag"), cents.alias("cents"))
     hist = d.groupBy("flag", "cents").agg(F.count("*").alias("cnt"))
 
-    def _hist_median(h: DataFrame, col: str) -> DataFrame:
-        # (flag, value, cnt) rows are distinct per group, so the rows-frame
-        # running sum is tie-free and deterministic; the rank-r value is the
-        # smallest value whose cumulative count reaches r = floor((n+1)/2).
-        cum_w = (
-            Window.partitionBy("flag")
-            .orderBy(col)
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        )
-        c = h.select(
-            "flag",
-            F.col(col),
-            F.sum("cnt").over(cum_w).alias("cum"),
-            F.sum("cnt").over(Window.partitionBy("flag")).alias("n"),
-        )
-        return (
-            c.where(F.col("cum") >= F.floor((F.col("n") + 1) / 2).cast("long"))
-            .groupBy("flag")
-            .agg(F.min(col).alias("med"))
-        )
-
-    med = _hist_median(hist, "cents")
-    devhist = (
-        hist.join(F.broadcast(med), "flag")
-        .groupBy("flag", F.abs(F.col("cents") - F.col("med")).alias("dev"))
-        .agg(F.sum("cnt").alias("cnt"))
+    # (flag, value, cnt) rows are distinct per group, so the rows-frame
+    # running sum is tie-free and deterministic; the rank-r value is the
+    # smallest value whose cumulative count reaches r = floor((n+1)/2).
+    # Fused single-scan form (r15 optimization round): the first cut of this
+    # rewrite materialized `hist` logically THREE times (median branch,
+    # deviation-histogram branch, final count branch) — three full scans +
+    # partial-agg shuffles of lineitem per call, because each branch was a
+    # separate DAG consumer.  The median is instead attached IN the same
+    # window pass as the cumulative count (F.min(when(cum ≥ rank, v)) over
+    # the unbounded partition — same Exchange, no extra sort for the
+    # unordered frame), so the deviation histogram folds directly off that
+    # one pass and the outlier count off the deviation pass: lineitem is
+    # scanned ONCE, with two bounded histogram shuffles after it (guide
+    # §2.4 "share one exchange" / §1.2 "remove passes").  Selection
+    # arithmetic is unchanged — same ranks, same integer comparisons.
+    cum_w = (
+        Window.partitionBy("flag")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    mad = _hist_median(devhist, "dev").withColumnRenamed("med", "mad")
+    all_w = Window.partitionBy("flag")
+    c = hist.select(
+        "flag",
+        "cents",
+        "cnt",
+        F.sum("cnt").over(cum_w).alias("cum"),
+        F.sum("cnt").over(all_w).alias("n"),
+    )
+    med_rank = F.floor((F.col("n") + 1) / 2).cast("long")
+    with_med = c.select(
+        "flag",
+        "cents",
+        "cnt",
+        F.min(F.when(F.col("cum") >= med_rank, F.col("cents"))).over(all_w).alias("med"),
+    )
+    devhist = with_med.groupBy(
+        "flag", "med", F.abs(F.col("cents") - F.col("med")).alias("dev")
+    ).agg(F.sum("cnt").alias("cnt"))
+    dev_cum_w = (
+        Window.partitionBy("flag")
+        .orderBy("dev")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    dc = devhist.select(
+        "flag",
+        "med",
+        "dev",
+        "cnt",
+        F.sum("cnt").over(dev_cum_w).alias("cum"),
+        F.sum("cnt").over(all_w).alias("n"),
+    )
+    with_mad = dc.select(
+        "flag",
+        "med",
+        "dev",
+        "cnt",
+        F.min(F.when(F.col("cum") >= med_rank, F.col("dev"))).over(all_w).alias("mad"),
+    )
     return (
-        hist.join(F.broadcast(med), "flag")
-        .join(F.broadcast(mad), "flag")
-        .groupBy("flag", "med", "mad")
+        with_mad.groupBy("flag", "med", "mad")
         .agg(
             F.sum("cnt").alias("n_rows"),
             F.sum(
-                F.when(
-                    F.abs(F.col("cents") - F.col("med")) > F.lit(k) * F.col("mad"),
-                    F.col("cnt"),
-                ).otherwise(F.lit(0))
+                F.when(F.col("dev") > F.lit(k) * F.col("mad"), F.col("cnt")).otherwise(F.lit(0))
             ).alias("n_outliers"),
         )
         .select(
@@ -441,7 +467,9 @@ def winsorized_stats(
     stage ever carries raw rows through a window: the single task per flag
     holds the value domain (data-size-independent), not the data.  The r14
     shape row_numbered every raw row inside 3 window tasks — a
-    billions-of-rows-per-task sort at 100 TB.
+    billions-of-rows-per-task sort at 100 TB.  The chain is SINGLE-SCAN
+    (r15 optimization round): thresholds are attached inside the same
+    window pass as the cumulative count, so lineitem is read once per call.
     Returns per-flag thresholds, clip counts, and the winsorized mean.
     """
     from pyspark.sql import Window
@@ -457,16 +485,32 @@ def winsorized_stats(
     c = hist.select(
         "flag",
         "cents",
+        "cnt",
         F.sum("cnt").over(cum_w).alias("cum"),
         F.sum("cnt").over(Window.partitionBy("flag")).alias("n"),
     )
     lo_rank = F.floor(F.lit(lo) * (F.col("n") - 1)).cast("long") + 1
     hi_rank = F.floor(F.lit(hi) * (F.col("n") - 1)).cast("long") + 1
-    thresholds = c.groupBy("flag").agg(
-        F.min(F.when(F.col("cum") >= lo_rank, F.col("cents"))).alias("lo_c"),
-        F.min(F.when(F.col("cum") >= hi_rank, F.col("cents"))).alias("hi_c"),
+    # Fused single-scan form (r15 optimization round): the first cut of this
+    # rewrite aggregated thresholds from `c` and then joined them back
+    # against `hist` — TWO DAG consumers of `hist`, i.e. two full scans +
+    # partial-agg shuffles of lineitem per call.  The thresholds instead
+    # ride the SAME window pass as the cumulative count (F.min(when(cum ≥
+    # rank, v)) over the unbounded partition — same Exchange, no broadcast
+    # join), so lineitem is scanned once (guide §2.4 / §1.2).  Selection
+    # arithmetic is unchanged — same ranks, same clamp.
+    with_thr = c.select(
+        "flag",
+        "cents",
+        "cnt",
+        F.min(F.when(F.col("cum") >= lo_rank, F.col("cents"))).over(
+            Window.partitionBy("flag")
+        ).alias("lo_c"),
+        F.min(F.when(F.col("cum") >= hi_rank, F.col("cents"))).over(
+            Window.partitionBy("flag")
+        ).alias("hi_c"),
     )
-    clamped = hist.join(F.broadcast(thresholds), "flag").select(
+    clamped = with_thr.select(
         "flag",
         "lo_c",
         "hi_c",
@@ -561,22 +605,38 @@ def quantile_binning(orders: DataFrame, n_bins: int = 10) -> DataFrame:
         .agg(F.count("*").alias("cnt"))
     )
     cum_w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    c = hist.select("cents", "cnt", F.sum("cnt").over(cum_w).alias("cum"))
-    totals = hist.agg(F.sum("cnt").alias("n"))
+    # The total row count rides the same window pass (unbounded frame, same
+    # single-task partition) and the n_bins-row rank grid becomes an explode
+    # over the histogram rows: the first cut aggregated `totals` from a
+    # second consumer of `hist`, scanning orders twice per call (r15
+    # optimization round; guide §2.4/§1.2).  Same (bin, cents, ov) rows
+    # reach the same groupBy — rank arithmetic unchanged.
+    c = hist.select(
+        "cents",
+        "cnt",
+        F.sum("cnt").over(cum_w).alias("cum"),
+        F.sum("cnt").over(Window.partitionBy()).alias("n"),
+    )
     base = F.expr("n div %d" % n_bins)
     rem = F.expr("n %% %d" % n_bins)
-    bins = totals.select(
-        F.explode(F.sequence(F.lit(1), F.lit(n_bins))).alias("bin"),
+    binned = c.select(
+        "cents",
+        "cnt",
+        "cum",
         base.alias("base"),
         rem.alias("rem"),
+        F.explode(F.sequence(F.lit(1), F.lit(n_bins))).alias("bin"),
     ).select(
+        "cents",
+        "cnt",
+        "cum",
         "bin",
         ((F.col("bin") - 1) * F.col("base") + F.least(F.col("bin") - 1, F.col("rem")) + 1).alias("r0"),
         (F.col("bin") * F.col("base") + F.least(F.col("bin"), F.col("rem"))).alias("r1"),
     )
     ov = F.least(F.col("cum"), F.col("r1")) - F.greatest(F.col("cum") - F.col("cnt") + 1, F.col("r0")) + 1
     return (
-        c.join(F.broadcast(bins))
+        binned
         .select("bin", "cents", ov.alias("ov"))
         .where(F.col("ov") > 0)
         .groupBy("bin")
@@ -623,14 +683,20 @@ def ks_two_sample(orders: DataFrame, split_priority: str = "1-URGENT") -> DataFr
         .agg(F.sum("a").alias("a"), F.sum("b").alias("b"))
     )
     w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # totals ride the same window pass as the cumulative counts (unbounded
+    # frame over the same single-task partition) instead of a second
+    # aggregation branch — the two-consumer DAG scanned orders twice per
+    # call (r15 optimization round; guide §2.4/§1.2).
+    all_w = Window.partitionBy()
     cum = g.select(
         "v",
         F.sum("a").over(w).alias("ca"),
         F.sum("b").over(w).alias("cb"),
+        F.sum("a").over(all_w).alias("na"),
+        F.sum("b").over(all_w).alias("nb"),
     )
-    totals = g.agg(F.sum("a").alias("na"), F.sum("b").alias("nb"))
     return (
-        cum.crossJoin(F.broadcast(totals))
+        cum
         .agg(
             F.max("na").cast("bigint").alias("n_a"),
             F.max("nb").cast("bigint").alias("n_b"),
@@ -715,54 +781,69 @@ def psi_drift(orders: DataFrame, split_date: str = "1995-06-01", n_bins: int = 1
     """
     from pyspark.sql import Window
 
+    # Fused single-scan form (r15 optimization round): the first cut of the
+    # histogram rewrite kept ref and cur as separate frames and branched the
+    # DAG six ways (ref: histogram, total, binning, count; cur: binning,
+    # count) — six scans of orders per call.  Both halves now pool into ONE
+    # value histogram with per-side counts (the ks_two_sample pattern); the
+    # reference's cumulative counts, both totals, and all nine decile cuts
+    # ride the same single-task window pass (F.min(when(cum ≥ rk, v)) over
+    # the unbounded frame), and both sides bin in the same select — orders
+    # is scanned ONCE (guide §2.4/§1.2).  Cut selection is unchanged: the
+    # smallest v whose reference cumulative count reaches rank rk is a
+    # reference value by construction (cum only increments at reference
+    # values), and ranks are deduped by the same rank-identity the original
+    # array_distinct applied (struct dedupe on (rk, cut) — cut is a
+    # function of rk).
     cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
-    ref = orders.where(F.col("o_orderdate") < split_date).select(cents.alias("v"))
-    cur = orders.where(F.col("o_orderdate") >= split_date).select(cents.alias("v"))
-    h = ref.groupBy("v").agg(F.count("*").alias("cnt"))
+    is_ref = (F.col("o_orderdate") < split_date).cast("long")
+    h = (
+        orders.select(cents.alias("v"), is_ref.alias("r"))
+        .groupBy("v")
+        .agg(F.sum("r").alias("cr"), (F.count("*") - F.sum("r")).alias("cc"))
+    )
     w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    c = h.select("v", F.sum("cnt").over(w).alias("cum"))
-    nref = h.agg(F.sum("cnt").alias("n"))
-    # distinct ranks mirror array_contains row-matching: a rank collides
-    # with another only for tiny n, where the original matched one row once
-    ranks = nref.select(
-        F.explode(
-            F.array_distinct(
-                F.array(
-                    *[
-                        (F.floor(F.lit(q / n_bins) * (F.col("n") - 1)) + 1).cast("long")
-                        for q in range(1, n_bins)
-                    ]
-                )
-            )
-        ).alias("rk")
-    )
-    cuts = (
-        c.join(F.broadcast(ranks), F.col("cum") >= F.col("rk"))
-        .groupBy("rk")
-        .agg(F.min("v").alias("v"))
-        .agg(F.sort_array(F.collect_list("v")).alias("cuts"))
+    all_w = Window.partitionBy()
+    c = h.select(
+        "v",
+        "cr",
+        "cc",
+        F.sum("cr").over(w).alias("cum"),
+        F.sum("cr").over(all_w).alias("tr"),
+        F.sum("cc").over(all_w).alias("tc"),
     )
 
-    def binned(df, name):
-        b = F.size(F.filter(F.col("cuts"), lambda c: F.col("v") >= c))
-        return (
-            df.crossJoin(F.broadcast(cuts))
-            .select(b.alias("bin"))
-            .groupBy("bin")
-            .agg(F.count("*").alias(name))
-        )
+    def rk(q):
+        return (F.floor(F.lit(q / n_bins) * (F.col("tr") - 1)) + 1).cast("long")
 
-    p = binned(ref, "np")
-    q = binned(cur, "nq")
+    c2 = c.select(
+        "v",
+        "cr",
+        "cc",
+        "tr",
+        "tc",
+        *[
+            F.min(F.when(F.col("cum") >= rk(q), F.col("v"))).over(all_w).alias(f"cut_{q}")
+            for q in range(1, n_bins)
+        ],
+    )
+    cut_structs = F.array(
+        *[
+            F.struct(rk(q).alias("rk"), F.col(f"cut_{q}").alias("cv"))
+            for q in range(1, n_bins)
+        ]
+    )
+    cuts = F.sort_array(F.transform(F.array_distinct(cut_structs), lambda s: s["cv"]))
+    b = F.size(F.filter(cuts, lambda cv: F.col("v") >= cv))
     joined = (
-        p.join(q, "bin", "full_outer")
-        .select(
-            "bin",
-            F.coalesce("np", F.lit(0)).alias("np"),
-            F.coalesce("nq", F.lit(0)).alias("nq"),
+        c2.select(b.alias("bin"), "cr", "cc", "tr", "tc")
+        .groupBy("bin")
+        .agg(
+            F.sum("cr").alias("np"),
+            F.sum("cc").alias("nq"),
+            F.max("tr").alias("tr"),
+            F.max("tc").alias("tc"),
         )
-        .crossJoin(F.broadcast(ref.agg(F.count("*").alias("tr"))))
-        .crossJoin(F.broadcast(cur.agg(F.count("*").alias("tc"))))
     )
     pi = F.col("np").cast("double") / F.col("tr").cast("double")
     qi = F.col("nq").cast("double") / F.col("tc").cast("double")
@@ -853,8 +934,8 @@ def quantile_interp(events: DataFrame, col: str = "value") -> DataFrame:
     the row_number selection this replaces, ties included).  The window
     task per type holds the value domain, not the data — the r14 shape
     sorted every raw row inside one window task per event type, which at
-    100 TB is billions of rows through a handful of tasks.  The 3-row-per-
-    type rank grid joins the histogram broadcast.  Exactness is unchanged;
+    100 TB is billions of rows through a handful of tasks.  The 3-quartile
+    rank grid explodes off the same pass (single-scan).  Exactness is unchanged;
     `sketch_approx_percentile` remains the bounded-error sketch sibling
     validated against this reference.
     """
@@ -869,21 +950,36 @@ def quantile_interp(events: DataFrame, col: str = "value") -> DataFrame:
         .orderBy("cents")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    c = hist.select("event_type", "cents", F.sum("cnt").over(cum_w).alias("cum"))
-    counts = hist.groupBy("event_type").agg(F.sum("cnt").cast("long").alias("n"))
-    grid = counts.select(
+    # Per-type totals ride the same window pass (unbounded frame, same
+    # partitioning — no extra Exchange), and the 3-quartile grid is an
+    # explode over the histogram rows instead of a broadcast join against a
+    # second aggregation branch: the two-consumer DAG scanned events twice
+    # per call (r15 optimization round; guide §2.4/§1.2).  Same rows reach
+    # the same groupBy — rank arithmetic unchanged.
+    c = hist.select(
         "event_type",
-        "n",
-        F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("q"),
-    ).select(
-        "event_type",
-        "n",
-        F.col("q").cast("long"),
-        (F.lit(1) + F.expr("((n - 1) * q) div 4")).alias("lo_rk"),
-        F.expr("((n - 1) * q) % 4").alias("rem"),
-    ).withColumn("hi_rk", F.least(F.col("lo_rk") + 1, F.col("n")))
+        "cents",
+        F.sum("cnt").over(cum_w).alias("cum"),
+        F.sum("cnt").over(Window.partitionBy("event_type")).cast("long").alias("n"),
+    )
     return (
-        c.join(F.broadcast(grid), "event_type")
+        c.select(
+            "event_type",
+            "cents",
+            "cum",
+            "n",
+            F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("q"),
+        )
+        .select(
+            "event_type",
+            "cents",
+            "cum",
+            "n",
+            F.col("q").cast("long").alias("q"),
+            (F.lit(1) + F.expr("((n - 1) * q) div 4")).alias("lo_rk"),
+            F.expr("((n - 1) * q) % 4").alias("rem"),
+        )
+        .withColumn("hi_rk", F.least(F.col("lo_rk") + 1, F.col("n")))
         .groupBy("event_type", "q", "n", "rem")
         .agg(
             F.min(F.when(F.col("cum") >= F.col("lo_rk"), F.col("cents"))).alias("lo_c"),

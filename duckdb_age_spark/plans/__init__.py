@@ -35,6 +35,20 @@ def count_exchanges(df: DataFrame) -> int:
     return len(re.findall(r"^\(\d+\) Exchange\s*$", plan, re.MULTILINE))
 
 
+def count_scans(df: DataFrame) -> int:
+    """Number of source scans in the plan (parquet or local-relation leafs).
+    Counts the detail-section headers so each physical scan counts once.
+    A query whose logical DAG consumes the same input through k branches
+    scans the source k times — the repeated-pass defect the r15
+    optimization round removed from the histogram-stats family."""
+    import re
+
+    plan = formatted_plan(df)
+    return len(
+        re.findall(r"^\(\d+\) Scan (?:parquet|ExistingRDD)", plan, re.MULTILINE)
+    ) + len(re.findall(r"^\(\d+\) LocalTableScan", plan, re.MULTILINE))
+
+
 def pushed_filters(df: DataFrame) -> list[str]:
     """PushedFilters entries from parquet scans."""
     out = []

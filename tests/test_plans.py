@@ -1145,6 +1145,42 @@ def test_exact_rank_stats_use_value_histograms_not_row_windows(t):
         assert has_partial_aggregate(df), f"{name}: histogram lost its map-side combine"
 
 
+def test_histogram_stats_are_single_scan(t):
+    """r15 optimization round: the histogram-stats family reads its input
+    table exactly ONCE per call.  The first cut of the histogram rewrite
+    branched the DAG (thresholds/totals/cuts as separate consumers of the
+    histogram), so mad_outliers scanned lineitem 4x and psi_drift scanned
+    orders 8x per invocation; totals and rank cuts now ride the same
+    single-task window pass (unbounded frame, F.min(when(cum >= rk, v))),
+    so a reappearing second scan is a regression."""
+    from duckdb_age_spark.operators.events import pareto_share, time_to_convert
+    from duckdb_age_spark.operators.stats import (
+        gini_coefficient,
+        ks_two_sample,
+        mad_outliers,
+        psi_drift,
+        quantile_binning,
+        quantile_interp,
+        winsorized_stats,
+    )
+    from duckdb_age_spark.plans import count_scans
+
+    frames = {
+        "mad": mad_outliers(t["lineitem"]),
+        "winsor": winsorized_stats(t["lineitem"]),
+        "binning": quantile_binning(t["orders"]),
+        "interp": quantile_interp(t["events"]),
+        "ks": ks_two_sample(t["orders"]),
+        "psi": psi_drift(t["orders"]),
+        "gini": gini_coefficient(t["orders"]),
+        "pareto": pareto_share(t["events"]),
+        "ttc": time_to_convert(t["events"]),
+    }
+    for name, df in frames.items():
+        n = count_scans(df)
+        assert n == 1, f"{name}: expected a single source scan, plan has {n}"
+
+
 def test_global_topk_sites_plan_take_ordered_not_single_task_windows(t):
     """r15: every exact top-k over a data-proportional frame plans
     TakeOrderedAndProject (bounded per-task heaps) via operators/topk.py,
