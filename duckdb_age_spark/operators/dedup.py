@@ -24,6 +24,8 @@ the operators actually find near-dups, not just that they return empty sets.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, functions as F
 
 from .iterate import loop_join_cache, materialize_and_release, truncate_lineage
@@ -468,7 +470,11 @@ def embedding_near_dup_pairs(
 
 
 def connected_components(
-    edges: DataFrame, nodes: DataFrame, max_iter: int = 25, checkpoint_dir: str | None = None
+    edges: DataFrame,
+    nodes: DataFrame,
+    max_iter: int = 25,
+    checkpoint_dir: str | None = None,
+    max_driver_edges: int | None = None,
 ) -> DataFrame:
     """Label every node with the MINIMUM node id reachable through ``edges``
     (undirected) — the clustering step that turns near-dup PAIRS into dedup
@@ -495,7 +501,61 @@ def connected_components(
     the previous round's (labels are monotone non-increasing, so an
     unchanged sum IS the fixpoint) — a 1-row scalar action moving only a
     decimal to the driver, never data.
+
+    Small-graph regime (r15 optimization round): near-dup pair graphs are
+    SPARSE — every caller in this repo feeds edges from an already-
+    materialized pairs operator, and the edge count is orders of magnitude
+    below the doc count (621 pairs / 11k docs at sf0.1; 31k at sf10).  When
+    the edge list fits comfortably on the driver (``max_driver_edges``,
+    default 100k rows ≈ a few MB, env ``SPARK_GRAFT_CC_DRIVER_EDGES``; 0
+    disables), the min-label fixpoint runs as a driver-side union-find and
+    the (id, label) table ships back — the same move as a broadcast join:
+    collect the provably-small side, skip the iterative shuffles (guide
+    §3.1; the k-centroid kmeans collect adjudicated at r13 is the same
+    class).  One count() probe on the (materialized) edge frame decides the
+    regime; above the cap, the distributed loop below runs unchanged — the
+    sf10 span-CC evidence (33 M edges, 302 s) is loop-regime.  Labels are
+    identical by construction: both regimes assign every touched node the
+    exact minimum reachable id.
     """
+    if max_driver_edges is None:
+        max_driver_edges = int(os.environ.get("SPARK_GRAFT_CC_DRIVER_EDGES", "100000"))
+    if max_driver_edges > 0 and edges.count() <= max_driver_edges:
+        rows = edges.select(
+            F.col("src").cast("long"), F.col("dst").cast("long")
+        ).collect()
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for src, dst in rows:
+            if src not in parent:
+                parent[src] = src
+            if dst not in parent:
+                parent[dst] = dst
+            ra, rb = find(src), find(dst)
+            if ra != rb:
+                # union by MIN root id — the root IS the component label
+                if ra < rb:
+                    parent[rb] = ra
+                else:
+                    parent[ra] = rb
+        spark = edges.sparkSession
+        labels = spark.createDataFrame(
+            [(n, find(n)) for n in parent], "id long, label long"
+        )
+        singletons = nodes.join(labels.select("id"), "id", "left_anti").select(
+            "id", F.col("id").alias("label")
+        )
+        out = labels.unionByName(singletons)
+        return out.select("id", F.col("label").alias("cluster_id"))
+
     sym = edges.select(F.col("src").alias("node"), F.col("dst").alias("neigh")).unionAll(
         edges.select(F.col("dst").alias("node"), F.col("src").alias("neigh"))
     )

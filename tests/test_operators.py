@@ -731,6 +731,37 @@ def test_connected_components_long_path_converges(spark):
     assert got == {i: 1 for i in range(1, n + 1)}
 
 
+def test_connected_components_driver_and_loop_regimes_agree(spark):
+    """r15 optimization round: below ``max_driver_edges`` the min-label
+    fixpoint runs as a driver-side union-find; above (or with the cap
+    disabled via 0) the distributed loop runs.  Both regimes must assign
+    every node the exact minimum reachable id — pinned on a graph with
+    merging chains (unions arriving in adverse order), a separate
+    component, reversed edge directions, and singletons."""
+    from duckdb_age_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        # chain 5-4-3-2-1 fed high-to-low, a merge edge (7,2), a separate
+        # component with reversed direction, and a self-contained pair
+        [(5, 4), (4, 3), (3, 2), (2, 1), (7, 2), (20, 30), (41, 40)],
+        "src long, dst long",
+    )
+    nodes = spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 4, 5, 7, 20, 30, 40, 41, 99)], "id long"
+    )
+    expected = {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 7: 1, 20: 20, 30: 20, 40: 40, 41: 40, 99: 99}
+    driver = {
+        r.id: r.cluster_id
+        for r in connected_components(edges, nodes, max_driver_edges=100).collect()
+    }
+    loop = {
+        r.id: r.cluster_id
+        for r in connected_components(edges, nodes, max_driver_edges=0).collect()
+    }
+    assert driver == expected
+    assert loop == expected
+
+
 def test_ngram_decontaminate_flags_overlap_only(spark):
     from duckdb_age_spark.operators.pipeline import ngram_decontaminate
 

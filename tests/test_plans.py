@@ -1085,7 +1085,9 @@ def test_cc_round_join_reuses_cached_edge_partitioning(spark, monkeypatch):
             F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
         )
         nodes = spark.range(0, 50_001).select(F.col("id"))
-        result = dedup_mod.connected_components(edges, nodes, max_iter=2)
+        # max_driver_edges=0 pins the LOOP regime under test (the r15
+        # driver union-find would otherwise swallow this 50k-edge graph)
+        result = dedup_mod.connected_components(edges, nodes, max_iter=2, max_driver_edges=0)
         # the operator must route its loop table through loop_join_cache
         # keyed on the per-round join column
         assert [k for k, _ in calls] == ["neigh"], calls
