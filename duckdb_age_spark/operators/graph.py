@@ -45,7 +45,13 @@ def pagerank_exact(
     trades executor-loss tolerance for speed.)
     Returns (node, rank) with rank in SCALE units.
     """
-    nodes = (
+    # edges feeds the node set, the out-degrees, and every iteration's join;
+    # nodes feeds the count, the rank init, and every iteration's left join.
+    # Without truncation each consumer re-executed the caller's edge
+    # derivation (graph_pagerank's lineitem⋈orders+distinct appeared ~6x in
+    # the unrolled plan) — r15 optimization round, guide §1.2/§2.4.
+    edges = truncate_lineage(edges.select("src", "dst"))
+    nodes = truncate_lineage(
         edges.select(F.col("src").alias("node"))
         .unionAll(edges.select(F.col("dst").alias("node")))
         .distinct()
@@ -95,10 +101,13 @@ def weighted_pagerank(
     # re-run the whole upstream derivation (same guard as bfs_hops /
     # edge_jaccard_similarity)
     edges = edges.select("src", "dst", "w").localCheckpoint(eager=False)
+    # nodes is consumed by the count, the rank init, and every iteration's
+    # left join — truncate so the distinct runs once (r15, guide §1.2)
     nodes = (
         edges.select(F.col("src").alias("node"))
         .unionAll(edges.select(F.col("dst").alias("node")))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     n = nodes.count()
     if n == 0:  # empty graph: 0-row result, not a ZeroDivisionError
@@ -317,10 +326,14 @@ def copurchase_edges(
         lineitem.join(orders.select("o_orderkey", "o_custkey"), lineitem.l_orderkey == orders.o_orderkey)
         .select(F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part"))
         .distinct()
+        # both self-join sides consume cp: without truncation the
+        # lineitem⋈orders+distinct derivation executes TWICE per call
+        # (r15 optimization round; guide §1.2/§2.4)
+        .localCheckpoint(eager=False)
     )
     a = cp.select(F.col("cust").alias("src"), "part")
     b = cp.select(F.col("cust").alias("dst"), "part")
-    return (
+    plan = (
         a.join(b, "part")
         .where(F.col("src") < F.col("dst"))
         .groupBy("src", "dst")
@@ -328,6 +341,17 @@ def copurchase_edges(
         .where(F.col("shared_parts") >= min_shared_parts)
         .select("src", "dst", "shared_parts")
     )
+    # every consumer of this graph (triangle census, wedges, degrees,
+    # modularity, link prediction, ...) reads the edge list several times
+    # in one plan; Spark does not share common subtrees, so an un-truncated
+    # return re-ran the whole derivation once per branch (measured:
+    # graph_triangles re-derived it 4x).  The blocks are ContextCleaner-
+    # managed — no CacheManager entry, so the bench's cache-hygiene gate
+    # stays clean.  The un-truncated plan stays inspectable for the plan
+    # tests as ``._pre_checkpoint_plan`` (the _internal_cache precedent).
+    out = plan.localCheckpoint(eager=False)
+    out._pre_checkpoint_plan = plan
+    return out
 
 
 def triangle_stats(edges: DataFrame, orientation: str = "id") -> DataFrame:
@@ -358,7 +382,10 @@ def triangle_stats(edges: DataFrame, orientation: str = "id") -> DataFrame:
     combinable to a single row.
     Ratio is an IEEE division of two exact longs — engine-identical.
     """
-    e = edges.select("src", "dst")
+    # e feeds both wedge sides, the closing join, the node set, and the
+    # edge count — truncate so a derived edge list computes once (the
+    # degree branch already did this for its re-oriented copy; r15, §1.2)
+    e = edges.select("src", "dst").localCheckpoint(eager=False)
     if orientation == "degree":
         # undirected degree per endpoint, one map-side-combined aggregate
         und = e.unionAll(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
@@ -875,7 +902,9 @@ def hits_scores(edges: DataFrame, n_iter: int = 2) -> DataFrame:
         raise ValueError("hits_scores needs n_iter >= 1 (auth is undefined before the first half-round)")
     S = 10**6
     edges = truncate_lineage(edges)  # feeds node set + every half-round
-    nodes = (
+    # nodes is consumed by the hub init and both final left joins —
+    # truncate so the distinct runs once (r15, guide §1.2)
+    nodes = truncate_lineage(
         edges.select(F.col("src").alias("node"))
         .unionAll(edges.select(F.col("dst").alias("node")))
         .distinct()

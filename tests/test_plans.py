@@ -387,8 +387,11 @@ def test_copurchase_threshold_is_partial_aggregated(t):
 
     df = copurchase_edges(t["orders"], t["lineitem"], min_shared_parts=2)
     # pair-count aggregate after the part-keyed self-join must map-side
-    # combine so the support threshold prunes before the final shuffle
-    assert has_partial_aggregate(df)
+    # combine so the support threshold prunes before the final shuffle.
+    # The returned frame is lineage-truncated (r15 — consumers re-read the
+    # edge list several times per plan), so the assertable plan is the
+    # pre-checkpoint one it carries.
+    assert has_partial_aggregate(df._pre_checkpoint_plan)
 
 
 def test_tfidf_keywords_group_limit_and_partial_agg(t):
