@@ -267,7 +267,18 @@ def minhash_lsh_pairs(
 def ngram_jaccard_pairs(corpus: DataFrame, pairs: DataFrame, ngram: int = 3) -> DataFrame:
     """Exact Jaccard over word n-gram sets for given candidate (doc_a, doc_b)
     pairs — the verification stage after LSH.  Set ops run as JVM
-    array_intersect/array_union on deduped shingle arrays."""
+    array_intersect/array_union on deduped shingle arrays.
+
+    Measured and kept as-is (r15 optimization round): the gram table is
+    consumed by both join sides, so the shingle pass runs twice — but a
+    candidate-id broadcast semi-join prune (+ optional checkpoint) measured
+    3x SLOWER at sf0.1 (0.35 s -> 1.0-1.4 s interleaved; the extra
+    broadcast-exchange job and stage barriers cost more than the pruned
+    recompute saves on an 11k-doc corpus).  At 100 TB, where the corpus
+    shingle pass dwarfs a candidate broadcast, prune with
+    corpus.join(F.broadcast(candidate_ids), "doc_id", "left_semi") before
+    the gram compute (guide §3.2) — the LSH pairs frame is already
+    materialized, so the id collection is block reads."""
     grams = corpus.select(
         "doc_id", F.array_distinct(_word_ngrams(F.col("text"), ngram)).alias("grams")
     )
@@ -1104,7 +1115,15 @@ def duplicated_span_pairs(
     document-dedup's job anyway); below the cap the join parallelizes
     across buckets.  One extra shuffle over the census: the pair rollup.
     """
-    w = _span_anchors(docs, k, anchor_mod)
+    # Truncate the anchor table ONCE, before the hot-bucket count: the
+    # content-defined window hashing (explode of every k-char window + md5)
+    # is the dominant cost of this operator, and its downstream consumers —
+    # the hot-bucket count, the anti-join, and both self-join sides — would
+    # otherwise each re-run it (4 full window-hash passes per call,
+    # measured at sf0.1; r15 optimization round, guide §1.2/§2.4).  The
+    # blocks are the anchor table itself — the same rows the banded join
+    # shuffles anyway, so materializing them adds no new scale hazard.
+    w = _span_anchors(docs, k, anchor_mod).localCheckpoint(eager=False)
     w = _drop_hot_buckets(w, "h", max_bucket)
     a = w.select(F.col("doc_id").alias("doc_a"), "h")
     b = w.select(F.col("doc_id").alias("doc_b"), "h")
