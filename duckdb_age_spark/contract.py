@@ -6254,12 +6254,25 @@ def sink_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     prev_bucketing = spark.conf.get("spark.sql.sources.bucketing.enabled")
     spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
     try:
-        load(spark, sf_dir, "orders").write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy(
-            "o_orderkey"
-        ).option("path", f"{path}/orders_b").saveAsTable(t_orders)
-        load(spark, sf_dir, "lineitem").write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy(
-            "l_orderkey"
-        ).option("path", f"{path}/lineitem_b").saveAsTable(t_lineitem)
+        # Pre-partition by the bucket key before the bucketed write (r15
+        # optimization round, guide §6): repartition(8, key) is the same
+        # murmur3-pmod placement bucketBy uses, so each of the 8 write
+        # tasks holds exactly one bucket and writes exactly one file.
+        # Without it the write inherits the scan's partitioning — at sf0.1
+        # ONE task wrote all 8 bucket files serially (measured 2.6 s for
+        # lineitem alone), and at scale N scan tasks × 8 buckets would
+        # spray N×8 small files (the guide's small-files trap).  Same
+        # rows, same buckets, same join — layout parallelism only.
+        load(spark, sf_dir, "orders").repartition(8, "o_orderkey").write.mode(
+            "overwrite"
+        ).bucketBy(8, "o_orderkey").sortBy("o_orderkey").option(
+            "path", f"{path}/orders_b"
+        ).saveAsTable(t_orders)
+        load(spark, sf_dir, "lineitem").repartition(8, "l_orderkey").write.mode(
+            "overwrite"
+        ).bucketBy(8, "l_orderkey").sortBy("l_orderkey").option(
+            "path", f"{path}/lineitem_b"
+        ).saveAsTable(t_lineitem)
         o = spark.table(t_orders)
         l = spark.table(t_lineitem)
     finally:

@@ -77,6 +77,18 @@ def register(
             "spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch_size)
         )
 
+    # True idempotence (r15 optimization round): when this session is
+    # already registered with this manager, the six UDFs are current by
+    # construction — registration installed them and the mutation listener
+    # re-registers on every secret create/drop — so repeat calls skip the
+    # build_udfs + six spark.udf.register py4j round-trips (~140 ms/call;
+    # the driver contract calls register() once per query invocation, so
+    # across a 193-query x 3-rep bench this was ~80 s of pure
+    # re-registration).  A DIFFERENT manager still re-registers in full.
+    key = id(spark)
+    if _REGISTERED.get(key) is manager:
+        return manager
+
     def _do_register() -> None:
         for name, udf in build_udfs(manager.snapshot()).items():
             spark.udf.register(name, udf)
@@ -84,7 +96,6 @@ def register(
     _do_register()
     install_identity_redaction(spark)
 
-    key = id(spark)
     if _REGISTERED.get(key) is not manager:
         manager.add_listener(_do_register)
         _REGISTERED[key] = manager
