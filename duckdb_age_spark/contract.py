@@ -1440,7 +1440,12 @@ def dedup_fuzzy_names(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_custkey").alias("probe_key"), F.col("c_name").alias("name")
     )
     records = cust.select(F.col("c_custkey").alias("match_key"), F.col("c_name").alias("name"))
-    return fuzzy_name_pairs(records, probes, max_dist=1)
+    # explicit broadcast regime (r15 optimization round): the probe set is
+    # 1/500th of customer by construction, far under the 128 MiB variant
+    # cap at every fixture SF (sf10: 3k probes x 19 variants ≈ 1 MB), so
+    # the regime "auto" would pick is known statically — skipping auto's
+    # count+max(length) probe saves one Spark job per invocation.
+    return fuzzy_name_pairs(records, probes, max_dist=1, probe_regime="broadcast")
 
 
 @_q(
@@ -1477,7 +1482,10 @@ def dedup_fuzzy_names_d2(spark: SparkSession, sf_dir: str) -> DataFrame:
     records = cust.select(
         F.col("c_custkey").alias("match_key"), F.col("c_name").alias("name")
     ).unionByName(planted_fuzzy_variants(probes))
-    return fuzzy_name_pairs(records, probes, max_dist=2)
+    # explicit broadcast regime — same static argument as dedup_fuzzy_names
+    # (sf10: 3k probes x 172 d=2 variants ≈ 30 MB < the 128 MiB cap); saves
+    # auto's count+max(length) probe job per invocation.
+    return fuzzy_name_pairs(records, probes, max_dist=2, probe_regime="broadcast")
 
 
 @_q(
