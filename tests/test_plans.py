@@ -1186,6 +1186,22 @@ def test_histogram_stats_are_single_scan(t):
         assert n == 1, f"{name}: expected a single source scan, plan has {n}"
 
 
+def test_approx_percentile_check_exact_side_is_histogram_not_sort_buffer(t):
+    """r15 optimization round: the exact reference percentile runs over a
+    value histogram (rank selection + lo+(hi-lo)*frac interpolation), not
+    the ``percentile()`` aggregate that buffers and sorts every group's
+    values in one aggregation state (a data-sized single-task sort per
+    group at scale).  The GK sketch aggregate stays; the exact string
+    ``percentile(`` reappearing in the plan is the regression."""
+    from duckdb_age_spark.operators.stats import approx_percentile_check
+    from duckdb_age_spark.plans import formatted_plan
+
+    plan = formatted_plan(approx_percentile_check(t["lineitem"]))
+    assert "percentile_approx" in plan
+    assert "percentile(" not in plan, "exact percentile() sort-buffer came back"
+    assert "row_number" not in plan
+
+
 def test_global_topk_sites_plan_take_ordered_not_single_task_windows(t):
     """r15: every exact top-k over a data-proportional frame plans
     TakeOrderedAndProject (bounded per-task heaps) via operators/topk.py,
