@@ -623,22 +623,22 @@ def main() -> None:
 
     from pyspark.sql import SparkSession, functions as F
 
+    # Session conf comes from the ENGINE's published recipe (VERDICT r15
+    # item 3: one source of truth for bench, scripts, and users — the bench
+    # measures exactly the session a library user gets).  The recipe's
+    # rationale, incl. the preferSortMergeJoin=false join baseline, lives in
+    # duckdb_age_spark/conf.py; shuffle partitions are the core count here
+    # because AQE coalescing owns reduce sizing in local mode (guide §2.2).
+    from duckdb_age_spark.conf import apply_recommended_conf
+
+    builder = apply_recommended_conf(
+        SparkSession.builder.master(f"local[{CPUS}]").appName("duckdb-age-spark-bench"),
+        shuffle_partitions=CPUS,
+    )
     builder = (
-        SparkSession.builder.master(f"local[{CPUS}]")
-        .appName("duckdb-age-spark-bench")
-        .config("spark.sql.shuffle.partitions", str(CPUS))
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        # Allow shuffled-hash joins when Spark's own size conditions hold
-        # (guide §9 baseline; §3.1: often faster than sort-merge when one
-        # side is moderately small per partition).  Scale-neutral: the
-        # planner still picks per join by size, AQE can still rewrite, and
-        # sort-merge remains the fallback.  Measured r15 at sf0.1:
-        # tpch_q9 0.90→0.64 s, tpch_q21 1.29→0.80 s, others neutral.
-        .config("spark.sql.join.preferSortMergeJoin", "false")
+        builder
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
-        .config("spark.sql.session.timeZone", "UTC")
     )
     # JVM crypto path on the classpath so size-based routing (SCALING.md,
     # sources/encrypted.py) can engage for the large-payload sink queries

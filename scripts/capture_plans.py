@@ -31,16 +31,16 @@ def main() -> int:
 
     from pyspark.sql import SparkSession
 
+    from duckdb_age_spark.conf import apply_recommended_conf
+
+    builder = apply_recommended_conf(
+        SparkSession.builder.master(f"local[{CPUS}]").appName("capture-plans"),
+        shuffle_partitions=int(CPUS),
+    )
     builder = (
-        SparkSession.builder.master(f"local[{CPUS}]")
-        .appName("capture-plans")
-        .config("spark.sql.shuffle.partitions", CPUS)
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        .config("spark.sql.join.preferSortMergeJoin", "false")
+        builder
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
-        .config("spark.sql.session.timeZone", "UTC")
     )
     try:
         from duckdb_age_spark.jvm import ensure_jar
