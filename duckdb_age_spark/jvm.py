@@ -178,10 +178,10 @@ def register_jvm_crypto(spark, manager=None) -> None:
     ``AGE-SECRET-KEY-1...`` literals (shared helper with ``register()``) as
     defense-in-depth for RAW identity literals users pass explicitly; named
     secrets no longer need it — their plans carry only the name."""
-    from .register import _REGISTERED, install_identity_redaction
+    from .register import install_identity_redaction, registered_manager
     from .secrets import default_manager
 
-    manager = manager or _REGISTERED.get(id(spark)) or default_manager
+    manager = manager or registered_manager(spark) or default_manager
     _stage_and_register(spark, manager)
     key = id(spark)
     if _JVM_REGISTERED.get(key) is not manager:

@@ -19,7 +19,18 @@ from pyspark.sql import SparkSession
 from .functions import build_udfs
 from .secrets import SecretManager, default_manager
 
-_REGISTERED: dict[int, SecretManager] = {}
+# Registration marker attribute set on the SparkSession object itself
+# (ADVICE r15): the previous id(spark)-keyed module dict was never pruned,
+# so a garbage-collected session whose CPython address was reused by a NEW
+# session aliased the stale entry and register(new_spark) returned without
+# registering anything.  An attribute lives and dies with the session —
+# aliasing is impossible by construction.
+_REGISTERED_ATTR = "_duckdb_age_registered_manager"
+
+
+def registered_manager(spark: SparkSession) -> SecretManager | None:
+    """The SecretManager ``register()`` bound to this session, or None."""
+    return getattr(spark, _REGISTERED_ATTR, None)
 
 # Matches any bech32 age identity literal.  Plan-text redaction is
 # defense-in-depth for every path that puts an identity into a plan
@@ -85,8 +96,7 @@ def register(
     # the driver contract calls register() once per query invocation, so
     # across a 193-query x 3-rep bench this was ~80 s of pure
     # re-registration).  A DIFFERENT manager still re-registers in full.
-    key = id(spark)
-    if _REGISTERED.get(key) is manager:
+    if getattr(spark, _REGISTERED_ATTR, None) is manager:
         return manager
 
     def _do_register() -> None:
@@ -96,7 +106,7 @@ def register(
     _do_register()
     install_identity_redaction(spark)
 
-    if _REGISTERED.get(key) is not manager:
+    if getattr(spark, _REGISTERED_ATTR, None) is not manager:
         manager.add_listener(_do_register)
-        _REGISTERED[key] = manager
+        setattr(spark, _REGISTERED_ATTR, manager)
     return manager

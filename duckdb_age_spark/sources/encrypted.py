@@ -94,9 +94,9 @@ def _effective_manager(spark: SparkSession, manager):
     matching an unregistered session's only sensible interpretation)."""
     if manager is not None:
         return manager
-    from ..register import _REGISTERED
+    from ..register import registered_manager
 
-    return _REGISTERED.get(id(spark))
+    return registered_manager(spark)
 
 
 def _python_crypto_expr(fn: str, data, key: str, manager):

@@ -81,27 +81,32 @@ def read_events(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.schema(events_schema(nanos=False)).parquet(path)
 
 
-_SCHEMA_CACHE: dict[str, StructType] = {}
+_SCHEMA_CACHE: dict[tuple[str, float, int], StructType] = {}
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one test table; normalizes the events.ts column (see
     :func:`read_events`).
 
-    The parquet schema is cached per absolute path (r15 optimization
+    The parquet schema is cached per (absolute path, mtime, size) — ADVICE
+    r15: a path-only key served a STALE schema when a fixture file was
+    rewritten with different columns (missing/renamed columns silently read
+    back as NULL); the stat triple invalidates on any rewrite while still
+    skipping the expensive part.  Why cache at all (r15 optimization
     round): schema inference reads the footer on the DRIVER on every
     ``spark.read.parquet`` call (~90 ms here), and the driver contract
     constructs each query fresh per invocation, so across a 193-query
-    3-rep bench the repeated inference alone cost tens of seconds.  Same
-    immutability assumption as ``_TS_SNIFF_CACHE`` above: a fixture path
-    never changes schema mid-session."""
+    3-rep bench the repeated inference alone cost tens of seconds; the
+    ``os.stat`` is microseconds."""
     if name == "events":
         return read_events(spark, f"{sf_dir}/events.parquet")
     import os
 
     path = os.path.abspath(f"{sf_dir}/{name}.parquet")
-    schema = _SCHEMA_CACHE.get(path)
+    st = os.stat(path)
+    key = (path, st.st_mtime, st.st_size)
+    schema = _SCHEMA_CACHE.get(key)
     if schema is None:
         schema = spark.read.parquet(path).schema
-        _SCHEMA_CACHE[path] = schema
+        _SCHEMA_CACHE[key] = schema
     return spark.read.schema(schema).parquet(path)
