@@ -828,7 +828,12 @@ def psi_drift(orders: DataFrame, split_date: str = "1995-06-01", n_bins: int = 1
     cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
     is_ref = (F.col("o_orderdate") < split_date).cast("long")
     h = (
-        orders.select(cents.alias("v"), is_ref.alias("r"))
+        # null-date rows belong to NEITHER side (ADVICE r15: the fused
+        # count(*)−sum(r) form was silently binning them as CURRENT, where
+        # the pre-fusion ref/cur where-filters excluded them from both) —
+        # the isnotnull pushes to the scan, so the single-scan plan holds
+        orders.where(F.col("o_orderdate").isNotNull())
+        .select(cents.alias("v"), is_ref.alias("r"))
         .groupBy("v")
         .agg(F.sum("r").alias("cr"), (F.count("*") - F.sum("r")).alias("cc"))
     )
