@@ -523,15 +523,42 @@ def connected_components(
     the (id, label) table ships back — the same move as a broadcast join:
     collect the provably-small side, skip the iterative shuffles (guide
     §3.1; the k-centroid kmeans collect adjudicated at r13 is the same
-    class).  One count() probe on the (materialized) edge frame decides the
-    regime; above the cap, the distributed loop below runs unchanged — the
-    sf10 span-CC evidence (33 M edges, 302 s) is loop-regime.  Labels are
-    identical by construction: both regimes assign every touched node the
-    exact minimum reachable id.
+    class).  One count() probe decides the regime — the edge frame is
+    lineage-truncated first when the caller did not already do so, so the
+    probe's work is reused by whichever regime runs (ADVICE r15: the bare
+    count used to execute span_dedup_clusters' whole banded pipeline an
+    extra time).  Above the cap, the distributed loop below runs unchanged —
+    the sf10 span-CC evidence (33 M edges, 302 s) is loop-regime.  The
+    driver regime additionally requires integral node ids (ADVICE r15: the
+    collect casts to long; non-numeric ids go to the loop, which only needs
+    orderable ids).  Labels are identical by construction: both regimes
+    assign every touched node the exact minimum reachable id.
     """
     if max_driver_edges is None:
         max_driver_edges = int(os.environ.get("SPARK_GRAFT_CC_DRIVER_EDGES", "100000"))
-    if max_driver_edges > 0 and edges.count() <= max_driver_edges:
+    # Driver regime requires INTEGRAL node ids (ADVICE r15): the union-find
+    # collects ids cast to long, so a non-numeric id would cast to NULL and
+    # silently label every node a singleton.  Non-integral ids skip the
+    # probe entirely and run the distributed loop, which only needs
+    # orderable ids.
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    _integral = (ByteType, ShortType, IntegerType, LongType)
+    ids_integral = all(
+        isinstance(edges.schema[c].dataType, _integral) for c in ("src", "dst")
+    )
+    if max_driver_edges > 0 and ids_integral:
+        # Materialize edges BEFORE the probe count unless the caller already
+        # handed a checkpoint leaf (ADVICE r15: span_dedup_clusters feeds an
+        # UNmaterialized banded-join pipeline — 33 M edges / ~158 s at sf10 —
+        # which the bare count() executed a whole extra time just to decide
+        # the regime).  The blocks are reused by whichever regime runs: the
+        # driver collect below, or the loop's sym union (which reads edges
+        # TWICE).
+        from .iterate import truncate_if_needed
+
+        edges = truncate_if_needed(edges)
+    if max_driver_edges > 0 and ids_integral and edges.count() <= max_driver_edges:
         rows = edges.select(
             F.col("src").cast("long"), F.col("dst").cast("long")
         ).collect()
@@ -602,22 +629,44 @@ def connected_components(
             .select(F.col("node").alias("id"), F.least(F.col("node"), F.col("mn")).alias("label"))
         )
         labels = truncate_lineage(labels, checkpoint_dir)
-        label_sum = F.sum(F.col("label").cast("decimal(38,0)"))
-        prev = labels.agg(label_sum).first()[0]
-        if prev is not None:  # empty graph: skip the loop, labels is 0-row
-            for _ in range(max_iter - 1):
-                prop = sym.join(labels, sym.neigh == labels.id).select("node", "label")
-                labels = (
-                    prop.unionByName(labels.select(F.col("id").alias("node"), "label"))
-                    .groupBy("node")
-                    .agg(F.min("label").alias("label"))
-                    .select(F.col("node").alias("id"), "label")
-                )
-                labels = truncate_lineage(labels, checkpoint_dir)
-                cur = labels.agg(label_sum).first()[0]
-                if cur == prev:  # equal sum of non-increasing labels ⇒ fixpoint
-                    break
-                prev = cur
+
+        def _round(cur_labels: DataFrame) -> DataFrame:
+            prop = sym.join(cur_labels, sym.neigh == cur_labels.id).select("node", "label")
+            nxt = (
+                prop.unionByName(cur_labels.select(F.col("id").alias("node"), "label"))
+                .groupBy("node")
+                .agg(F.min("label").alias("label"))
+                .select(F.col("node").alias("id"), "label")
+            )
+            return truncate_lineage(nxt, checkpoint_dir)
+
+        if ids_integral:
+            label_sum = F.sum(F.col("label").cast("decimal(38,0)"))
+            prev = labels.agg(label_sum).first()[0]
+            if prev is not None:  # empty graph: skip the loop, labels is 0-row
+                for _ in range(max_iter - 1):
+                    labels = _round(labels)
+                    cur = labels.agg(label_sum).first()[0]
+                    if cur == prev:  # equal sum of non-increasing labels ⇒ fixpoint
+                        break
+                    prev = cur
+        else:
+            # Non-numeric (orderable) ids — ADVICE r15/r16: the decimal-sum
+            # fixpoint check would CAST-error (or silently truncate) here,
+            # so use the exact formulation directly: labels only ever
+            # decrease, so fixpoint ⇔ no (id, label) row changed.  The
+            # anti-join count is also the full action that materializes the
+            # round's lazy checkpoint (take(1)-style probes would leave it
+            # partial).
+            if labels.count() > 0:  # the count also materializes the init
+                for _ in range(max_iter - 1):
+                    old = labels
+                    labels = _round(labels)
+                    changed = labels.join(
+                        old.select("id", "label"), ["id", "label"], "left_anti"
+                    ).count()
+                    if changed == 0:
+                        break
         singletons = nodes.join(labels.select("id"), "id", "left_anti").select(
             "id", F.col("id").alias("label")
         )

@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from .iterate import loop_join_cache, truncate_lineage
+from .iterate import loop_join_cache, truncate_if_needed, truncate_lineage
 
 SCALE = 10**12
 
@@ -49,8 +49,11 @@ def pagerank_exact(
     # nodes feeds the count, the rank init, and every iteration's left join.
     # Without truncation each consumer re-executed the caller's edge
     # derivation (graph_pagerank's lineitem⋈orders+distinct appeared ~6x in
-    # the unrolled plan) — r15 optimization round, guide §1.2/§2.4.
-    edges = truncate_lineage(edges.select("src", "dst"))
+    # the unrolled plan) — r15 optimization round, guide §1.2/§2.4.  Skipped
+    # when the caller already hands a checkpoint leaf (copurchase_edges
+    # truncates its own output) — re-materializing it is pure overhead
+    # (VERDICT r15 item 4; r16).
+    edges = truncate_if_needed(edges.select("src", "dst"))
     nodes = truncate_lineage(
         edges.select(F.col("src").alias("node"))
         .unionAll(edges.select(F.col("dst").alias("node")))
@@ -99,8 +102,9 @@ def weighted_pagerank(
     # checkpoint once: edges feeds the node set, the weight sums, and every
     # iteration's join — for a derived graph each consumer would otherwise
     # re-run the whole upstream derivation (same guard as bfs_hops /
-    # edge_jaccard_similarity)
-    edges = edges.select("src", "dst", "w").localCheckpoint(eager=False)
+    # edge_jaccard_similarity); skipped when the input is already a leaf
+    # (VERDICT r15 item 4)
+    edges = truncate_if_needed(edges.select("src", "dst", "w"))
     # nodes is consumed by the count, the rank init, and every iteration's
     # left join — truncate so the distinct runs once (r15, guide §1.2)
     nodes = (
@@ -162,7 +166,7 @@ def bfs_hops(
     # upstream lineage (for a derived graph like copurchase_edges, the whole
     # self-join — measured 3× redundant work at max_hops=3); checkpointing
     # edges first also keeps the union's two branches from deriving it twice
-    edges = truncate_lineage(edges.select("src", "dst"), checkpoint_dir)
+    edges = truncate_if_needed(edges.select("src", "dst"), checkpoint_dir)
     # cached co-partitioned+sorted on src (the per-hop join key): each hop
     # materializes its frontier checkpoint, so without this the adjacency
     # re-shuffles every hop — see iterate.loop_join_cache (r13).
@@ -226,8 +230,9 @@ def edge_jaccard_similarity(edges: DataFrame) -> DataFrame:
     # checkpoint the edge list ONCE: it feeds five branches (both wedge
     # sides, the degree table, and the output join) and for a derived graph
     # each branch would otherwise re-execute the whole upstream derivation —
-    # the same lineage-fan-out bfs_hops guards against
-    edges = edges.select("src", "dst").localCheckpoint(eager=False)
+    # the same lineage-fan-out bfs_hops guards against; skipped when the
+    # input is already a leaf (VERDICT r15 item 4)
+    edges = truncate_if_needed(edges.select("src", "dst"))
     adj = edges.unionAll(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
@@ -384,8 +389,9 @@ def triangle_stats(edges: DataFrame, orientation: str = "id") -> DataFrame:
     """
     # e feeds both wedge sides, the closing join, the node set, and the
     # edge count — truncate so a derived edge list computes once (the
-    # degree branch already did this for its re-oriented copy; r15, §1.2)
-    e = edges.select("src", "dst").localCheckpoint(eager=False)
+    # degree branch already did this for its re-oriented copy; r15, §1.2);
+    # skipped when the input is already a leaf (VERDICT r15 item 4)
+    e = truncate_if_needed(edges.select("src", "dst"))
     if orientation == "degree":
         # undirected degree per endpoint, one map-side-combined aggregate
         und = e.unionAll(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
@@ -459,7 +465,7 @@ def kcore_peel(edges: DataFrame, k: int = 2, rounds: int = 4) -> DataFrame:
     at sf0.01 switching to eager).  O(rounds · E) total.
     Returns (node, degree) for surviving nodes with their in-core degree.
     """
-    e = edges.select("src", "dst").localCheckpoint(eager=False)
+    e = truncate_if_needed(edges.select("src", "dst"))
     for _ in range(rounds):
         und = e.unionAll(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         deg = und.groupBy("src").agg(F.count("*").alias("deg"))
@@ -496,7 +502,10 @@ def label_propagation(edges: DataFrame, rounds: int = 3) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    e = edges.select("src", "dst").localCheckpoint(eager=False)
+    # skip the defensive truncation when the caller's edge list is already
+    # a checkpoint leaf (copurchase_edges) — the redundant re-copy cost this
+    # single-consumer path ~1.1 s at sf0.1 (VERDICT r15 item 4)
+    e = truncate_if_needed(edges.select("src", "dst"))
     # cached co-partitioned+sorted on dst (the per-round join key): every
     # round is its own action (the eager per-round checkpoint), so without
     # this the full symmetric edge list re-shuffles every round — see
@@ -901,7 +910,7 @@ def hits_scores(edges: DataFrame, n_iter: int = 2) -> DataFrame:
     if n_iter < 1:
         raise ValueError("hits_scores needs n_iter >= 1 (auth is undefined before the first half-round)")
     S = 10**6
-    edges = truncate_lineage(edges)  # feeds node set + every half-round
+    edges = truncate_if_needed(edges)  # feeds node set + every half-round (skip when already a leaf)
     # nodes is consumed by the hub init and both final left joins —
     # truncate so the distinct runs once (r15, guide §1.2)
     nodes = truncate_lineage(
@@ -969,7 +978,7 @@ def harmonic_closeness(
     """
     from .iterate import truncate_lineage
 
-    edges = truncate_lineage(edges.select("src", "dst"), checkpoint_dir)
+    edges = truncate_if_needed(edges.select("src", "dst"), checkpoint_dir)
     # same per-hop adjacency cache as bfs_hops (iterate.loop_join_cache, r13)
     adj = loop_join_cache(
         edges.unionAll(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))),

@@ -17,6 +17,45 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
+def is_lineage_truncated(df: DataFrame) -> bool:
+    """True when ``df`` is already a checkpoint/RDD leaf — a ``LogicalRDD``
+    optionally under cheap row-local unary nodes (Project/Filter/alias).
+
+    Why (VERDICT r15 item 4): operators defensively truncate their input
+    edge lists because derived graphs re-execute their whole derivation once
+    per plan branch — but when the CALLER already handed over a checkpoint
+    leaf (e.g. ``copurchase_edges`` truncates its own output), a second
+    localCheckpoint re-materializes the same rows into a second block set:
+    pure overhead at any scale (measured at sf0.1: graph_label_propagation
+    paid ~1.1 s for the redundant copy).  A projection/filter over a leaf is
+    still "truncated" for this purpose — each consumer re-reads cached
+    blocks and applies row-local expressions, never the upstream derivation.
+    """
+    try:
+        node = df._jdf.queryExecution().analyzed()
+        while True:
+            name = node.nodeName()
+            if name == "LogicalRDD":
+                return True
+            if name in ("Project", "Filter", "SubqueryAlias") and node.children().size() == 1:
+                node = node.children().apply(0)
+                continue
+            return False
+    except Exception:
+        # plan introspection is an optimization, never a correctness gate
+        return False
+
+
+def truncate_if_needed(
+    df: DataFrame, checkpoint_dir: str | None = None, eager: bool = False
+) -> DataFrame:
+    """:func:`truncate_lineage`, skipped when ``df`` is already a leaf (see
+    :func:`is_lineage_truncated`)."""
+    if is_lineage_truncated(df):
+        return df
+    return truncate_lineage(df, checkpoint_dir, eager=eager)
+
+
 def truncate_lineage(df: DataFrame, checkpoint_dir: str | None = None, eager: bool = False) -> DataFrame:
     """Cut ``df``'s lineage: reliable checkpoint if a dir is given, else
     executor-local.  ``eager`` forces materialization now (use when the
