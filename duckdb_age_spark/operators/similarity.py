@@ -141,6 +141,136 @@ def _recenter(assigned: DataFrame) -> DataFrame:
     )
 
 
+def _round_half_up_6(x: float) -> float:
+    """Replicate Spark's F.round(col, 6) for doubles: the JVM Round
+    expression goes through ``BigDecimal.valueOf(double)`` — i.e. the
+    SHORTEST-decimal string form of the double (Double.toString), NOT its
+    exact binary expansion — then setScale(6, HALF_UP).  Python's repr()
+    is the same shortest round-trip decimal, so Decimal(repr(x)) +
+    ROUND_HALF_UP matches bit-for-bit (pinned against F.round in
+    tests/test_operators.py::test_round_half_up_6_matches_spark_round)."""
+    import decimal
+    import math
+
+    if not math.isfinite(x):
+        return x
+    return float(
+        decimal.Decimal(repr(x)).quantize(
+            decimal.Decimal("0.000001"), decimal.ROUND_HALF_UP
+        )
+    )
+
+
+def _lloyd_step_fused(corpus: DataFrame, cent_rows: list) -> list:
+    """One Lloyd step (assign + recenter) as a SINGLE corpus pass with NO
+    shuffle (flagged variant — guide §4.5/§2.4): centroids ride the task
+    closure, each task scores its rows in Python floats with the exact
+    per-element operation order of the JVM expression chain (sequential
+    left-fold dot/norm, HALF_UP 6-dp round, (cs, −cent_id) argmax) and
+    emits per-centroid partial sums; the driver merges partials ordered by
+    partition id and finishes the 6-dp means.  vs the default path this
+    removes the corpus-sized groupBy(vec_id) exchange plus the two recenter
+    exchanges per iteration — at 100 TB of embeddings those are the
+    dominant per-iteration shuffles.
+
+    Float caveat (why this is a FLAG, default off): the member-sum order
+    differs from F.avg's partition-merge order, so means can differ in the
+    last ulp before the 6-dp round.  Pinned bit-identical on the test
+    fixtures (tests/test_operators.py::test_kmeans_fused_lloyd_matches_default);
+    flip SPARK_GRAFT_KMEANS_FUSED=1 only where that equivalence has been
+    verified on the deployment's data."""
+    import math
+
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    cents = [(int(r[0]), [float(x) for x in r[1]]) for r in cent_rows]
+    dim = len(cents[0][1])
+    cnorms = []
+    for _, cv in cents:
+        acc = 0.0
+        for x in cv:
+            acc = acc + x * x
+        cnorms.append(math.sqrt(acc))
+
+    out_schema = StructType(
+        [
+            StructField("pid", LongType()),
+            StructField("cent_id", LongType()),
+            StructField("n", LongType()),
+            StructField("s", ArrayType(DoubleType())),
+        ]
+    )
+
+    def step(batches):
+        sums: dict[int, list[float]] = {}
+        counts: dict[int, int] = {}
+        pid = None
+        for pdf in batches:
+            if pid is None and len(pdf):
+                pid = int(pdf["pid"].iloc[0])
+            for v in pdf["v"]:
+                v = [float(x) for x in v]
+                vn_acc = 0.0
+                for x in v:
+                    vn_acc = vn_acc + x * x
+                vn = math.sqrt(vn_acc)
+                best_cs, best_cid = None, None
+                for (cid, cv), cn in zip(cents, cnorms):
+                    d = 0.0
+                    for a, b in zip(v, cv):
+                        d = d + a * b
+                    cs = _round_half_up_6(d / (vn * cn))
+                    # argmax by (cs, -cent_id): strictly greater cs wins,
+                    # equal cs keeps the SMALLER cent_id
+                    if best_cs is None or cs > best_cs or (cs == best_cs and cid < best_cid):
+                        best_cs, best_cid = cs, cid
+                s = sums.get(best_cid)
+                if s is None:
+                    sums[best_cid] = list(v)
+                    counts[best_cid] = 1
+                else:
+                    for i in range(dim):
+                        s[i] = s[i] + v[i]
+                    counts[best_cid] += 1
+        import pandas as pd
+
+        yield pd.DataFrame(
+            {
+                "pid": [pid or 0] * len(sums),
+                "cent_id": sorted(sums),
+                "n": [counts[c] for c in sorted(sums)],
+                "s": [sums[c] for c in sorted(sums)],
+            }
+        )
+
+    partials = (
+        corpus.select(F.spark_partition_id().cast("long").alias("pid"), "v")
+        .mapInPandas(step, out_schema)
+        .collect()
+    )
+    merged_s: dict[int, list[float]] = {}
+    merged_n: dict[int, int] = {}
+    for row in sorted(partials, key=lambda r: (r.pid, r.cent_id)):
+        s = merged_s.get(row.cent_id)
+        if s is None:
+            merged_s[row.cent_id] = list(row.s)
+            merged_n[row.cent_id] = int(row.n)
+        else:
+            for i in range(dim):
+                s[i] = s[i] + row.s[i]
+            merged_n[row.cent_id] += int(row.n)
+    return [
+        (cid, [_round_half_up_6(x / merged_n[cid]) for x in merged_s[cid]])
+        for cid in sorted(merged_s)
+    ]
+
+
 def kmeans_ivf_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -148,6 +278,7 @@ def kmeans_ivf_topk(
     n_lists: int = 8,
     n_probe: int = 2,
     n_iters: int = 2,
+    fused_lloyd: bool | None = None,
 ) -> DataFrame:
     """IVF ANN with *trained* coarse centroids: ``n_iters`` Lloyd (k-means)
     iterations from a deterministic seed (the first ``n_lists`` corpus
@@ -160,17 +291,33 @@ def kmeans_ivf_topk(
     iteration (the classic distributed-Lloyd cost) and never shuffles by
     centroid.  Rounding to 6 dp makes training reproducible engine-to-engine
     (the DuckDB oracle unrolls the identical iterations as CTEs).
+
+    ``fused_lloyd`` (default off; env ``SPARK_GRAFT_KMEANS_FUSED=1``): run
+    each training iteration as ONE shuffle-free mapInPandas pass instead of
+    the assign+recenter aggregate chain — see :func:`_lloyd_step_fused` for
+    the scale rationale and the float-ordering caveat that keeps this
+    opt-in.  The query path after training is identical either way.
     """
+    import os
+
+    if fused_lloyd is None:
+        fused_lloyd = os.environ.get("SPARK_GRAFT_KMEANS_FUSED") == "1"
     spark = embeddings.sparkSession
     corpus = embeddings.select("vec_id", _as_double(F.col("embedding")).alias("v"))
     cents = corpus.where(F.col("vec_id") < n_lists).select(
         F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")
     )
-    for _ in range(n_iters):
-        rows = _recenter(_assign(corpus, cents)).collect()
-        cents = spark.createDataFrame(
-            [(r.cent_id, r.cv) for r in rows], "cent_id bigint, cv array<double>"
-        )
+    if fused_lloyd:
+        cent_rows = [(r.cent_id, r.cv) for r in cents.collect()]
+        for _ in range(n_iters):
+            cent_rows = _lloyd_step_fused(corpus, cent_rows)
+        cents = spark.createDataFrame(cent_rows, "cent_id bigint, cv array<double>")
+    else:
+        for _ in range(n_iters):
+            rows = _recenter(_assign(corpus, cents)).collect()
+            cents = spark.createDataFrame(
+                [(r.cent_id, r.cv) for r in rows], "cent_id bigint, cv array<double>"
+            )
 
     assigned = _assign(corpus, cents)
     scored_q = queries.join(F.broadcast(cents)).select(
