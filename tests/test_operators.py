@@ -173,6 +173,34 @@ def test_kmeans_ivf_trains_and_beats_or_matches_untrained(emb):
     assert sorted(map(tuple, approx)) == sorted(map(tuple, again))
 
 
+def test_kmeans_fused_lloyd_matches_default(emb):
+    """VERDICT r15 item 7: the flagged shuffle-free Lloyd training pass
+    (one mapInPandas per iteration, partials merged on the driver) must be
+    BIT-IDENTICAL to the default assign+recenter aggregate chain on the
+    fixtures — same centroids after training, hence same final top-k."""
+    from duckdb_age_spark.operators.similarity import kmeans_ivf_topk, queries_from_ids
+
+    q = queries_from_ids(emb, [0, 1, 2, 3, 4])
+    default = kmeans_ivf_topk(emb, q, k=5, n_iters=2, fused_lloyd=False).collect()
+    fused = kmeans_ivf_topk(emb, q, k=5, n_iters=2, fused_lloyd=True).collect()
+    assert sorted(map(tuple, default)) == sorted(map(tuple, fused))
+
+
+def test_round_half_up_6_matches_spark_round(spark):
+    """The fused Lloyd path's Python rounding must replicate F.round(x, 6)
+    (BigDecimal HALF_UP over the exact binary double) including negatives
+    and exact .5e-6 boundaries."""
+    from duckdb_age_spark.operators.similarity import _round_half_up_6
+
+    vals = [
+        0.1234565, -0.1234565, 0.9999995, -0.9999995, 1.0000004999,
+        0.12345649999, -2.5e-6, 2.5e-6, 0.0, 1.0, -1.0, 0.3333333333,
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got = [r.r for r in df.select(F.round("x", 6).alias("r")).collect()]
+    assert got == [_round_half_up_6(v) for v in vals]
+
+
 def test_sessionize_gap_invariant(events):
     from duckdb_age_spark.operators.events import sessionize
 
@@ -486,19 +514,34 @@ def test_crypto_routing_rule():
 def test_effective_manager_resolution_order():
     """Manager dispatch for the routed sink (ADVICE r9): explicit wins,
     then the session's registered manager, then None (-> downstream
-    default).  Uses plain objects — id()-keyed lookup needs no session."""
-    from duckdb_age_spark.register import _REGISTERED
+    default).  Uses plain objects — the session-attribute marker (ADVICE
+    r15: aliasing-proof, unlike the old id()-keyed dict) needs no real
+    session."""
+    from duckdb_age_spark.register import _REGISTERED_ATTR
     from duckdb_age_spark.sources.encrypted import _effective_manager
 
-    fake_spark, explicit, registered = object(), object(), object()
+    class _FakeSpark:
+        pass
+
+    fake_spark, explicit, registered = _FakeSpark(), object(), object()
     assert _effective_manager(fake_spark, explicit) is explicit
     assert _effective_manager(fake_spark, None) is None
-    _REGISTERED[id(fake_spark)] = registered
-    try:
-        assert _effective_manager(fake_spark, None) is registered
-        assert _effective_manager(fake_spark, explicit) is explicit
-    finally:
-        del _REGISTERED[id(fake_spark)]
+    setattr(fake_spark, _REGISTERED_ATTR, registered)
+    assert _effective_manager(fake_spark, None) is registered
+    assert _effective_manager(fake_spark, explicit) is explicit
+
+
+def test_register_marker_cannot_alias_new_session():
+    """ADVICE r15: the registration marker must live on the session object,
+    so a NEW session object can never alias a dead one's entry (the old
+    id(spark)-keyed dict did exactly that when CPython reused the address)."""
+    from duckdb_age_spark.register import registered_manager
+
+    class _FakeSpark:
+        pass
+
+    a = _FakeSpark()
+    assert registered_manager(a) is None  # fresh object: never pre-registered
 
 
 def test_python_crypto_expr_resolves_only_with_explicit_manager(spark, manager):
@@ -760,6 +803,52 @@ def test_connected_components_driver_and_loop_regimes_agree(spark):
     }
     assert driver == expected
     assert loop == expected
+
+
+def test_connected_components_non_integral_ids_use_loop(spark):
+    """ADVICE r15: the driver union-find casts ids to long, so NON-NUMERIC
+    ids (the operator contract only needs orderable ids) must bypass the
+    driver regime — the cast would yield NULLs and silently label every
+    node a singleton.  String-id graphs go through the distributed loop and
+    still cluster correctly."""
+    from duckdb_age_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [("b", "a"), ("c", "b"), ("x", "y")], "src string, dst string"
+    )
+    nodes = spark.createDataFrame(
+        [(s,) for s in ("a", "b", "c", "x", "y", "z")], "id string"
+    )
+    got = {
+        r.id: r.cluster_id
+        for r in connected_components(edges, nodes, max_driver_edges=100).collect()
+    }
+    assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x", "z": "z"}
+
+
+def test_is_lineage_truncated_and_skip(spark):
+    """The leaf detector behind truncate_if_needed (VERDICT r15 item 4):
+    checkpointed frames — and cheap projections/filters over them — count
+    as truncated (re-truncating them is pure overhead); anything with real
+    upstream lineage does not."""
+    from duckdb_age_spark.operators.iterate import (
+        is_lineage_truncated,
+        truncate_if_needed,
+    )
+
+    base = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    leaf = base.localCheckpoint(eager=False)
+    assert is_lineage_truncated(leaf)
+    assert is_lineage_truncated(leaf.select("src", "dst"))
+    assert is_lineage_truncated(leaf.where("src > 0").select("src"))
+    # a leaf (or a projection of one) passes through UNCHANGED
+    proj = leaf.select("src", "dst")
+    assert truncate_if_needed(proj) is proj
+    # real lineage is NOT truncated: joins/aggregates must still checkpoint
+    joined = leaf.join(leaf.select(F.col("src").alias("dst2")), leaf.src == F.col("dst2"))
+    assert not is_lineage_truncated(joined)
+    assert not is_lineage_truncated(base.groupBy("src").count())
+    assert truncate_if_needed(joined) is not joined
 
 
 def test_ngram_decontaminate_flags_overlap_only(spark):
@@ -1690,6 +1779,32 @@ def test_psi_detects_shift(spark):
     r = psi_drift(df, split_date="1995-06-01").collect()[0]
     # completely disjoint distributions: every bin one-sided except the top
     assert r.n_bins_skipped >= 8
+
+
+def test_psi_null_dates_excluded_from_both_sides(spark):
+    """ADVICE r15: the fused count(*)−sum(r) histogram silently binned
+    null-date rows as CURRENT (the pre-fusion where-filters excluded them
+    from both sides).  Null-date rows must not move the result at all."""
+    from duckdb_age_spark.operators.stats import psi_drift
+    import datetime as dt
+
+    rows = []
+    for i in range(200):
+        half = dt.date(1995, 1, 1) if i % 2 == 0 else dt.date(1996, 1, 1)
+        rows.append((i, half, float((i // 2) % 50) * 100 + 10))
+    clean = spark.createDataFrame(
+        rows, "o_orderkey long, o_orderdate date, o_totalprice double"
+    )
+    noisy = clean.unionByName(
+        spark.createDataFrame(
+            [(9000 + i, None, 999999.0) for i in range(25)],
+            "o_orderkey long, o_orderdate date, o_totalprice double",
+        )
+    )
+    a = psi_drift(clean, split_date="1995-06-01").collect()[0]
+    b = psi_drift(noisy, split_date="1995-06-01").collect()[0]
+    assert (a.n_ref, a.n_cur, a.psi) == (b.n_ref, b.n_cur, b.psi)
+    assert b.n_cur == 100  # the 25 null-date rows joined NEITHER side
 
 
 def test_stickiness_bounds(spark, sf_dir):
