@@ -278,7 +278,17 @@ def ngram_jaccard_pairs(corpus: DataFrame, pairs: DataFrame, ngram: int = 3) -> 
     shingle pass dwarfs a candidate broadcast, prune with
     corpus.join(F.broadcast(candidate_ids), "doc_id", "left_semi") before
     the gram compute (guide §3.2) — the LSH pairs frame is already
-    materialized, so the id collection is block reads."""
+    materialized, so the id collection is block reads.
+
+    Re-measured r16 with the full restructure (gram pass computed once,
+    hash-repartitioned to the core count, lineage-truncated, PAIRS side
+    broadcast so the corpus is never shuffled or broadcast) and two lighter
+    variants (no checkpoint; no repartition): ALL slower than this shape at
+    BOTH sf0.1 and sf1 — e.g. the pure-verify dedup_ngram_jaccard read
+    0.31 s here vs 0.56-0.64 s restructured at sf0.1, and 0.48 s vs 1.44 s
+    at sf1 (OPTIMIZATION_r16.md has the full matrix).  The extra exchange /
+    materialization barriers cost more than the duplicated gram pass saves
+    at every scale the fixtures can test, so the naive shape stays."""
     grams = corpus.select(
         "doc_id", F.array_distinct(_word_ngrams(F.col("text"), ngram)).alias("grams")
     )
