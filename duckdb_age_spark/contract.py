@@ -2116,7 +2116,17 @@ def sim_topk_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     _prep(spark)
     emb = load(spark, sf_dir, "embeddings")
     out = kmeans_ivf_topk(
-        emb, queries_from_ids(emb, [0, 1, 2, 3, 4]), k=5, n_lists=8, n_probe=2, n_iters=2
+        emb,
+        queries_from_ids(emb, [0, 1, 2, 3, 4]),
+        k=5,
+        n_lists=8,
+        n_probe=2,
+        n_iters=2,
+        # the shuffle-free fused Lloyd trainer, enabled here per its own
+        # contract (verify equivalence on the deployment's data first):
+        # oracle-exact at sf0.001/0.01/0.1/1 and measured 3.54->2.59 s at
+        # sf0.1, 9.51->7.27 s at sf1 (r16; OPTIMIZATION_r16.md)
+        fused_lloyd=True,
     )
     return out.withColumn("rank", F.col("rank").cast("bigint"))
 
