@@ -122,6 +122,25 @@ def _word_ngrams(col, n: int):
     return acc
 
 
+def _spread_hash_input(docs: DataFrame) -> DataFrame:
+    """Hash-repartition the doc frame to the cluster's core count when its
+    scan has FEWER splits — input splits are sized for scan bytes
+    (maxPartitionBytes), not for the ~|shingles|× explode+md5 CPU that
+    follows, so a 40 MB documents file runs the signature pass (the
+    sub-stage profile's dominant CPU: 16.7 of 30.6 s at sf1, on 2 of 32
+    cores) nearly serially.  Partitioning by doc_id means the exchange
+    REPLACES the downstream groupBy(doc_id)'s exchange (ClusteredDistribution
+    is satisfied by any hash partitioning on the key), so no net shuffle is
+    added — and the moved bytes are the skinny pre-explode doc rows.  At
+    real scale the scan already has >= cores splits and this is a no-op.
+    Same diagnosis as _span_anchors' spread (r15); keyed instead of
+    round-robin to reuse the exchange and skip sortBeforeRepartition."""
+    sc = docs.sparkSession.sparkContext
+    if docs.rdd.getNumPartitions() < sc.defaultParallelism:
+        return docs.repartition(sc.defaultParallelism, F.col("doc_id"))
+    return docs
+
+
 def minhash_signatures(docs: DataFrame, n_hashes: int = 8, ngram: int = 3) -> DataFrame:
     """(doc_id, mh_0..mh_{n-1}): per-doc MinHash signature over word n-grams.
 
@@ -141,7 +160,7 @@ def minhash_signatures(docs: DataFrame, n_hashes: int = 8, ngram: int = 3) -> Da
     # Exploding computes each shingle hash exactly once (subexpression
     # elimination shares each md5 across its four slices); groupBy(doc_id)
     # does map-side partial MIN before the single shuffle.
-    grams = docs.select(
+    grams = _spread_hash_input(docs).select(
         "doc_id", F.explode(F.array_distinct(_word_ngrams(F.col("text"), ngram))).alias("gram")
     )
     digests = [
@@ -328,7 +347,9 @@ def simhash(docs: DataFrame, bits: int = SIMHASH_BITS, ngram: int = 3) -> DataFr
     why not higher-order functions): each shingle is hashed once, the 32 bit
     votes are partial-aggregated map-side, one shuffle on doc_id.
     """
-    grams = docs.select("doc_id", F.explode(_word_ngrams(F.col("text"), ngram)).alias("gram"))
+    grams = _spread_hash_input(docs).select(
+        "doc_id", F.explode(_word_ngrams(F.col("text"), ngram)).alias("gram")
+    )
     h = F.conv(F.substring(F.md5(F.col("gram").cast("binary")), 1, 15), 16, 10).cast("bigint")
     hashed = grams.select("doc_id", h.alias("h"))
     votes = hashed.groupBy("doc_id").agg(

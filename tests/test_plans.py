@@ -1245,3 +1245,26 @@ def test_global_topk_sites_plan_take_ordered_not_single_task_windows(t):
     # max-quota conjunct must let Spark plan the per-map-task group limit
     plan = formatted_plan(mixture_sample(t["documents"], {"web": 5, "wiki": 3}, "source"))
     assert "WindowGroupLimit" in plan, "mixture_sample: literal bound stopped planning WindowGroupLimit"
+
+
+def test_signature_pass_spread_replaces_agg_exchange(spark):
+    """r16: minhash/simhash hash-repartition a FEW-SPLIT doc input to the
+    core count before the explode+md5 pass (input splits are sized for scan
+    bytes, not hashing CPU — the sf1 profile ran the dominant stage on 2 of
+    32 cores).  Because the spread is keyed on doc_id, it must REPLACE the
+    groupBy(doc_id) exchange, not add one: exactly ONE shuffle exchange,
+    and it carries the pre-explode doc rows."""
+    from duckdb_age_spark.operators.dedup import minhash_signatures, simhash
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i} " * 40) for i in range(64)], "doc_id long, text string"
+    ).coalesce(1)
+    for df in (minhash_signatures(docs), simhash(docs)):
+        assert count_exchanges(df) == 1
+        plan = formatted_plan(df)
+        assert "hashpartitioning(doc_id" in plan
+    # an input that already has >= cores partitions is passed through
+    wide = spark.createDataFrame(
+        [(i, f"w{i} " * 40) for i in range(64)], "doc_id long, text string"
+    ).repartition(64, "doc_id")
+    assert count_exchanges(minhash_signatures(wide)) == 1  # only the agg's own
