@@ -134,11 +134,12 @@ def _spread_hash_input(docs: DataFrame) -> DataFrame:
     added — and the moved bytes are the skinny pre-explode doc rows.  At
     real scale the scan already has >= cores splits and this is a no-op.
     Same diagnosis as _span_anchors' spread (r15); keyed instead of
-    round-robin to reuse the exchange and skip sortBeforeRepartition."""
-    sc = docs.sparkSession.sparkContext
-    if docs.rdd.getNumPartitions() < sc.defaultParallelism:
-        return docs.repartition(sc.defaultParallelism, F.col("doc_id"))
-    return docs
+    round-robin to reuse the exchange and skip sortBeforeRepartition.
+    Shared implementation: :func:`..iterate.spread_small_scan` (the text /
+    pipeline operators apply the same spread to their tokenize passes)."""
+    from .iterate import spread_small_scan
+
+    return spread_small_scan(docs, "doc_id")
 
 
 def minhash_signatures(docs: DataFrame, n_hashes: int = 8, ngram: int = 3) -> DataFrame:

@@ -56,6 +56,30 @@ def truncate_if_needed(
     return truncate_lineage(df, checkpoint_dir, eager=eager)
 
 
+def spread_small_scan(df: DataFrame, key: str = "doc_id") -> DataFrame:
+    """Hash-repartition ``df`` to the cluster's core count when it has
+    FEWER partitions — input splits are sized for scan bytes
+    (maxPartitionBytes), not for the explode/hash/higher-order-function CPU
+    that follows, so a compute-heavy pass over one small parquet file runs
+    on one core while the rest of the cluster idles (guide §2.6: the sf1
+    profiles read the minhash signature stage at 16.7 CPU-seconds on 2 of
+    32 tasks, the boilerplate phrase explode at 11.1 on 1).
+
+    Keying on the row identity means that when the downstream aggregate
+    groups by the same key the exchange REPLACES the aggregate's own
+    exchange (ClusteredDistribution is satisfied by any hash partitioning
+    on the key) — and when it does not, the added exchange moves only the
+    skinny pre-explode rows.  At real scale the scan already has >= cores
+    splits and this is a no-op; the partition-count probe is plan-side only
+    (no job)."""
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        from pyspark.sql import functions as F
+
+        return df.repartition(sc.defaultParallelism, F.col(key))
+    return df
+
+
 def truncate_lineage(df: DataFrame, checkpoint_dir: str | None = None, eager: bool = False) -> DataFrame:
     """Cut ``df``'s lineage: reliable checkpoint if a dir is given, else
     executor-local.  ``eager`` forces materialization now (use when the

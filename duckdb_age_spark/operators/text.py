@@ -14,6 +14,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from .iterate import spread_small_scan
+
 # A small fixed stopword list per language — deterministic, mirrored verbatim
 # in the oracle SQL.  (A real pipeline would broadcast a large dict; the
 # operator shape is identical.)
@@ -193,7 +195,10 @@ def bm25_topk(
         # lambda (e.g. a `t=term` default) as the (element, index) form.
         return F.size(F.filter(words, lambda x: x == F.lit(term)))
 
-    d = docs.select(
+    # spread the tokenize pass (r16, guide §2.6): the per-term HOF tf
+    # columns are the query's dominant CPU and the docs scan is one
+    # split at bench SFs — and d is consumed twice (stats + scored)
+    d = spread_small_scan(docs).select(
         "doc_id",
         F.size(words).alias("dl"),
         *[_tf(t).alias(f"tf_{i}") for i, t in enumerate(terms)],
@@ -602,7 +607,12 @@ def boilerplate_phrase_screen(
     """
     from .dedup import _word_ngrams
 
-    grams = docs.select(
+    # spread the 5-gram shingle pass (r16, guide §2.6): it is this query's
+    # dominant CPU (sf1 profile: 11.1 of 28 CPU-seconds on ONE task) and
+    # measured 2.18->1.89 s at sf0.1, 14.3->4.8 s at sf1.  The cheap plain-
+    # word tokenizers measured the same spread a LOSS (the added exchange
+    # outweighs a split+explode) and keep their unspread shape.
+    grams = spread_small_scan(docs).select(
         "doc_id",
         F.explode(F.array_distinct(_word_ngrams(F.col("text"), ngram))).alias("gram"),
     ).localCheckpoint(eager=False)
