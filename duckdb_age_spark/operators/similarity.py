@@ -309,8 +309,19 @@ def kmeans_ivf_topk(
     )
     if fused_lloyd:
         cent_rows = [(r.cent_id, r.cv) for r in cents.collect()]
+        # spread the training corpus across the cluster's cores (r16, guide
+        # §2.6): a one-split embeddings scan runs every Lloyd pass on ONE
+        # Python worker (sf1 read flat 8-vs-32-core).  Deterministic ONLY
+        # here: the fused merge sums partials sorted by (pid, cent_id), so
+        # the result is a pure function of the hash partitioning — the
+        # default F.avg path's merge follows task completion order, which a
+        # multi-partition layout would make run-to-run nondeterministic at
+        # 6-dp boundaries, so that path keeps the scan layout.
+        from .iterate import spread_small_scan
+
+        train_corpus = spread_small_scan(corpus, "vec_id")
         for _ in range(n_iters):
-            cent_rows = _lloyd_step_fused(corpus, cent_rows)
+            cent_rows = _lloyd_step_fused(train_corpus, cent_rows)
         cents = spark.createDataFrame(cent_rows, "cent_id bigint, cv array<double>")
     else:
         for _ in range(n_iters):
